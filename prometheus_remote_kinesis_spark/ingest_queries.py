@@ -1,0 +1,127 @@
+"""Layer A semantics as driver-checkable queries (SURVEY.md §2.1-2.2).
+
+The driver can only run queries over its parquet tables, so these lift the
+``events`` table into the reference's record model and exercise the ingest
+path's pinned behaviors — NaN→NULL (prometheus.go:28-32), name projection
+(prometheus.go:19), label-map handling (prometheus.go:14-17), epoch-ms time
+(record.go:10), and the NDJSON encode/decode round trip (kinesis.go:153-180,
+README.rst:44-61) — against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.ingest import records_from_columns
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.schema import RECORD_SCHEMA
+from prometheus_remote_kinesis_spark.sinks import encode_ndjson
+from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+
+def _event_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → RECORD_SCHEMA rows. 'error' events get a NaN value injected
+    so the stale-marker NaN→NULL rule (prometheus.go:28-32) is observable."""
+    events = load_table(spark, sf_dir, "events")
+    value = F.when(F.col("event_type") == "error", F.lit(float("nan"))).otherwise(
+        F.col("value")
+    )
+    labels = F.create_map(
+        F.lit("__name__"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return records_from_columns(
+        events,
+        name=F.col("event_type"),
+        time_ms=F.unix_millis("ts"),
+        value=value,
+        labels=labels,
+    )
+
+
+_R1_ORACLE = """
+    SELECT event_type                 AS name,
+           epoch_us(ts) // 1000      AS time,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+           CAST(user_id AS VARCHAR)  AS label_user
+    FROM events
+"""
+
+
+@register("r1_event_records", family="P1-P5", oracle=_R1_ORACLE)
+def r1_event_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The record model built from events: name/time/value/labels with
+    NaN→NULL coercion — the oracle's CASE..NULL is the reference's
+    JsonNullFloat64 semantic (record.go:21-27)."""
+    return _event_records(spark, sf_dir).select(
+        "name",
+        "time",
+        "value",
+        F.element_at("labels", "user").alias("label_user"),
+    )
+
+
+@register("r2_ndjson_roundtrip", family="S6/S8", oracle=_R1_ORACLE, bench=True)
+def r2_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """records → NDJSON (to_json, explicit nulls, kinesis.go:158-163) →
+    parse back under RECORD_SCHEMA (S8). Equal to r1 ⟺ the wire format
+    round-trips losslessly, including ``"value": null``."""
+    encoded = encode_ndjson(_event_records(spark, sf_dir))
+    decoded = encoded.select(F.from_json("line", RECORD_SCHEMA).alias("r"))
+    return decoded.select(
+        F.col("r.name").alias("name"),
+        F.col("r.time").alias("time"),
+        F.col("r.value").alias("value"),
+        F.element_at("r.labels", "user").alias("label_user"),
+    )
+
+
+@register(
+    "r3_flatten_writerequest",
+    family="P3-P4",
+    oracle="""
+        SELECT event_type AS name, count(*) AS n_records,
+               count(value) AS n_non_null
+        FROM (SELECT event_type,
+                     CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+              FROM events)
+        GROUP BY event_type
+    """,
+)
+def r3_flatten_writerequest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips events through the nested WriteRequest shape
+    (series = (user, type) with a labels list and a samples list —
+    prompb.TimeSeries) and back through ``flatten_write_requests``:
+    row count per name must equal the original sample count
+    (invariant: Σ max(1, len(samples)), prometheus.go:11,20-23)."""
+    from prometheus_remote_kinesis_spark.ingest import flatten_write_requests
+
+    events = load_table(spark, sf_dir, "events")
+    nested = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.struct(
+                F.when(F.col("event_type") == "error", F.lit(float("nan")))
+                .otherwise(F.col("value"))
+                .alias("value"),
+                F.unix_millis("ts").alias("timestamp"),
+            ).alias("sample"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.collect_list("sample").alias("samples"))
+        .select(
+            F.array(
+                F.struct(F.lit("__name__").alias("name"), F.col("event_type").alias("value")),
+                F.struct(F.lit("user").alias("name"), F.col("user_id").cast("string").alias("value")),
+            ).alias("labels"),
+            "samples",
+        )
+        .select(F.array(F.struct("labels", "samples")).alias("timeseries"))
+    )
+    records = flatten_write_requests(nested)
+    return records.groupBy(F.col("name")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count("value").alias("n_non_null"),
+    )

@@ -1,0 +1,231 @@
+"""L-family: deduplication (SURVEY.md §2.9 L1-L2) — exact, MinHash+LSH,
+SimHash, exact n-gram Jaccard.
+
+Scale posture: exact dedup is a hash-groupBy on a digest (one shuffle of
+64-byte keys, never of document text). MinHash/LSH is the 100 TB near-dup
+path: signatures are fixed-size (32×8 bytes), banding turns the quadratic
+all-pairs problem into a groupBy on band keys, and only bucket-mates are
+compared. Everything except SimHash is built-in-function JVM code.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+N_PERM = 32  # minhash permutations
+N_BANDS = 8  # LSH bands → 4 rows/band; ~0.5 jaccard detection knee
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized document."""
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # Documents shorter than n tokens get the whole text as one shingle.
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(text))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_perm: int = N_PERM) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(shingle, i). Seeding xxhash64 with the permutation index is
+    the standard trick for a family of independent hash functions without
+    driver-side coefficients — all JVM-side, no UDF."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(n_perm)
+        ]
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and emit candidate pairs (id_a < id_b) that
+    collide in ≥1 band, with the signature-estimated Jaccard attached.
+
+    groupBy-free formulation: explode to (band_key, id, sig), self-join on
+    band_key — at scale this is a shuffle on short band keys; hot buckets
+    (boilerplate docs) are exactly the pairs we want, and AQE skew-join
+    splits them.
+    """
+    banded = docs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    left = banded.select(
+        F.col("band"), F.col("bh"),
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("bh"),
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(N_PERM)
+    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+
+
+@register(
+    "l1_exact_dedup",
+    family="L1",
+    oracle="""
+        SELECT sha256(text)  AS doc_hash,
+               count(*)      AS n_copies,
+               min(doc_id)   AS rep_id
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on a content digest, keep the min-id
+    representative. The shuffle ships 32-byte digests, not text — the only
+    exact-dedup shape that works at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("doc_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("rep_id"),
+    )
+
+
+@register("l2_minhash_lsh_pairs", family="L2", oracle=None, bench=True)
+def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8×4) near-dup candidate pairs with estimated
+    Jaccard ≥ 0.25. No SQL oracle (hash-family dependent) — recall vs the
+    exact l2b query is asserted in tests/test_llm.py."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", minhash_signature(shingles(F.col("text"))).alias("sig")
+    )
+    return lsh_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.25)
+
+
+@register(
+    "l2b_ngram_jaccard",
+    family="L2",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' ||
+                                        string_split(text, ' ')[i+1] || ' ' ||
+                                        string_split(text, ' ')[i+2])
+                            ELSE [text] END)) AS shingle
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+    """,
+)
+def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs (≥0.2) via the shared-shingle
+    inverted-index join — the brute-force ground truth the LSH variant
+    (l2_minhash_lsh_pairs) approximates. Linear in total shingle
+    postings, not in doc pairs: only docs sharing a shingle ever meet."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("l2c_simhash", family="L2", oracle=None)
+def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (token-unigram features, md5-derived
+    bit hashes — platform-stable), plus a 16-bit prefix usable as a
+    hamming-LSH bucket key. Arrow-batched pandas UDF: the per-token
+    bit-vote accumulation is genuinely imperative (SURVEY.md guidance:
+    pandas UDF when built-ins can't express it)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, text in enumerate(texts):
+            hs = np.array(
+                [
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                    for tok in (text or "").split(" ")
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (ntok, 64)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out[row] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        simhash64(F.col("text")).alias("simhash"),
+    ).withColumn("bucket16", F.shiftrightunsigned("simhash", 48))

@@ -1,0 +1,166 @@
+"""L-family: embedding similarity search (SURVEY.md §2.9 L3-L4).
+
+Brute-force cosine is the exactness baseline (higher-order functions, no
+UDF, no shuffle beyond the final top-k merge). The LSH-bucketed ANN variant
+is the 100 TB path: random-hyperplane signatures shrink the candidate set
+from |corpus| to a bucket, turning an O(N·Q) scan into a bucket-key join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — JVM-side, double accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "l3_cosine_topk",
+    family="L3",
+    bench=True,
+    oracle="""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], qe)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+)
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against a query vector (vec_id=0).
+
+    The query vector is a parameter (one collected row), inlined as a
+    literal so the scan side runs embarrassingly parallel with a final
+    TakeOrderedAndProject top-k merge — no shuffle of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "l4_knn_join",
+    family="L4",
+    oracle="""
+        WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id < 100)
+        SELECT qid, vec_id AS nn_id,
+               round(list_dot_product(embedding::DOUBLE[], qe)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim,
+               CAST(rn AS INTEGER) AS rn
+        FROM (
+            SELECT qs.qid, qs.qe, e.vec_id, e.embedding,
+                   row_number() OVER (
+                       PARTITION BY qs.qid
+                       ORDER BY round(list_dot_product(e.embedding::DOUBLE[], qs.qe)
+                               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                  * sqrt(list_dot_product(qs.qe, qs.qe))), 6) DESC,
+                               e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs
+            WHERE e.vec_id <> qs.qid
+        )
+        WHERE rn <= 3
+    """,
+)
+def l4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN join: top-3 cosine neighbors for each query vector
+    (vec_id < 100). Broadcast the (small) query side; the corpus streams
+    past it map-side, and a windowed top-k per query bounds the output —
+    the exact-KNN shape that scales until |queries| forces LSH (l4b)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("qe")), 6)
+    scored = (
+        emb.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nn_id"), sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nn_id")
+    return (
+        scored.select("qid", "nn_id", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+N_TABLES = 8  # independent hash tables (candidate union across tables)
+BITS_PER_TABLE = 5  # 32 buckets/table
+
+
+@register("l4b_lsh_ann", family="L4", oracle=None)
+def l4b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table random-hyperplane LSH: 8 independent tables of
+    5-bit signatures (seed-42 hyperplanes); a pair is a candidate if it
+    collides in ANY table (union across tables — the standard recall
+    amplification), then exact cosine top-3 within the candidate set.
+
+    At 100 TB the per-table bucket join replaces the full cross product;
+    recall vs exact l4_knn_join is asserted in tests/test_llm.py. An
+    Arrow-batched pandas UDF computes all 40 projections in one matmul.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.random.RandomState(42).randn(N_TABLES * BITS_PER_TABLE, 64)
+    bc = planes.tolist()  # closure-captured, tiny
+
+    @pandas_udf("array<int>")
+    def buckets_of(embs: pd.Series) -> pd.Series:
+        mat = np.array(list(embs), dtype=np.float64)  # (batch, 64)
+        bits = (mat @ np.array(bc).T) > 0  # (batch, T*B)
+        bits = bits.reshape(len(mat), N_TABLES, BITS_PER_TABLE)
+        codes = (bits * (1 << np.arange(BITS_PER_TABLE))).sum(axis=2)
+        # offset per table so (table, code) packs into one int key
+        codes = codes + (np.arange(N_TABLES) << BITS_PER_TABLE)
+        return pd.Series(list(codes.astype(np.int32)))
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", buckets_of(F.col("embedding")).alias("buckets")
+    )
+    banded = emb.select("vec_id", "embedding", F.explode("buckets").alias("bucket"))
+    a = banded.select(
+        F.col("bucket"), F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    b = banded.select(
+        F.col("bucket"), F.col("vec_id").alias("nn_id"), F.col("embedding").alias("ne")
+    )
+    candidates = (
+        a.join(b, "bucket")
+        .filter(F.col("qid") != F.col("nn_id"))
+        .select("qid", "nn_id", "qe", "ne")
+        .dropDuplicates(["qid", "nn_id"])  # union across tables
+    )
+    scored = candidates.select(
+        "qid", "nn_id", F.round(cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nn_id")
+    return (
+        scored.select("qid", "nn_id", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,188 @@
+"""A-family: aggregations (SURVEY.md §2.4 A1-A7).
+
+Metrics rollups are the canonical consumer of the reference's output stream
+(README.rst:6). All aggregates are expressed with built-in functions so
+Spark plans HashAggregate with partial (map-side) + final stages — the
+shuffle moves pre-aggregated partials, not raw rows, which is what makes
+these viable at 100 TB.
+
+Hash-match conventions (see registry docstring): float aggregates rounded
+identically on both sides; integer-sum oracles cast to BIGINT to match
+Spark's long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+
+@register(
+    "a1_pricing_summary",
+    family="A1",
+    bench=True,
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 6)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the engine's flagship batch agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "a2_series_cardinality",
+    family="A2",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*)                AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a2_series_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series cardinality = distinct label-set count per metric name."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("a3_approx_cardinality", family="A3", oracle=None)
+def a3_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality sketch — THE way to count distinct at
+    100 TB (exact count-distinct shuffles every key; HLL ships fixed-size
+    sketches). rsd=1% — no SQL oracle (sketch output), rows-only check."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("value", rsd=0.01).alias("approx_values"),
+    )
+
+
+@register(
+    "a4_value_quantiles",
+    family="A4",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.50), 4) AS p50,
+               round(quantile_cont(value, 0.75), 4) AS p75,
+               round(quantile_cont(value, 0.90), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a4_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-percentile-style quantiles. Spark ``percentile`` is the
+    exact continuous-interpolation aggregate — semantically identical to
+    DuckDB ``quantile_cont`` (SURVEY.md §7 watch list). At 100 TB swap to
+    ``percentile_approx`` (a3-style sketch); exact here for oracle parity."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", p), 4).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.90, 0.99)
+        ]
+    )
+
+
+@register(
+    "a5_rollup_quantities",
+    family="A5",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*)                  AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a5_rollup_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP with grouping-id disambiguation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a6_extreme_orders",
+    family="A6",
+    oracle="""
+        SELECT o_orderstatus,
+               max({'o_totalprice': o_totalprice, 'o_orderkey': o_orderkey}).o_totalprice AS top_price,
+               max({'o_totalprice': o_totalprice, 'o_orderkey': o_orderkey}).o_orderkey   AS top_orderkey,
+               min({'o_orderdate': o_orderdate, 'o_orderkey': o_orderkey}).o_orderkey     AS first_orderkey,
+               min(o_orderdate)                                                           AS first_date
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def a6_extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min per group via lexicographic struct extrema.
+
+    ``max(struct(price, key))`` is deterministic under price ties (the key
+    breaks them) — unlike bare ``max_by``, which is tie-nondeterministic in
+    both engines (the sf0.01 data does contain duplicate o_totalprice)."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = F.max(F.struct("o_totalprice", "o_orderkey"))
+    first = F.min(F.struct("o_orderdate", "o_orderkey"))
+    return orders.groupBy("o_orderstatus").agg(
+        top.getField("o_totalprice").alias("top_price"),
+        top.getField("o_orderkey").alias("top_orderkey"),
+        first.getField("o_orderkey").alias("first_orderkey"),
+        F.min("o_orderdate").alias("first_date"),
+    )
+
+
+@register(
+    "a7_event_type_sets",
+    family="A7",
+    oracle="""
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+               count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def a7_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set re-aggregation (samples-per-series shape, SURVEY A7);
+    serialized sorted so the hash comparison is order-stable."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,257 @@
+"""J-family: joins (SURVEY.md §2.3 J1-J7).
+
+The reference has no joins; these give the record stream its dimension
+context (star schema, FIXTURES.md §A). Scale posture per join:
+
+- Fact-fact equi joins (J1) shuffle on the key → sort-merge; AQE converts
+  to broadcast when a side is small at runtime.
+- Dimension joins (J2) are explicitly ``broadcast()``-hinted: region(5) /
+  nation(25) / customer must NEVER cause a 100 TB fact shuffle.
+- The as-of join (J6) is the union+window formulation: ONE shuffle on the
+  series key, no range-explosion, no per-row subquery — this is the shape
+  that survives 1000 executors (a naive join+max-subquery is quadratic in
+  samples per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+
+@register(
+    "j1_order_revenue",
+    family="J1",
+    bench=True,
+    oracle="""
+        SELECT o.o_orderstatus,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+)
+def j1_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j2_customer_region",
+    family="J2",
+    oracle="""
+        SELECT r.r_name,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+)
+def j2_customer_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dimension chain with explicit broadcast hints: at 100 TB
+    the fact side streams map-side past the 5-row/25-row dims — no shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "j3_customer_order_profile",
+    family="J3",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment,
+               count(o.o_orderkey)                    AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def j3_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "j4_semi_active_customers",
+    family="J4",
+    oracle="""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def j4_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS; ships only the probe side's columns."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "j4b_anti_dormant_customers",
+    family="J4",
+    oracle="""
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4b_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS: customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "j5_shipments_in_band",
+    family="J5",
+    oracle="""
+        SELECT o.o_orderpriority, count(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY o.o_orderpriority
+    """,
+)
+def j5_shipments_in_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) join: equi key + date-range predicate. Catalyst keeps
+    the equi part as the shuffle key and evaluates the range residually —
+    the scalable shape (a pure range join would be a cross product)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "j6_asof_last_order",
+    family="J6",
+    bench=True,
+    oracle="""
+        WITH day_orders AS (
+            SELECT o_custkey, o_orderdate AS order_ts,
+                   round(sum(o_totalprice), 2) AS day_total
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               o.order_ts  AS last_order_ts,
+               o.day_total AS last_order_total
+        FROM events e
+        ASOF LEFT JOIN day_orders o
+          ON e.user_id = o.o_custkey AND o.order_ts <= e.ts
+    """,
+)
+def j6_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order-day at-or-before ts
+    (Prometheus lookback semantics over the ms-timestamp record model,
+    record.go:10). Union+window formulation (SURVEY.md §2.3 J6):
+
+    tag both sides, union on (key, ts), then ``last(..., ignorenulls)``
+    over a (key)-partitioned window ordered by (ts, side) — orders sort
+    before events at equal ts, giving the at-or-before (<=) semantic with
+    latest-wins tie-breaking, matching DuckDB ASOF JOIN. One shuffle total,
+    linear in rows — scale-safe where a per-event subquery is not.
+
+    Day-level pre-aggregation makes the as-of target unique per (key, ts),
+    so tie-breaking is deterministic on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    day_orders = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("side"),  # orders first at equal ts → '<=' semantics
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("o_orderdate").alias("order_ts"),
+            F.col("day_total"),
+        )
+    )
+    ev = events.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("order_ts"),
+        F.lit(None).cast("double").alias("day_total"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = day_orders.unionByName(ev).select(
+        "key",
+        "side",
+        "event_id",
+        F.last("order_ts", ignorenulls=True).over(w).alias("last_order_ts"),
+        F.last("day_total", ignorenulls=True).over(w).alias("last_order_total"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        F.col("event_id"),
+        F.col("key").alias("user_id"),
+        "last_order_ts",
+        "last_order_total",
+    )
+
+
+@register(
+    "j7_nation_region_cross",
+    family="J7",
+    oracle="SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r",
+)
+def j7_nation_region_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (25×5) — legitimate only for tiny dims; broadcasted."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.crossJoin(F.broadcast(region)).select("n_name", "r_name")

@@ -1,0 +1,64 @@
+"""P-family: filters / projections (SURVEY.md §2.2 P6-P7).
+
+The reference's only "predicates" are implicit (metric-name partition keys,
+kinesis.go:174); PromQL-style label selection over the record model maps to
+plain Catalyst filters. Everything here is pushdown-friendly: filters and
+column selection reach the parquet scan (verify via ``PushedFilters`` /
+``ReadSchema`` in ``.explain("formatted")``) — at 100 TB that is the
+difference between scanning 2 columns of a pruned partition set and
+scanning the lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+
+@register(
+    "p6_label_filter",
+    family="P6",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE event_type = 'error'
+          AND CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 50 AND 80
+          AND value > 0
+    """,
+)
+def p6_label_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style selector {__name__="error", k~(50..80)} over events.
+
+    Mirrors label-matcher selection on the record model (record.go:12-14);
+    the JSON ``props`` column stands in for the dynamic label map.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(
+            (F.col("event_type") == "error")
+            & F.get_json_object("props", "$.k").cast("long").between(50, 80)
+            & (F.col("value") > 0)
+        ).select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "p7_projection_pruning",
+    family="P7",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+    """,
+)
+def p7_projection_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned projection: the scan should read 5 columns, not 11."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & F.col("l_discount").between(0.02, 0.04)
+    ).select("l_orderkey", "l_partkey", "l_extendedprice")

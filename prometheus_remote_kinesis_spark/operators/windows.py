@@ -1,0 +1,131 @@
+"""W-family: window functions (SURVEY.md §2.5 W1-W4).
+
+Counter deltas (lag), per-series running aggregates (range frames over
+epoch-ms), and top-k per group — the PromQL-ish analytics over the record
+model. Every ordering includes a unique tie-break key so results are
+deterministic on both engines. Scale note: all windows partition by a
+key (never a global ORDER BY window) — one shuffle on the partition key,
+state bounded per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+
+@register(
+    "w1_order_rank_in_status",
+    family="W1",
+    oracle="""
+        SELECT o_orderstatus, o_orderkey, o_totalprice, rn, rnk
+        FROM (
+            SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                   rank()       OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+        ) WHERE rn <= 5
+    """,
+)
+def w1_order_rank_in_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "w2_value_deltas",
+    family="W2",
+    oracle="""
+        SELECT event_id, user_id,
+               round(value - lag(value)  OVER w, 6) AS delta,
+               round(lead(value) OVER w - value, 6) AS next_delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w2_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per series — the counter-delta primitive (rate/increase
+    numerators over the reference's sample stream, record.go:10-11)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("next_delta"),
+    )
+
+
+@register(
+    "w3_trailing_5min_sum",
+    family="W3",
+    bench=True,
+    oracle="""
+        SELECT event_id, event_type,
+               round(sum(value) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
+                                      RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW), 2)
+                   AS trailing_sum,
+               count(*) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
+                              RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+                   AS trailing_n
+        FROM events
+    """,
+)
+def w3_trailing_5min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute trailing range frame over epoch-ms — PromQL
+    ``sum_over_time(m[5m])`` / rate-style lookback on the ms-long time
+    axis (record.go:10). RANGE (not ROWS) so ms-tied samples are frame
+    peers on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-300000, 0)
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round(F.sum("value").over(w), 2).alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+
+
+@register(
+    "w4_top_parts_per_brand",
+    family="W4",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice, rn
+        FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part
+        ) WHERE rn <= 3
+    """,
+)
+def w4_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — rank-then-filter; Spark prunes with a per-
+    partition top-k (WindowGroupLimit) so no full sort materializes."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        part.select(
+            "p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )

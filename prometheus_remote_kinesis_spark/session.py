@@ -1,0 +1,54 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); every config
+here is chosen so the same code is correct on a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB, static
+  partition counts are always wrong for some stage; AQE re-plans from
+  observed sizes.
+- ``spark.sql.shuffle.partitions`` sized to local cores here; on a real
+  cluster this is the *initial* number AQE coalesces from.
+- Arrow on: every Pandas-UDF boundary in the engine is Arrow-batched.
+- UTC session timezone: epoch-ms fidelity with the reference record model
+  (record.go:10 — raw int64 ms) and with the DuckDB oracle.
+- Broadcast threshold left at default (10 MB); dimension tables in the
+  star schema (region 5 rows … customer 1500 rows/sf0.01) broadcast
+  automatically, and we additionally hint `broadcast()` where the plan
+  must never degrade to a shuffle at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def cpu_count() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "prometheus_remote_kinesis_spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,148 @@
+"""Sinks: NDJSON encode, chunked Kinesis/Firehose-shaped batch put, parquet.
+
+The reference serializes each record to one JSON line (``kinesis.go:153-180``,
+newline at ``kinesis.go:163``) and sends micro-batches bounded by
+≤500 entries / ≤4.5e6 bytes per AWS call (``kinesis.go:22-23``), partitioned
+by metric name (``kinesis.go:174``). We reproduce the limits and the
+partition key, and deliberately FIX the reference's warts (SURVEY.md §4.3):
+
+1. oversize first-append (kinesis.go:127-132): we chunk WITHIN a batch, so
+   a single huge request can never produce an over-limit call;
+2. nil entry on marshal failure (kinesis.go:156-161): ``to_json`` cannot
+   emit nil entries; NULL-text rows are filtered defensively anyway;
+3. ignored partial failures / no retry (kinesis.go:191-192): ``put_batch``
+   retries the failed subset with bounded backoff.
+
+AWS clients are injected (a ``put_records_fn``), never imported — tests use
+an in-memory fake; production wires ``boto3.client("kinesis").put_records``.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.schema import MAX_PUT_BYTES, MAX_PUT_ENTRIES
+
+# NDJSON wire format: {"name":...,"time":...,"value":...,"labels":{...}}\n
+# Field order follows the Go struct (record.go:8-14); ignoreNullFields=false
+# keeps the explicit "value": null the reference emits for stale markers
+# (record.go:21-27 MarshalJSON → JSON null).
+_RECORD_STRUCT = ("name", "time", "value", "labels")
+
+
+def encode_ndjson(records: DataFrame) -> DataFrame:
+    """RECORD_SCHEMA rows → single-column ``line`` (no trailing newline;
+    the line terminator is added by the text writer / sink, mirroring
+    ``kinesis.go:163``). Partition key column ``name`` is retained."""
+    return records.select(
+        F.col("name").alias("partition_key"),  # kinesis.go:174
+        F.to_json(
+            F.struct(*_RECORD_STRUCT), {"ignoreNullFields": "false"}
+        ).alias("line"),
+    )
+
+
+@dataclass
+class PutBatch:
+    """One sink call's payload: ≤500 entries, ≤4.5e6 total bytes."""
+
+    entries: list[tuple[str, bytes]]  # (partition_key, data-with-newline)
+    total_bytes: int
+
+
+def chunk_entries(
+    entries: Iterable[tuple[str, bytes]],
+    max_entries: int = MAX_PUT_ENTRIES,
+    max_bytes: int = MAX_PUT_BYTES,
+) -> Iterator[PutBatch]:
+    """Split a micro-batch into AWS-call-sized chunks.
+
+    Unlike the reference (which only splits BETWEEN requests,
+    kinesis.go:133-146, and accepts an oversize first append,
+    kinesis.go:127-132), chunking here is per-entry, so every emitted batch
+    respects both limits regardless of input sizes.
+    """
+    batch: list[tuple[str, bytes]] = []
+    nbytes = 0
+    for key, data in entries:
+        size = len(data)
+        if batch and (len(batch) >= max_entries or nbytes + size > max_bytes):
+            yield PutBatch(batch, nbytes)
+            batch, nbytes = [], 0
+        batch.append((key, data))
+        nbytes += size
+    if batch:
+        yield PutBatch(batch, nbytes)
+
+
+PutRecordsFn = Callable[[PutBatch], list[int]]
+"""Injected sink call. Returns indices of FAILED entries (empty = success),
+mirroring the per-record failure reporting of PutRecords that the reference
+never inspects (kinesis.go:191-192)."""
+
+
+def put_batch(
+    batch: PutBatch,
+    put_records_fn: PutRecordsFn,
+    max_retries: int = 3,
+    backoff_s: float = 0.2,
+    sleep: Callable[[float], None] = _time.sleep,
+) -> int:
+    """Send one chunk, retrying only the failed subset with backoff.
+
+    Returns the number of entries permanently failed after retries.
+    """
+    pending = batch
+    for attempt in range(max_retries + 1):
+        failed = put_records_fn(pending)
+        if not failed:
+            return 0
+        entries = [pending.entries[i] for i in failed]
+        pending = PutBatch(entries, sum(len(d) for _, d in entries))
+        if attempt < max_retries:
+            sleep(backoff_s * (2**attempt))
+    return len(pending.entries)
+
+
+def foreach_batch_writer(
+    put_records_fn: PutRecordsFn,
+    max_entries: int = MAX_PUT_ENTRIES,
+    max_bytes: int = MAX_PUT_BYTES,
+) -> Callable[[DataFrame, int], None]:
+    """Build a Structured Streaming ``foreachBatch`` sink function.
+
+    Each micro-batch is NDJSON-encoded, keyed by metric name, chunked to
+    the AWS limits, and sent partition-by-partition ON THE EXECUTORS via
+    ``foreachPartition`` — the driver never collects the batch, so sink
+    throughput scales with the cluster, not the driver (the reference is a
+    single writer goroutine, kinesis.go:63).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        encoded = encode_ndjson(batch_df)
+
+        def send_partition(rows: Iterator) -> None:
+            entries = (
+                (r["partition_key"], (r["line"] + "\n").encode("utf-8"))
+                for r in rows
+                if r["line"] is not None
+            )
+            for chunk in chunk_entries(entries, max_entries, max_bytes):
+                put_batch(chunk, put_records_fn)
+
+        encoded.foreachPartition(send_partition)
+
+    return write
+
+
+def write_parquet_archive(records: DataFrame, path: str) -> None:
+    """S9: the reference's stated S3-archival use case (README.rst:6),
+    columnar at rest, partitioned by metric name (the reference's Kinesis
+    partition key, kinesis.go:174) so per-metric queries prune partitions.
+    """
+    records.write.mode("overwrite").partitionBy("name").parquet(path)

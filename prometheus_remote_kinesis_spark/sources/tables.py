@@ -1,0 +1,57 @@
+"""Batch scans over the driver's parquet test tables (SURVEY.md §2.1 S7-S8).
+
+All scans are native ``DataFrameReader`` so Catalyst's predicate pushdown and
+column pruning reach the parquet footer (check ``PushedFilters`` /
+``ReadSchema`` in ``.explain("formatted")``). At 100 TB the same call reads a
+partitioned parquet lake; nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from prometheus_remote_kinesis_spark.schema import RECORD_SCHEMA, TABLES
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We flip the runtime conf
+# that reads them as raw nanos longs and convert to TimestampType (µs)
+# ourselves. The data carries no sub-µs components (verified: epoch_ns %
+# 1000 == 0 for all rows), and DuckDB likewise reads these as µs TIMESTAMP,
+# so the conversion is lossless and oracle-consistent.
+_NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver test table (TESTDATA.md)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in _NANOS_TS_COLUMNS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for col in _NANOS_TS_COLUMNS[name]:
+            if isinstance(df.schema[col].dataType, T.LongType):
+                # integer `div`, NOT `/`: true division goes through double,
+                # which cannot represent epoch-ns exactly (> 2^53).
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_ndjson_records(spark: SparkSession, path: str) -> DataFrame:
+    """Read the engine's own NDJSON wire format back (S8).
+
+    Explicit ``RECORD_SCHEMA`` — never inference: ``value: null`` rows and
+    map-typed ``labels`` would break or destabilize inferred schemas
+    (SURVEY.md §1.3).  Wire format: one JSON object per line
+    (/root/reference/README.rst:44-61, kinesis.go:163).
+    """
+    return spark.read.schema(RECORD_SCHEMA).json(path)

@@ -1,0 +1,118 @@
+"""Behavioral tests for the LLM-pipeline operators: LSH recall vs exact
+ground truth, language-ID on multilingual fixtures, simhash determinism,
+multimodal stub plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.llm.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingles,
+)
+from prometheus_remote_kinesis_spark.llm.multimodal import (
+    decode_stub,
+    documents_as_media,
+    extract_features,
+)
+from prometheus_remote_kinesis_spark.llm.text import language_id
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Near-identical docs get high estimated jaccard; disjoint docs low."""
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = " ".join(f"tok{i}" for i in range(49)) + " tokX"
+    far = " ".join(f"other{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    ).select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(df).collect()
+    }
+    assert pairs.get((0, 1), 0) > 0.5  # near-dup found with high estimate
+    assert pairs.get((0, 2), 0) < 0.2 and pairs.get((1, 2), 0) < 0.2
+
+
+def test_lsh_recall_vs_exact(spark):
+    """Every exact-Jaccard≥0.5 pair at sf0.001 must be an LSH candidate
+    (8 bands × 4 rows ⇒ P(miss at j=0.5) = (1-0.5⁴)⁸ ≈ 0.6 per band-set;
+    with the real corpus we assert recall on the actually-present pairs)."""
+    from prometheus_remote_kinesis_spark.llm.dedup import (
+        l2_minhash_lsh_pairs,
+        l2b_ngram_jaccard,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in l2b_ngram_jaccard(spark, SF_SMOKE).collect()
+        if r["jaccard"] >= 0.5
+    }
+    candidates = {
+        (r["id_a"], r["id_b"]) for r in l2_minhash_lsh_pairs(spark, SF_SMOKE).collect()
+    }
+    if exact:
+        recall = len(exact & candidates) / len(exact)
+        assert recall >= 0.8
+
+
+def test_language_id_on_multilingual_fixtures(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is friendly to all"),
+            (2, "el gato y la casa es bonita los dias"),
+            (3, "le chat est dans la maison et une porte"),
+            (4, "der hund ist ein freund und die katze"),
+            (5, "这 是 的 一个 测试 在 这里"),
+            (6, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in df.select("doc_id", language_id(F.col("text")).alias("pred")).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "zh", 6: "und"}
+
+
+def test_simhash_deterministic_and_locality(spark):
+    from prometheus_remote_kinesis_spark.llm.dedup import l2c_simhash
+
+    a = {r["doc_id"]: r["simhash"] for r in l2c_simhash(spark, SF_SMOKE).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in l2c_simhash(spark, SF_SMOKE).collect()}
+    assert a == b  # platform/run stable (md5-derived)
+    assert len(set(a.values())) > 1
+
+
+def test_decode_stub_contract():
+    assert decode_stub(b"abc", "text/plain") == (97 + 98 + 99) / 3
+    assert decode_stub(b"", "text/plain") == 0.0
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG", "image/png")  # real decoders are stubbed
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(7, "hi")], "doc_id long, text string")
+    out = extract_features(documents_as_media(docs)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["mime"], r["n_bytes"]) == (7, "text/plain", 2)
+    assert r["feature"] == (ord("h") + ord("i")) / 2
+
+
+def test_knn_lsh_overlap(spark):
+    """LSH-ANN must agree with exact KNN on a reasonable fraction of
+    top-3 neighbor edges (same-bucket recall)."""
+    from prometheus_remote_kinesis_spark.llm.similarity import l4_knn_join, l4b_lsh_ann
+
+    exact = {
+        (r["qid"], r["nn_id"]) for r in l4_knn_join(spark, SF_SMOKE).collect()
+    }
+    ann = {(r["qid"], r["nn_id"]) for r in l4b_lsh_ann(spark, SF_SMOKE).collect()}
+    qids = {q for q, _ in exact}
+    hit = len(exact & ann) / len(exact)
+    assert hit > 0.2  # 8-bit buckets: partial recall expected, not zero

@@ -1,0 +1,42 @@
+"""Smoke every registered query at sf0.001 (t1-shaped: runs + stable
+schema + plausible row count). Exact value parity vs DuckDB is covered by
+tools/verify_local.py at sf0.01 (the driver's t2 gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from prometheus_remote_kinesis_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "window_start", "window_end", "event_type", "n", "sum_value", "avg_value",
+    }
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 50
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, name):
+    q = QUERIES[name]
+    df = q.fn(spark, SF_SMOKE)
+    n = df.count()
+    assert n >= 0
+    # deterministic: second run produces the same count
+    assert q.fn(spark, SF_SMOKE).count() == n

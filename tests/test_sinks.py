@@ -1,0 +1,104 @@
+"""Sink chunking + retry semantics (FIXTURES.md §B big_batch_*; the
+reference bugs of SURVEY.md §4.3 that we deliberately fix)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.schema import MAX_PUT_BYTES, MAX_PUT_ENTRIES
+from prometheus_remote_kinesis_spark.sinks import (
+    PutBatch,
+    chunk_entries,
+    foreach_batch_writer,
+    put_batch,
+)
+
+
+def entry(key: str, size: int):
+    return (key, b"x" * size)
+
+
+def test_chunk_by_count():
+    """>500 entries split into ≤500-entry calls (kinesis.go:23; fixes the
+    oversize first-append, §4.3 bug 1)."""
+    batches = list(chunk_entries([entry("k", 10)] * 1203))
+    assert [len(b.entries) for b in batches] == [500, 500, 203]
+
+
+def test_chunk_by_bytes():
+    """Byte cap honored mid-batch (kinesis.go:22,133-144)."""
+    big = MAX_PUT_BYTES // 3 + 1  # three of these exceed the cap by 3 bytes
+    batches = list(chunk_entries([entry("k", big)] * 4))
+    assert [len(b.entries) for b in batches] == [2, 2]
+    assert all(b.total_bytes <= MAX_PUT_BYTES for b in batches)
+
+
+def test_single_oversize_entry_still_sent_alone():
+    """A single entry larger than the cap forms its own batch (the AWS
+    call will reject it, but we never silently merge it with others —
+    unlike kinesis.go:127-132 which merges unconditionally)."""
+    batches = list(chunk_entries([entry("k", MAX_PUT_BYTES + 1), entry("k", 1)]))
+    assert [len(b.entries) for b in batches] == [1, 1]
+
+
+def test_put_batch_retries_failed_subset():
+    """Partial failures retried with backoff (fixes kinesis.go:191-192
+    which ignores FailedRecordCount)."""
+    calls = []
+
+    def flaky(batch: PutBatch):
+        calls.append([k for k, _ in batch.entries])
+        return [0] if len(calls) == 1 else []
+
+    failed = put_batch(
+        PutBatch([entry("a", 1), entry("b", 1)], 2), flaky, sleep=lambda s: None
+    )
+    assert failed == 0
+    assert calls == [["a", "b"], ["a"]]  # only the failed index retried
+
+
+def test_put_batch_gives_up_after_max_retries():
+    always_fail = lambda b: list(range(len(b.entries)))  # noqa: E731
+    failed = put_batch(
+        PutBatch([entry("a", 1)], 1), always_fail, max_retries=2, sleep=lambda s: None
+    )
+    assert failed == 1
+
+
+def test_foreach_batch_writer_end_to_end(spark, tmp_path):
+    """Micro-batch → NDJSON → chunked put with an injected file-backed
+    sink (no AWS in tests, SURVEY.md §7 M4). The put fn executes inside
+    the Python WORKER processes (foreachPartition runs on executors, not
+    the driver), so capture goes through the shared filesystem."""
+    out_dir = str(tmp_path)
+
+    class Collector:
+        def __init__(self, out_dir: str):
+            self.out_dir = out_dir
+
+        def __call__(self, batch: PutBatch):
+            import os
+            import uuid
+
+            with open(os.path.join(self.out_dir, f"{uuid.uuid4().hex}.txt"), "wb") as f:
+                for key, data in batch.entries:
+                    f.write(key.encode() + b"\t" + data)
+            return []
+
+    records = spark.createDataFrame(
+        [("m1", 1, 1.5, {"__name__": "m1"}), ("m2", 2, None, {"__name__": "m2"})],
+        "name string, time long, value double, labels map<string,string>",
+    )
+    foreach_batch_writer(Collector(out_dir), max_entries=1)(records, batch_id=0)
+
+    received = []
+    for p in tmp_path.iterdir():
+        for line in p.read_bytes().splitlines(keepends=True):
+            key, data = line.split(b"\t", 1)
+            received.append((key.decode(), data))
+    assert len(received) == 2
+    by_key = {k: d.decode() for k, d in received}
+    assert set(by_key) == {"m1", "m2"}  # partition key = name (kinesis.go:174)
+    assert by_key["m1"].startswith('{"name":"m1"')
+    assert '"value":null' in by_key["m2"]  # record.go:21-27
+    assert all(d.endswith("\n") for d in by_key.values())  # kinesis.go:163

@@ -1,0 +1,137 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query at sf0.01 (or --sf-dir) on Spark AND its DuckDB
+oracle, then compares row count, column names, and an order-insensitive
+value comparison (columns sorted by name, rows sorted by all columns,
+cell-by-cell with exact match for non-floats and tight tolerance for
+floats — stricter in spirit than the driver's hash, so passing here should
+imply passing there).
+
+Usage: python tools/verify_local.py [--sf-dir DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from prometheus_remote_kinesis_spark.registry import all_queries  # noqa: E402
+from prometheus_remote_kinesis_spark.schema import TABLES  # noqa: E402
+from prometheus_remote_kinesis_spark.session import get_spark  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return v
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.hex()
+        return v
+
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [
+        cols[i] for i in order
+    ]
+
+
+def cells_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    return a == b
+
+
+def compare(name: str, spark_df, duck_rel) -> list[str]:
+    problems: list[str] = []
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_cols = [d[0] for d in duck_rel.description]
+    d_rows = duck_rel.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+        return problems
+    sn, cols = normalize(s_rows, s_cols)
+    dn, _ = normalize(d_rows, d_cols)
+    bad = 0
+    for i, (sr, dr) in enumerate(zip(sn, dn)):
+        for c, (sv, dv) in enumerate(zip(sr, dr)):
+            if not cells_equal(sv, dv):
+                if bad < 3:
+                    problems.append(
+                        f"row {i} col {cols[c]}: spark={sv!r} duck={dv!r}"
+                    )
+                bad += 1
+    if bad:
+        problems.append(f"{bad} mismatched cells / {len(sn)} rows")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("verify_local")
+    con = duck_connection(args.sf_dir)
+    qs = all_queries()
+    selected = args.queries or sorted(qs)
+    n_pass = n_fail = n_rows_only = 0
+    for name in selected:
+        q = qs[name]
+        t0 = time.time()
+        try:
+            df = q.fn(spark, args.sf_dir)
+            if q.oracle is None:
+                n = df.count()
+                n_rows_only += 1
+                print(f"  ROWS-ONLY {name}: {n} rows  ({time.time() - t0:.1f}s)")
+                continue
+            problems = compare(name, df, con.execute(q.oracle))
+        except Exception:
+            n_fail += 1
+            print(f"  ERROR {name}:")
+            traceback.print_exc(limit=8)
+            continue
+        if problems:
+            n_fail += 1
+            print(f"  FAIL {name}  ({time.time() - t0:.1f}s)")
+            for p in problems:
+                print(f"        {p}")
+        else:
+            n_pass += 1
+            print(f"  ok   {name}  ({time.time() - t0:.1f}s)")
+    print(f"\n{n_pass} ok, {n_fail} failed, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
