@@ -1,0 +1,247 @@
+"""Pure-python codecs for the Prometheus remote-write wire format.
+
+The reference ingests ``snappy(block) ∘ protobuf(prompb.WriteRequest)``
+HTTP bodies (``/root/reference/kinesis.go:76-84``). This module implements
+both layers from their PUBLIC specifications — the snappy block format
+(github.com/google/snappy format_description.txt) and the protobuf wire
+format for the prompb messages:
+
+    WriteRequest { repeated TimeSeries timeseries = 1; }
+    TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2; }
+    Label        { string name = 1; string value = 2; }
+    Sample       { double value = 1; int64 timestamp = 2; }
+
+No third-party snappy/protobuf dependency: executors need only stdlib.
+Encoders exist for test fixtures (snappy literal-only encoding is valid
+snappy; the decoder handles the full format including copies).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --------------------------- snappy block format ---------------------------
+
+
+def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("uvarint too long")
+
+
+def _write_uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Block-format snappy decode (the format ``snappy.Decode`` consumes,
+    kinesis.go:76): uvarint decompressed-length preamble, then a tag
+    stream of literals and back-references."""
+    expected, pos = _read_uvarint(data, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            length = tag >> 2
+            if length >= 60:
+                nbytes = length - 59
+                length = int.from_bytes(data[pos : pos + nbytes], "little")
+                pos += nbytes
+            length += 1
+            out += data[pos : pos + length]
+            pos += length
+        else:
+            if kind == 1:  # copy, 1-byte offset
+                length = ((tag >> 2) & 0x7) + 4
+                offset = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            elif kind == 2:  # copy, 2-byte offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos : pos + 2], "little")
+                pos += 2
+            else:  # copy, 4-byte offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4
+            if offset == 0 or offset > len(out):
+                raise ValueError("snappy: invalid copy offset")
+            start = len(out) - offset
+            for i in range(length):  # may overlap — byte-at-a-time semantics
+                out.append(out[start + i])
+    if len(out) != expected:
+        raise ValueError(f"snappy: length mismatch {len(out)} != {expected}")
+    return bytes(out)
+
+
+def snappy_compress_literal(data: bytes) -> bytes:
+    """Minimal valid snappy encoding: the whole payload as literals (no
+    back-references). Produces output any conformant decoder (including
+    the Go reference's) accepts — used for test fixtures."""
+    out = bytearray(_write_uvarint(len(data)))
+    pos = 0
+    while pos < len(data) or (pos == 0 and not data):
+        chunk = data[pos : pos + 65536]
+        if not chunk and data:
+            break
+        ln = len(chunk) - 1
+        if len(data) == 0:
+            break
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            nbytes = (ln.bit_length() + 7) // 8
+            out.append((59 + nbytes) << 2)
+            out += ln.to_bytes(nbytes, "little")
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
+
+
+# --------------------------- protobuf wire format --------------------------
+
+
+def _read_key(buf: bytes, pos: int) -> tuple[int, int, int]:
+    key, pos = _read_uvarint(buf, pos)
+    return key >> 3, key & 7, pos
+
+
+def _skip(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_uvarint(buf, pos)
+    elif wire == 1:
+        pos += 8
+    elif wire == 2:
+        ln, pos = _read_uvarint(buf, pos)
+        pos += ln
+    elif wire == 5:
+        pos += 4
+    else:
+        raise ValueError(f"unsupported wire type {wire}")
+    return pos
+
+
+def _parse_label(buf: bytes) -> tuple[str, str]:
+    name = value = ""
+    pos = 0
+    while pos < len(buf):
+        field, wire, pos = _read_key(buf, pos)
+        if field == 1 and wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            name = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif field == 2 and wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            value = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        else:
+            pos = _skip(buf, pos, wire)
+    return name, value
+
+
+def _parse_sample(buf: bytes) -> tuple[float, int]:
+    value, timestamp = 0.0, 0
+    pos = 0
+    while pos < len(buf):
+        field, wire, pos = _read_key(buf, pos)
+        if field == 1 and wire == 1:
+            value = struct.unpack("<d", buf[pos : pos + 8])[0]
+            pos += 8
+        elif field == 2 and wire == 0:
+            raw, pos = _read_uvarint(buf, pos)
+            # int64: 64-bit two's complement varint
+            timestamp = raw - (1 << 64) if raw >= 1 << 63 else raw
+        else:
+            pos = _skip(buf, pos, wire)
+    return value, timestamp
+
+
+def _parse_timeseries(buf: bytes) -> dict:
+    labels: list[dict] = []
+    samples: list[dict] = []
+    pos = 0
+    while pos < len(buf):
+        field, wire, pos = _read_key(buf, pos)
+        if field == 1 and wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            n, v = _parse_label(buf[pos : pos + ln])
+            labels.append({"name": n, "value": v})
+            pos += ln
+        elif field == 2 and wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            val, ts = _parse_sample(buf[pos : pos + ln])
+            samples.append({"value": val, "timestamp": ts})
+            pos += ln
+        else:
+            pos = _skip(buf, pos, wire)
+    return {"labels": labels, "samples": samples}
+
+
+def parse_write_request(buf: bytes) -> list[dict]:
+    """protobuf ``WriteRequest`` bytes → list of timeseries dicts shaped
+    exactly like ``schema.WRITE_REQUEST_SCHEMA``'s ``timeseries`` element."""
+    out: list[dict] = []
+    pos = 0
+    while pos < len(buf):
+        field, wire, pos = _read_key(buf, pos)
+        if field == 1 and wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            out.append(_parse_timeseries(buf[pos : pos + ln]))
+            pos += ln
+        else:
+            pos = _skip(buf, pos, wire)
+    return out
+
+
+# ------------------------------ test encoders ------------------------------
+
+
+def _field(field: int, wire: int) -> bytes:
+    return _write_uvarint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _field(field, 2) + _write_uvarint(len(payload)) + payload
+
+
+def encode_write_request(timeseries: list[tuple[dict, list[tuple[float, int]]]]) -> bytes:
+    """Encode ``[(labels_dict, [(value, ts_ms), ...]), ...]`` as a
+    ``prompb.WriteRequest`` protobuf (test-fixture twin of what a real
+    Prometheus sends)."""
+    out = bytearray()
+    for labels, samples in timeseries:
+        ts = bytearray()
+        for name, value in labels.items():
+            lbl = _len_delim(1, name.encode("utf-8")) + _len_delim(2, value.encode("utf-8"))
+            ts += _len_delim(1, lbl)
+        for value, t in samples:
+            raw_t = t & ((1 << 64) - 1)  # int64 two's complement varint
+            smp = _field(1, 1) + struct.pack("<d", value) + _field(2, 0) + _write_uvarint(raw_t)
+            ts += _len_delim(2, smp)
+        out += _len_delim(1, bytes(ts))
+    return bytes(out)
+
+
+def encode_remote_write_body(
+    timeseries: list[tuple[dict, list[tuple[float, int]]]]
+) -> bytes:
+    """Full wire body: snappy(protobuf(WriteRequest)) — what hits
+    ``/receive`` (kinesis.go:69-84)."""
+    return snappy_compress_literal(encode_write_request(timeseries))

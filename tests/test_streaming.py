@@ -1,0 +1,215 @@
+"""Structured Streaming tests (SURVEY.md §5.5): file-source micro-batches
+through the relay (trigger + chunked sink + checkpoint), watermarked
+windows with late data, streaming dedup, and the stateful counter
+operator cross-checked against its batch twin."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.testing import FilePutRecords
+from prometheus_remote_kinesis_spark.streaming.pipeline import (
+    dedup_stream,
+    read_record_stream,
+    relay,
+    windowed_rollup,
+)
+
+
+def write_ndjson(path: str, records: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def rec(name: str, t: int, v: float | None, **labels) -> dict:
+    return {"name": name, "time": t, "value": v, "labels": {"__name__": name, **labels}}
+
+
+def read_sink(out_dir) -> list[dict]:
+    out = []
+    for p in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, p)) as f:
+            out.extend(json.loads(line) for line in f if line.strip())
+    return out
+
+
+def test_relay_end_to_end(spark, tmp_path):
+    """Source files → record stream → foreachBatch chunked put: every
+    record relayed exactly once per micro-batch run, NDJSON intact
+    (kinesis.go wire format), checkpoint created."""
+    src = tmp_path / "src"
+    sink_dir = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    for d in (src, sink_dir, ckpt):
+        d.mkdir()
+    batch1 = [rec("up", 1000 + i, float(i), job="n") for i in range(600)]
+    batch1.append(rec("stale", 1, None))
+    write_ndjson(str(src / "b1.json"), batch1)
+
+    q = relay(
+        read_record_stream(spark, str(src)),
+        FilePutRecords(str(sink_dir)),
+        checkpoint_dir=str(ckpt),
+        available_now=True,
+        max_entries=500,  # forces ≥2 chunks for 601 records
+    )
+    q.awaitTermination(120)
+    got = read_sink(sink_dir)
+    assert len(got) == 601
+    by_name = {}
+    for g in got:
+        by_name.setdefault(g["name"], []).append(g)
+    assert len(by_name["up"]) == 600
+    assert by_name["stale"][0]["value"] is None  # explicit null survived
+    assert os.listdir(ckpt)  # checkpoint exists (T4)
+
+    # restart with a second file: only the new data is relayed (exactly-once
+    # source accounting across restarts — supersedes ack-before-durable)
+    write_ndjson(str(src / "b2.json"), [rec("up", 9999, 1.0)])
+    q2 = relay(
+        read_record_stream(spark, str(src)),
+        FilePutRecords(str(sink_dir)),
+        checkpoint_dir=str(ckpt),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert len(read_sink(sink_dir)) == 602
+
+
+def test_windowed_rollup_with_late_data(spark, tmp_path):
+    """T5+T8: tumbling rollup; a record later than the watermark horizon
+    behind the max seen event time is dropped."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    for d in (src, out, ckpt):
+        d.mkdir()
+    base = 1_700_000_000_000  # ms, divisible window grid applies anyway
+    # batch 1: two in-window records + advance watermark far ahead
+    write_ndjson(
+        str(src / "b1.json"),
+        [
+            rec("m", base + 10_000, 1.0),
+            rec("m", base + 20_000, 3.0),
+            rec("m", base + 60 * 60_000, 5.0),  # pushes max event time +1h
+        ],
+    )
+    agg = windowed_rollup(read_record_stream(spark, str(src)), watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # batch 2: a record 1h late → beyond watermark → dropped
+    write_ndjson(str(src / "b2.json"), [rec("m", base + 30_000, 100.0)])
+    q2 = (
+        windowed_rollup(read_record_stream(spark, str(src)), watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    first_window = [
+        r
+        for r in rows
+        if r["window_start"].timestamp() * 1000 <= base + 10_000
+        and base + 10_000 < r["window_end"].timestamp() * 1000
+    ]
+    assert len(first_window) == 1
+    assert first_window[0]["n"] == 2  # late 100.0 never counted
+    assert first_window[0]["sum_value"] == 4.0
+
+
+def test_dedup_stream(spark, tmp_path):
+    """T9: retry-duplicated records (same name+labels+time) collapse."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    for d in (src, out, ckpt):
+        d.mkdir()
+    r = rec("up", 1_700_000_000_000, 1.0, job="n")
+    write_ndjson(str(src / "b1.json"), [r, r, rec("up", 1_700_000_000_000, 1.0, job="m")])
+    q = (
+        dedup_stream(read_record_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 2  # exact dup dropped; different label set kept
+
+
+def test_counter_increase_stateful_vs_batch(spark, tmp_path):
+    """T10: stateful increase/reset detection across MULTIPLE micro-
+    batches (state carries over) equals the batch-twin computation."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        counter_increase,
+        counter_increase_batch,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    for d in (src, out, ckpt):
+        d.mkdir()
+    series1 = [rec("c", 1000, 10.0), rec("c", 2000, 15.0), rec("c", 3000, 2.0)]  # reset
+    series2 = [rec("c", 4000, 7.0), rec("c", 5000, None), rec("c", 6000, 9.0)]
+
+    write_ndjson(str(src / "b1.json"), series1)
+    q = (
+        counter_increase(read_record_stream(spark, str(src), max_files_per_trigger=1))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    write_ndjson(str(src / "b2.json"), series2)
+    q2 = (
+        counter_increase(read_record_stream(spark, str(src), max_files_per_trigger=1))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    streamed = {
+        r["time"]: (r["increase"], r["resets"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch_records = spark.createDataFrame(
+        [(r["name"], r["time"], r["value"], r["labels"]) for r in series1 + series2],
+        "name string, time long, value double, labels map<string,string>",
+    )
+    expected = {
+        r["time"]: (r["increase"], r["resets"])
+        for r in counter_increase_batch(batch_records).collect()
+    }
+    assert streamed == expected
+    assert streamed[3000] == (2.0, 1)  # reset detected, post-reset value = increase
+    assert streamed[4000] == (5.0, 1)  # state carried across micro-batches
+    assert 5000 not in streamed  # NULL (stale) samples skipped
