@@ -138,6 +138,28 @@ def a5_rollup_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a5b_cube_counts",
+    family="A5",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a5b_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE (all 2^k grouping sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
     "a6_extreme_orders",
     family="A6",
     oracle="""

@@ -1,0 +1,95 @@
+"""Plan-shape assertions (SURVEY.md M6): the properties that make the
+queries scale are pinned here so they can't silently regress.
+
+Each test states the 100 TB consequence of the property it checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from prometheus_remote_kinesis_spark.plans.explain import (
+    has_pushed_filters,
+    scan_read_schemas,
+    uses,
+)
+from prometheus_remote_kinesis_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+Q = all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """p7: predicates must reach the parquet reader — otherwise a 100 TB
+    scan decompresses every row group before filtering."""
+    df = Q["p7_projection_pruning"].fn(spark, SF_SMOKE)
+    assert has_pushed_filters(df)
+
+
+def test_column_pruning(spark):
+    """p7 reads 5 of lineitem's 11 columns (3 projected + 2 filter
+    columns) — columnar pruning is the first-order win on wide tables."""
+    df = Q["p7_projection_pruning"].fn(spark, SF_SMOKE)
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1
+    s = schemas[0]
+    assert "l_orderkey" in s and "l_extendedprice" in s
+    assert "l_returnflag" not in s and "l_quantity" not in s
+
+
+def test_dimension_joins_broadcast(spark):
+    """j2: nation/region joins must be BroadcastHashJoin — a shuffle here
+    would move the full fact side for a 25-row dimension."""
+    df = Q["j2_customer_region"].fn(spark, SF_SMOKE)
+    assert uses(df, "BroadcastHashJoin")
+    assert not uses(df, "SortMergeJoin")
+
+
+def test_knn_query_side_broadcasts(spark):
+    """l4: the query-vector side is broadcast; the corpus never shuffles."""
+    df = Q["l4_knn_join"].fn(spark, SF_SMOKE)
+    assert uses(df, "BroadcastNestedLoopJoin") or uses(df, "BroadcastHashJoin")
+
+
+def test_topk_is_take_ordered(spark):
+    """o2: global top-k must be TakeOrderedAndProject (per-partition heap
+    + k-row merge), never a full global Sort."""
+    df = Q["o2_top100_orders"].fn(spark, SF_SMOKE)
+    assert uses(df, "TakeOrderedAndProject")
+
+
+def test_window_topk_uses_group_limit(spark):
+    """w4: rank<=k filters push a WindowGroupLimit below the sort, so
+    each partition keeps k rows instead of all rows."""
+    df = Q["w4_top_parts_per_brand"].fn(spark, SF_SMOKE)
+    assert uses(df, "WindowGroupLimit")
+
+
+def test_aggregate_is_partial_final(spark):
+    """a1: two HashAggregate stages (partial map-side + final) — the
+    shuffle carries 6 pre-aggregated rows per partition, not 600 M raw."""
+    from prometheus_remote_kinesis_spark.plans.explain import formatted_plan
+
+    df = Q["a1_pricing_summary"].fn(spark, SF_SMOKE)
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_everywhere_hot(spark):
+    """a1's pipeline must be inside WholeStageCodegen (JVM-compiled), not
+    interpreted row-at-a-time. (AQE's `formatted` mode hides codegen
+    annotations pre-execution, so inspect the `codegen` explain mode.)"""
+    df = Q["a1_pricing_summary"].fn(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in the simple string
+    assert "*(1)" in executed and "*(2)" in executed
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """j6: the union+window as-of formulation shuffles once on the series
+    key — no nested-loop/range join anywhere in the plan."""
+    from prometheus_remote_kinesis_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(Q["j6_asof_last_order"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
