@@ -110,6 +110,84 @@ def l4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_LISTS = 16  # IVF coarse centroids (√N-ish for the sf0.1 corpus)
+N_PROBE = 4  # centroids probed per query (recall/cost knob)
+
+
+@register("l4c_ivf_ann", family="L4", oracle=None)
+def l4c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization — the other
+    standard scale path next to LSH (l4b): k-means centroids learned
+    driver-side on a bounded sample, every vector assigned to its nearest
+    centroid (one Arrow-batched matmul), queries probe their N_PROBE
+    nearest lists, exact cosine top-3 within the probed lists only.
+
+    Scale shape: the corpus is scanned once to assign lists (map-only);
+    the search joins queries to corpus rows on ``list_id`` — a shuffle on
+    a 16-value key instead of a cross product. Centroids are a fixed
+    (N_LISTS×64) float matrix — broadcast-sized at any corpus scale; the
+    driver-side Lloyd iterations run on a capped sample, never the corpus.
+    Recall vs exact l4_knn_join is asserted in tests/test_llm.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # Lloyd on a bounded, deterministic sample (normalized → spherical
+    # k-means, the right metric for cosine).
+    sample = np.array(
+        [r[0] for r in emb.select("embedding").sort("vec_id").limit(2000).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(7)
+    centroids = sample[rng.choice(len(sample), N_LISTS, replace=False)]
+    for _ in range(10):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(N_LISTS):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / np.linalg.norm(m)
+    cent = centroids.tolist()
+
+    def top_lists(k: int):
+        @pandas_udf("array<int>")
+        def f(embs: pd.Series) -> pd.Series:
+            mat = np.array(list(embs), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ np.array(cent).T  # (batch, N_LISTS)
+            idx = np.argsort(-sims, axis=1)[:, :k]
+            return pd.Series(list(idx.astype(np.int32)))
+
+        return f
+
+    corpus = emb.select(
+        "vec_id", "embedding",
+        F.element_at(top_lists(1)(F.col("embedding")), 1).alias("list_id"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 100)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.explode(top_lists(N_PROBE)(F.col("embedding"))).alias("list_id"),
+        )
+    )
+    candidates = corpus.join(F.broadcast(queries), "list_id").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = candidates.select(
+        "qid",
+        F.col("vec_id").alias("nn_id"),
+        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nn_id")
+    return (
+        scored.select("qid", "nn_id", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
 N_TABLES = 8  # independent hash tables (candidate union across tables)
 BITS_PER_TABLE = 5  # 32 buckets/table
 

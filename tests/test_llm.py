@@ -116,3 +116,14 @@ def test_knn_lsh_overlap(spark):
     qids = {q for q, _ in exact}
     hit = len(exact & ann) / len(exact)
     assert hit > 0.2  # 8-bit buckets: partial recall expected, not zero
+
+
+def test_knn_ivf_recall(spark):
+    """IVF-ANN (4 of 16 lists probed) recall vs exact top-3 KNN — coarse
+    quantization on clustered embeddings should recover most edges."""
+    from prometheus_remote_kinesis_spark.llm.similarity import l4_knn_join, l4c_ivf_ann
+
+    exact = {(r["qid"], r["nn_id"]) for r in l4_knn_join(spark, SF_SMOKE).collect()}
+    ivf = {(r["qid"], r["nn_id"]) for r in l4c_ivf_ann(spark, SF_SMOKE).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall > 0.5

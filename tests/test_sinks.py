@@ -102,3 +102,29 @@ def test_foreach_batch_writer_end_to_end(spark, tmp_path):
     assert by_key["m1"].startswith('{"name":"m1"')
     assert '"value":null' in by_key["m2"]  # record.go:21-27
     assert all(d.endswith("\n") for d in by_key.values())  # kinesis.go:163
+
+
+def test_parquet_archive_roundtrip_and_pruning(spark, tmp_path):
+    """S9: archive partitioned by name (the reference's Kinesis partition
+    key, kinesis.go:174); a per-metric read must prune to that partition
+    (PartitionFilters), and values — including NULLs — round-trip."""
+    from prometheus_remote_kinesis_spark.ingest import records_from_columns
+    from prometheus_remote_kinesis_spark.plans.explain import formatted_plan
+    from prometheus_remote_kinesis_spark.sinks import write_parquet_archive
+
+    src = spark.createDataFrame(
+        [("up", 1000, 1.0, {"job": "a"}), ("up", 2000, None, {"job": "a"}),
+         ("down", 1000, 0.5, {"job": "b"})],
+        "name string, time long, value double, labels map<string,string>",
+    )
+    records = records_from_columns(
+        src, F.col("name"), F.col("time"), F.col("value"), F.col("labels")
+    )
+    path = str(tmp_path / "archive")
+    write_parquet_archive(records, path)
+
+    back = spark.read.parquet(path).filter(F.col("name") == "up")
+    rows = sorted((r["time"], r["value"]) for r in back.collect())
+    assert rows == [(1000, 1.0), (2000, None)]
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "name" in plan.split("PartitionFilters", 1)[1][:120]
