@@ -208,3 +208,44 @@ def a7_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "a1b_salted_skew_agg",
+    family="A1",
+    oracle="""
+        SELECT event_type,
+               count(*)                 AS n,
+               round(sum(value), 2)     AS sum_value,
+               round(max(value), 6)     AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a1b_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation — the skew pattern for hot grouping
+    keys (SURVEY.md §4.1: one giant metric name → one reducer). Stage 1
+    groups on (key, salt) so the hot key fans out over N_SALT reducers
+    with map-side partial aggregation; stage 2 merges the N_SALT partials.
+    Result is bit-identical to the plain groupBy (sums of sums, max of
+    maxes, counts of counts), so the plain GROUP BY is the oracle.
+
+    events.event_type has ~5 distinct values over the whole table — with
+    plain groupBy at 100 TB, 5 reducers do all final aggregation; salting
+    spreads each key over 16."""
+    N_SALT = 16
+    events = load_table(spark, sf_dir, "events")
+    partial = (
+        events.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("psum"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+        F.round(F.max("pmax"), 6).alias("max_value"),
+    )
