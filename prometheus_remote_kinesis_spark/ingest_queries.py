@@ -125,3 +125,61 @@ def r3_flatten_writerequest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_records"),
         F.count("value").alias("n_non_null"),
     )
+
+
+@register(
+    "t10_counter_increase",
+    family="T10",
+    oracle="""
+        WITH s AS (
+            SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS name,
+                   epoch_us(ts) // 1000 AS time,
+                   max(value) AS value
+            FROM events
+            GROUP BY 1, 2
+        ), d AS (
+            SELECT name, time, value,
+                   lag(value) OVER (PARTITION BY name ORDER BY time) AS prev
+            FROM s
+        )
+        SELECT name, time,
+               round(value, 6) AS value,
+               round(CASE WHEN prev IS NULL THEN NULL
+                          WHEN value >= prev THEN value - prev
+                          ELSE value END, 6) AS increase,
+               sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY name ORDER BY time
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS resets
+        FROM d
+    """,
+)
+def t10_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful per-series counter-increase operator
+    (streaming/stateful.py T10): PromQL ``increase`` semantics with reset
+    detection — a drop restarts the counter, so the post-reset value IS
+    the increase. Series key = (event_type, user); samples are collapsed
+    to max(value) per (series, ms) first so the lag order is total and
+    both engines agree deterministically. The streaming form is
+    cross-checked against this twin in tests/test_streaming.py."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        counter_increase_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    series = (
+        events.select(
+            F.concat_ws("/", "event_type", F.col("user_id").cast("string")).alias("name"),
+            F.unix_millis("ts").alias("time"),
+            "value",
+        )
+        .groupBy("name", "time")
+        .agg(F.max("value").alias("value"))
+    )
+    out = counter_increase_batch(series)
+    return out.select(
+        "name",
+        "time",
+        F.round("value", 6).alias("value"),
+        F.round("increase", 6).alias("increase"),
+        "resets",
+    )
