@@ -66,8 +66,16 @@ def r1_event_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 def r2_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """records → NDJSON (to_json, explicit nulls, kinesis.go:158-163) →
     parse back under RECORD_SCHEMA (S8). Equal to r1 ⟺ the wire format
-    round-trips losslessly, including ``"value": null``."""
-    encoded = encode_ndjson(_event_records(spark, sf_dir))
+    round-trips losslessly, including ``"value": null``.
+
+    The record batch is rebalanced to full parallelism before the encode:
+    JSON serialize+parse is compute-dense and the test corpus arrives as
+    one parquet split, which would otherwise pin both codec passes to a
+    single core (same rationale as llm.dedup.shingled_docs)."""
+    records = _event_records(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    encoded = encode_ndjson(records)
     decoded = encoded.select(F.from_json("line", RECORD_SCHEMA).alias("r"))
     return decoded.select(
         F.col("r.name").alias("name"),
@@ -183,3 +191,38 @@ def t10_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("increase", 6).alias("increase"),
         "resets",
     )
+
+
+@register(
+    "t10b_gap_fill",
+    family="T10",
+    oracle="""
+        WITH s AS (
+            SELECT event_type AS name, epoch_us(ts) // 1000 AS t, max(value) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT name, min(t) AS lo, max(t) AS hi FROM s GROUP BY name),
+        g AS (SELECT name, unnest(range(lo, hi, 60000)) AS time FROM b)
+        SELECT g.name, g.time, round(s.v, 6) AS value
+        FROM g ASOF JOIN s ON g.name = s.name AND s.t <= g.time
+    """,
+)
+def t10b_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill (LOCF resampling) of the per-type event series onto a
+    1-minute grid — the second stateful-family operator promised by
+    streaming/stateful.py, here in its batch form with DuckDB's ASOF JOIN
+    as the oracle (same at-or-before, latest-wins semantics)."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import gap_fill_batch
+
+    events = load_table(spark, sf_dir, "events")
+    series = (
+        events.select(
+            F.col("event_type").alias("name"),
+            F.unix_millis("ts").alias("time"),
+            "value",
+        )
+        .groupBy("name", "time")
+        .agg(F.max("value").alias("value"))
+    )
+    filled = gap_fill_batch(series, interval_ms=60_000)
+    return filled.select("name", "time", F.round("value", 6).alias("value"))

@@ -185,3 +185,60 @@ def l5e_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         language_id(F.col("text")).alias("predicted_lang"),
     )
+
+
+@register(
+    "l5f_tfidf",
+    family="L5",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM toks GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term,
+               round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        FROM (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(n.n_docs * 1.0 / df.df) AS raw,
+                   tf.tf, df.df, n.n_docs,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(n.n_docs * 1.0 / df.df) DESC, tf.term
+                   ) AS rn
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        WHERE rn <= 5
+    """,
+)
+def l5f_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-5 terms per document, tf·ln(N/df) weighting.
+
+    Scale shape: one explode + two hash aggregations; the document-
+    frequency side collapses to |vocab| rows and broadcasts back onto the
+    term-frequency side, so the corpus text shuffles once (as (doc, term,
+    tf) triples, never raw text); N is a scalar literal folded into the
+    expression. The per-doc top-5 uses WindowGroupLimit (rank pushdown)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    raw = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc(raw), "term")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select("doc_id", "term", raw.alias("raw"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", F.round("raw", 6).alias("tfidf"))
+    )

@@ -255,3 +255,60 @@ def j7_nation_region_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return nation.crossJoin(F.broadcast(region)).select("n_name", "r_name")
+
+
+@register(
+    "j5b_bucketed_range_join",
+    family="J5",
+    oracle="""
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_pairs
+        FROM events a
+        JOIN events b
+          ON a.event_id < b.event_id
+         AND abs(epoch_us(a.ts) // 1000 - epoch_us(b.ts) // 1000) <= 60000
+        GROUP BY 1, 2
+    """,
+)
+def j5b_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): pairs of events within ±60 s of each
+    other, counted per type pair.
+
+    Naively this is a non-equi self-join — Catalyst can only plan it as a
+    nested-loop/cartesian product, O(N²) and a non-starter at scale. The
+    bucketing rewrite makes it an equi-join: quantize time into
+    window-sized buckets, expand ONE side to its 3 neighboring buckets,
+    join on bucket equality, then apply the exact predicate residually.
+    Each qualifying pair meets exactly once (the unexpanded side's bucket
+    is a single value), so no dedup pass is needed. Cost: a 3× fan-out of
+    one side and a shuffle on bucket keys — linear, AQE-splittable, and
+    the same shape works for any interval/proximity join at 100 TB.
+    """
+    B = 60_000  # bucket width == proximity window, ms
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_millis("ts").alias("t")
+    )
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("t").alias("ta"),
+        (F.col("t") / B).cast("long").alias("bucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("t").alias("tb"),
+        F.explode(
+            F.array(
+                (F.col("t") / B).cast("long") - 1,
+                (F.col("t") / B).cast("long"),
+                (F.col("t") / B).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("ta") - F.col("tb")) <= B))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

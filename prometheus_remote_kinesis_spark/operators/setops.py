@@ -96,3 +96,28 @@ def o4b_nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
         supplier.select(F.col("s_nationkey").alias("nationkey"))
     )
+
+
+@register(
+    "o2b_pagination",
+    family="O2",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50 OFFSET 100
+    """,
+)
+def o2b_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination over a total order (unique tie-break).
+    Spark plans offset+limit together (GlobalLimit with skip), so only
+    offset+limit rows ever reach the driver-side merge — but note the
+    scale caveat: deep pagination still sorts/collects offset+limit rows
+    per partition; keyset pagination (WHERE key > last_seen) is the
+    100 TB-honest alternative for deep pages."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )

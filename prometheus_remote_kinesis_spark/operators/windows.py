@@ -129,3 +129,35 @@ def w4_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "w1b_rank_family",
+    family="W1",
+    oracle="""
+        SELECT o_orderkey,
+               dense_rank()   OVER w            AS drnk,
+               ntile(4)       OVER w            AS quartile,
+               round(percent_rank() OVER w, 6)  AS pct_rank,
+               round(cume_dist()    OVER w, 6)  AS cdist
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w1b_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the ranking family (dense_rank / ntile / percent_rank /
+    cume_dist) over a total order (unique tie-break key, so both engines
+    agree bit-for-bit). Single-partition window over the filtered subset —
+    at scale, rank-family queries should always carry a partition key or a
+    pre-filter like this one; a global ORDER BY window on the full fact
+    table would serialize on one reducer."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

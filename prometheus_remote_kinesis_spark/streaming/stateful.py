@@ -115,3 +115,47 @@ def counter_increase_batch(records: DataFrame) -> DataFrame:
             F.sum(reset).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("resets"),
         )
     )
+
+
+def gap_fill_batch(records: DataFrame, interval_ms: int) -> DataFrame:
+    """Batch gap fill: per-series fixed-interval grid over [first, last)
+    sample time, value = last observation carried forward (LOCF — the
+    Prometheus lookback semantic, at-or-before with latest-wins).
+
+    Same union+window shape as the as-of join (operators/joins.py j6):
+    tag samples side=0 and grid points side=1, one window pass per series
+    ordered by (time, side) with ``last(value, ignorenulls)`` — a single
+    shuffle on the series key, linear in samples+grid rows. The grid is
+    generated distributed (per-series ``sequence`` + ``explode``), never
+    on the driver.
+
+    Input: RECORD_SCHEMA-shaped (name, time, value), value non-null,
+    at most one sample per (name, time) — pre-aggregate first.
+    """
+    from pyspark.sql import Window
+
+    bounds = records.groupBy("name").agg(
+        F.min("time").alias("lo"), F.max("time").alias("hi")
+    )
+    grid = bounds.select(
+        "name",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi") - 1, F.lit(interval_ms))
+        ).alias("time"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    samples = records.select(
+        "name", "time", F.lit(0).alias("side"), F.col("value").cast("double")
+    )
+    w = (
+        Window.partitionBy("name")
+        .orderBy("time", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        samples.unionByName(grid)
+        .withColumn("filled", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("name", "time", F.col("filled").alias("value"))
+    )

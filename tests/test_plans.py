@@ -93,3 +93,23 @@ def test_asof_join_is_single_shuffle(spark):
     plan = formatted_plan(Q["j6_asof_last_order"].fn(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_pure_range_join_is_not_nested_loop(spark):
+    """j5b: the bucketing rewrite must plan as an equi-join — a
+    BroadcastNestedLoopJoin/CartesianProduct here is O(N²) at scale."""
+    from prometheus_remote_kinesis_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(Q["j5b_bucketed_range_join"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS still a join, on the bucket key
+
+
+def test_tfidf_df_side_broadcasts(spark):
+    """l5f: the |vocab|-sized document-frequency side broadcasts; the
+    (doc, term, tf) side never re-shuffles for the join."""
+    df = Q["l5f_tfidf"].fn(spark, SF_SMOKE)
+    from prometheus_remote_kinesis_spark.plans.explain import uses
+
+    assert uses(df, "BroadcastHashJoin")
