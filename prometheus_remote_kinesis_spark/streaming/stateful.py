@@ -159,3 +159,62 @@ def gap_fill_batch(records: DataFrame, interval_ms: int) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("name", "time", F.col("filled").alias("value"))
     )
+
+
+GAPFILL_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("time", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_GF_STATE_SCHEMA = "last_value double, next_grid long"
+
+
+def gap_fill(records: DataFrame, interval_ms: int) -> DataFrame:
+    """Streaming gap fill: per-series LOCF grid emission with O(1) state
+    (last value + next pending grid time).
+
+    Emission rule: a grid point is emitted when the first LATER sample
+    arrives — grid points in (prev_sample, t) carry prev's value, a grid
+    point equal to a sample time carries that sample's value (at-or-
+    before), and nothing at/after the newest sample is emitted yet. For a
+    completed stream this reproduces ``gap_fill_batch``'s [first, last)
+    grid exactly (cross-checked in tests/test_streaming.py).
+    """
+
+    def fn(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        if state.exists:
+            last_value, next_grid = state.get
+        else:
+            last_value, next_grid = None, None
+
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time")
+            for t, v in zip(pdf["time"], pdf["value"]):
+                if v is None or pd.isna(v):
+                    continue
+                t = int(t)
+                if next_grid is None:
+                    next_grid = t  # grid anchors at the first sample
+                while next_grid < t:
+                    rows.append({"name": name, "time": next_grid, "value": last_value})
+                    next_grid += interval_ms
+                last_value = float(v)
+
+        state.update((last_value, next_grid))
+        state.setTimeoutDuration(3_600_000)
+        yield pd.DataFrame(rows, columns=[f.name for f in GAPFILL_SCHEMA.fields])
+
+    return records.groupBy("name").applyInPandasWithState(
+        fn,
+        outputStructType=GAPFILL_SCHEMA,
+        stateStructType=_GF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

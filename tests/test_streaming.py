@@ -213,3 +213,57 @@ def test_counter_increase_stateful_vs_batch(spark, tmp_path):
     assert streamed[3000] == (2.0, 1)  # reset detected, post-reset value = increase
     assert streamed[4000] == (5.0, 1)  # state carried across micro-batches
     assert 5000 not in streamed  # NULL (stale) samples skipped
+
+
+def test_gap_fill_stateful_vs_batch(spark, tmp_path):
+    """T10 gap fill: streaming LOCF grid emission across micro-batches
+    (state carries last value + pending grid time) equals the batch twin
+    over the completed series."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        gap_fill,
+        gap_fill_batch,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    for d in (src, out, ckpt):
+        d.mkdir()
+    # interval 1000 ms; gaps of 3 and 2 intervals, plus an aligned sample
+    b1 = [rec("g", 1000, 1.0), rec("g", 4500, 2.0)]
+    b2 = [rec("g", 6000, 3.0), rec("g", 8200, 4.0)]
+
+    def run():
+        q = (
+            gap_fill(
+                read_record_stream(spark, str(src), max_files_per_trigger=1), 1000
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_ndjson(str(src / "b1.json"), b1)
+    run()
+    write_ndjson(str(src / "b2.json"), b2)
+    run()
+
+    streamed = {
+        (r["name"], r["time"]): r["value"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    full = spark.createDataFrame(
+        [("g", 1000, 1.0), ("g", 4500, 2.0), ("g", 6000, 3.0), ("g", 8200, 4.0)],
+        "name string, time long, value double",
+    )
+    batch = {
+        (r["name"], r["time"]): r["value"]
+        for r in gap_fill_batch(full, 1000).collect()
+    }
+    assert streamed == batch
+    assert streamed[("g", 4000)] == 1.0  # LOCF before the 4500 sample
+    assert streamed[("g", 5000)] == 2.0
