@@ -62,3 +62,36 @@ def p7_projection_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01")
         & F.col("l_discount").between(0.02, 0.04)
     ).select("l_orderkey", "l_partkey", "l_extendedprice")
+
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1997-01-01'
+      AND l_shipdate  > DATE '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@register("sql1_shipping_priority", family="SQL", oracle=_Q3_SQL)
+def sql1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: the same ANSI text runs on Spark SQL (over
+    registered table views) and on DuckDB as the oracle — one string, two
+    engines, hash-equal results. TPC-H Q3 shape (shipping priority)
+    adapted to the driver's column set: three-way join, selective filters
+    on both fact sides, top-10 by aggregated revenue.
+
+    Catalyst treats the SQL and DataFrame forms identically (same logical
+    plan), so every plan property pinned elsewhere (broadcast dims,
+    pushdown, TakeOrderedAndProject) holds here too."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
