@@ -137,10 +137,16 @@ def gap_fill_batch(records: DataFrame, interval_ms: int) -> DataFrame:
     bounds = records.groupBy("name").agg(
         F.min("time").alias("lo"), F.max("time").alias("hi")
     )
+    # Empty grid when hi <= lo (single-sample series): Spark's `sequence`
+    # rejects start > stop, so gate it — explode of an empty array drops
+    # the series, same as DuckDB's empty `range(lo, lo, step)`.
     grid = bounds.select(
         "name",
         F.explode(
-            F.sequence(F.col("lo"), F.col("hi") - 1, F.lit(interval_ms))
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.sequence(F.col("lo"), F.col("hi") - 1, F.lit(interval_ms)),
+            ).otherwise(F.array())
         ).alias("time"),
         F.lit(1).alias("side"),
         F.lit(None).cast("double").alias("value"),

@@ -1,0 +1,78 @@
+"""Property-based checks (SURVEY.md §5.4) for the stateful-family batch
+twins: counter_increase_batch and gap_fill_batch vs naive pure-Python
+references over random series."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from prometheus_remote_kinesis_spark.streaming.stateful import (
+    counter_increase_batch,
+    gap_fill_batch,
+)
+
+# Unique, sorted sample times with bounded float values (no NaN/inf —
+# NaN→NULL happens upstream in ingest; these operators see clean records).
+series_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda tv: tv[0],
+)
+
+
+def _mk_df(spark, series):
+    return spark.createDataFrame(
+        [("s", int(t), float(v)) for t, v in sorted(series)],
+        "name string, time long, value double",
+    )
+
+
+@given(series=series_st)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_counter_increase_matches_naive(spark, series):
+    series = sorted(series)
+    out = {
+        r["time"]: (r["increase"], r["resets"])
+        for r in counter_increase_batch(_mk_df(spark, series)).collect()
+    }
+    prev, resets = None, 0
+    for t, v in series:
+        if prev is None:
+            exp_inc = None
+        elif v >= prev:
+            exp_inc = v - prev
+        else:
+            exp_inc = v
+            resets += 1
+        got_inc, got_resets = out[t]
+        assert got_resets == resets
+        if exp_inc is None:
+            assert got_inc is None
+        else:
+            assert abs(got_inc - exp_inc) < 1e-9
+        prev = v
+
+
+@given(series=series_st, interval=st.sampled_from([7, 100, 999]))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_gap_fill_matches_naive(spark, series, interval):
+    series = sorted(series)
+    out = {
+        r["time"]: r["value"]
+        for r in gap_fill_batch(_mk_df(spark, series), interval).collect()
+    }
+    lo, hi = series[0][0], series[-1][0]
+    expected = {}
+    g = lo
+    while g < hi:
+        # LOCF: value of the latest sample at-or-before g
+        expected[g] = next(v for t, v in reversed(series) if t <= g)
+        g += interval
+    assert set(out) == set(expected)
+    for g, v in expected.items():
+        assert abs(out[g] - v) < 1e-9
