@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -139,3 +141,89 @@ def l6b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     values unit-tested in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+FRAME_BYTES = 16  # deterministic fake "frame" size (no ffmpeg in container)
+
+
+def resize_stub(media_df: DataFrame, n_bytes: int) -> DataFrame:
+    """STUB of the image-resize stage: an Arrow-batched pandas UDF that
+    maps blob → fixed-size blob (truncate / zero-pad stands in for a real
+    PIL resample, which is not installed here). Signature, batching, and
+    binary-in/binary-out plumbing match the production shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def resize(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: (b or b"")[:n_bytes].ljust(n_bytes, b"\0")
+        )
+
+    return media_df.withColumn("media", resize("media")).withColumn(
+        "meta",
+        F.struct(F.col("meta.mime").alias("mime"), F.lit(n_bytes).alias("n_bytes")),
+    )
+
+
+def frame_sample(media_df: DataFrame, every_n: int) -> DataFrame:
+    """STUB of video frame sampling: 1 blob row → many frame rows via
+    ``mapInPandas`` (the one-to-many generator shape a real decoder
+    needs). Frames are fixed FRAME_BYTES slices of the blob — a
+    deterministic stand-in for ffmpeg keyframe extraction — and every
+    ``every_n``-th frame is kept. At scale this runs per arrow batch with
+    no shuffle; downstream feature extraction groups by doc_id."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                blob = blob or b""
+                n_frames = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, FRAME_SCHEMA)
+
+
+@register(
+    "l6c_frame_stats",
+    family="L6",
+    oracle="""
+        SELECT doc_id,
+               CAST((length(text) + 15) // 16 AS BIGINT)      AS n_frames,
+               CAST(((length(text) + 15) // 16 + 3) // 4 AS BIGINT) AS n_sampled
+        FROM documents
+    """,
+)
+def l6c_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline with a value-checkable surface: documents →
+    media blobs → every-4th-frame sample → per-doc frame counts. The
+    oracle recomputes the counts arithmetically from text length (ASCII
+    corpus: 1 char = 1 byte), so the mapInPandas generator's fan-out is
+    hash-verified, not just row-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(documents_as_media(docs), every_n=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .join(
+            docs.select(
+                "doc_id",
+                F.expr("CAST((length(text) + 15) DIV 16 AS BIGINT)").alias("n_frames"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "n_frames", "n_sampled")
+    )

@@ -127,3 +127,34 @@ def test_knn_ivf_recall(spark):
     ivf = {(r["qid"], r["nn_id"]) for r in l4c_ivf_ann(spark, SF_SMOKE).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall > 0.5
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """Multimodal stubs: resize maps blobs to exactly n_bytes; frame
+    sampling fans one blob row out to every-Nth fixed-size frames."""
+    from prometheus_remote_kinesis_spark.llm.multimodal import (
+        FRAME_BYTES,
+        documents_as_media,
+        frame_sample,
+        resize_stub,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 40), (2, "y" * 5)], "doc_id long, text string"
+    )
+    media = documents_as_media(docs)
+
+    resized = {r["doc_id"]: r["media"] for r in resize_stub(media, 8).collect()}
+    assert resized[1] == b"x" * 8          # truncated
+    assert resized[2] == b"y" * 5 + b"\0" * 3  # zero-padded
+
+    frames = frame_sample(media, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["frame"]))
+    # doc 1: 40 bytes -> frames 0,1,2 (16,16,8 bytes); every 2nd -> idx 0,2
+    assert [i for i, _ in sorted(by_doc[1])] == [0, 2]
+    assert sorted(by_doc[1])[0][1] == b"x" * FRAME_BYTES
+    assert sorted(by_doc[1])[1][1] == b"x" * 8
+    # doc 2: 5 bytes -> one partial frame
+    assert by_doc[2] == [(0, b"y" * 5)]
