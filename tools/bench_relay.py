@@ -1,0 +1,100 @@
+"""Layer-A relay throughput bench: the reference's whole writer path
+(NDJSON source → flatten/normalize → encode → ≤500/≤4.5 MB chunked put)
+under Structured Streaming, with a no-op injected sink (no AWS), measured
+end-to-end.
+
+The comparison target is BASELINE.md: the reference's steady-state ceiling
+is ~50 records/s per writer when only the 10 s ticker fires (500 entries /
+10 s, kinesis.go:22-23 + main.go:75), and it is single-goroutine row-at-a-
+time JSON regardless (kinesis.go:63,99-151). AWS itself caps a shard at
+1,000 records/s. This bench prints how many records/s the Spark relay
+drains from disk through the exact same chunking semantics.
+
+Usage: python tools/bench_relay.py  [$SPARK_GRAFT_SF_DIR, default sf0.1]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from prometheus_remote_kinesis_spark.ingest_queries import _event_records
+from prometheus_remote_kinesis_spark.session import get_spark
+from prometheus_remote_kinesis_spark.sinks import PutBatch, encode_ndjson
+from prometheus_remote_kinesis_spark.streaming.pipeline import (
+    read_record_stream,
+    relay,
+)
+
+REFERENCE_TICKER_CEILING_RPS = 500 / 10.0  # kinesis.go:22-23 + main.go:75
+AWS_SHARD_QUOTA_RPS = 1000.0  # public Kinesis per-shard write quota
+
+
+def noop_put(batch: PutBatch) -> list[int]:
+    """Injected sink stand-in: always succeeds (no failed indices)."""
+    return []
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_relay")
+    workdir = tempfile.mkdtemp(prefix="relay_bench_")
+    src = os.path.join(workdir, "src")
+    ckpt = os.path.join(workdir, "ckpt")
+    try:
+        # Stage the wire-format input (not timed): records → NDJSON files.
+        records = _event_records(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        n_records = records.count()
+        encoded = encode_ndjson(records).select("line")
+        encoded.write.mode("overwrite").format("text").save(src)
+        n_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".txt") or f.startswith("part-")
+        )
+
+        t0 = time.time()
+        q = relay(
+            read_record_stream(spark, src),
+            put_records_fn=noop_put,
+            checkpoint_dir=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination()
+        elapsed = time.time() - t0
+
+        rps = n_records / elapsed
+        print(
+            json.dumps(
+                {
+                    "metric": "relay_throughput",
+                    "value": round(rps, 1),
+                    "unit": "records/sec",
+                    "records": n_records,
+                    "mb": round(n_bytes / 1e6, 2),
+                    "elapsed_sec": round(elapsed, 3),
+                    "mb_per_sec": round(n_bytes / 1e6 / elapsed, 2),
+                    "reference_ticker_ceiling_rps": REFERENCE_TICKER_CEILING_RPS,
+                    "aws_shard_quota_rps": AWS_SHARD_QUOTA_RPS,
+                    "speedup_vs_reference_ticker": round(
+                        rps / REFERENCE_TICKER_CEILING_RPS, 1
+                    ),
+                    "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
