@@ -113,3 +113,52 @@ def test_tfidf_df_side_broadcasts(spark):
     from prometheus_remote_kinesis_spark.plans.explain import uses
 
     assert uses(df, "BroadcastHashJoin")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """S7 at scale: fact-to-fact joins repeated across a workload should
+    read pre-bucketed tables — both sides bucketed by the join key with
+    the same bucket count join with NO Exchange (the shuffle happened once
+    at write time, not per query). This is the 100 TB answer to
+    lineitem⋈orders being re-shuffled by every query that needs it."""
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.plans.explain import formatted_plan
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "li_b")
+    ).mode("overwrite").saveAsTable("li_b")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(tmp_path / "ord_b")
+    ).mode("overwrite").saveAsTable("ord_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path so the bucketing (not a broadcast)
+        # is what eliminates the exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("li_b")
+            .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("s"))
+        )
+        import re
+
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        # exactly ONE exchange in the whole plan — the final aggregation's.
+        # The join inputs come straight from bucketed scans (no shuffle);
+        # an unbucketed join of these two tables plans two more exchanges.
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
