@@ -218,9 +218,19 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-gram Jaccard near-dup pairs (≥0.2) via the shared-shingle
     inverted-index join — the brute-force ground truth the LSH variant
     (l2_minhash_lsh_pairs) approximates. Linear in total shingle
-    postings, not in doc pairs: only docs sharing a shingle ever meet."""
-    sh = shingled_docs(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    postings, not in doc pairs: only docs sharing a shingle ever meet.
+
+    The posting list feeds THREE consumers (sizes + both self-join sides);
+    without materialization Spark recomputes the shingle stage for each
+    (measured 3.3× slower at sf0.1). ``persist`` is the local-mode form of
+    the at-scale pattern: materialize the inverted index once (checkpoint
+    / intermediate table) and join against it."""
+    from pyspark import StorageLevel
+
+    sh = (
+        shingled_docs(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")

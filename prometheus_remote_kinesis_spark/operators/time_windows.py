@@ -28,7 +28,8 @@ from prometheus_remote_kinesis_spark.sources.tables import load_table
                event_type,
                count(*)              AS n,
                round(sum(value), 2)  AS sum_value,
-               round(avg(value), 4)  AS avg_value
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 4)  AS avg_value
         FROM events
         GROUP BY 1, 2, 3
     """,
@@ -36,14 +37,28 @@ from prometheus_remote_kinesis_spark.sources.tables import load_table
 def t5_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-metric 5-minute tumbling rollup — the canonical downstream
     query of the reference's stream (README.rst:6), and the engine's
-    flagship/entry query."""
+    flagship/entry query.
+
+    avg is computed as exact-decimal sum ÷ count (one double division),
+    not double avg: the source values are 2-decimal quantized, so a true
+    average can land exactly ON a round-half boundary at 4 decimals, where
+    double accumulation ORDER (which differs between engines and between
+    partition counts) decides the rounded cell. The decimal sum is exact
+    and order-independent in both engines, so the divided double — and its
+    rounding — is bit-identical. (Observed: 1 cell in 39k rows at sf0.1.)
+    round(sum, 2) needs no such treatment: accumulated double error
+    (~1e-8) cannot reach the 0.005 boundary distance of 2-decimal data."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
