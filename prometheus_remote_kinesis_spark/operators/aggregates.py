@@ -31,8 +31,10 @@ from prometheus_remote_kinesis_spark.sources.tables import load_table
                round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
                round(avg(l_quantity), 4)                                        AS avg_qty,
-               round(avg(l_extendedprice), 4)                                   AS avg_price,
-               round(avg(l_discount), 6)                                        AS avg_disc,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 4)                                             AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 6)                                             AS avg_disc,
                count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -49,8 +51,21 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
         F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        # decimal-exact sum ÷ count: 2-decimal source data can average to
+        # an exact round-half boundary, where double accumulation order
+        # (engine/partition dependent) flips the rounded cell — same
+        # hazard observed on t5 at sf0.1. avg_qty is integer-valued, so
+        # its double sum is already exact and order-independent.
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
