@@ -17,38 +17,24 @@ from pyspark.sql import functions as F
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import load_table
 
+T5_ORACLE = """
+    SELECT time_bucket(INTERVAL '5 minutes', ts)                        AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           count(*)              AS n,
+           round(sum(value), 2)  AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4)  AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+"""
 
-@register(
-    "t5_tumbling_5min",
-    family="T5",
-    bench=True,
-    oracle="""
-        SELECT time_bucket(INTERVAL '5 minutes', ts)                        AS window_start,
-               time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
-               event_type,
-               count(*)              AS n,
-               round(sum(value), 2)  AS sum_value,
-               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                     / count(*), 4)  AS avg_value
-        FROM events
-        GROUP BY 1, 2, 3
-    """,
-)
-def t5_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-metric 5-minute tumbling rollup — the canonical downstream
-    query of the reference's stream (README.rst:6), and the engine's
-    flagship/entry query.
 
-    avg is computed as exact-decimal sum ÷ count (one double division),
-    not double avg: the source values are 2-decimal quantized, so a true
-    average can land exactly ON a round-half boundary at 4 decimals, where
-    double accumulation ORDER (which differs between engines and between
-    partition counts) decides the rounded cell. The decimal sum is exact
-    and order-independent in both engines, so the divided double — and its
-    rounding — is bit-identical. (Observed: 1 cell in 39k rows at sf0.1.)
-    round(sum, 2) needs no such treatment: accumulated double error
-    (~1e-8) cannot reach the 0.005 boundary distance of 2-decimal data."""
-    events = load_table(spark, sf_dir, "events")
+def tumbling_rollup_5min(events: DataFrame) -> DataFrame:
+    """Shared t5 aggregation body — the SAME expression tree runs as a
+    batch query (t5, DuckDB-oracle-checked) and under ``readStream``
+    (streaming/queries.py t5s), which is the point of Structured
+    Streaming's unified model."""
     return (
         events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
@@ -71,29 +57,42 @@ def t5_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t6_sliding_10min",
-    family="T6",
-    oracle="""
-        WITH assigned AS (
-            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
-            UNION ALL
-            SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
-            FROM events
-        )
-        SELECT window_start,
-               window_start + INTERVAL '10 minutes' AS window_end,
-               count(*)             AS n,
-               round(sum(value), 2) AS sum_value
-        FROM assigned
-        GROUP BY 1, 2
-    """,
-)
-def t6_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window (10 m width / 5 m slide) — every event lands in
-    exactly two windows; the oracle materializes that assignment as a
-    two-way UNION ALL of shifted 5-minute buckets."""
-    events = load_table(spark, sf_dir, "events")
+@register("t5_tumbling_5min", family="T5", bench=True, oracle=T5_ORACLE)
+def t5_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric 5-minute tumbling rollup — the canonical downstream
+    query of the reference's stream (README.rst:6), and the engine's
+    flagship/entry query.
+
+    avg is computed as exact-decimal sum ÷ count (one double division),
+    not double avg: the source values are 2-decimal quantized, so a true
+    average can land exactly ON a round-half boundary at 4 decimals, where
+    double accumulation ORDER (which differs between engines and between
+    partition counts) decides the rounded cell. The decimal sum is exact
+    and order-independent in both engines, so the divided double — and its
+    rounding — is bit-identical. (Observed: 1 cell in 39k rows at sf0.1.)
+    round(sum, 2) needs no such treatment: accumulated double error
+    (~1e-8) cannot reach the 0.005 boundary distance of 2-decimal data."""
+    return tumbling_rollup_5min(load_table(spark, sf_dir, "events"))
+
+
+T6_ORACLE = """
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM assigned
+    GROUP BY 1, 2
+"""
+
+
+def sliding_rollup_10min(events: DataFrame) -> DataFrame:
+    """Shared t6 aggregation body (batch t6 + streaming t6s)."""
     return (
         events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -104,6 +103,14 @@ def t6_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register("t6_sliding_10min", family="T6", oracle=T6_ORACLE)
+def t6_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 m width / 5 m slide) — every event lands in
+    exactly two windows; the oracle materializes that assignment as a
+    two-way UNION ALL of shifted 5-minute buckets."""
+    return sliding_rollup_10min(load_table(spark, sf_dir, "events"))
 
 
 @register(

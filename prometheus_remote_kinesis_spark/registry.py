@@ -37,6 +37,7 @@ _QUERY_MODULES = [
     "prometheus_remote_kinesis_spark.functions.pandas_udfs",
     "prometheus_remote_kinesis_spark.operators.time_windows",
     "prometheus_remote_kinesis_spark.ingest_queries",
+    "prometheus_remote_kinesis_spark.streaming.queries",
     "prometheus_remote_kinesis_spark.llm.dedup",
     "prometheus_remote_kinesis_spark.llm.similarity",
     "prometheus_remote_kinesis_spark.llm.text",

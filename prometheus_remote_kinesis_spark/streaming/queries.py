@@ -1,0 +1,216 @@
+"""Streaming-EXECUTED driver queries (SURVEY.md §2.8 T5/T6/T9/T10).
+
+The T-family batch twins in ``operators/time_windows.py`` prove the window
+semantics against the DuckDB oracle; these queries prove the same results
+come out of the actual Structured Streaming execution path: a file
+``readStream`` over the driver's parquet, the identical expression tree or
+stateful operator, an ``availableNow`` trigger, and a memory sink. Each one
+registers with the SAME oracle as its batch twin — the driver hash-compares
+the streaming output against DuckDB, so the streaming engine itself is
+inside the correctness gate, not just its batch shadow.
+
+``availableNow`` drains the whole source then stops (the reference's
+"consume the backlog and exit" shape); windowed aggregations run in
+``complete`` output mode so no window is withheld behind the watermark at
+stream end, making the result exactly the batch answer. Stateless dedup and
+arbitrary-state operators emit in ``append`` mode as rows are processed.
+
+At scale nothing here changes: the same queries run with
+``trigger(processingTime=...)`` against a Kinesis/Kafka source and a real
+sink; memory-sink materialization is a test-harness stand-in only.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from prometheus_remote_kinesis_spark.operators.time_windows import (
+    T5_ORACLE,
+    T6_ORACLE,
+    sliding_rollup_10min,
+    tumbling_rollup_5min,
+)
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.sources.tables import _NANOS_TS_COLUMNS
+
+_qname_counter = itertools.count()
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` twin of ``sources.tables.load_table``: stream one
+    driver parquet table as a file source.
+
+    FileStreamSource wants a directory, so the sf dir is the base path and
+    ``pathGlobFilter`` selects the one table file; the TIMESTAMP(NANOS)
+    columns get the same nanosAsLong + µs conversion as the batch reader.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema  # footer-only read
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def run_to_batch(streaming_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) through a
+    memory sink and return the materialized result as a batch DataFrame."""
+    name = f"stream_result_{next(_qname_counter)}"
+    query = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="skt_ckpt_"))
+        .start()
+    )
+    query.awaitTermination()
+    return streaming_df.sparkSession.table(name)
+
+
+@register("t5s_tumbling_5min_stream", family="T5-stream", oracle=T5_ORACLE)
+def t5s_tumbling_5min_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t5's tumbling rollup executed BY the streaming engine — identical
+    expression tree (``tumbling_rollup_5min``), identical oracle."""
+    return run_to_batch(tumbling_rollup_5min(stream_table(spark, sf_dir, "events")), "complete")
+
+
+@register("t6s_sliding_10min_stream", family="T6-stream", oracle=T6_ORACLE)
+def t6s_sliding_10min_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t6's sliding-window rollup executed by the streaming engine."""
+    return run_to_batch(sliding_rollup_10min(stream_table(spark, sf_dir, "events")), "complete")
+
+
+@register(
+    "t9s_stream_dedup",
+    family="T9",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def t9s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 streaming dedup, driver-checkable: the event stream unioned with
+    itself (every row a duplicate — the reference's double-send-on-retry
+    failure mode, kinesis.go:92,191-192) must dedup back to exactly the
+    original table. ``dropDuplicatesWithinWatermark`` keeps per-key state
+    only inside the watermark horizon — bounded state at 100 TB, unlike an
+    unbounded ``dropDuplicates``."""
+    events = stream_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    doubled = events.unionByName(events)
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return run_to_batch(deduped, "append")
+
+
+_T10_STREAM_ORACLE = """
+    WITH d AS (
+        SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS name,
+               epoch_us(ts) // 1000 AS time, value,
+               lag(value) OVER (PARTITION BY event_type, user_id ORDER BY ts) AS prev
+        FROM events
+    )
+    SELECT name, time,
+           round(value, 6) AS value,
+           round(CASE WHEN prev IS NULL THEN NULL
+                      WHEN value >= prev THEN value - prev
+                      ELSE value END, 6) AS increase,
+           sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
+               OVER (PARTITION BY name ORDER BY time
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS resets
+    FROM d
+"""
+
+
+def _event_series_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as RECORD_SCHEMA-shaped (name, time, value) series, streaming.
+    (event_type, user_id, ms) is verified unique in the driver data, so no
+    pre-collapse aggregation is needed — which matters because chaining a
+    streaming aggregation before an arbitrary-state operator is not a
+    supported stateful-operator composition."""
+    return stream_table(spark, sf_dir, "events").select(
+        F.concat_ws("/", "event_type", F.col("user_id").cast("string")).alias("name"),
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+
+
+@register("t10s_counter_increase_stream", family="T10", oracle=_T10_STREAM_ORACLE)
+def t10s_counter_increase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful counter-increase operator (applyInPandasWithState)
+    executed by the streaming engine and hash-checked against the SQL
+    oracle — upgrading T10 from rows-only to oracle-checked."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import counter_increase
+
+    out = counter_increase(_event_series_stream(spark, sf_dir), idle_timeout_ms=None)
+    return run_to_batch(out, "append").select(
+        "name",
+        "time",
+        F.round("value", 6).alias("value"),
+        F.round("increase", 6).alias("increase"),
+        "resets",
+    )
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs the google.protobuf python
+    package for its state-server wire protocol
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py) — absent from this
+    container, so the TWS query registers only where it can actually run."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _t10c_counter_increase_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter increase via ``transformWithStateInPandas`` (Spark 4
+    arbitrary-state API) on the RocksDB state store — same oracle as the
+    applyInPandasWithState form, so both stateful APIs sit inside the
+    correctness gate."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import counter_increase_tws
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = counter_increase_tws(_event_series_stream(spark, sf_dir))
+        result = run_to_batch(out, "append").select(
+            "name",
+            "time",
+            F.round("value", 6).alias("value"),
+            F.round("increase", 6).alias("increase"),
+            "resets",
+        )
+    finally:
+        if prev_provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return result
+
+
+if tws_available():
+    register("t10c_counter_increase_tws", family="T10/U5", oracle=_T10_STREAM_ORACLE)(
+        _t10c_counter_increase_tws
+    )

@@ -24,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -46,48 +47,137 @@ INCREASE_SCHEMA = StructType(
 _STATE_SCHEMA = "last_value double, last_time long, resets long"
 
 
-def _increase_fn(
-    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (name,) = key
-    if state.exists:
-        last_value, last_time, resets = state.get
-    else:
-        last_value, last_time, resets = None, None, 0
+def _make_increase_fn(idle_timeout_ms: int | None):
+    def _increase_fn(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        if state.exists:
+            last_value, last_time, resets = state.get
+        else:
+            last_value, last_time, resets = None, None, 0
 
-    rows: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("time")
-        for _, r in pdf.iterrows():
-            t, v = int(r["time"]), r["value"]
-            if v is None or pd.isna(v):
-                continue  # stale markers (NULL after NaN coercion) skipped
-            if last_value is None:
-                inc = None  # first sample: no increase defined
-            elif v >= last_value:
-                inc = v - last_value
-            else:  # counter reset: post-reset value is the increase
-                inc = v
-                resets += 1
-            rows.append(
-                {"name": name, "time": t, "value": v, "increase": inc, "resets": resets}
-            )
-            last_value, last_time = v, t
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time")
+            for _, r in pdf.iterrows():
+                t, v = int(r["time"]), r["value"]
+                if v is None or pd.isna(v):
+                    continue  # stale markers (NULL after NaN coercion) skipped
+                if last_value is None:
+                    inc = None  # first sample: no increase defined
+                elif v >= last_value:
+                    inc = v - last_value
+                else:  # counter reset: post-reset value is the increase
+                    inc = v
+                    resets += 1
+                rows.append(
+                    {"name": name, "time": t, "value": v, "increase": inc, "resets": resets}
+                )
+                last_value, last_time = v, t
 
-    state.update((last_value, last_time, resets))
-    state.setTimeoutDuration(3_600_000)  # evict idle series state after 1 h
-    yield pd.DataFrame(rows, columns=[f.name for f in INCREASE_SCHEMA.fields])
+        state.update((last_value, last_time, resets))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=[f.name for f in INCREASE_SCHEMA.fields])
+
+    return _increase_fn
 
 
-def counter_increase(records: DataFrame) -> DataFrame:
+def counter_increase(
+    records: DataFrame, idle_timeout_ms: int | None = 3_600_000
+) -> DataFrame:
     """Per-series counter increase with reset detection over a STREAMING
-    records DataFrame (RECORD_SCHEMA). Output mode: append."""
+    records DataFrame (RECORD_SCHEMA). Output mode: append.
+
+    ``idle_timeout_ms`` evicts idle-series state (ProcessingTimeTimeout) —
+    the right posture for a long-running service. Pass ``None`` for
+    drain-once runs (``availableNow``): processing-time timers keep the
+    MultiBatchExecutor scheduling micro-batches waiting for expiry, so an
+    availableNow query with timers NEVER self-terminates (measured: epoch
+    144 and climbing on a single-file source); NoTimeout lets it stop
+    after the data batch."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return records.groupBy("name").applyInPandasWithState(
-        _increase_fn,
+        _make_increase_fn(idle_timeout_ms),
         outputStructType=INCREASE_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
+    )
+
+
+class _CounterIncreaseProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` form of the counter-increase operator
+    (Spark 4 arbitrary-state API, the successor of applyInPandasWithState).
+
+    Same semantics as ``_increase_fn``; state is a typed ValueState cell
+    (last_value, last_time, resets) in the RocksDB state store — the
+    at-scale posture, since TWS state lives off-heap and snapshots
+    incrementally, unlike the HDFS-backed in-memory default."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import StructType as _St
+
+        schema = _St(
+            [
+                StructField("last_value", DoubleType()),
+                StructField("last_time", LongType()),
+                StructField("resets", LongType()),
+            ]
+        )
+        self._state = handle.getValueState("counter", schema)
+
+    def handleInputRows(
+        self, key: tuple[str], rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        if self._state.exists():
+            last_value, last_time, resets = self._state.get()
+        else:
+            last_value, last_time, resets = None, None, 0
+
+        out: list[dict[str, Any]] = []
+        for pdf in rows:
+            pdf = pdf.sort_values("time")
+            for _, r in pdf.iterrows():
+                t, v = int(r["time"]), r["value"]
+                if v is None or pd.isna(v):
+                    continue
+                if last_value is None:
+                    inc = None
+                elif v >= last_value:
+                    inc = v - last_value
+                else:
+                    inc = v
+                    resets += 1
+                out.append(
+                    {"name": name, "time": t, "value": v, "increase": inc, "resets": resets}
+                )
+                last_value, last_time = v, t
+
+        self._state.update((last_value, last_time, resets))
+        yield pd.DataFrame(out, columns=[f.name for f in INCREASE_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def counter_increase_tws(records: DataFrame) -> DataFrame:
+    """Counter increase via ``transformWithStateInPandas`` (Spark ≥4.0).
+
+    Requires the RocksDB state store provider — the caller (or session
+    builder) must set ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query."""
+    return records.groupBy("name").transformWithStateInPandas(
+        statefulProcessor=_CounterIncreaseProcessor(),
+        outputStructType=INCREASE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
 
 
@@ -178,7 +268,9 @@ GAPFILL_SCHEMA = StructType(
 _GF_STATE_SCHEMA = "last_value double, next_grid long"
 
 
-def gap_fill(records: DataFrame, interval_ms: int) -> DataFrame:
+def gap_fill(
+    records: DataFrame, interval_ms: int, idle_timeout_ms: int | None = 3_600_000
+) -> DataFrame:
     """Streaming gap fill: per-series LOCF grid emission with O(1) state
     (last value + next pending grid time).
 
@@ -188,6 +280,9 @@ def gap_fill(records: DataFrame, interval_ms: int) -> DataFrame:
     before), and nothing at/after the newest sample is emitted yet. For a
     completed stream this reproduces ``gap_fill_batch``'s [first, last)
     grid exactly (cross-checked in tests/test_streaming.py).
+
+    ``idle_timeout_ms=None`` for drain-once (availableNow) runs — see
+    ``counter_increase``: processing-time timers block self-termination.
     """
 
     def fn(
@@ -214,13 +309,19 @@ def gap_fill(records: DataFrame, interval_ms: int) -> DataFrame:
                 last_value = float(v)
 
         state.update((last_value, next_grid))
-        state.setTimeoutDuration(3_600_000)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(rows, columns=[f.name for f in GAPFILL_SCHEMA.fields])
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return records.groupBy("name").applyInPandasWithState(
         fn,
         outputStructType=GAPFILL_SCHEMA,
         stateStructType=_GF_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )
