@@ -264,3 +264,60 @@ def a1b_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("psum"), 2).alias("sum_value"),
         F.round(F.max("pmax"), 6).alias("max_value"),
     )
+
+
+@register(
+    "a8_pivot_user_type",
+    family="A1/A5",
+    oracle="""
+        SELECT user_id,
+               round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+               round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+               round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+               round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def a8_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user value totals, one column per event
+    type. The value list is EXPLICIT — without it Spark runs an extra
+    distinct-collect job over the full table to discover columns, which at
+    100 TB is a second full scan before the real one. Catalyst rewrites
+    the pivot to exactly the oracle's conditional-aggregation form (one
+    pass, one shuffle), so groups never materialize wide rows early."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+@register(
+    "a5c_grouping_sets",
+    family="A5",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*)                  AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a5c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the DataFrame API (Spark 4
+    ``DataFrame.groupingSets``) — the general form of which rollup (a5)
+    and cube (a5b) are special cases. One Expand + one aggregation, not
+    N unioned scans; sets that don't group a column emit NULL there,
+    matching the SQL semantics on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [[F.col("l_returnflag")], [F.col("l_linestatus")], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+    )

@@ -95,3 +95,32 @@ def sql1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q3_SQL)
+
+
+_SQL2_SCALAR_SUBQUERY = """
+    SELECT event_type,
+           count(*)             AS n_above,
+           round(sum(value), 2) AS sum_above
+    FROM events
+    WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*)
+                   FROM events)
+    GROUP BY event_type
+"""
+
+
+@register("sql2_scalar_subquery", family="SQL", oracle=_SQL2_SCALAR_SUBQUERY)
+def sql2_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the one-string-two-engines SQL path:
+    events above the global mean. Catalyst plans the subquery as an
+    independent job whose single-row result is injected as a literal into
+    the outer scan filter (no join, no correlation).
+
+    The mean is decimal-exact-sum ÷ count, not avg(): the filter is a
+    strict comparison against the subquery value, so an ulp of
+    accumulation-order divergence between engines could flip rows sitting
+    exactly on the boundary (same hazard class as t5's avg rounding)."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL2_SCALAR_SUBQUERY)

@@ -24,9 +24,24 @@ from prometheus_remote_kinesis_spark.schema import RECORD_SCHEMA, TABLES
 # so the conversion is lossless and oracle-consistent.
 _NANOS_TS_COLUMNS = {"events": ("ts",)}
 
+# DataFrames are immutable logical plans, so one scan plan per
+# (session, sf_dir, table) can back every query. Building it fresh costs
+# 0.1-0.2 s of Py4J round trips + footer schema fetch PER CALL (measured),
+# which dominated short queries. Keyed by applicationId so a restarted
+# session never sees plans bound to a dead context.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver test table (TESTDATA.md)."""
+    """Read one driver test table (TESTDATA.md); plan cached per session."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if any(k[0] != app_id for k in _DF_CACHE):
+        for k in [k for k in _DF_CACHE if k[0] != app_id]:
+            del _DF_CACHE[k]  # drop plans of dead sessions
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name in _NANOS_TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -36,8 +51,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # integer `div`, NOT `/`: true division goes through double,
                 # which cannot represent epoch-ns exactly (> 2^53).
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _DF_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
