@@ -1,0 +1,279 @@
+"""Training-data pipeline operators (north-star extension beyond
+SURVEY.md §2.9): deterministic dataset splitting, token-budget sequence
+packing, benchmark decontamination, and PII redaction — the remaining
+standard stages of an LLM pretraining-data pipeline after dedup
+(llm/dedup.py) and quality filtering (llm/text.py).
+
+Every operator here is a pure column-expression plan (no UDFs), so at
+100 TB it runs fully inside WholeStageCodegen; the only shuffles are the
+final aggregations, which all carry pre-reduced rows (never raw text).
+All four document ops ship DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+# d2: token budget per packed training chunk (small so sf0.01's ~30-token
+# docs produce multi-doc chunks; the operator is budget-agnostic).
+PACK_BUDGET = 512
+
+# d3: n-gram order for contamination matching. Real pipelines use 8-13;
+# the synthetic corpus has a tiny vocabulary, so 4-grams reproduce the
+# realistic regime (a small, non-empty contaminated set) at sf0.01.
+DECON_NGRAM = 4
+
+
+def split_bucket(text: Column) -> Column:
+    """Deterministic 0-99 bucket from a content hash.
+
+    md5 → first 8 hex chars → unsigned int → mod 100: identical arithmetic
+    is expressible in DuckDB (``CAST('0x'||substring(md5(t),1,8) AS
+    BIGINT)``), so the assignment is engine-independent — the property that
+    makes a split reproducible across backfills and cluster sizes, unlike
+    ``rand(seed)`` which is partition-layout-dependent.
+    """
+    return F.conv(F.substring(F.md5(text), 1, 8), 16, 10).cast("long") % 100
+
+
+@register(
+    "d1_train_split",
+    family="L7",
+    oracle="""
+        SELECT lang, split, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM (
+            SELECT lang, text,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT lang, text,
+                       CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+                           % 100 AS b
+                FROM documents
+            )
+        )
+        GROUP BY lang, split
+    """,
+)
+def d1_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content hash,
+    summarized per (lang, split). Content-keyed (not id-keyed) so exact
+    duplicates always land in the same split — no train/test leakage via
+    dup pairs. Stateless per-row expression: no shuffle before the final
+    pre-aggregated rollup, and re-running on 1000 executors yields the
+    byte-identical assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = split_bucket(F.col("text"))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        docs.select("lang", split.alias("split"), n_tokens.alias("n"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "d2_sequence_packing",
+    family="L7",
+    oracle=f"""
+        SELECT lang,
+               CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        FROM (
+            SELECT lang, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM (
+                SELECT lang, doc_id,
+                       len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            )
+        )
+        GROUP BY lang, chunk_id
+    """,
+)
+def d2_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents (per language, in
+    doc_id order) to consecutive training chunks of ~{budget} tokens via a
+    running-sum window — chunk = floor(tokens-before-me / budget). One
+    shuffle on the partition key, then a sort within partitions; the text
+    itself never moves, only (lang, doc_id, n_tokens) triples. At 100 TB
+    the window partitions by lang only — for a skewed corpus, sub-salt the
+    partition key (lang, doc_id div K) and offset chunk ids per salt with
+    a second pass over the K per-salt totals (K rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).alias("n_tokens")
+    base = docs.select("lang", "doc_id", n_tokens)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        base.select(
+            "lang",
+            "n_tokens",
+            F.floor(cum_before / PACK_BUDGET).alias("chunk_id"),
+        )
+        .groupBy("lang", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("chunk_tokens"),
+        )
+    )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams as a column expression. Guarded so short
+    documents yield an empty array (Spark's ``sequence(1, k)`` with k<1
+    would count DOWN, not return empty)."""
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "d3_decontamination",
+    family="L7",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(t) - {DECON_NGRAM} + 2),
+                       i -> array_to_string(
+                           list_slice(t, i, i + {DECON_NGRAM} - 1), ' ')
+                   )) AS g
+            FROM toks
+        ),
+        eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        SELECT doc_id, count(DISTINCT g) AS n_shared
+        FROM grams JOIN eval_g USING (g)
+        WHERE doc_id % 97 <> 0
+        GROUP BY doc_id
+    """,
+)
+def d3_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word {n}-gram with the held-out eval set (stand-in: doc_id % 97 = 0),
+    reporting how many distinct eval n-grams each one shares.
+
+    Scale shape: the eval side collapses to a DISTINCT n-gram set —
+    benchmark suites are tiny relative to a 100 TB corpus — and is
+    broadcast, so the corpus-side n-gram explosion streams through a
+    broadcast-hash semi-ish join with NO shuffle of raw n-grams; only the
+    matched (doc_id, gram) survivors shuffle into the per-doc count. For
+    an eval set too big to broadcast, drop the hint and let AQE pick the
+    join; the plan stays otherwise identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_ngrams(F.split("text", " "), DECON_NGRAM)).alias("g")
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+
+
+# Identical Java-regex / RE2 subset: character classes, +, {m,}, alternation.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9][0-9-]{7,}"
+
+
+@register(
+    "d4_pii_redaction",
+    family="L7",
+    oracle=f"""
+        SELECT doc_id,
+               substring(regexp_replace(
+                   regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'), 1, 80) AS redacted_head,
+               len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(aug, '{_PHONE_RE}')) AS n_phones
+        FROM (
+            SELECT doc_id,
+                   'u' || doc_id || '@mail.example call +1-555-0199 ' || text
+                       AS aug
+            FROM documents
+        )
+    """,
+)
+def d4_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails and phone numbers, reporting match
+    counts per document. The synthetic corpus contains no PII, so a
+    deterministic contact header is prepended first — every row then
+    exercises both patterns end-to-end (fixture-level behavior is also
+    unit-tested). Row-local regexp expressions: zero shuffles, scales
+    embarrassingly; the regexes stay in the Java-regex ∩ RE2 subset so
+    both engines agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.lit("u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example call +1-555-0199 "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(redacted, 1, 80).alias("redacted_head"),
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).alias("n_phones"),
+    )
+
+
+@register(
+    "a9_unpivot",
+    family="A8",
+    oracle="""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2)      AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(sum(l_discount), 2)      AS sum_disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty'   AS measure, sum_qty   AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc'  AS measure, sum_disc  AS value FROM wide
+    """,
+)
+def a9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide→long, the inverse of a8's pivot) via
+    ``DataFrame.unpivot``. Catalyst plans it as a single Expand over the
+    already-aggregated 3-row wide relation — N measure columns become N×
+    rows without re-scanning or re-shuffling the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )

@@ -158,3 +158,68 @@ def test_resize_and_frame_sample_plumbing(spark):
     assert sorted(by_doc[1])[1][1] == b"x" * 8
     # doc 2: 5 bytes -> one partial frame
     assert by_doc[2] == [(0, b"y" * 5)]
+
+
+def test_pii_redaction_fixtures(spark):
+    """Email/phone patterns on realistic PII fixtures: both redacted,
+    plain text untouched, counts match."""
+    from prometheus_remote_kinesis_spark.llm.pipeline import _EMAIL_RE, _PHONE_RE
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+tag@sub.example.org or +49-160-555-0100 now"),
+            (2, "no pii here at all"),
+        ],
+        "id long, s string",
+    ).select(
+        "id",
+        F.regexp_replace(
+            F.regexp_replace("s", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("red"),
+        F.regexp_count("s", F.lit(_EMAIL_RE)).alias("ne"),
+        F.regexp_count("s", F.lit(_PHONE_RE)).alias("np"),
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["red"] == "mail <EMAIL> or <PHONE> now"
+    assert (rows[1]["ne"], rows[1]["np"]) == (1, 1)
+    assert rows[2]["red"] == "no pii here at all" and rows[2]["ne"] == 0
+
+
+def test_sequence_packing_invariants(spark):
+    """Every chunk except a partition's last must already hold >= budget
+    tokens BEFORE its last doc was added? No — the greedy rule is: a doc
+    starts a new chunk iff tokens-before-it crossed the budget boundary.
+    Invariant checked: chunk ids are consecutive from 0 per lang, and
+    total tokens are preserved."""
+    from prometheus_remote_kinesis_spark.llm.pipeline import d2_sequence_packing
+
+    out = d2_sequence_packing(spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("long"))
+    ).collect()[0][0]
+    assert sum(r["chunk_tokens"] for r in out) == total_tokens
+    for lang, rows in by_lang.items():
+        ids = sorted(r["chunk_id"] for r in rows)
+        assert ids == list(range(len(ids))), f"non-consecutive chunks for {lang}"
+
+
+def test_train_split_deterministic_and_leak_free(spark):
+    """The content-hash split is stable across runs/partitionings and
+    sends duplicate texts to the same split (no leakage)."""
+    from prometheus_remote_kinesis_spark.llm.pipeline import split_bucket
+
+    df = spark.createDataFrame(
+        [(i, f"doc body {i % 5}") for i in range(20)], "id long, text string"
+    )
+    a = df.select("id", split_bucket(F.col("text")).alias("b")).collect()
+    b = df.repartition(7).select("id", split_bucket(F.col("text")).alias("b")).collect()
+    assert sorted((r["id"], r["b"]) for r in a) == sorted((r["id"], r["b"]) for r in b)
+    # identical text => identical bucket
+    buckets = {}
+    for r in df.select("text", split_bucket(F.col("text")).alias("b")).collect():
+        buckets.setdefault(r["text"], set()).add(r["b"])
+    assert all(len(v) == 1 for v in buckets.values())
