@@ -45,6 +45,13 @@ def main() -> None:
         df.toPandas()
         timings[name] = round(time.time() - t0, 3)
 
+    # Layer-A relay throughput (records/sec), directly comparable to the
+    # BASELINE.md ceilings (reference ticker: 50 rec/s; AWS shard quota:
+    # 1000 rec/s). Extra keys on the same single JSON line.
+    from tools.bench_relay import measure as measure_relay
+
+    relay = measure_relay(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -54,6 +61,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "relay_records_per_sec": relay["value"],
+                "relay_mb_per_sec": relay["mb_per_sec"],
+                "relay_speedup_vs_reference_ticker": relay[
+                    "speedup_vs_reference_ticker"
+                ],
             }
         )
     )

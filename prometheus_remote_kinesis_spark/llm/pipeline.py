@@ -277,3 +277,89 @@ def a9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
     )
+
+
+# d5: per-stratum keep-rates (percent of the 0-99 hash bucket space).
+SAMPLE_RATES = {"en": 50, "de": 20, "fr": 20, "es": 20, "zh": 20}
+SAMPLE_DEFAULT = 10
+
+
+@register(
+    "d5_stratified_sample",
+    family="L7",
+    oracle=f"""
+        SELECT lang, count(*) AS n_total,
+               CAST(sum(CASE WHEN b < CASE lang
+                                WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                                WHEN 'fr' THEN 20 WHEN 'es' THEN 20
+                                WHEN 'zh' THEN 20 ELSE {SAMPLE_DEFAULT} END
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM (
+            SELECT lang,
+                   CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+                       % 100 AS b
+            FROM documents
+        )
+        GROUP BY lang
+    """,
+)
+def d5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language with per-stratum rates — corpus
+    rebalancing for training mixes. Uses the same content-hash bucket as
+    [d1], NOT ``sample()``/``rand()``: the kept set is a deterministic
+    function of content, so it is reproducible across runs, partition
+    layouts, and engines (which seeded ``rand`` is not), and composes with
+    the d1 split (independent-looking but fixed assignments). Stateless
+    row expression + pre-aggregated rollup: one shuffle of (lang, partial
+    counts) only."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = split_bucket(F.col("text"))
+    rate = F.lit(SAMPLE_DEFAULT)
+    for lang, pct in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        docs.select("lang", (b < rate).cast("int").alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_sampled"),
+        )
+    )
+
+
+@register(
+    "d6_embedding_quantization",
+    family="L7",
+    oracle="""
+        SELECT vec_id,
+               round(127.0 / maxabs, 6) AS scale,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs))
+                             AS INTEGER)) AS q
+        FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+            FROM embeddings
+        )
+    """,
+)
+def d6_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (per-vector max-abs
+    scaling) — 4× storage/bandwidth reduction for ANN indexes at 100 TB.
+    Pure higher-order array expressions, row-local, zero shuffles; the
+    max-abs is materialized in its own projection first (Catalyst does
+    not CSE inside lambda bodies — the shingle-pipeline lesson), so each
+    element transform reuses one computed scale instead of re-reducing
+    the array per element."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scaled = emb.select("vec_id", "embedding", maxabs.alias("maxabs"))
+    scale = F.lit(127.0) / F.col("maxabs")
+    return scaled.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
+        ).alias("q"),
+    )

@@ -124,3 +124,29 @@ def sql2_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL2_SCALAR_SUBQUERY)
+
+
+_SQL3_CORRELATED_EXISTS = """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+"""
+
+
+@register("sql3_correlated_exists", family="SQL", oracle=_SQL3_CORRELATED_EXISTS)
+def sql3_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the one-string-two-engines
+    SQL path. Catalyst decorrelates both predicates into a left-semi and a
+    left-anti hash join against `orders` (RewritePredicateSubquery) — no
+    per-row subquery execution survives into the physical plan, which is
+    what makes the shape viable at 100 TB."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL3_CORRELATED_EXISTS)

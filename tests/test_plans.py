@@ -162,3 +162,23 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_correlated_exists_decorrelates(spark):
+    """sql3: EXISTS / NOT EXISTS must decorrelate to semi/anti hash joins.
+    A surviving per-row subquery would execute the inner query once per
+    customer — quadratic at 100 TB; the rewritten form is two linear
+    joins."""
+    df = Q["sql3_correlated_exists"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "InSubquery" not in plan and "exists#" not in plan.lower(), plan
+
+
+def test_decontamination_broadcasts_eval_ngrams(spark):
+    """d3: the eval-set n-gram side must broadcast — shuffling the
+    corpus-side n-gram explosion (≫ corpus bytes) is the failure mode."""
+    df = Q["d3_decontamination"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -42,9 +42,10 @@ def noop_put(batch: PutBatch) -> list[int]:
     return []
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench_relay")
+def measure(spark, sf_dir: str) -> dict:
+    """Run the relay end-to-end once; return the metrics dict (also used
+    by bench.py so the driver-recorded JSON carries the BASELINE.md-
+    comparable throughput numbers)."""
     workdir = tempfile.mkdtemp(prefix="relay_bench_")
     src = os.path.join(workdir, "src")
     ckpt = os.path.join(workdir, "ckpt")
@@ -73,27 +74,29 @@ def main() -> None:
         elapsed = time.time() - t0
 
         rps = n_records / elapsed
-        print(
-            json.dumps(
-                {
-                    "metric": "relay_throughput",
-                    "value": round(rps, 1),
-                    "unit": "records/sec",
-                    "records": n_records,
-                    "mb": round(n_bytes / 1e6, 2),
-                    "elapsed_sec": round(elapsed, 3),
-                    "mb_per_sec": round(n_bytes / 1e6 / elapsed, 2),
-                    "reference_ticker_ceiling_rps": REFERENCE_TICKER_CEILING_RPS,
-                    "aws_shard_quota_rps": AWS_SHARD_QUOTA_RPS,
-                    "speedup_vs_reference_ticker": round(
-                        rps / REFERENCE_TICKER_CEILING_RPS, 1
-                    ),
-                    "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-                }
-            )
-        )
+        return {
+            "metric": "relay_throughput",
+            "value": round(rps, 1),
+            "unit": "records/sec",
+            "records": n_records,
+            "mb": round(n_bytes / 1e6, 2),
+            "elapsed_sec": round(elapsed, 3),
+            "mb_per_sec": round(n_bytes / 1e6 / elapsed, 2),
+            "reference_ticker_ceiling_rps": REFERENCE_TICKER_CEILING_RPS,
+            "aws_shard_quota_rps": AWS_SHARD_QUOTA_RPS,
+            "speedup_vs_reference_ticker": round(
+                rps / REFERENCE_TICKER_CEILING_RPS, 1
+            ),
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_relay")
+    print(json.dumps(measure(spark, sf_dir)))
 
 
 if __name__ == "__main__":
