@@ -113,11 +113,7 @@ def t6_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_rollup_10min(load_table(spark, sf_dir, "events"))
 
 
-@register(
-    "t7_user_sessions",
-    family="T7",
-    bench=True,
-    oracle="""
+T7_ORACLE = """
         WITH flagged AS (
             SELECT user_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -138,16 +134,11 @@ def t6_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(value), 2)             AS sum_value
         FROM sessions
         GROUP BY user_id, session_id
-    """,
-)
-def t7_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-minute inactivity gap) via ``session_window``.
+"""
 
-    Spark merges events whose windows overlap: a new session starts when
-    the gap is >= 30 m (strictly-less merges); session end = last event
-    + gap. The oracle reproduces exactly that with the classic
-    lag/cumulative-sum sessionization."""
-    events = load_table(spark, sf_dir, "events")
+
+def user_sessions(events: DataFrame) -> DataFrame:
+    """Shared t7 sessionization body (batch t7 + streaming t7s)."""
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -159,3 +150,14 @@ def t7_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register("t7_user_sessions", family="T7", bench=True, oracle=T7_ORACLE)
+def t7_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) via ``session_window``.
+
+    Spark merges events whose windows overlap: a new session starts when
+    the gap is >= 30 m (strictly-less merges); session end = last event
+    + gap. The oracle reproduces exactly that with the classic
+    lag/cumulative-sum sessionization."""
+    return user_sessions(load_table(spark, sf_dir, "events"))

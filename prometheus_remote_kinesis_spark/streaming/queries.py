@@ -33,8 +33,10 @@ from pyspark.sql import types as T
 from prometheus_remote_kinesis_spark.operators.time_windows import (
     T5_ORACLE,
     T6_ORACLE,
+    T7_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
+    user_sessions,
 )
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import _NANOS_TS_COLUMNS
@@ -91,6 +93,14 @@ def t5s_tumbling_5min_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t6s_sliding_10min_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t6's sliding-window rollup executed by the streaming engine."""
     return run_to_batch(sliding_rollup_10min(stream_table(spark, sf_dir, "events")), "complete")
+
+
+@register("t7s_user_sessions_stream", family="T7-stream", oracle=T7_ORACLE)
+def t7s_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t7's session windows executed by the streaming engine — the
+    stateful session-merge path (complete mode retains all session state,
+    so no watermark is needed and the result equals the batch answer)."""
+    return run_to_batch(user_sessions(stream_table(spark, sf_dir, "events")), "complete")
 
 
 @register(
