@@ -71,11 +71,7 @@ def w2_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w3_trailing_5min_sum",
-    family="W3",
-    bench=True,
-    oracle="""
+W3_ORACLE = """
         SELECT event_id, event_type,
                round(sum(value) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
                                       RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW), 2)
@@ -84,8 +80,10 @@ def w2_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
                               RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
                    AS trailing_n
         FROM events
-    """,
-)
+"""
+
+
+@register("w3_trailing_5min_sum", family="W3", bench=True, oracle=W3_ORACLE)
 def w3_trailing_5min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute trailing range frame over epoch-ms — PromQL
     ``sum_over_time(m[5m])`` / rate-style lookback on the ms-long time
@@ -102,6 +100,112 @@ def w3_trailing_5min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.sum("value").over(w), 2).alias("trailing_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+
+
+@register("w3b_trailing_5min_scalable", family="W3", bench=True, oracle=W3_ORACLE)
+def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w3's trailing 5-minute frame, re-planned for low-cardinality keys.
+
+    w3's direct form partitions by ``event_type`` — a handful of keys, so
+    at 100 TB a few tasks each sort and scan an entire series (measured on
+    the 16× scale probe: 23× slower for 16× data while every other query
+    scaled sub-linearly). This variant decomposes the frame over 5-minute
+    buckets so parallelism is (key × bucket), unbounded in data size:
+
+    with bucket width == frame width W, every row's frame [t-W, t] spans
+    exactly its own bucket and the previous one, so
+
+        trailing(t) = cum_own(t)                      (peer-inclusive
+                                                       cumsum in bucket)
+                    + tot(prev) - below_prev(t - W)   (prefix strictly
+                                                       below t-W, looked
+                                                       up as-of style)
+
+    below_prev uses the j6 union trick: each row emits a side-0 probe at
+    (bucket-1, t-W); probes sort before equal-ms data rows, so ``last``
+    over preceding rows yields the strictly-below prefix. All three
+    shuffles — cumsum window, bucket totals, final reassembly join — key
+    on high-cardinality (type, bucket) / event_id, never on type alone.
+    The rounding-boundary argument is t5's: values are 2-decimal
+    quantized, so the regrouped double error (~1e-9) cannot move a
+    round(…, 2) cell."""
+    frame_ms = 300000
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts")).alias("ms"),
+    ).withColumn("bucket", F.floor(F.col("ms") / frame_ms))
+
+    wcum = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("ms")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    own = base.select(
+        "event_id",
+        "event_type",
+        "bucket",
+        "ms",
+        F.sum("value").over(wcum).alias("own_sum"),
+        F.count(F.lit(1)).over(wcum).alias("own_n"),
+    )
+
+    totals = base.groupBy("event_type", "bucket").agg(
+        F.sum("value").alias("tot_sum"), F.count(F.lit(1)).alias("tot_n")
+    )
+
+    data_rows = own.select(
+        "event_type",
+        "bucket",
+        "ms",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("qid"),
+        F.col("own_sum").alias("cum_sum"),
+        F.col("own_n").alias("cum_n"),
+    )
+    probe_rows = base.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        (F.col("ms") - frame_ms).alias("ms"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("qid"),
+        F.lit(None).cast("double").alias("cum_sum"),
+        F.lit(None).cast("long").alias("cum_n"),
+    )
+    wlook = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("ms", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    probes = (
+        data_rows.unionByName(probe_rows)
+        .select(
+            "event_type",
+            "bucket",
+            "qid",
+            F.last("cum_sum", ignorenulls=True).over(wlook).alias("below_sum"),
+            F.last("cum_n", ignorenulls=True).over(wlook).alias("below_n"),
+        )
+        .filter(F.col("qid").isNotNull())
+        .join(totals, ["event_type", "bucket"], "left")
+        .select(
+            F.col("qid").alias("event_id"),
+            (F.coalesce("tot_sum", F.lit(0.0)) - F.coalesce("below_sum", F.lit(0.0))).alias(
+                "suffix_sum"
+            ),
+            (F.coalesce("tot_n", F.lit(0)) - F.coalesce("below_n", F.lit(0))).alias(
+                "suffix_n"
+            ),
+        )
+    )
+    return own.join(probes, "event_id").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("own_sum") + F.col("suffix_sum"), 2).alias("trailing_sum"),
+        (F.col("own_n") + F.col("suffix_n")).alias("trailing_n"),
     )
 
 
