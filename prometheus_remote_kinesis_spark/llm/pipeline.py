@@ -363,3 +363,51 @@ def d6_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
         ).alias("q"),
     )
+
+
+SHUFFLE_SEED = "seed0"
+
+
+@register(
+    "d7_deterministic_shuffle",
+    family="L7",
+    oracle=f"""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY md5(text || '{SHUFFLE_SEED}'), doc_id)
+                   AS pos
+        FROM documents
+    """,
+)
+def d7_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: every document gets a stable
+    pseudo-random position = its rank under a seeded content hash —
+    reproducible training-data ordering (change the seed, get a fresh
+    shuffle; rerun anywhere, get the same one).
+
+    A naive ``row_number() OVER (ORDER BY hash)`` is a GLOBAL window —
+    one partition, one task, the worst scale shape there is. This plans
+    it as a two-phase banded rank instead: the hash's first byte is a
+    256-way band whose lexicographic order refines the global order
+    (the band is a prefix of the hash), so position = (count of rows in
+    lower bands, a 256-row broadcast) + (rank within my band, a 256-way
+    parallel window). Same trick as w3b: turn a cardinality-1 partition
+    key into (band) × parallel, exact results, no sampling-based range
+    partitioner nondeterminism."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("text"), F.lit(SHUFFLE_SEED)))
+    banded = docs.select(
+        "doc_id", h.alias("h"), F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("band")
+    )
+    w_in = Window.partitionBy("band").orderBy("h", "doc_id")
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "band", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    return (
+        banded.join(F.broadcast(offsets), "band")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(w_in)).alias("pos"),
+        )
+    )
