@@ -97,10 +97,21 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (driver-like: default shuffle "
+        "partitions, no tuned confs) instead of session.get_spark",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
-    spark = get_spark("verify_local")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("verify_local")
     con = duck_connection(args.sf_dir)
     qs = all_queries()
     selected = args.queries or sorted(qs)
