@@ -1,0 +1,154 @@
+"""S1: the Prometheus remote-write HTTP endpoint (reference:
+``kinesis.go:68-93`` / ``firehose.go:61-86``, route ``main.go:57-63``).
+
+A stdlib ``ThreadingHTTPServer`` exposing ``POST /receive`` with the
+reference handler's exact staging and status codes:
+
+| stage | reference | here | failure → HTTP |
+|---|---|---|---|
+| 1 read | ``ioutil.ReadAll`` (kinesis.go:69) | ``rfile.read(len)`` | 500 (kinesis.go:70-74) |
+| 2 decompress | ``snappy.Decode`` (kinesis.go:76) | ``prompb.snappy_decompress`` | 400 (kinesis.go:77-81) |
+| 3 decode | ``proto.Unmarshal`` (kinesis.go:83-84) | ``prompb.parse_write_request`` | 400 (kinesis.go:85-88) |
+| 4 transform | ``parseRecords`` (prometheus.go:10-37) | ``flatten_timeseries`` below | — (infallible) |
+| 5 handoff | ``writeCh <- records`` (kinesis.go:92) | atomic NDJSON file into the spool dir | — |
+
+The spool directory IS the channel: the Structured Streaming relay
+(``streaming.pipeline.read_record_stream``) watches it as a file source,
+giving the same ingest→writer decoupling as the reference's buffered
+``chan Records`` — except the handoff is durable, so the reference's
+ack-before-durable data loss window (SURVEY.md §3.2) is closed: we write
+the records before answering 200.
+
+``flatten_timeseries`` mirrors ``parseRecords`` row-at-a-time in the
+handler thread, exactly like the reference's per-request goroutine;
+``tests/test_server.py`` pins it against the Spark-side
+``ingest.flatten_write_requests`` on the same fixtures so the two can
+never diverge silently.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from prometheus_remote_kinesis_spark.sources.prompb import (
+    parse_write_request,
+    snappy_decompress,
+)
+
+
+def flatten_timeseries(timeseries: list[dict]) -> list[dict]:
+    """``parseRecords`` (prometheus.go:10-37), row-at-a-time.
+
+    - labels list → dict (prometheus.go:14-17)
+    - name = labels["__name__"] or "" (prometheus.go:19)
+    - zero samples → one labels-only record, time=0, value None
+      (prometheus.go:20-23)
+    - one record per sample, full label map copied (prometheus.go:25-34)
+    - stale-marker NaN → None (prometheus.go:28-32)
+    """
+    records: list[dict] = []
+    for ts in timeseries:
+        labels = {lbl["name"]: lbl["value"] for lbl in ts["labels"]}
+        name = labels.get("__name__", "")
+        samples = ts["samples"]
+        if not samples:
+            records.append({"name": name, "time": 0, "value": None, "labels": labels})
+            continue
+        for s in samples:
+            value = s["value"]
+            if value is not None and math.isnan(value):
+                value = None
+            records.append(
+                {"name": name, "time": s["timestamp"], "value": value, "labels": labels}
+            )
+    return records
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # Quiet by default; the server object collects nothing per-request.
+    def log_message(self, fmt: str, *args) -> None:  # noqa: A002
+        pass
+
+    def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        if self.path != "/receive":  # route, main.go:61
+            self.send_response(404)
+            self.end_headers()
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+        except Exception:
+            self.send_response(500)  # read failure, kinesis.go:70-74
+            self.end_headers()
+            return
+        try:
+            decompressed = snappy_decompress(body)  # kinesis.go:76
+        except Exception:
+            self.send_response(400)  # kinesis.go:77-81
+            self.end_headers()
+            return
+        try:
+            timeseries = parse_write_request(decompressed)  # kinesis.go:83-84
+        except Exception:
+            self.send_response(400)  # kinesis.go:85-88
+            self.end_headers()
+            return
+        records = flatten_timeseries(timeseries)  # kinesis.go:90
+        self.server.spool(records)  # type: ignore[attr-defined]  # kinesis.go:92
+        self.send_response(200)  # implicit 200, kinesis.go:93
+        self.end_headers()
+
+
+class RemoteWriteServer(ThreadingHTTPServer):
+    """``POST /receive`` → NDJSON files in ``spool_dir``.
+
+    Files appear atomically (write to a dot-prefixed temp name in the
+    same directory, then rename) so the streaming file source never reads
+    a half-written batch. One file per request, mirroring the reference's
+    one channel message per request (kinesis.go:92).
+    """
+
+    daemon_threads = True
+
+    def __init__(self, spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+        super().__init__((host, port), _Handler)
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._thread: threading.Thread | None = None
+
+    def spool(self, records: list[dict]) -> None:
+        if not records:
+            return
+        # Wire format = sinks.encode_ndjson: one JSON object per line,
+        # explicit null value (record.go:21-27), name/time/value/labels
+        # field order (record.go:8-14).
+        lines = "".join(
+            json.dumps(r, ensure_ascii=False, separators=(",", ":")) + "\n"
+            for r in records
+        )
+        tmp = os.path.join(self.spool_dir, f".{uuid.uuid4().hex}.tmp")
+        final = os.path.join(self.spool_dir, f"{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(lines)
+        os.rename(tmp, final)
+
+    @property
+    def url(self) -> str:
+        host, port = self.server_address[:2]
+        return f"http://{host}:{port}/receive"
+
+    def start(self) -> "RemoteWriteServer":
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self.server_close()
