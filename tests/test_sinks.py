@@ -128,3 +128,33 @@ def test_parquet_archive_roundtrip_and_pruning(spark, tmp_path):
     assert rows == [(1000, 1.0), (2000, None)]
     plan = formatted_plan(back)
     assert "PartitionFilters" in plan and "name" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=2000), max_size=60),
+    max_entries=st.integers(min_value=1, max_value=7),
+    max_bytes=st.integers(min_value=2000, max_value=8000),
+)
+def test_chunker_properties(sizes, max_entries, max_bytes):
+    """For arbitrary entry sizes: every chunk respects BOTH limits (given
+    no single entry exceeds max_bytes), order and content are preserved
+    exactly, and chunking is maximal (a chunk only ends because the next
+    entry would overflow it)."""
+    entries = [(f"k{i}", b"x" * s) for i, s in enumerate(sizes)]
+    chunks = list(chunk_entries(entries, max_entries=max_entries, max_bytes=max_bytes))
+    flat = [e for c in chunks for e in c.entries]
+    assert flat == entries  # order + content preserved, nothing dropped
+    for c in chunks:
+        assert len(c.entries) <= max_entries
+        assert c.total_bytes == sum(len(d) for _, d in c.entries) <= max_bytes
+    for prev, nxt in zip(chunks, chunks[1:]):
+        first_len = len(nxt.entries[0][1])
+        assert (
+            len(prev.entries) >= max_entries
+            or prev.total_bytes + first_len > max_bytes
+        )  # no premature split
