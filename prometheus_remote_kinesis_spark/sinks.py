@@ -19,6 +19,7 @@ an in-memory fake; production wires ``boto3.client("kinesis").put_records``.
 
 from __future__ import annotations
 
+import os
 import time as _time
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass
@@ -158,3 +159,43 @@ def write_parquet_archive(records: DataFrame, path: str) -> None:
     partition key, kinesis.go:174) so per-metric queries prune partitions.
     """
     records.write.mode("overwrite").partitionBy("name").parquet(path)
+
+
+def compact_archive(
+    records_path: str, spark, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact a streamed-in archive's small files (S9 maintenance).
+
+    Micro-batch archival writes one file per (trigger × partition × name)
+    — at a 10 s interval that is ~8.6k files/name/day, and at 100 TB the
+    NameNode/S3-listing and task-per-file overheads dominate scans long
+    before the data does. This rewrites the archive with
+    ceil(total_bytes / target) tasks hash-keyed by ``name``, so each
+    metric's rows collapse to one file per partition dir (a metric larger
+    than one target file needs a salt added to the repartition key —
+    deliberately not done blind, since it doubles small metrics' files).
+    The rewrite lands in a temp dir and swaps in atomically; returns the
+    task count used.
+    """
+    import glob
+    import math
+    import shutil
+    import uuid
+
+    base = records_path.rstrip("/")
+    files = glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    tmp = f"{base}.compact-{uuid.uuid4().hex}"
+    (
+        spark.read.parquet(base)
+        .repartition(n_target, F.col("name"))
+        .write.mode("overwrite")
+        .partitionBy("name")
+        .parquet(tmp)
+    )
+    old = f"{base}.old-{uuid.uuid4().hex}"
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
+    return n_target

@@ -158,3 +158,35 @@ def test_chunker_properties(sizes, max_entries, max_bytes):
             len(prev.entries) >= max_entries
             or prev.total_bytes + first_len > max_bytes
         )  # no premature split
+
+
+def test_compact_archive(spark, tmp_path):
+    """Many small archive files → one file per metric partition dir,
+    byte-identical row content."""
+    import glob
+
+    from prometheus_remote_kinesis_spark.sinks import (
+        compact_archive,
+        write_parquet_archive,
+    )
+
+    records = spark.createDataFrame(
+        [(f"m{i % 3}", i, float(i), {"__name__": f"m{i % 3}"}) for i in range(300)],
+        "name string, time long, value double, labels map<string,string>",
+    ).repartition(16)  # force 16 small files per partition dir
+    path = str(tmp_path / "archive")
+    write_parquet_archive(records, path)
+    before = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert len(before) > 40  # 3 names x up-to-16 files
+    content_before = sorted(
+        (r["name"], r["time"], r["value"]) for r in spark.read.parquet(path).collect()
+    )
+
+    compact_archive(path, spark)
+
+    after = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert len(after) == 3  # one file per name partition
+    content_after = sorted(
+        (r["name"], r["time"], r["value"]) for r in spark.read.parquet(path).collect()
+    )
+    assert content_after == content_before
