@@ -165,3 +165,50 @@ def dedup_stream(records: DataFrame, watermark: str = "10 minutes") -> DataFrame
         .dropDuplicatesWithinWatermark(["name", "labels_hash", "time"])
         .drop("labels_hash")
     )
+
+
+def incremental_rollup_sink(
+    records: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+    available_now: bool = False,
+    interval: str | None = DEFAULT_WRITE_INTERVAL,
+) -> StreamingQuery:
+    """Continuously-maintained rollup table (the hypertable
+    continuous-aggregate pattern): the T5 windowed aggregation in UPDATE
+    output mode, with each micro-batch's changed (window, name) rows
+    upserted into a parquet store via dynamic partition overwrite.
+
+    The store is partitioned by (ws, name) — exactly the aggregation key
+    — so an update-mode batch (which carries only CHANGED groups)
+    overwrites precisely the partitions it changes and cannot clobber a
+    sibling group's data. Readers see per-window-atomic state at all
+    times and never re-aggregate raw history; at 100 TB the store stays
+    proportional to (windows × names), not samples. Late data inside the
+    watermark updates its window's partition in place; beyond it, rows
+    are dropped (T8 semantics).
+    """
+    rolled = windowed_rollup(records, width=width, watermark=watermark).withColumn(
+        "ws", F.unix_millis("window_start")
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ws", "name")
+            .parquet(store_dir)
+        )
+
+    writer = (
+        rolled.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif interval is not None:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()

@@ -327,3 +327,51 @@ def test_gap_fill_stateful_vs_batch(spark, tmp_path):
     assert streamed == batch
     assert streamed[("g", 4000)] == 1.0  # LOCF before the 4500 sample
     assert streamed[("g", 5000)] == 2.0
+
+
+def test_incremental_rollup_sink(spark, tmp_path):
+    """Continuous-aggregate upsert: two micro-batches (second updates a
+    window the first already wrote) land in a parquet store that exactly
+    equals the batch recomputation over all data."""
+    from prometheus_remote_kinesis_spark.streaming.pipeline import (
+        incremental_rollup_sink,
+    )
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    src.mkdir()
+    m = 60_000
+    # batch 1: two windows for m1, one for m2
+    write_ndjson(
+        str(src / "b1.json"),
+        [rec("m1", 1 * m, 1.0), rec("m1", 6 * m, 2.0), rec("m2", 1 * m, 5.0)],
+    )
+    q = incremental_rollup_sink(
+        read_record_stream(spark, str(src), max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    # batch 2 (new run, same checkpoint): updates m1's FIRST window and
+    # adds a third one — the first window's partition must be rewritten,
+    # m2's untouched partition must survive.
+    write_ndjson(str(src / "b2.json"), [rec("m1", 2 * m, 10.0), rec("m1", 11 * m, 3.0)])
+    q2 = incremental_rollup_sink(
+        read_record_stream(spark, str(src), max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+
+    got = {
+        (r["ws"], r["name"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == {
+        (0, "m1"): (2, 11.0),       # updated in place by batch 2
+        (5 * m, "m1"): (1, 2.0),    # from batch 1, untouched
+        (10 * m, "m1"): (1, 3.0),   # new in batch 2
+        (0, "m2"): (1, 5.0),        # sibling partition survived overwrite
+    }
