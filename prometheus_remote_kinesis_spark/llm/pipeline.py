@@ -411,3 +411,46 @@ def d7_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.row_number().over(w_in)).alias("pos"),
         )
     )
+
+
+@register(
+    "d8_mixture_weights",
+    family="L7",
+    oracle="""
+        WITH tok AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(actual_tokens) AS total, count(*) AS n_sources FROM tok)
+        SELECT source, actual_tokens,
+               round(actual_tokens * 1.0 / total, 6) AS actual_share,
+               round((1.0 / n_sources) / (actual_tokens * 1.0 / total), 6)
+                   AS weight_to_uniform
+        FROM tok CROSS JOIN tot
+    """,
+)
+def d8_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source token shares and the
+    sampling weight that rebalances each source to a uniform target mix —
+    the bookkeeping step behind training-data mixtures (swap the uniform
+    target for any desired distribution by joining a weights dim).
+
+    The per-source rollup reduces the corpus to |sources| rows before the
+    single-row totals cross-join (broadcast, Catalyst folds it into the
+    projection), so nothing heavier than the first aggregation touches
+    the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).cast("bigint").alias("actual_tokens")
+    )
+    tot = tok.agg(
+        F.sum("actual_tokens").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("actual_tokens") / F.col("total")
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "actual_tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias("weight_to_uniform"),
+    )

@@ -242,3 +242,43 @@ def l5f_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", F.round("raw", 6).alias("tfidf"))
     )
+
+
+@register(
+    "l5g_repetition_signals",
+    family="L5",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT)            AS n_tokens,
+               round(1.0 - count(*) * 1.0 / sum(tf), 6) AS dup_token_ratio,
+               round(max(tf) * 1.0 / sum(tf), 6)  AS top_token_fraction
+        FROM tf
+        GROUP BY doc_id
+    """,
+)
+def l5g_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family): duplicate-token ratio and most-frequent-token fraction per
+    document — high values flag keyword-stuffed or looping text.
+
+    Two hash aggregations, both with map-side partial reduction; the
+    shuffle carries (doc_id, token, partial-tf) triples, and the second
+    agg's key (doc_id) is the parquet row order, so AQE coalesces it
+    tightly. No window, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("tf"), 6).alias("dup_token_ratio"),
+        F.round(F.max("tf") / F.sum("tf"), 6).alias("top_token_fraction"),
+    )
