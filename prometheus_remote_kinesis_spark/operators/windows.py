@@ -210,6 +210,55 @@ def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w1c_global_rank_scalable",
+    family="W1",
+    oracle="""
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos,
+               rank()       OVER (ORDER BY o_totalprice DESC)             AS rnk
+        FROM orders
+    """,
+)
+def w1c_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number + rank over the whole fact table WITHOUT a
+    global window (which plans as one partition / one task — the worst
+    scale shape there is).
+
+    Two-phase banded rank, d7's trick adapted to a numeric sort key:
+    band = floor(price / W) is a monotone function of the key, so band
+    order (DESC) refines the global order AND equal prices always land
+    in the same band — in-band rank() ties stay exact after adding the
+    band offset. Phase 1: per-band window, parallelism = #bands (~100
+    here; pick W from the key's known range — at unknown range, a
+    sampled repartitionByRange + spark_partition_id gives the same shape
+    at the cost of sampling nondeterminism). Phase 2: band counts are a
+    ~100-row aggregate, cumulative-summed and broadcast back. Shuffles
+    key on (band), never on a constant."""
+    band_width = 5000.0
+    orders = load_table(spark, sf_dir, "orders")
+    banded = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / band_width).alias("band"),
+    )
+    w_pos = Window.partitionBy("band").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_rnk = Window.partitionBy("band").orderBy(F.desc("o_totalprice"))
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "band", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    return (
+        banded.join(F.broadcast(offsets), "band")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + F.row_number().over(w_pos)).alias("pos"),
+            (F.col("offset") + F.rank().over(w_rnk)).alias("rnk"),
+        )
+    )
+
+
+@register(
     "w4_top_parts_per_brand",
     family="W4",
     oracle="""
