@@ -298,6 +298,127 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L2E_ORACLE = """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                   CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN list_transform(
+                               range(1, len(string_split(text, ' ')) - 1),
+                               i -> string_split(text, ' ')[i] || ' ' ||
+                                    string_split(text, ' ')[i+1] || ' ' ||
+                                    string_split(text, ' ')[i+2])
+                        ELSE [text] END)) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+    ),
+    e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM e2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ),
+    lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a),
+    assigned AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_rep
+    FROM assigned
+"""
+
+
+@register("l2e_neardup_clusters", family="L2", oracle=L2E_ORACLE)
+def l2e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step pair-generators (l2/l2b) stop short
+    of: connected components over the duplicate-pair graph, so a chain
+    A~B~C collapses to ONE cluster even when A and C never pair directly.
+    Every document gets (cluster_id = min doc_id in its component,
+    cluster_size, is_rep); keep-one dedup is then ``WHERE is_rep``.
+
+    Pregel-style min-label propagation: labels start as doc_id; each
+    round joins labels to the edge list and takes the elementwise min
+    over neighbors, until a fixpoint. Each round is ONE shuffle keyed on
+    node id — the driver only checks the converged-yet flag, data never
+    leaves the executors. Rounds = graph diameter; dup components are
+    shallow (boilerplate stars), so this is 2-4 rounds in practice. At
+    100 TB the refinements are (a) the alternating large-star/small-star
+    form (O(log²·n) rounds on adversarial chains) and (b)
+    ``checkpoint()`` every few rounds to truncate lineage — here persist
+    suffices. Oracle: DuckDB recursive-CTE transitive closure, exact on
+    the same pair set."""
+    from pyspark import StorageLevel
+
+    pairs = l2b_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .toDF("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(50):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dlab")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlab").alias("nbr_label"))
+            .select(F.col("src").alias("node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        converged = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .isEmpty()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if converged:
+            break
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(
+        labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+    csizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return assigned.join(csizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
+    )
+
+
 @register("l2c_simhash", family="L2", oracle=None)
 def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (token-unigram features, md5-derived

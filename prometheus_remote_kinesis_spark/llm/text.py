@@ -282,3 +282,72 @@ def l5g_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.count(F.lit(1)) / F.sum("tf"), 6).alias("dup_token_ratio"),
         F.round(F.max("tf") / F.sum("tf"), 6).alias("top_token_fraction"),
     )
+
+
+@register(
+    "l5h_bigram_lm_score",
+    family="L5",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || chr(31) || t[i+1])) AS bg
+            FROM toks WHERE len(t) >= 2
+        ),
+        bc AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+        uc AS (SELECT w1, count(*) AS cu FROM bi GROUP BY w1)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln(cb * 1.0 / cu)), 6) AS avg_logprob
+        FROM bi JOIN bc USING (bg) JOIN uc USING (w1)
+        GROUP BY doc_id
+    """,
+)
+def l5h_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality score: a bigram LM trained ON the corpus scores
+    each document by mean log conditional probability
+    avg(ln(c(w1,w2) / c(w1·))) — fluent text reuses common transitions and
+    scores high; garbled or boilerplate-stuffed text scores low. This is
+    the cheap stand-in for the perplexity filters (CCNet-style) used to
+    gate pretraining data.
+
+    Train and score are the same two hash aggregations (bigram counts,
+    first-token counts) plus two shuffle joins keyed on the bigram/token
+    string — the LM "model" never materializes on the driver. At 100 TB
+    the refinement is pruning the LM to the top-V bigrams and
+    broadcasting it; the exact form here keeps full joins so the oracle
+    can replicate it. Tokens are materialized in their own projection
+    before the bigram lambda (no CSE inside lambda bodies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pair = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), (i + 1).cast("int")).alias("w1"),
+            F.concat_ws(
+                "\x1f",
+                F.element_at(F.col("t"), (i + 1).cast("int")),
+                F.element_at(F.col("t"), (i + 2).cast("int")),
+            ).alias("bg"),
+        ),
+    )
+    bi = toked.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", "p.w1", "p.bg"
+    )
+    bc = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    return (
+        bi.join(bc, "bg")
+        .join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("cb") / F.col("cu"))), 6).alias("avg_logprob"),
+        )
+    )
