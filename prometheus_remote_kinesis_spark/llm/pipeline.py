@@ -454,3 +454,72 @@ def d8_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("actual_share"),
         F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias("weight_to_uniform"),
     )
+
+
+SUBSTR_K = 8  # window length in tokens (real pipelines use ~50; test docs are short)
+
+
+@register(
+    "d9_substring_dedup",
+    family="L7",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        pos AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(t) - {SUBSTR_K} + 2),
+                       i -> md5(array_to_string(t[i:i+{SUBSTR_K}-1], ' ')))) AS w
+            FROM toks WHERE len(t) >= {SUBSTR_K}
+        ),
+        wc AS (SELECT w, count(*) AS c FROM pos GROUP BY w)
+        SELECT doc_id,
+               count(*) AS n_windows,
+               CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows,
+               round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS dup_fraction
+        FROM pos JOIN wc USING (w)
+        GROUP BY doc_id
+    """,
+)
+def d9_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication signal (the Lee-et-al. exact-substring
+    dedup family): every k-token rolling window is fingerprinted; a window
+    whose fingerprint occurs ≥2 times anywhere in the corpus is a
+    duplicated span. Per document: window count, duplicated-window count,
+    and the duplicated fraction that drives drop/trim decisions.
+
+    Windows are md5-fingerprinted BEFORE the corpus-wide count, so the
+    shuffle carries 32-byte digests instead of k-token strings — the same
+    digest-only-shuffle posture as l1 (and the only workable one at
+    100 TB, where window text would dominate shuffle volume; suffix
+    arrays solve the same problem in one pass on a single node, this is
+    the distributed-join form). The per-doc fraction divides two
+    integers once — IEEE-exact on both engines, no accumulation-order
+    hazard. Tokens materialize in their own projection (no CSE inside
+    lambda bodies)."""
+    k = SUBSTR_K
+    docs = load_table(spark, sf_dir, "documents")
+    toked = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= k)
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("t") - k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, k))),
+    )
+    pos = toked.select("doc_id", F.explode(wins).alias("w"))
+    wc = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    dup = (F.col("c") >= 2).cast("int")
+    return (
+        pos.join(wc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_fraction"),
+        )
+    )
