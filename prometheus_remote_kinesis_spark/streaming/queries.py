@@ -127,6 +127,62 @@ def t9s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(deduped, "append")
 
 
+@register(
+    "t12s_stream_stream_join",
+    family="T12",
+    oracle="""
+        SELECT l.event_id AS id_l, r.event_id AS id_r,
+               l.user_id AS user_id,
+               round(l.value - r.value, 6) AS value_gap
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 60 MINUTE AND l.ts
+         AND l.event_id <> r.event_id
+    """,
+)
+def t12s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join EXECUTED BY the streaming engine:
+    every event pairs with the same user's events in the trailing hour —
+    the correlate-two-live-streams shape (e.g. remote-write samples vs an
+    alert stream). Both sides carry watermarks and the join condition
+    carries the time interval, so Spark derives a state-retention bound
+    for each side (state is evicted once the watermark passes the
+    interval) — bounded state on unbounded streams, the only shape that
+    survives at 100 TB/day. Inner joins emit in the micro-batch the match
+    is found, so availableNow + append drains to exactly the batch
+    answer; the oracle is the equivalent batch interval join."""
+    left = stream_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id_l"),
+        "user_id",
+        F.col("ts").alias("ts_l"),
+        F.col("value").alias("v_l"),
+    )
+    right = stream_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id_r"),
+        F.col("user_id").alias("user_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("value").alias("v_r"),
+    )
+    joined = (
+        left.withWatermark("ts_l", "2 hours")
+        .join(
+            right.withWatermark("ts_r", "2 hours"),
+            F.expr(
+                "user_id = user_r"
+                " AND ts_r BETWEEN ts_l - INTERVAL 60 MINUTES AND ts_l"
+                " AND id_l != id_r"
+            ),
+        )
+        .select(
+            "id_l",
+            "id_r",
+            "user_id",
+            F.round(F.col("v_l") - F.col("v_r"), 6).alias("value_gap"),
+        )
+    )
+    return run_to_batch(joined, "append")
+
+
 _T10_STREAM_ORACLE = """
     WITH d AS (
         SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS name,
