@@ -226,3 +226,65 @@ def t10b_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filled = gap_fill_batch(series, interval_ms=60_000)
     return filled.select("name", "time", F.round("value", 6).alias("value"))
+
+
+@register("r4_prompb_datasource", family="S1-S3", oracle=_R1_ORACLE)
+def r4_prompb_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full wire-format round trip through the custom Spark-4 Python
+    DataSource: events → per-partition snappy(prompb(WriteRequest)) spool
+    files (written executor-side, the reference's exact POST body bytes) →
+    ``spark.read.format("prompb")`` → RECORD_SCHEMA rows. Equal to r1 ⟺
+    the S1-S3 decode chain (snappy, protobuf, flatten with NaN→NULL and
+    name projection) is lossless end to end.
+
+    Encode and decode both run on executors via mapPartitions/
+    InputPartition-per-file — the driver only carries file paths."""
+    import tempfile
+    import uuid
+
+    from prometheus_remote_kinesis_spark.sources.prompb import (
+        encode_remote_write_body,
+    )
+    from prometheus_remote_kinesis_spark.sources.prompb_datasource import (
+        register_prompb_source,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("event_type").alias("name"),
+        F.col("user_id").cast("string").alias("user"),
+        F.unix_millis("ts").alias("time"),
+        F.when(F.col("event_type") == "error", F.lit(float("nan")))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    spool_dir = tempfile.mkdtemp(prefix="prompb_spool_")
+
+    def write_partition(it) -> None:
+        series: dict[tuple[str, str], list[tuple[float, int]]] = {}
+        for row in it:
+            series.setdefault((row.name, row.user), []).append((row.value, row.time))
+        if not series:
+            return
+        body = encode_remote_write_body(
+            [
+                ({"__name__": name, "user": user}, samples)
+                for (name, user), samples in series.items()
+            ]
+        )
+        path = f"{spool_dir}/part-{uuid.uuid4().hex}.pb.sz"
+        with open(path, "wb") as fh:
+            fh.write(body)
+
+    rows.foreachPartition(write_partition)
+    register_prompb_source(spark)
+    return (
+        spark.read.format("prompb")
+        .load(spool_dir)
+        .select(
+            "name",
+            "time",
+            "value",
+            F.element_at("labels", "user").alias("label_user"),
+        )
+    )

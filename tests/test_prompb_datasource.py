@@ -1,0 +1,37 @@
+"""Custom format("prompb") Python DataSource (sources/prompb_datasource.py):
+decode semantics pinned file-by-file, independent of the r4 oracle query.
+"""
+
+from __future__ import annotations
+
+from prometheus_remote_kinesis_spark.sources.prompb import encode_remote_write_body
+from prometheus_remote_kinesis_spark.sources.prompb_datasource import (
+    register_prompb_source,
+)
+
+
+def test_prompb_datasource_reads_spool(spark, tmp_path):
+    body1 = encode_remote_write_body(
+        [({"__name__": "m1", "job": "a"}, [(1.5, 1000), (float("nan"), 2000)])]
+    )
+    # No __name__ (name projects to "") and no samples (labels-only
+    # passthrough row, time=0, value NULL — prometheus.go:19-23).
+    body2 = encode_remote_write_body([({"job": "b"}, [])])
+    (tmp_path / "a.pb.sz").write_bytes(body1)
+    (tmp_path / "b.pb.sz").write_bytes(body2)
+    (tmp_path / "ignored.txt").write_bytes(b"junk")  # suffix-filtered out
+
+    register_prompb_source(spark)
+    df = spark.read.format("prompb").load(str(tmp_path))
+
+    assert df.rdd.getNumPartitions() == 2  # one InputPartition per spool file
+    rows = {(r.name, r.time): (r.value, r.labels) for r in df.collect()}
+    assert rows[("m1", 1000)] == (1.5, {"__name__": "m1", "job": "a"})
+    assert rows[("m1", 2000)][0] is None  # stale-marker NaN → NULL
+    assert rows[("", 0)] == (None, {"job": "b"})
+    assert len(rows) == 3
+
+
+def test_prompb_datasource_empty_dir(spark, tmp_path):
+    register_prompb_source(spark)
+    assert spark.read.format("prompb").load(str(tmp_path)).count() == 0
