@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 RECORD_DDL = "name string, time bigint, value double, labels map<string,string>"
 
@@ -36,6 +41,9 @@ class PrompbDataSource(DataSource):
 
     def reader(self, schema) -> "PrompbReader":  # noqa: ANN001 (API signature)
         return PrompbReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "PrompbStreamReader":  # noqa: ANN001,N802
+        return PrompbStreamReader(self.options)
 
 
 class PrompbReader(DataSourceReader):
@@ -58,16 +66,61 @@ class PrompbReader(DataSourceReader):
     def read(self, partition):
         if partition.value is None:
             return
-        from prometheus_remote_kinesis_spark.server import flatten_timeseries
-        from prometheus_remote_kinesis_spark.sources.prompb import (
-            parse_write_request,
-            snappy_decompress,
-        )
+        yield from _decode_file(partition.value)
 
-        with open(partition.value, "rb") as fh:
-            body = fh.read()
-        for rec in flatten_timeseries(parse_write_request(snappy_decompress(body))):
-            yield (rec["name"], rec["time"], rec["value"], rec["labels"])
+
+def _decode_file(path: str):
+    from prometheus_remote_kinesis_spark.server import flatten_timeseries
+    from prometheus_remote_kinesis_spark.sources.prompb import (
+        parse_write_request,
+        snappy_decompress,
+    )
+
+    with open(path, "rb") as fh:
+        body = fh.read()
+    for rec in flatten_timeseries(parse_write_request(snappy_decompress(body))):
+        yield (rec["name"], rec["time"], rec["value"], rec["labels"])
+
+
+class PrompbStreamReader(SimpleDataSourceStreamReader):
+    """``readStream.format("prompb")`` — each micro-batch consumes the spool
+    files that appeared since the last committed offset, exactly once
+    (offset = the sorted seen-file list, replayable via
+    ``readBetweenOffsets`` after a failure).
+
+    The *simple* stream-reader API decodes on the driver — the right
+    throughput class for this source: spool files are whole POST bodies,
+    and the reference's consumer is likewise a single goroutine draining a
+    channel (kinesis.go:99-151). A partition-parallel
+    ``DataSourceStreamReader`` is the scale-up path; sequence-numbered
+    names (the Kinesis analog) would then replace the seen-set offset with
+    a watermark so offsets stay O(1)."""
+
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("prompb source requires a path")
+        self.suffix = options.get("suffix", ".pb.sz")
+
+    def _list(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.path) if f.endswith(self.suffix))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"seen": []}
+
+    def read(self, start: dict):
+        seen = set(start["seen"])
+        fresh = [f for f in self._list() if f not in seen]
+        rows = [
+            row for f in fresh for row in _decode_file(os.path.join(self.path, f))
+        ]
+        return iter(rows), {"seen": sorted(seen | set(fresh))}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        replay = sorted(set(end["seen"]) - set(start["seen"]))
+        return iter(
+            row for f in replay for row in _decode_file(os.path.join(self.path, f))
+        )
 
 
 def register_prompb_source(spark) -> None:  # noqa: ANN001

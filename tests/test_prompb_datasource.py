@@ -35,3 +35,38 @@ def test_prompb_datasource_reads_spool(spark, tmp_path):
 def test_prompb_datasource_empty_dir(spark, tmp_path):
     register_prompb_source(spark)
     assert spark.read.format("prompb").load(str(tmp_path)).count() == 0
+
+
+def _drain(spark, src_dir, out_dir, ckpt):
+    q = (
+        spark.readStream.format("prompb")
+        .load(str(src_dir))
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_prompb_stream_reader_exactly_once(spark, tmp_path):
+    """Two availableNow runs over a growing spool with a shared checkpoint:
+    the second run must pick up ONLY the new file (offset = seen-file set)."""
+    src, out, ckpt = tmp_path / "spool", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    register_prompb_source(spark)
+
+    (src / "a.pb.sz").write_bytes(
+        encode_remote_write_body([({"__name__": "m1"}, [(1.0, 1000), (2.0, 2000)])])
+    )
+    _drain(spark, src, out, ckpt)
+    assert spark.read.parquet(str(out)).count() == 2
+
+    (src / "b.pb.sz").write_bytes(
+        encode_remote_write_body([({"__name__": "m2"}, [(3.0, 3000)])])
+    )
+    _drain(spark, src, out, ckpt)
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 3  # no re-read of a.pb.sz, new file consumed
+    assert {(r.name, r.time) for r in rows} == {("m1", 1000), ("m1", 2000), ("m2", 3000)}
