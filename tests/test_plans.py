@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from prometheus_remote_kinesis_spark.plans.explain import (
+    formatted_plan,
     has_pushed_filters,
     scan_read_schemas,
     uses,
@@ -182,3 +183,49 @@ def test_decontamination_broadcasts_eval_ngrams(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Catalyst's runtime row-level filtering: a selective non-broadcast
+    join must grow a bloom_filter_agg on the filtered (creation) side and
+    probe it on the fact side BEFORE the shuffle — at 100 TB this drops
+    most fact rows at the scan instead of shuffling them. Thresholds are
+    lowered because the test tables are tiny; at real scale the defaults
+    (10 MB creation side / 10 GB application side) gate it."""
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    conf = spark.conf
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = formatted_plan(df)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
