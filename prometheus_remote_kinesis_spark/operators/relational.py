@@ -150,3 +150,43 @@ def sql3_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL3_CORRELATED_EXISTS)
+
+
+_SQL4_LOCAL_SUPPLIER_VOLUME = """
+    SELECT n_name,
+           CAST(round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+@register("sql4_local_supplier_volume", family="SQL", oracle=_SQL4_LOCAL_SUPPLIER_VOLUME)
+def sql4_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-table star join with the
+    customer-nation = supplier-nation correlation — the canonical
+    join-reordering stress. One ANSI string, both engines.
+
+    Catalyst handles the physical strategy: region/nation/supplier land
+    under the broadcast threshold, the orders date filter pushes to the
+    scan, and AQE re-plans the remaining fact-fact join from runtime
+    sizes. Per-item revenue terms are cast to DECIMAL(18,6) before the
+    sum so the per-nation accumulation is exact — summing thousands of
+    doubles per group is accumulation-order-dependent and the engines
+    would disagree at the cent boundary (SCALE.md floats-vs-oracle
+    note); the per-term double products themselves are IEEE-identical on
+    both engines."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL4_LOCAL_SUPPLIER_VOLUME)

@@ -161,3 +161,120 @@ def t7_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     + gap. The oracle reproduces exactly that with the classic
     lag/cumulative-sum sessionization."""
     return user_sessions(load_table(spark, sf_dir, "events"))
+
+
+_T13_STEP_MS = 3_600_000  # 1-hour resample grid
+
+
+T13_ORACLE = f"""
+    WITH s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, value FROM events
+    ),
+    b AS (
+        SELECT user_id, min(ms) AS lo, max(ms) AS hi FROM s GROUP BY user_id
+    ),
+    g AS (
+        SELECT user_id, k * {_T13_STEP_MS} AS ms
+        FROM (
+            SELECT user_id,
+                   unnest(range((lo + {_T13_STEP_MS - 1}) // {_T13_STEP_MS},
+                                hi // {_T13_STEP_MS} + 1)) AS k
+            FROM b
+            WHERE hi // {_T13_STEP_MS} >= (lo + {_T13_STEP_MS - 1}) // {_T13_STEP_MS}
+        )
+    ),
+    u AS (
+        SELECT user_id, ms, 1 AS side, value FROM s
+        UNION ALL
+        SELECT user_id, ms, 0 AS side, NULL AS value FROM g
+    ),
+    w AS (
+        SELECT user_id, ms, side,
+               last_value(value IGNORE NULLS) OVER wp AS v0,
+               last_value(CASE WHEN side = 1 THEN ms END IGNORE NULLS) OVER wp AS t0,
+               first_value(value IGNORE NULLS) OVER wf AS v1,
+               first_value(CASE WHEN side = 1 THEN ms END IGNORE NULLS) OVER wf AS t1
+        FROM u
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ms, side DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ms, side DESC
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ms AS grid_ms,
+           round(CASE WHEN t1 IS NULL OR t1 = t0 THEN v0
+                      ELSE v0 + (v1 - v0) * (ms - t0) / (t1 - t0) END, 6)
+               AS value_interp
+    FROM w WHERE side = 0
+"""
+
+
+@register("t13_resample_linear", family="T13", oracle=T13_ORACLE)
+def t13_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series resampling onto a regular 1-hour grid with linear
+    interpolation between the bracketing samples — the align-then-combine
+    primitive behind every multi-series metrics expression (PromQL
+    evaluates range vectors on exactly such a grid; record.go:10's ms
+    axis is the input).
+
+    No nested-loop time join: samples and grid probes UNION into one
+    relation ordered (ms, side DESC) per series, so a single window pass
+    yields the last-sample-at-or-before and first-sample-after each
+    probe — j6's as-of trick, both directions at once. Two shuffles
+    total (per-user bounds, then the window), both keyed on user_id.
+    Grid points lie inside [min, max] of each series by construction, so
+    both neighbors exist; an exact-hit probe (t0 = t) short-circuits to
+    v0. The interpolation arithmetic is per-row IEEE ops — no
+    accumulation, engine-deterministic."""
+    step = _T13_STEP_MS
+    events = load_table(spark, sf_dir, "events")
+    s = events.select("user_id", F.unix_millis("ts").alias("ms"), "value")
+    b = s.groupBy("user_id").agg(F.min("ms").alias("lo"), F.max("ms").alias("hi"))
+    g = (
+        b.select(
+            "user_id",
+            ((F.col("lo") + step - 1) / step).cast("long").alias("k0"),
+            (F.col("hi") / step).cast("long").alias("k1"),
+        )
+        .filter(F.col("k1") >= F.col("k0"))
+        .select("user_id", F.explode(F.sequence("k0", "k1")).alias("k"))
+        .select("user_id", (F.col("k") * step).alias("ms"))
+    )
+    u = s.select("user_id", "ms", F.lit(1).alias("side"), "value").unionByName(
+        g.select("user_id", "ms", F.lit(0).alias("side"), F.lit(None).cast("double").alias("value"))
+    )
+    from pyspark.sql import Window
+
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", F.desc("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", F.desc("side"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    sample_ms = F.when(F.col("side") == 1, F.col("ms"))
+    w = u.select(
+        "user_id",
+        "ms",
+        "side",
+        F.last("value", ignorenulls=True).over(wp).alias("v0"),
+        F.last(sample_ms, ignorenulls=True).over(wp).alias("t0"),
+        F.first("value", ignorenulls=True).over(wf).alias("v1"),
+        F.first(sample_ms, ignorenulls=True).over(wf).alias("t1"),
+    )
+    interp = F.when(
+        F.col("t1").isNull() | (F.col("t1") == F.col("t0")), F.col("v0")
+    ).otherwise(
+        F.col("v0")
+        + (F.col("v1") - F.col("v0")) * (F.col("ms") - F.col("t0")) / (F.col("t1") - F.col("t0"))
+    )
+    return (
+        w.filter(F.col("side") == 0)
+        .select(
+            "user_id",
+            F.col("ms").alias("grid_ms"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+    )
