@@ -523,3 +523,46 @@ def d9_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "d10_quality_report",
+    family="L7",
+    oracle="""
+        SELECT event_type,
+               count(*)                                        AS n_rows,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_value,
+               CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative_value,
+               count(*) - count(DISTINCT event_id)             AS n_dup_ids,
+               CAST(sum(CASE WHEN props IS NULL
+                              OR json_extract_string(props, '$.k') IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)     AS n_bad_props,
+               CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_ts
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def d10_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-ingest data-validation report (the Deequ-style constraint pass a
+    pipeline runs before accepting a batch): per event type — row count,
+    null/negative values, duplicate ids, unparseable/missing JSON props,
+    null timestamps. All checks fold into ONE hash aggregation (conditional
+    sums + one count-distinct), so validation costs a single scan + one
+    shuffle regardless of how many constraints are stacked; every output is
+    an integer count — engine-deterministic by construction."""
+    events = load_table(spark, sf_dir, "events")
+    flag = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flag(F.col("value").isNull()).alias("n_null_value"),
+        flag(F.col("value") < 0).alias("n_negative_value"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_dup_ids"),
+        flag(
+            F.col("props").isNull()
+            | F.get_json_object("props", "$.k").isNull()
+        ).alias("n_bad_props"),
+        flag(F.col("ts").isNull()).alias("n_null_ts"),
+    )

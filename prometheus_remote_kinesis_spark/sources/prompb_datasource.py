@@ -22,6 +22,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -44,6 +45,19 @@ class PrompbDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "PrompbStreamReader":  # noqa: ANN001,N802
         return PrompbStreamReader(self.options)
+
+    def streamReader(self, schema) -> "PrompbParallelStreamReader":  # noqa: ANN001,N802
+        # option("parallel", "true") selects the executor-parallel reader;
+        # raising the not-implemented error makes Spark fall back to the
+        # simple (driver-side) reader — the documented dispatch contract.
+        if str(self.options.get("parallel", "false")).lower() != "true":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return PrompbParallelStreamReader(self.options)
 
 
 class PrompbReader(DataSourceReader):
@@ -121,6 +135,43 @@ class PrompbStreamReader(SimpleDataSourceStreamReader):
         return iter(
             row for f in replay for row in _decode_file(os.path.join(self.path, f))
         )
+
+
+class PrompbParallelStreamReader(DataSourceStreamReader):
+    """Executor-parallel streaming reader (``option("parallel", "true")``):
+    the driver only LISTS the spool between offsets; each new file becomes
+    an InputPartition and decodes on an executor — the scale-up path the
+    simple reader's docstring promises (N new files per micro-batch scan
+    N-way parallel, payload bytes never touch the driver)."""
+
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("prompb source requires a path")
+        self.suffix = options.get("suffix", ".pb.sz")
+
+    def _list(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.path) if f.endswith(self.suffix))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"seen": self._list()}
+
+    def partitions(self, start: dict, end: dict):
+        fresh = sorted(set(end["seen"]) - set(start["seen"]))
+        if not fresh:
+            return [InputPartition(None)]
+        return [InputPartition(os.path.join(self.path, f)) for f in fresh]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        yield from _decode_file(partition.value)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register_prompb_source(spark) -> None:  # noqa: ANN001

@@ -70,3 +70,46 @@ def test_prompb_stream_reader_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     assert len(rows) == 3  # no re-read of a.pb.sz, new file consumed
     assert {(r.name, r.time) for r in rows} == {("m1", 1000), ("m1", 2000), ("m2", 3000)}
+
+
+def test_prompb_parallel_stream_reader_exactly_once(spark, tmp_path):
+    """Same growing-spool contract as the simple reader, through the
+    executor-parallel DataSourceStreamReader (option parallel=true):
+    InputPartition per new file, driver lists only."""
+    src, out, ckpt = tmp_path / "spool", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    register_prompb_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("prompb")
+            .option("parallel", "true")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "a.pb.sz").write_bytes(
+        encode_remote_write_body([({"__name__": "m1"}, [(1.0, 1000)])])
+    )
+    (src / "b.pb.sz").write_bytes(
+        encode_remote_write_body([({"__name__": "m2"}, [(2.0, 2000)])])
+    )
+    drain()
+    assert spark.read.parquet(str(out)).count() == 2
+
+    (src / "c.pb.sz").write_bytes(
+        encode_remote_write_body([({"__name__": "m3"}, [(3.0, 3000)])])
+    )
+    drain()
+    rows = spark.read.parquet(str(out)).collect()
+    assert {(r.name, r.time) for r in rows} == {
+        ("m1", 1000),
+        ("m2", 2000),
+        ("m3", 3000),
+    }
+    assert len(rows) == 3
