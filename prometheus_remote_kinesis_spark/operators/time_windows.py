@@ -278,3 +278,74 @@ def t13_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(interp, 6).alias("value_interp"),
         )
     )
+
+
+T14_ORACLE = """
+    WITH d AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) // 1000 AS ms,
+               value,
+               lag(value) OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    i AS (
+        SELECT event_type, user_id, event_id, ms,
+               CASE WHEN prev IS NULL THEN NULL
+                    WHEN value >= prev THEN value - prev
+                    ELSE value END AS inc
+        FROM d
+    )
+    SELECT event_id, event_type, user_id,
+           round(sum(inc) OVER w / 300.0, 6) AS rate_per_sec,
+           count(inc) OVER w                 AS n_increases
+    FROM i
+    WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ms
+                 RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("t14_rate_5m", family="T14", oracle=T14_ORACLE)
+def t14_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``rate(m[5m])``: reset-aware per-sample increases (counter
+    reset ⇒ the new value IS the increase — t10's semantics,
+    prometheus counter model) summed over a trailing 5-minute RANGE frame
+    and divided by the window length.
+
+    Composition of two already-pinned shapes: w2's lag per series and
+    w3's epoch-ms range frame, partitioned by the high-cardinality
+    (event_type, user_id) series key — one shuffle, state bounded per
+    series; w3b's bucket decomposition applies unchanged if a deployment
+    has few series. Increases are differences of 2-decimal-quantized
+    values, so the frame sum's regrouped double error (~1e-9, then
+    /300) sits far below the round(…,6) boundary (SCALE.md
+    floats-vs-oracle note)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    d = events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "value",
+        F.lag("value").over(wlag).alias("prev"),
+    )
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(None).cast("double"))
+        .when(F.col("value") >= F.col("prev"), F.col("value") - F.col("prev"))
+        .otherwise(F.col("value"))
+    )
+    wrange = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("ms")
+        .rangeBetween(-300000, 0)
+    )
+    i = d.select("event_id", "event_type", "user_id", "ms", inc.alias("inc"))
+    return i.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(F.sum("inc").over(wrange) / 300.0, 6).alias("rate_per_sec"),
+        F.count("inc").over(wrange).alias("n_increases"),
+    )
