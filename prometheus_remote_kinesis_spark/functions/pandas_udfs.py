@@ -121,3 +121,37 @@ def u4_bigram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 15
         """
     )
+
+
+@register(
+    "u5_arrow_udf",
+    family="U1",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS INT)
+                   AS n_vowels,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents
+    """,
+)
+def u5_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-optimized scalar Python UDF (``useArrow=True``):
+    row-at-a-time Python signature, Arrow-batched transfer — the middle
+    tier between classic pickled UDFs (~10-100× slower serialization) and
+    full pandas UDFs. The body is deliberately trivial string counting so
+    the oracle can mirror it; the point under test is the Arrow execution
+    path itself. Prefer built-ins where they exist (this one IS
+    expressible as regexp_replace+length — the UDF tiers are for logic
+    that is not)."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def n_vowels(text: str) -> int:
+        return sum(1 for ch in (text or "") if ch in "aeiou")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_vowels("text").alias("n_vowels"),
+        F.length("text").cast("int").alias("n_chars"),
+    )

@@ -255,3 +255,35 @@ def f7_conditional_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_positive_bal"),
     )
+
+
+@register(
+    "f6b_variant_ops",
+    family="F6",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+               json_extract_string(props, '$.missing') IS NULL   AS missing_is_null
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+    """,
+)
+def f6b_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type over the props JSON: ``parse_json`` once into
+    a binary semi-structured value, then typed ``variant_get`` path
+    extraction — the modern replacement for repeated ``get_json_object`` string
+    re-parses. At scale the parse happens once per row regardless of how
+    many paths are extracted (get_json_object re-tokenizes the string per
+    call), and the variant value is shredded columnar in shuffle/cache.
+    Oracle extracts the same paths with DuckDB's JSON functions."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = events.select("event_id", v.alias("v"))
+    k_num = F.variant_get(F.col("v"), "$.k", "bigint")
+    return parsed.select(
+        "event_id",
+        k_num.alias("k_num"),
+        F.try_variant_get(F.col("v"), "$.missing", "string").isNull().alias(
+            "missing_is_null"
+        ),
+    ).filter(k_num % 7 == 0)
