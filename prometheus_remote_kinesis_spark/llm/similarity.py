@@ -242,3 +242,72 @@ def l4b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("qid", "nn_id", "cos_sim", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+@register("l4d_kmeans", family="L4", oracle=None)
+def l4d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully DISTRIBUTED spherical k-means (Lloyd's) over the embedding
+    corpus — the iterative-algorithm pattern: per iteration the k×64
+    centroid matrix broadcasts to executors, assignment is one
+    Arrow-batched matmul (map-only), and the centroid update is a
+    posexplode → groupBy(cluster, dim) average whose partial aggregation
+    combines map-side — the corpus never moves to the driver, only the
+    k×64 result of each round does (unlike l4c, whose Lloyd runs on a
+    driver-side sample). Init = k lowest-vec_id vectors (deterministic,
+    no RNG). No SQL oracle (iterative; cross-engine float accumulation
+    could flip near-tie assignments) — invariants pinned in
+    tests/test_llm.py: run-to-run determinism, every point lands on its
+    nearest final centroid, and the objective improves over init.
+
+    Scale: per iteration one broadcast (k·d doubles), one map-only
+    assignment pass, one shuffle keyed (cluster, dim) of partially
+    aggregated sums. Iterations are driver-sequenced like l2e's label
+    propagation; at 100 TB add mini-batching or a sampled warm start —
+    the per-iteration plan is already the distributed form."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            / F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+        ).alias("v"),
+    ).persist()
+
+    centroids = np.array(
+        [r[0] for r in norm.sort("vec_id").limit(KMEANS_K).select("v").collect()],
+        dtype=np.float64,
+    )
+
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        cent = centroids.tolist()  # closure-captured broadcast literal
+
+        @pandas_udf("int")
+        def nearest(vs: pd.Series) -> pd.Series:
+            mat = np.array(list(vs), dtype=np.float64)
+            return pd.Series((mat @ np.array(cent).T).argmax(axis=1).astype(np.int32))
+
+        assigned = norm.select("vec_id", "v", nearest("v").alias("cluster"))
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+        )
+        rows = sums.collect()  # k×64 cells — bounded by k·d, not corpus size
+        new = centroids.copy()
+        for c in range(KMEANS_K):
+            vec = np.array(
+                [r.m for r in sorted(rows, key=lambda r: r.dim) if r.cluster == c]
+            )
+            if len(vec):
+                new[c] = vec / np.linalg.norm(vec)
+        centroids = new
+
+    return assigned.select("vec_id", "cluster")

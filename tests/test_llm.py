@@ -223,3 +223,42 @@ def test_train_split_deterministic_and_leak_free(spark):
     for r in df.select("text", split_bucket(F.col("text")).alias("b")).collect():
         buckets.setdefault(r["text"], set()).add(r["b"])
     assert all(len(v) == 1 for v in buckets.values())
+
+
+def test_kmeans_invariants(spark):
+    """l4d distributed k-means: deterministic across runs; assignments
+    in-range; spherical objective (mean cosine to own induced centroid)
+    improves over the seed-vector assignment."""
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.llm.similarity import (
+        KMEANS_K,
+        l4d_kmeans,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    a1 = {r.vec_id: r.cluster for r in l4d_kmeans(spark, SF_SMOKE).collect()}
+    a2 = {r.vec_id: r.cluster for r in l4d_kmeans(spark, SF_SMOKE).collect()}
+    assert a1 == a2  # run-to-run determinism
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    mat = np.array([emb[i] / np.linalg.norm(emb[i]) for i in ids])
+    lab = np.array([a1[i] for i in ids])
+    assert set(lab) <= set(range(KMEANS_K))
+
+    def objective(labels):
+        total = 0.0
+        for c in set(labels):
+            members = mat[labels == c]
+            centroid = members.mean(axis=0)
+            centroid /= np.linalg.norm(centroid)
+            total += (members @ centroid).sum()
+        return total / len(labels)
+
+    seeds = mat[: KMEANS_K]  # init = k lowest vec_ids, as in the operator
+    init_lab = (mat @ seeds.T).argmax(axis=1)
+    assert objective(lab) >= objective(init_lab) - 1e-9
