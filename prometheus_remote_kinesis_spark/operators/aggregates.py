@@ -321,3 +321,50 @@ def a5c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("l_quantity").cast("bigint").alias("sum_qty"),
     )
+
+
+_HIST_BOUNDS = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
+
+
+@register(
+    "a10_le_histogram",
+    family="A1",
+    oracle=f"""
+        WITH b AS (SELECT unnest([{", ".join(str(b) for b in _HIST_BOUNDS)}]) AS le)
+        SELECT event_type, le,
+               CAST(sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cum_count
+        FROM events CROSS JOIN b
+        GROUP BY event_type, le
+    """,
+)
+def a10_le_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-native cumulative histogram: per metric name, the
+    ``le``-bucket series (count of samples ≤ each boundary) that
+    ``histogram_quantile`` consumes — the aggregation a remote-write
+    consumer materializes to serve histogram queries downstream
+    (record model: record.go:8-14).
+
+    Planned as ONE hash aggregation: one conditional-sum column per
+    boundary (all partial+final combinable map-side), exploded to the
+    long ``(type, le, cum_count)`` shape only AFTER the aggregate — the
+    shuffle carries |types| rows of 9 partial sums, never row×bucket
+    pairs (the oracle's CROSS JOIN form, row×9 before the agg, is
+    exactly the shape to avoid at scale). Counts are integers —
+    engine-deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        *[
+            F.sum((F.col("value") <= b).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(_HIST_BOUNDS)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("le"), F.col(f"c{i}").alias("c"))
+            for i, b in enumerate(_HIST_BOUNDS)
+        ]
+    )
+    return per_type.select("event_type", F.explode(pairs).alias("z")).select(
+        "event_type", F.col("z.le").alias("le"), F.col("z.c").alias("cum_count")
+    )

@@ -190,3 +190,83 @@ def sql4_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL4_LOCAL_SUPPLIER_VOLUME)
+
+
+_SCD2_UPDATES = """
+    SELECT DISTINCT c_custkey AS k FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+"""
+
+
+@register(
+    "m1_scd2_merge",
+    family="ETL",
+    oracle=f"""
+        WITH upd AS ({_SCD2_UPDATES})
+        SELECT c_custkey, c_mktsegment AS segment,
+               DATE '1900-01-01' AS valid_from,
+               DATE '1997-07-01' AS valid_to,
+               false AS is_current
+        FROM customer JOIN upd ON c_custkey = k
+        UNION ALL
+        SELECT c_custkey, 'REACTIVATED', DATE '1997-07-01', NULL, true
+        FROM customer JOIN upd ON c_custkey = k
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, DATE '1900-01-01', NULL, true
+        FROM customer WHERE c_custkey NOT IN (SELECT k FROM upd)
+    """,
+)
+def m1_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension merge (the warehouse MERGE/upsert pattern,
+    lakehouse-style, without a table format): customers active in 1997H1
+    get their current row closed (valid_to = effective date) and a new
+    current row opened; everyone else passes through. History is
+    append-only rows with (valid_from, valid_to, is_current) — time
+    travel is then a plain predicate.
+
+    The change set computes once (semi-join on the update condition) and
+    drives three branches — close / open / passthrough — as one
+    unionByName; at scale the dim-side joins are broadcast (change keys
+    ≪ dimension) and the union is append-only writes, the same plan a
+    Delta/Iceberg MERGE lowers to. Dates and booleans only —
+    engine-deterministic."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    upd_keys = (
+        customer.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1997-07-01")
+            ),
+            customer.c_custkey == orders.o_custkey,
+            "left_semi",
+        )
+        .select("c_custkey")
+        .distinct()
+    )
+    changed = customer.join(F.broadcast(upd_keys), "c_custkey")
+    untouched = customer.join(F.broadcast(upd_keys), "c_custkey", "left_anti")
+    d = lambda s: F.lit(s).cast("date")  # noqa: E731
+    closed = changed.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        d("1900-01-01").alias("valid_from"),
+        d("1997-07-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changed.select(
+        "c_custkey",
+        F.lit("REACTIVATED").alias("segment"),
+        d("1997-07-01").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    passthrough = untouched.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        d("1900-01-01").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(opened).unionByName(passthrough)
