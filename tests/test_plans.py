@@ -229,3 +229,25 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_scd2_merge_broadcasts_change_set(spark):
+    """m1: the change-key set must broadcast to both the close and
+    passthrough branches — shuffling the dimension three ways on the
+    merge key is the failure mode a lakehouse MERGE avoids."""
+    df = Q["m1_scd2_merge"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_le_histogram_single_shuffle(spark):
+    """a10: all 9 bucket counts fold into ONE aggregation — exactly one
+    Exchange; the explode to long shape happens after the aggregate, so
+    no row×bucket rows ever shuffle."""
+    import re
+
+    df = Q["a10_le_histogram"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "HashAggregate" in plan, plan
