@@ -98,6 +98,16 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(400)  # kinesis.go:85-88
             self.end_headers()
             return
+        if getattr(self.server, "raw", False):
+            # Raw mode: the handler only VALIDATES (status-code parity with
+            # kinesis.go:76-88) and persists the original snappy body; the
+            # flatten + encode work moves into Spark executors via the
+            # format("prompb") DataSource — the handler does O(bytes) work
+            # per request instead of O(samples).
+            self.server.spool_raw(body)  # type: ignore[attr-defined]
+            self.send_response(200)
+            self.end_headers()
+            return
         records = flatten_timeseries(timeseries)  # kinesis.go:90
         self.server.spool(records)  # type: ignore[attr-defined]  # kinesis.go:92
         self.send_response(200)  # implicit 200, kinesis.go:93
@@ -115,9 +125,18 @@ class RemoteWriteServer(ThreadingHTTPServer):
 
     daemon_threads = True
 
-    def __init__(self, spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        raw: bool = False,
+    ):
         super().__init__((host, port), _Handler)
         self.spool_dir = spool_dir
+        # raw=True: spool the validated snappy body as .pb.sz for the
+        # format("prompb") DataSource — decode runs in Spark, not here.
+        self.raw = raw
         os.makedirs(spool_dir, exist_ok=True)
         self._thread: threading.Thread | None = None
 
@@ -135,6 +154,13 @@ class RemoteWriteServer(ThreadingHTTPServer):
         final = os.path.join(self.spool_dir, f"{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(lines)
+        os.rename(tmp, final)
+
+    def spool_raw(self, body: bytes) -> None:
+        tmp = os.path.join(self.spool_dir, f".{uuid.uuid4().hex}.tmp")
+        final = os.path.join(self.spool_dir, f"{uuid.uuid4().hex}.pb.sz")
+        with open(tmp, "wb") as f:
+            f.write(body)
         os.rename(tmp, final)
 
     @property

@@ -60,6 +60,26 @@ def read_record_stream(
     return reader.json(path)
 
 
+def read_prompb_record_stream(
+    spark: SparkSession, path: str, parallel: bool = False
+) -> DataFrame:
+    """Streaming record source over a RAW remote-write spool (snappy prompb
+    bodies, ``RemoteWriteServer(raw=True)``): the custom
+    ``format("prompb")`` DataSource decodes on read, so the HTTP handler
+    stays O(bytes) and the snappy+protobuf+flatten cost runs where the
+    cores are. ``parallel=True`` selects the executor-parallel stream
+    reader (InputPartition per new spool file)."""
+    from prometheus_remote_kinesis_spark.sources.prompb_datasource import (
+        register_prompb_source,
+    )
+
+    register_prompb_source(spark)
+    reader = spark.readStream.format("prompb")
+    if parallel:
+        reader = reader.option("parallel", "true")
+    return reader.load(path)
+
+
 def read_write_request_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming source of WriteRequest-shaped JSON (the decoded form of
     the remote-write POST body, kinesis.go:83-90)."""

@@ -101,3 +101,40 @@ def test_python_flatten_matches_spark_ingest(spark):
     assert not any(
         isinstance(r["value"], float) and math.isnan(r["value"]) for r in py_rows
     )
+
+
+def test_raw_spool_to_prompb_stream_relay(spark, tmp_path):
+    """Raw-spool mode: the handler validates (same status codes) but
+    persists the original snappy body; the format("prompb") DataSource
+    decodes it inside Spark. Same five records as the NDJSON path."""
+    spool = str(tmp_path / "raw_spool")
+    srv = RemoteWriteServer(spool, raw=True).start()
+    host, port = srv.server_address[:2]
+    try:
+        assert _post(host, port, encode_remote_write_body(FIXTURE)) == 200
+        assert _post(host, port, b"\xff\xff not snappy") == 400
+        assert _post(host, port, snappy_compress_literal(b"\x99\x99\x99")) == 400
+    finally:
+        srv.stop()
+
+    from prometheus_remote_kinesis_spark.streaming.pipeline import (
+        read_prompb_record_stream,
+    )
+
+    out = (
+        read_prompb_record_stream(spark, spool, parallel=True)
+        .writeStream.format("memory")
+        .queryName("raw_relay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_raw"))
+        .start()
+    )
+    out.awaitTermination()
+    rows = {(r["name"], r["time"]): r for r in spark.table("raw_relay").collect()}
+    assert len(rows) == 5
+    assert rows[("up", 1000)]["value"] == 1.0
+    assert rows[("up", 2000)]["labels"] == {"__name__": "up", "job": "api"}
+    assert rows[("stale", 3000)]["value"] is None
+    assert rows[("empty_series", 0)]["value"] is None
+    assert rows[("", 4000)]["value"] == 2.5
