@@ -49,8 +49,10 @@ def main() -> None:
     # BASELINE.md ceilings (reference ticker: 50 rec/s; AWS shard quota:
     # 1000 rec/s). Extra keys on the same single JSON line.
     from tools.bench_relay import measure as measure_relay
+    from tools.bench_relay import measure_prompb
 
     relay = measure_relay(spark, sf_dir)
+    relay_pb = measure_prompb(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -66,6 +68,7 @@ def main() -> None:
                 "relay_speedup_vs_reference_ticker": relay[
                     "speedup_vs_reference_ticker"
                 ],
+                "relay_prompb_records_per_sec": relay_pb["value"],
             }
         )
     )

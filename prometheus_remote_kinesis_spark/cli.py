@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
         help="availableNow: relay the spool backlog once, then exit "
         "(batch catch-up / tests)",
     )
+    ap.add_argument(
+        "--raw-spool",
+        action="store_true",
+        help="handler spools validated wire bytes; Spark decodes via the "
+        "format('prompb') source (flatten on executors, not in the handler)",
+    )
     args = ap.parse_args(argv)
     if not args.stream_name:
         sys.exit("-stream-name is required")  # main.go:88-90
@@ -99,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
     from prometheus_remote_kinesis_spark.server import RemoteWriteServer
     from prometheus_remote_kinesis_spark.session import get_spark
     from prometheus_remote_kinesis_spark.streaming.pipeline import (
+        read_prompb_record_stream,
         read_record_stream,
         relay,
     )
@@ -106,10 +113,17 @@ def main(argv: list[str] | None = None) -> int:
     spool = args.spool_dir or tempfile.mkdtemp(prefix="rw_spool_")
     ckpt = args.checkpoint_dir or tempfile.mkdtemp(prefix="rw_ckpt_")
     host, _, port = args.listen_addr.rpartition(":")
-    server = RemoteWriteServer(spool, host=host or "127.0.0.1", port=int(port)).start()
+    server = RemoteWriteServer(
+        spool, host=host or "127.0.0.1", port=int(port), raw=args.raw_spool
+    ).start()
     spark = get_spark("prometheus_remote_kinesis_spark")
+    source = (
+        read_prompb_record_stream(spark, spool, parallel=True)
+        if args.raw_spool
+        else read_record_stream(spark, spool)
+    )
     query = relay(
-        read_record_stream(spark, spool),
+        source,
         build_put_fn(args),
         checkpoint_dir=ckpt,
         interval=None if args.drain else args.write_interval,

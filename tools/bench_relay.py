@@ -101,3 +101,73 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
+    """Raw-spool relay variant: the same record stream staged as snappy
+    prompb WriteRequest bodies (what RemoteWriteServer(raw=True) persists),
+    decoded INSIDE Spark by the format("prompb") parallel stream reader,
+    then through the identical chunked-put sink. Directly comparable to
+    ``measure``: same records, decode moved from HTTP handler to
+    executors."""
+    from prometheus_remote_kinesis_spark.sources.prompb import (
+        encode_remote_write_body,
+    )
+    from prometheus_remote_kinesis_spark.streaming.pipeline import (
+        read_prompb_record_stream,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="relay_prompb_bench_")
+    src = os.path.join(workdir, "src")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+    try:
+        # Stage (not timed): group records into `bodies` WriteRequests —
+        # each body one series list, mirroring one POST per batch.
+        rows = (
+            _event_records(spark, sf_dir)
+            .select("name", "time", "value", "labels")
+            .toPandas()
+        )
+        n_records = len(rows)
+        import math as _math
+
+        per = _math.ceil(n_records / bodies)
+        n_bytes = 0
+        for i in range(bodies):
+            chunk = rows.iloc[i * per : (i + 1) * per]
+            if not len(chunk):
+                break
+            series = [
+                (dict(r.labels), [(r.value if r.value is not None else float("nan"), r.time)])
+                for r in chunk.itertuples()
+            ]
+            body = encode_remote_write_body(series)
+            n_bytes += len(body)
+            with open(os.path.join(src, f"b{i:05d}.pb.sz"), "wb") as fh:
+                fh.write(body)
+
+        t0 = time.time()
+        q = relay(
+            read_prompb_record_stream(spark, src, parallel=True),
+            put_records_fn=noop_put,
+            checkpoint_dir=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination()
+        elapsed = time.time() - t0
+        rps = n_records / elapsed
+        return {
+            "metric": "relay_prompb_throughput",
+            "value": round(rps, 1),
+            "unit": "records/sec",
+            "records": n_records,
+            "wire_mb": round(n_bytes / 1e6, 2),
+            "elapsed_sec": round(elapsed, 3),
+            "speedup_vs_reference_ticker": round(
+                rps / REFERENCE_TICKER_CEILING_RPS, 1
+            ),
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
