@@ -368,3 +368,55 @@ def a10_le_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.select("event_type", F.explode(pairs).alias("z")).select(
         "event_type", F.col("z.le").alias("le"), F.col("z.c").alias("cum_count")
     )
+
+
+@register(
+    "a11_zscore_anomalies",
+    family="A1",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)       AS sv,
+                   CAST(sum(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE) AS sv2
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               round((value - sv / n)
+                     / sqrt((sv2 - sv * sv / n) / (n - 1)), 4) AS z,
+               abs((value - sv / n)
+                   / sqrt((sv2 - sv * sv / n) / (n - 1))) > 3  AS is_anomaly
+        FROM events e JOIN s ON e.event_type = s.event_type
+    """,
+)
+def a11_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score per sample against its metric's corpus moments —
+    the basic anomaly-detection pass over a metrics stream (|z| > 3 flags
+    outliers). Planned as aggregate-then-BROADCAST-join, NOT a window
+    over the low-cardinality metric name (that shape serializes whole
+    series on single tasks — the w3/w3b lesson): one partial+final hash
+    agg to |types| rows of moments, broadcast back over the fact scan,
+    per-row arithmetic only after that.
+
+    Engine determinism: both moments are decimal-exact sums (values are
+    2-decimal quantized, squares 4-decimal), so mean/std derive from
+    identical aggregates on both engines and the z expression is per-row
+    IEEE ops — no accumulation-order hazard (u2's applyInPandas z-score
+    is the per-GROUP windowed variant; this is the corpus-moment one)."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,8)"))
+        .cast("double")
+        .alias("sv2"),
+    )
+    z = (F.col("value") - F.col("sv") / F.col("n")) / F.sqrt(
+        (F.col("sv2") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)
+    )
+    return events.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 3).alias("is_anomaly"),
+    )

@@ -23,8 +23,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 RECORD_DDL = "name string, time bigint, value double, labels map<string,string>"
@@ -45,6 +47,9 @@ class PrompbDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "PrompbStreamReader":  # noqa: ANN001,N802
         return PrompbStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "PrompbWriter":  # noqa: ANN001
+        return PrompbWriter(self.options)
 
     def streamReader(self, schema) -> "PrompbParallelStreamReader":  # noqa: ANN001,N802
         # option("parallel", "true") selects the executor-parallel reader;
@@ -172,6 +177,46 @@ class PrompbParallelStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class PrompbWriter(DataSourceWriter):
+    """``df.write.format("prompb").mode(...).save(dir)`` — the archival
+    sink twin of the reader: each task encodes its partition of
+    RECORD_SCHEMA rows (``name, time, value, labels``) as ONE snappy
+    WriteRequest body (rows grouped into series by label set), written
+    atomically (tmp + rename) so a concurrent streaming reader of the same
+    directory never sees half a file. Round trip with the reader is
+    lossless — NaN/NULL values and empty names ride through the wire
+    semantics; an empty-samples series cannot be produced by the writer
+    (every row carries a sample), so read(write(x)) == x row-for-row."""
+
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("prompb sink requires a path")
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        from prometheus_remote_kinesis_spark.sources.prompb import (
+            encode_remote_write_body,
+        )
+
+        series: dict = {}
+        for row in iterator:
+            labels = dict(row.labels) if row.labels is not None else {}
+            key = tuple(sorted(labels.items()))
+            value = float("nan") if row.value is None else row.value
+            series.setdefault(key, (labels, []))[1].append((value, row.time))
+        if series:
+            body = encode_remote_write_body(list(series.values()))
+            tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.tmp")
+            final = os.path.join(self.path, f"{uuid.uuid4().hex}.pb.sz")
+            with open(tmp, "wb") as fh:
+                fh.write(body)
+            os.rename(tmp, final)
+        return WriterCommitMessage()
 
 
 def register_prompb_source(spark) -> None:  # noqa: ANN001

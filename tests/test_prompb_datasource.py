@@ -113,3 +113,29 @@ def test_prompb_parallel_stream_reader_exactly_once(spark, tmp_path):
         ("m3", 3000),
     }
     assert len(rows) == 3
+
+
+def test_prompb_writer_roundtrip(spark, tmp_path):
+    """write.format("prompb") → read.format("prompb") is lossless,
+    including NaN→NULL values and empty metric names."""
+    from pyspark.sql import Row
+
+    from prometheus_remote_kinesis_spark.schema import RECORD_SCHEMA
+
+    register_prompb_source(spark)
+    rows = [
+        Row(name="m1", time=1000, value=1.5, labels={"__name__": "m1", "job": "a"}),
+        Row(name="m1", time=2000, value=None, labels={"__name__": "m1", "job": "a"}),
+        Row(name="", time=3000, value=2.5, labels={"no_name": "x"}),
+    ]
+    out = tmp_path / "archive"
+    df = spark.createDataFrame(rows, RECORD_SCHEMA)
+    df.write.format("prompb").mode("append").save(str(out))
+
+    back = spark.read.format("prompb").load(str(out))
+    got = {(r.name, r.time): (r.value, dict(r.labels)) for r in back.collect()}
+    assert got == {
+        ("m1", 1000): (1.5, {"__name__": "m1", "job": "a"}),
+        ("m1", 2000): (None, {"__name__": "m1", "job": "a"}),
+        ("", 3000): (2.5, {"no_name": "x"}),
+    }
