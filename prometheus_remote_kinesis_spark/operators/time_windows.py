@@ -349,3 +349,114 @@ def t14_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("inc").over(wrange) / 300.0, 6).alias("rate_per_sec"),
         F.count("inc").over(wrange).alias("n_increases"),
     )
+
+
+T15_ORACLE = """
+    WITH v AS (
+        SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT ms // 86400000 AS day,
+           count(*) AS n_views,
+           CAST(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                 AND epoch_us(p.ts) // 1000 BETWEEN v.ms AND v.ms + 3600000
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM v
+    GROUP BY 1
+"""
+
+
+@register("t15_funnel_conversion", family="T15", oracle=T15_ORACLE)
+def t15_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step: per day, how many 'view' events were followed by a
+    'purchase' from the same user within an hour — sequential-pattern
+    analytics over the event stream.
+
+    NOT a view×purchase pair join (pair volume is quadratic in per-user
+    activity): both event kinds union into one per-user ordered pass and
+    a single ``first(purchase_ms) over (current row → ∞)`` window gives
+    each view its next purchase — j6's as-of shape again, one shuffle on
+    user_id, no pair explosion, then a day-keyed count. The oracle's
+    correlated EXISTS decorrelates to the same semantics. Day = integer
+    epoch-ms division — no timezone in play."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        (F.col("event_type") == "purchase").cast("int").alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "user_id",
+        "ms",
+        "side",
+        F.first(F.when(F.col("side") == 1, F.col("ms")), ignorenulls=True)
+        .over(w)
+        .alias("next_purchase_ms"),
+    )
+    views = nxt.filter(F.col("side") == 0).select(
+        (F.col("ms") / 86400000).cast("long").alias("day"),
+        (
+            (F.col("next_purchase_ms") - F.col("ms") <= 3600000)
+            & F.col("next_purchase_ms").isNotNull()
+        )
+        .cast("int")
+        .alias("conv"),
+    )
+    return views.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("conv").cast("bigint").alias("n_converted"),
+    )
+
+
+T16_ORACLE = """
+    WITH su AS (
+        SELECT user_id, min(epoch_us(ts) // 1000) // 604800000 AS cw
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 1000 // 604800000 AS w
+        FROM events
+    )
+    SELECT cw AS cohort_week, w - cw AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM su JOIN act a USING (user_id)
+    WHERE w >= cw
+    GROUP BY 1, 2
+"""
+
+
+@register("t16_retention_cohorts", family="T16", oracle=T16_ORACLE)
+def t16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-signup week,
+    counted distinct in each later activity week — the other canonical
+    event-stream analytics shape next to the funnel (t15).
+
+    Cohort assignment is one groupBy over signup events (tiny), broadcast
+    back over the distinct (user, week) activity pairs; weeks are integer
+    epoch-ms divisions, every output an integer count. At 100 TB the
+    activity dedup (user, week) is the heavy step — a map-side-combined
+    distinct keyed on the pair, shrinking the stream ~|events/user/week|×
+    before the join."""
+    events = load_table(spark, sf_dir, "events")
+    week = lambda c: (F.unix_millis(c) / 604800000).cast("long")  # noqa: E731
+    su = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week(F.col("ts"))).alias("cw"))
+    )
+    act = events.select("user_id", week(F.col("ts")).alias("w")).distinct()
+    return (
+        act.join(F.broadcast(su), "user_id")
+        .filter(F.col("w") >= F.col("cw"))
+        .groupBy(F.col("cw").alias("cohort_week"), (F.col("w") - F.col("cw")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
