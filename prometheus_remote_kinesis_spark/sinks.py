@@ -114,6 +114,7 @@ def foreach_batch_writer(
     put_records_fn: PutRecordsFn,
     max_entries: int = MAX_PUT_ENTRIES,
     max_bytes: int = MAX_PUT_BYTES,
+    commit_dir: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build a Structured Streaming ``foreachBatch`` sink function.
 
@@ -122,9 +123,24 @@ def foreach_batch_writer(
     ``foreachPartition`` — the driver never collects the batch, so sink
     throughput scales with the cluster, not the driver (the reference is a
     single writer goroutine, kinesis.go:63).
+
+    ``commit_dir`` opts into exactly-once-per-batch delivery: foreachBatch
+    replays a micro-batch after a crash between sink success and offset
+    commit, and a replayed PutRecords double-sends — the reference has the
+    same failure mode on retry (kinesis.go:191-192, the duplicates t9s
+    dedups downstream). With a commit dir, each delivered ``batch_id``
+    drops a marker file (atomic create) and a replay of a marked batch is
+    skipped — source-side dedup instead of sink-side duplicates.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        if commit_dir is not None:
+            import os
+
+            os.makedirs(commit_dir, exist_ok=True)
+            marker = os.path.join(commit_dir, f"batch-{batch_id}.done")
+            if os.path.exists(marker):
+                return  # replayed batch, already delivered
         encoded = encode_ndjson(batch_df)
 
         # foreachPartition, deliberately NOT mapInArrow: A/B-measured on
@@ -149,6 +165,9 @@ def foreach_batch_writer(
                 )
 
         encoded.foreachPartition(send_partition)
+        if commit_dir is not None:
+            with open(marker, "w"):
+                pass
 
     return write
 

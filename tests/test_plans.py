@@ -251,3 +251,48 @@ def test_le_histogram_single_shuffle(spark):
     plan = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a hot join key must be split at runtime
+    (SortMergeJoin(skew=true)) instead of serializing one reducer — the
+    mitigation for hot-metric skew the reference routes onto a single
+    Kinesis shard (PartitionKey=name, kinesis.go:174). Thresholds lowered
+    to trigger on test-sized data; the defaults handle real skew."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        fact = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.rand(1).alias("v"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").groupBy().agg(F.sum("v").alias("sv"))
+        j.collect()  # AQE decides skew splits at runtime
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

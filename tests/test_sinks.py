@@ -190,3 +190,35 @@ def test_compact_archive(spark, tmp_path):
         (r["name"], r["time"], r["value"]) for r in spark.read.parquet(path).collect()
     )
     assert content_after == content_before
+
+
+def test_foreach_batch_writer_commit_dir_skips_replayed_batch(spark, tmp_path):
+    """commit_dir: a replayed batch_id (foreachBatch's crash-replay
+    semantics — the double-send the reference suffers on retry,
+    kinesis.go:191-192) must deliver nothing the second time; a NEW
+    batch_id still delivers."""
+    from prometheus_remote_kinesis_spark.ingest_queries import _event_records
+    from prometheus_remote_kinesis_spark.sinks import foreach_batch_writer
+    from prometheus_remote_kinesis_spark.testing import FilePutRecords
+
+    sink = tmp_path / "sink"
+    sink.mkdir()
+
+    def n_sent() -> int:
+        return sum(
+            len(p.read_bytes().decode().splitlines()) for p in sink.iterdir()
+        )
+
+    writer = foreach_batch_writer(
+        FilePutRecords(str(sink)), commit_dir=str(tmp_path / "commits")
+    )
+    records = _event_records(spark, "/root/testdata/sf0.001").limit(10)
+
+    writer(records, 0)
+    assert n_sent() == 10
+
+    writer(records, 0)  # replay of a committed batch: skipped entirely
+    assert n_sent() == 10
+
+    writer(records, 1)  # new batch id: delivered
+    assert n_sent() == 20
