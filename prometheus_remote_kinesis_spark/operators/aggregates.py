@@ -420,3 +420,19 @@ def a11_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 3).alias("is_anomaly"),
     )
+
+
+@register("a4b_approx_quantiles", family="A4", oracle=None)
+def a4b_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path a4's docstring promises:
+    ``percentile_approx`` (Greenwald-Khanna sketch, fixed-size state,
+    mergeable map-side — exact percentile sorts every group's values).
+    No SQL oracle (sketch-dependent); accuracy vs the exact a4 answer is
+    asserted in tests/test_operators.py."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        *[
+            F.percentile_approx("value", p, 10000).alias(f"p{int(p * 100)}")
+            for p in (0.50, 0.90, 0.99)
+        ]
+    )

@@ -139,3 +139,42 @@ def test_prompb_writer_roundtrip(spark, tmp_path):
         ("m1", 2000): (None, {"__name__": "m1", "job": "a"}),
         ("", 3000): (2.5, {"no_name": "x"}),
     }
+
+
+def test_decode_file_matches_flatten_property(tmp_path):
+    """Property: for arbitrary label maps (unicode) and samples (incl. NaN
+    and negative epoch values), decoding a spool file through the
+    DataSource's per-partition path equals the reference flatten of the
+    same parsed body. Pure-Python — no Spark job per example."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from prometheus_remote_kinesis_spark.server import flatten_timeseries
+    from prometheus_remote_kinesis_spark.sources.prompb import parse_write_request
+    from prometheus_remote_kinesis_spark.sources.prompb import snappy_decompress
+    from prometheus_remote_kinesis_spark.sources.prompb_datasource import _decode_file
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20
+    )
+    labels_st = st.dictionaries(text, text, max_size=4)
+    sample_st = st.tuples(
+        st.one_of(st.floats(allow_infinity=False), st.just(float("nan"))),
+        st.integers(min_value=-(2**40), max_value=2**40),
+    )
+    series_st = st.lists(st.tuples(labels_st, st.lists(sample_st, max_size=5)), max_size=4)
+
+    @given(series_st)
+    @settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(series):
+        body = encode_remote_write_body(series)
+        path = tmp_path / "prop.pb.sz"
+        path.write_bytes(body)
+        got = list(_decode_file(str(path)))
+        want = [
+            (r["name"], r["time"], r["value"], r["labels"])
+            for r in flatten_timeseries(parse_write_request(snappy_decompress(body)))
+        ]
+        assert got == want
+
+    check()
