@@ -304,7 +304,7 @@ T14_ORACLE = """
 """
 
 
-@register("t14_rate_5m", family="T14", oracle=T14_ORACLE)
+@register("t14_rate_5m", family="T14", bench=True, oracle=T14_ORACLE)
 def t14_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL ``rate(m[5m])``: reset-aware per-sample increases (counter
     reset ⇒ the new value IS the increase — t10's semantics,

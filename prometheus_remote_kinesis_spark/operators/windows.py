@@ -212,6 +212,7 @@ def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w1c_global_rank_scalable",
     family="W1",
+    bench=True,
     oracle="""
         SELECT o_orderkey,
                row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos,
