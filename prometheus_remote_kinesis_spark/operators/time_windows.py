@@ -460,3 +460,70 @@ def t16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cw").alias("cohort_week"), (F.col("w") - F.col("cw")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+T15B_ORACLE = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms
+        FROM events WHERE event_type = 'view'
+    ),
+    conv AS (
+        SELECT v.ms // 86400000 AS day,
+               (SELECT min(epoch_us(p.ts) // 1000) FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                  AND epoch_us(p.ts) // 1000 >= v.ms) - v.ms AS delay_ms
+        FROM v
+    )
+    SELECT day,
+           count(*) AS n_converted,
+           round(quantile_cont(delay_ms, 0.5), 4) AS p50_delay_ms,
+           round(quantile_cont(delay_ms, 0.9), 4) AS p90_delay_ms
+    FROM conv
+    WHERE delay_ms IS NOT NULL AND delay_ms <= 3600000
+    GROUP BY day
+"""
+
+
+@register("t15b_time_to_convert", family="T15", oracle=T15B_ORACLE)
+def t15b_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-delay distribution: per day, exact p50/p90 of the
+    view→next-purchase latency (within the hour) — t15's as-of window
+    shape feeding a percentile aggregate. Delays are integer epoch-ms
+    differences, so the interpolated percentiles derive from identical
+    integers on both engines (the a4 percentile/quantile_cont parity).
+    Same scale posture as t15: one per-user window pass, no pair join,
+    then a day-keyed aggregate."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        (F.col("event_type") == "purchase").cast("int").alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "user_id",
+        "ms",
+        "side",
+        F.first(F.when(F.col("side") == 1, F.col("ms")), ignorenulls=True)
+        .over(w)
+        .alias("next_purchase_ms"),
+    )
+    conv = (
+        nxt.filter(F.col("side") == 0)
+        .select(
+            (F.col("ms") / 86400000).cast("long").alias("day"),
+            (F.col("next_purchase_ms") - F.col("ms")).alias("delay_ms"),
+        )
+        .filter(F.col("delay_ms").isNotNull() & (F.col("delay_ms") <= 3600000))
+    )
+    return conv.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("delay_ms", 0.5), 4).alias("p50_delay_ms"),
+        F.round(F.percentile("delay_ms", 0.9), 4).alias("p90_delay_ms"),
+    )
