@@ -315,3 +315,42 @@ def w1b_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "w2b_first_last_nth",
+    family="W2",
+    oracle="""
+        SELECT event_id, user_id,
+               first_value(value) OVER w                  AS first_v,
+               last_value(value)  OVER w                  AS last_v,
+               nth_value(value, 2) OVER w                 AS second_v,
+               round(value - first_value(value) OVER w, 6) AS delta_from_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w2b_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of W2's analytic family: first_value / last_value /
+    nth_value over the whole series frame — baseline-relative deltas
+    (value vs series start) are the PromQL ``increase``-from-t0 shape.
+    Explicit unbounded ROWS frame on both engines: last_value under the
+    default frame (… AND CURRENT ROW) silently returns the current row,
+    the classic SQL footgun this query pins away. Per-series partition
+    key, one shuffle, bounded state."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    first_v = F.first("value").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        first_v.alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+        F.round(F.col("value") - first_v, 6).alias("delta_from_start"),
+    )
