@@ -419,6 +419,91 @@ def l2e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("l2f_neardup_clusters_star", family="L2", oracle=L2E_ORACLE)
+def l2f_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2e's connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-scale variant: plain min-label propagation needs
+    O(diameter) rounds (a 1M-long chain = 1M rounds); star alternation
+    contracts in O(log² n) rounds regardless of shape. Large-star hooks
+    every strictly-larger neighbor to its neighborhood minimum;
+    small-star re-points the smaller neighbors; at fixpoint the edge set
+    IS the star (node → component minimum). Each half-round is one
+    groupBy + one join keyed on node id — no collect_list of
+    neighborhoods, so a celebrity node's neighborhood never materializes
+    in one task. Same oracle as l2e (recursive-CTE closure)."""
+    from pyspark import StorageLevel
+
+    pairs = l2b_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for i in range(30):
+        # Large-star over the symmetrized neighborhoods.
+        g = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            g.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("mu"))
+        )
+        ls = (
+            g.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mu").alias("v"))
+            .distinct()
+        )
+        # Small-star on large→small oriented edges.
+        d = (
+            ls.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        sm = d.groupBy("u").agg(F.min("v").alias("mu"))
+        joined = d.join(sm, "u")
+        new_edges = (
+            joined.select(F.col("v").alias("a"), F.col("mu").alias("b"))
+            .unionByName(joined.select(F.col("u").alias("a"), F.col("mu").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # Materialize NOW: persist is lazy, and each round references the
+        # previous edge set several times — without an action per round
+        # the unmaterialized lineage doubles per iteration and Catalyst
+        # analysis time explodes (measured: 55 s → timeout).
+        n_edges = new_edges.count()
+        # Star = fixpoint of both ops, so convergence ⟺ unchanged edge
+        # multiset; one short-circuited job over the two cached sets.
+        converged = i >= 1 and (
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .isEmpty()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if converged:
+            break
+
+    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("label"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    csizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return assigned.join(csizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
+    )
+
+
 @register("l2c_simhash", family="L2", oracle=None)
 def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (token-unigram features, md5-derived
