@@ -431,13 +431,20 @@ def l2f_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the star (node → component minimum). Each half-round is one
     groupBy + one join keyed on node id — no collect_list of
     neighborhoods, so a celebrity node's neighborhood never materializes
-    in one task. Same oracle as l2e (recursive-CTE closure)."""
-    from pyspark import StorageLevel
+    in one task. Same oracle as l2e (recursive-CTE closure).
 
+    Each round's edge set goes through eager localCheckpoint, not
+    persist: checkpoint truncates the lineage, so plan size, Catalyst
+    analysis time, and driver heap stay O(1) per round instead of
+    doubling (a plain persist chain OOMs a 1 GiB vanilla driver at
+    sf0.01). On a real cluster prefer reliable checkpoint dirs; the
+    shuffle stays keyed on node id either way."""
     pairs = l2b_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .repartition(16, "u")
+        .localCheckpoint(eager=True)
+    )
 
     for i in range(30):
         # Large-star over the symmetrized neighborhoods.
@@ -471,21 +478,16 @@ def l2f_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("a") != F.col("b"))
             .distinct()
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .repartition(16, "u")
+            .localCheckpoint(eager=True)
         )
-        # Materialize NOW: persist is lazy, and each round references the
-        # previous edge set several times — without an action per round
-        # the unmaterialized lineage doubles per iteration and Catalyst
-        # analysis time explodes (measured: 55 s → timeout).
-        n_edges = new_edges.count()
         # Star = fixpoint of both ops, so convergence ⟺ unchanged edge
-        # multiset; one short-circuited job over the two cached sets.
+        # multiset; one short-circuited job over the two checkpointed sets.
         converged = i >= 1 and (
             new_edges.exceptAll(edges)
             .unionByName(edges.exceptAll(new_edges))
             .isEmpty()
         )
-        edges.unpersist()
         edges = new_edges
         if converged:
             break
