@@ -102,6 +102,37 @@ def a3_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a3b_hll_mergeable_rollup", family="A3", oracle=None)
+def a3b_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE cardinality rollup — the incremental 100 TB pattern
+    ``a3`` can't do: build one Apache DataSketches HLL sketch per
+    (event_type, day) partial (``hll_sketch_agg``), then union partials
+    upward (``hll_union_agg``) instead of rescanning raw events. On a
+    real pipeline the daily partials are persisted columns: day N+1
+    touches only day N+1's raw data, and any rollup (week, month, all
+    time, any event_type subset) is a cheap union of kilobyte sketches.
+    Union-of-partials is bit-identical to a direct sketch over the whole
+    range (pinned in ``test_hll_union_matches_direct``), so accuracy
+    does not degrade with rollup depth. Sketch bytes are not
+    SQL-expressible — rows-only gate; the rsd bound is pytest-pinned."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_union_agg("sketch").alias("merged"),
+            F.count(F.lit(1)).alias("n_partials"),
+        )
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").alias("est_users"),
+            "n_partials",
+        )
+    )
+
+
 @register(
     "a4_value_quantiles",
     family="A4",

@@ -31,3 +31,43 @@ def test_approx_quantiles_rank_error(spark):
             rank_frac = sum(1 for v in vals if v <= a) / n
             tol = 1.0 / 10000 + 1.5 / n  # sketch bound + discrete grid step
             assert abs(rank_frac - p) <= tol, (t, col, p, rank_frac, n)
+
+def test_hll_union_matches_direct(spark):
+    """a3b: union of per-day HLL partials must equal a direct sketch of
+    the whole range (DataSketches merge is lossless at same lgConfigK),
+    and the estimate must be within the lgConfigK=14 error bound
+    (~0.8% rsd; allow 5 sigma) of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    q = all_queries()
+    merged = {
+        r.event_type: r
+        for r in q["a3b_hll_mergeable_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    direct = {
+        r.event_type: r.est
+        for r in events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(direct) == set(exact)
+    for t in exact:
+        assert merged[t].est_users == direct[t], (t, merged[t], direct[t])
+        assert abs(merged[t].est_users - exact[t]) <= max(3.0, 0.04 * exact[t]), (
+            t,
+            merged[t].est_users,
+            exact[t],
+        )
+        assert merged[t].n_partials >= 1
