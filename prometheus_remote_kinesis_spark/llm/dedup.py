@@ -343,42 +343,31 @@ L2E_ORACLE = """
 """
 
 
-@register("l2e_neardup_clusters", family="L2", oracle=L2E_ORACLE)
-def l2e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERING — the step pair-generators (l2/l2b) stop short
-    of: connected components over the duplicate-pair graph, so a chain
-    A~B~C collapses to ONE cluster even when A and C never pair directly.
-    Every document gets (cluster_id = min doc_id in its component,
-    cluster_size, is_rep); keep-one dedup is then ``WHERE is_rep``.
-
-    Pregel-style min-label propagation: labels start as doc_id; each
-    round joins labels to the edge list and takes the elementwise min
-    over neighbors, until a fixpoint. Each round is ONE shuffle keyed on
-    node id — the driver only checks the converged-yet flag, data never
-    leaves the executors. Rounds = graph diameter; dup components are
-    shallow (boilerplate stars), so this is 2-4 rounds in practice. At
-    100 TB the refinements are (a) the alternating large-star/small-star
-    form (O(log²·n) rounds on adversarial chains) and (b)
-    ``checkpoint()`` every few rounds to truncate lineage — here persist
-    suffices. Oracle: DuckDB recursive-CTE transitive closure, exact on
-    the same pair set."""
-    from pyspark import StorageLevel
-
-    pairs = l2b_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+def min_label_components(
+    pairs: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Pregel-style min-label propagation over an undirected pair list
+    (columns ``id_a, id_b``) → (labels ``node, label``, rounds taken).
+    Rounds grow with component DIAMETER — fine for shallow dup stars,
+    pathological on chains (see ``star_contract_components``). Each
+    round: one join + one groupBy keyed on node id, eager
+    localCheckpoint so plan depth and driver heap stay O(1)/round."""
     edges = (
         pairs.unionByName(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         )
         .toDF("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    for _ in range(50):
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
         nbr_min = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), F.col("label").alias("dlab")),
@@ -394,59 +383,37 @@ def l2e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         converged = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .filter(F.col("label") != F.col("old"))
             .isEmpty()
         )
-        labels.unpersist()
         labels = new_labels
         if converged:
             break
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    assigned = docs.join(
-        labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
-    ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
-    csizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return assigned.join(csizes, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
-    )
+    return labels, rounds
 
 
-@register("l2f_neardup_clusters_star", family="L2", oracle=L2E_ORACLE)
-def l2f_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l2e's connected components via alternating LARGE-STAR / SMALL-STAR
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    the adversarial-scale variant: plain min-label propagation needs
-    O(diameter) rounds (a 1M-long chain = 1M rounds); star alternation
-    contracts in O(log² n) rounds regardless of shape. Large-star hooks
-    every strictly-larger neighbor to its neighborhood minimum;
-    small-star re-points the smaller neighbors; at fixpoint the edge set
-    IS the star (node → component minimum). Each half-round is one
-    groupBy + one join keyed on node id — no collect_list of
-    neighborhoods, so a celebrity node's neighborhood never materializes
-    in one task. Same oracle as l2e (recursive-CTE closure).
-
-    Each round's edge set goes through eager localCheckpoint, not
-    persist: checkpoint truncates the lineage, so plan size, Catalyst
-    analysis time, and driver heap stay O(1) per round instead of
-    doubling (a plain persist chain OOMs a 1 GiB vanilla driver at
-    sf0.01). On a real cluster prefer reliable checkpoint dirs; the
-    shuffle stays keyed on node id either way."""
-    pairs = l2b_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+def star_contract_components(
+    pairs: DataFrame, max_rounds: int = 30
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") over an undirected
+    pair list (columns ``id_a, id_b``) → (labels ``node, label``, rounds).
+    Converges in O(log² n) rounds on ANY graph shape; at fixpoint the
+    edge set IS the star node → component minimum. Note: isolated pairs
+    (u, min) already at fixpoint stay as-is, and singleton components
+    don't appear — callers coalesce missing nodes to themselves."""
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .repartition(16, "u")
         .localCheckpoint(eager=True)
     )
-
-    for i in range(30):
+    rounds = 0
+    for i in range(max_rounds):
+        rounds += 1
         # Large-star over the symmetrized neighborhoods.
         g = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -491,8 +458,66 @@ def l2f_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = new_edges
         if converged:
             break
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("label")), rounds
 
-    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("label"))
+
+@register("l2e_neardup_clusters", family="L2", oracle=L2E_ORACLE)
+def l2e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step pair-generators (l2/l2b) stop short
+    of: connected components over the duplicate-pair graph, so a chain
+    A~B~C collapses to ONE cluster even when A and C never pair directly.
+    Every document gets (cluster_id = min doc_id in its component,
+    cluster_size, is_rep); keep-one dedup is then ``WHERE is_rep``.
+
+    Pregel-style min-label propagation: labels start as doc_id; each
+    round joins labels to the edge list and takes the elementwise min
+    over neighbors, until a fixpoint. Each round is ONE shuffle keyed on
+    node id — the driver only checks the converged-yet flag, data never
+    leaves the executors. Rounds = graph diameter; dup components are
+    shallow (boilerplate stars), so this is 2-4 rounds in practice. At
+    100 TB the refinements are (a) the alternating large-star/small-star
+    form (O(log²·n) rounds on adversarial chains — see ``l2f``) and (b)
+    eager localCheckpoint per round to truncate lineage. Oracle: DuckDB
+    recursive-CTE transitive closure, exact on the same pair set."""
+    pairs = l2b_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels, _rounds = min_label_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(
+        labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+    csizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return assigned.join(csizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
+    )
+
+
+@register("l2f_neardup_clusters_star", family="L2", oracle=L2E_ORACLE)
+def l2f_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2e's connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-scale variant: plain min-label propagation needs
+    O(diameter) rounds (a 1M-long chain = 1M rounds); star alternation
+    contracts in O(log² n) rounds regardless of shape. Large-star hooks
+    every strictly-larger neighbor to its neighborhood minimum;
+    small-star re-points the smaller neighbors; at fixpoint the edge set
+    IS the star (node → component minimum). Each half-round is one
+    groupBy + one join keyed on node id — no collect_list of
+    neighborhoods, so a celebrity node's neighborhood never materializes
+    in one task. Same oracle as l2e (recursive-CTE closure).
+
+    Each round's edge set goes through eager localCheckpoint, not
+    persist: checkpoint truncates the lineage, so plan size, Catalyst
+    analysis time, and driver heap stay O(1) per round instead of
+    doubling (a plain persist chain OOMs a 1 GiB vanilla driver at
+    sf0.01). On a real cluster prefer reliable checkpoint dirs; the
+    shuffle stays keyed on node id either way. Measured rounds-vs-
+    diameter A/B vs l2e: ``tools/probe_cc_star.py`` / SCALE.md."""
+    pairs = l2b_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    star, _rounds = star_contract_components(pairs)
+    labels = star.select(F.col("node").alias("doc_id"), "label")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     assigned = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
