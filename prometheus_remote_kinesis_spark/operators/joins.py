@@ -261,12 +261,21 @@ def j7_nation_region_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j5b_bucketed_range_join",
     family="J5",
     oracle="""
+        -- abs() rewritten as two one-sided inequalities so DuckDB plans
+        -- its sort-based IEJoin instead of a nested loop (135 s -> 0.2 s
+        -- at sf0.1) -- a different algorithm from our bucketed equi-join,
+        -- so the cross-check stays independent.
+        WITH ev AS (
+            SELECT event_id, event_type, epoch_us(ts) // 1000 AS t
+            FROM events
+        )
         SELECT a.event_type AS type_a, b.event_type AS type_b,
                count(*) AS n_pairs
-        FROM events a
-        JOIN events b
+        FROM ev a
+        JOIN ev b
           ON a.event_id < b.event_id
-         AND abs(epoch_us(a.ts) // 1000 - epoch_us(b.ts) // 1000) <= 60000
+         AND a.t <= b.t + 60000
+         AND b.t <= a.t + 60000
         GROUP BY 1, 2
     """,
 )
