@@ -13,7 +13,7 @@ Spark's long.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prometheus_remote_kinesis_spark.registry import register
@@ -398,6 +398,85 @@ def a10_le_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_type.select("event_type", F.explode(pairs).alias("z")).select(
         "event_type", F.col("z.le").alias("le"), F.col("z.c").alias("cum_count")
+    )
+
+
+_HQ_PHIS = (0.50, 0.90, 0.99)
+_HQ_BOUNDS_SQL = f"[{', '.join(str(b) for b in _HIST_BOUNDS)}]"
+_HQ_CUMS_SQL = ", ".join(
+    f"sum(CASE WHEN value <= {b} THEN 1 ELSE 0 END)::BIGINT" for b in _HIST_BOUNDS
+)
+
+
+def _hq_quantile_sql(phi: float) -> str:
+    """One PromQL-interpolated quantile as DuckDB SQL over (n, cums,
+    bounds) — 1-indexed lists; idx0 = 0-based target-bucket index."""
+    r = f"({phi} * n)"
+    i = f"len(list_filter(cums, c -> c < {r}))"
+    lower = f"(CASE WHEN {i} = 0 THEN 0.0 ELSE bounds[{i}] END)"
+    cuml = f"(CASE WHEN {i} = 0 THEN 0 ELSE cums[{i}] END)"
+    return f"""round(CASE WHEN {i} >= len(bounds) THEN bounds[len(bounds)]
+        ELSE {lower} + (bounds[{i} + 1] - {lower}) * ({r} - {cuml})
+             / (cums[{i} + 1] - {cuml}) END, 4)"""
+
+
+@register(
+    "a10b_histogram_quantile",
+    family="A1",
+    oracle=f"""
+        WITH w AS (
+            SELECT event_type, count(*) AS n, [{_HQ_CUMS_SQL}] AS cums,
+                   {_HQ_BOUNDS_SQL} AS bounds
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               {", ".join(f"{_hq_quantile_sql(p)} AS p{int(p * 100)}" for p in _HQ_PHIS)}
+        FROM w
+    """,
+)
+def a10b_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(φ, ...)`` over a10's le-bucket
+    cumulative counts: find the bucket where cumulative count reaches
+    φ·total, linearly interpolate inside it (lower bound 0 for the first
+    bucket, exactly Prometheus's rule); a φ landing past the last finite
+    bucket returns that bucket's bound, matching Prometheus's +Inf-bucket
+    behavior for these bounds.
+
+    Same ONE-hash-aggregation plan as a10 — the shuffle carries |types|
+    rows of 9 integer partials — then the quantile search is pure array
+    expressions on the wide row (``filter``/``get`` higher-order fns, no
+    second shuffle, no explode, no UDF). Deterministic across engines:
+    bucket counts are integers, φ·n and the interpolation are written as
+    the identical double expression on both sides."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("value") <= b).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(_HIST_BOUNDS)
+        ],
+    )
+    cums = F.array(*[F.col(f"c{i}") for i in range(len(_HIST_BOUNDS))])
+    bounds = F.array(*[F.lit(b) for b in _HIST_BOUNDS])
+
+    def quantile(phi: float) -> Column:
+        rank = F.lit(phi) * F.col("n")
+        idx = F.size(F.filter(cums, lambda c: c < rank))  # 0-based target
+        lower = F.coalesce(F.get(bounds, idx - 1), F.lit(0.0))
+        cum_lower = F.coalesce(F.get(cums, idx - 1), F.lit(0)).cast("double")
+        upper = F.get(bounds, idx)
+        cum_upper = F.get(cums, idx).cast("double")
+        return F.round(
+            F.when(idx >= F.size(bounds), F.element_at(bounds, -1)).otherwise(
+                lower
+                + (upper - lower) * (rank - cum_lower) / (cum_upper - cum_lower)
+            ),
+            4,
+        )
+
+    return per_type.select(
+        "event_type",
+        *[quantile(p).alias(f"p{int(p * 100)}") for p in _HQ_PHIS],
     )
 
 

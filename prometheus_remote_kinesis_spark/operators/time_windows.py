@@ -351,6 +351,65 @@ def t14_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T14B_ORACLE = """
+    WITH d AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) // 1000 AS ms,
+               value
+        FROM events
+    )
+    SELECT event_id, event_type, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(value) OVER w, 6)                        AS avg_ot,
+           min(value) OVER w                                      AS min_ot,
+           max(value) OVER w                                      AS max_ot,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+                                                                  AS sum_ot,
+           count(value) OVER w                                    AS count_ot
+    FROM d
+    WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ms
+                 RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("t14b_over_time_5m", family="T14", oracle=T14B_ORACLE)
+def t14b_over_time_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``*_over_time(m[5m])`` range-vector aggregations —
+    avg/min/max/sum/count over the trailing 5-minute frame per series —
+    evaluated at every sample (t14's frame, gauge semantics instead of
+    counter-rate). ONE shuffle on the high-cardinality series key
+    computes all five aggregates in a single Window node; min/max/count
+    are exact, avg and sum go through decimal-exact sums so the frame's
+    accumulation order can't move a rounded value (SCALE.md
+    floats-vs-oracle note)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wrange = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("ms")
+        .rangeBetween(-300000, 0)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(wrange)
+    return events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "value",
+    ).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(dec_sum.cast("double") / F.count("value").over(wrange), 6).alias(
+            "avg_ot"
+        ),
+        F.min("value").over(wrange).alias("min_ot"),
+        F.max("value").over(wrange).alias("max_ot"),
+        F.round(dec_sum.cast("double"), 2).alias("sum_ot"),
+        F.count("value").over(wrange).alias("count_ot"),
+    )
+
+
 T15_ORACLE = """
     WITH v AS (
         SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms
