@@ -410,6 +410,107 @@ def t14b_over_time_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T14C_ORACLE = """
+    WITH base AS (SELECT min(epoch_us(ts) // 1000000) AS t0 FROM events),
+    d AS (
+        SELECT event_type, user_id, event_id,
+               epoch_us(ts) // 1000000 - t0          AS t,
+               CAST(round(value * 100) AS BIGINT)    AS v100
+        FROM events, base
+    ),
+    s AS (
+        SELECT event_id, event_type, user_id, t, v100,
+               count(*) OVER w          AS n,
+               sum(t) OVER w            AS st,
+               sum(v100) OVER w         AS sv,
+               sum(t * t) OVER w        AS stt,
+               sum(t * v100) OVER w     AS stv
+        FROM d
+        WINDOW w AS (PARTITION BY event_type, user_id ORDER BY t
+                     RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, user_id,
+           CASE WHEN n * stt - st * st = 0 THEN NULL
+                ELSE round(CAST(n * stv - st * sv AS DOUBLE)
+                           / CAST(n * stt - st * st AS DOUBLE) / 100.0, 6)
+           END AS deriv_per_sec,
+           CASE WHEN n * stt - st * st = 0 THEN NULL
+                ELSE round(CAST(sv AS DOUBLE) / 100.0 / n
+                           + CAST(n * stv - st * sv AS DOUBLE)
+                             / CAST(n * stt - st * st AS DOUBLE) / 100.0
+                             * (t + 600 - CAST(st AS DOUBLE) / n), 6)
+           END AS predict_10m
+    FROM s
+"""
+
+
+@register("t14c_deriv_predict", family="T14", oracle=T14C_ORACLE)
+def t14c_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``deriv(m[5m])`` (least-squares slope of the trailing
+    5-minute range vector) and ``predict_linear(m[5m], 600)`` (the
+    regression line extrapolated 10 minutes past the sample), per series
+    at every sample.
+
+    Cross-engine float determinism for a REGRESSION: the five sufficient
+    statistics (n, Σt, Σv, Σt², Σtv) are summed as exact BIGINTs —
+    timestamps rebased to integer seconds since the table's min (keeps
+    n·Σt² within int64), values quantized to integer hundredths (exact:
+    the corpus is 2-decimal) — so both engines hold bit-identical sums
+    and the one floating-point division at the end is the identical
+    expression. Same single-shuffle Window shape as t14/t14b; the rebase
+    min is a broadcast scalar, not a second shuffle of the fact table."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.agg(
+        F.expr("min(unix_millis(ts)) div 1000").alias("t0")
+    )
+    d = events.crossJoin(F.broadcast(base)).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (F.expr("unix_millis(ts) div 1000") - F.col("t0")).alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+    )
+    w = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("t")
+        .rangeBetween(-300, 0)
+    )
+    s = d.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "t",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("t").over(w).alias("st"),
+        F.sum("v100").over(w).alias("sv"),
+        F.sum(F.col("t") * F.col("t")).over(w).alias("stt"),
+        F.sum(F.col("t") * F.col("v100")).over(w).alias("stv"),
+    )
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    slope = (
+        (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).cast("double")
+        / den.cast("double")
+        / 100.0
+    )
+    predict = (
+        F.col("sv").cast("double") / 100.0 / F.col("n")
+        + slope * (F.col("t") + 600 - F.col("st").cast("double") / F.col("n"))
+    )
+    return s.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("deriv_per_sec"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(predict, 6))
+        .alias("predict_10m"),
+    )
+
+
 T15_ORACLE = """
     WITH v AS (
         SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms
