@@ -511,6 +511,73 @@ def t14c_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T14D_ORACLE = """
+    WITH d AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) // 1000 AS ms,
+               value,
+               lag(value) OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    f AS (
+        SELECT event_type, user_id, event_id, ms,
+               CASE WHEN prev IS NOT NULL AND value <> prev
+                    THEN 1 ELSE 0 END AS chg,
+               CASE WHEN prev IS NOT NULL AND value < prev
+                    THEN 1 ELSE 0 END AS rst
+        FROM d
+    )
+    SELECT event_id, event_type, user_id,
+           CAST(sum(chg) OVER w AS BIGINT) AS changes_5m,
+           CAST(sum(rst) OVER w AS BIGINT) AS resets_5m
+    FROM f
+    WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ms
+                 RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("t14d_changes_resets", family="T14", oracle=T14D_ORACLE)
+def t14d_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``changes(m[5m])`` and ``resets(m[5m])``: per-sample 0/1
+    flags from w2's lag pass (value differs from / dropped below its
+    predecessor), summed over t14's trailing RANGE frame. Completes the
+    range-vector function family (rate t14, *_over_time t14b,
+    deriv/predict t14c). All-integer arithmetic — engine-exact; one
+    shuffle on the series key shared by BOTH window passes (lag and
+    frame-sum use the same partitioning, so Catalyst plans a single
+    Exchange)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    d = events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "value",
+        F.lag("value").over(wlag).alias("prev"),
+    )
+    chg = (F.col("prev").isNotNull() & (F.col("value") != F.col("prev"))).cast("long")
+    rst = (F.col("prev").isNotNull() & (F.col("value") < F.col("prev"))).cast("long")
+    wrange = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("ms")
+        .rangeBetween(-300000, 0)
+    )
+    f = d.select(
+        "event_id", "event_type", "user_id", "ms",
+        chg.alias("chg"), rst.alias("rst"),
+    )
+    return f.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.sum("chg").over(wrange).alias("changes_5m"),
+        F.sum("rst").over(wrange).alias("resets_5m"),
+    )
+
+
 T15_ORACLE = """
     WITH v AS (
         SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms
