@@ -1,0 +1,152 @@
+"""Fleet-wide physical-plan audit: walk EVERY registered query's plan and
+flag the shapes that don't survive a 100× scale-up, before any of them
+ships. Complements tests/test_plans.py (which pins plan properties for
+individual flagship queries) with a blanket check over the whole surface.
+
+Flags:
+- CartesianProduct / non-broadcast nested-loop joins — O(N·M) at scale.
+- Window with an empty PARTITION BY (global window) — serializes the
+  whole input through one task. (w1's banded variants exist for a reason.)
+- Exchange SinglePartition feeding non-trivial compute — same failure
+  dressed as a shuffle. A SinglePartition exchange under a final
+  short-output agg/limit is fine and excluded.
+- rdd-based scans (ExistingRDD) outside the declared streaming shims —
+  the DataFrame-first rule.
+
+Some queries legitimately trip a rule (a documented broadcast
+nested-loop KNN; the deliberately-naive w1/w3 baselines kept as A/B
+references). Those are whitelisted EXPLICITLY per (query, flag) so any
+new offender fails loudly.
+
+Usage: python tools/audit_plans.py          # audit, exit 1 on violations
+       python tools/audit_plans.py -v      # also print per-query flags
+Prints ONE JSON summary line last.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from prometheus_remote_kinesis_spark.plans.explain import formatted_plan  # noqa: E402
+from prometheus_remote_kinesis_spark.registry import all_queries  # noqa: E402
+from prometheus_remote_kinesis_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+# (query, flag) pairs that are deliberate and documented in their docstrings.
+WHITELIST: set[tuple[str, str]] = {
+    # Exact KNN broadcasts the (small) query side through a nested-loop
+    # join by design; the scale paths are l4b (LSH) and l4c (IVF).
+    ("l4_knn_join", "nested_loop_join"),
+    ("l4b_lsh_ann", "nested_loop_join"),  # per-bucket candidate join, tiny sides
+    ("l4c_ivf_ann", "nested_loop_join"),  # probe×centroid, |centroids| rows
+    ("l3_cosine_topk", "nested_loop_join"),  # 1-row query vector broadcast
+    # j7 is the reference cross join (region x region, 25 rows); Spark
+    # plans the broadcasted cross as BroadcastNestedLoopJoin.
+    ("j7_nation_region_cross", "nested_loop_join"),
+    # One-row broadcast scalar (corpus totals / rebase epoch) folded into
+    # the projection — nested-loop in name only.
+    ("d8_mixture_weights", "nested_loop_join"),
+    ("t14c_deriv_predict", "nested_loop_join"),
+    # All-pairs cosine on the small embeddings table; documented baseline,
+    # scale paths are l2's LSH banding and l4b/l4c.
+    ("l2d_embedding_neardup", "nested_loop_join"),
+    # Eager localCheckpoint (lineage truncation for the iterative CC
+    # loops) surfaces as Scan ExistingRDD — that IS the design.
+    ("l2e_neardup_clusters", "rdd_scan"),
+    ("l2f_neardup_clusters_star", "rdd_scan"),
+    # Banded two-phase global ranks: the only global window runs over the
+    # ~100-256-row band-count aggregate, never the fact table.
+    ("w1c_global_rank_scalable", "global_window"),
+    ("d7_deterministic_shuffle", "global_window"),
+    # Documented single-partition window over a pre-filtered subset; the
+    # docstring is explicit that the unfiltered form must not ship.
+    ("w1b_rank_family", "global_window"),
+}
+
+
+def parse_nodes(plan: str) -> dict[int, tuple[str, str]]:
+    """Detail sections of a formatted plan → {id: (node name, args)}."""
+    nodes: dict[int, tuple[str, str]] = {}
+    cur = None
+    for line in plan.splitlines():
+        m = re.match(r"\((\d+)\) (\w+)", line.strip())
+        if m:
+            cur = int(m.group(1))
+            nodes[cur] = (m.group(2), "")
+        elif cur is not None and line.strip().startswith("Arguments:"):
+            nodes[cur] = (nodes[cur][0], line.strip())
+    return nodes
+
+
+def audit_one(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("cartesian")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append("nested_loop_join")
+    # Global window = the detail-section signature
+    #   (i) Exchange SinglePartition -> (i+1) Sort -> (i+2) Window:
+    # the whole input serialized through one task's sort+window. A
+    # SinglePartition exchange under a final ungrouped agg is NOT flagged
+    # (it only moves pre-aggregated partials).
+    nodes = parse_nodes(plan)
+    for i, (kind, args) in nodes.items():
+        if (
+            kind == "Window"
+            and nodes.get(i - 1, ("",))[0] == "Sort"
+            and nodes.get(i - 2, ("", ""))[0] == "Exchange"
+            and "SinglePartition" in nodes.get(i - 2, ("", ""))[1]
+        ):
+            flags.append("global_window")
+            break
+    if "Scan ExistingRDD" in plan:
+        flags.append("rdd_scan")
+    return flags
+
+
+def main() -> None:
+    verbose = "-v" in sys.argv
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    spark = get_spark("audit_plans")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    queries = all_queries()
+    if names:
+        queries = {n: queries[n] for n in names}
+    results: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, q in sorted(queries.items()):
+        try:
+            plan = formatted_plan(q.fn(spark, SF_DIR))
+        except Exception as e:  # streaming-only entries can't batch-plan
+            errors[name] = str(e).splitlines()[0][:120]
+            continue
+        flags = audit_one(name, plan)
+        if flags and verbose:
+            print(name, flags)
+        if flags:
+            results[name] = flags
+    violations = {
+        n: [f for f in fl if (n, f) not in WHITELIST] for n, fl in results.items()
+    }
+    violations = {n: fl for n, fl in violations.items() if fl}
+    print(
+        json.dumps(
+            {
+                "audited": len(queries) - len(errors),
+                "skipped_unplannable": len(errors),
+                "flagged": results,
+                "violations": violations,
+            }
+        )
+    )
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()
