@@ -39,7 +39,10 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     user_sessions,
 )
 from prometheus_remote_kinesis_spark.registry import register
-from prometheus_remote_kinesis_spark.sources.tables import _NANOS_TS_COLUMNS
+from prometheus_remote_kinesis_spark.sources.tables import (
+    _NANOS_TS_COLUMNS,
+    load_table,
+)
 
 _qname_counter = itertools.count()
 
@@ -279,4 +282,128 @@ def _t10c_counter_increase_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 if tws_available():
     register("t10c_counter_increase_tws", family="T10/U5", oracle=_T10_STREAM_ORACLE)(
         _t10c_counter_increase_tws
+    )
+
+
+_T17_STREAM_ORACLE = """
+    WITH d AS (
+        SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS name,
+               epoch_us(ts) // 1000 AS time, value,
+               CAST(round(value * 100) AS BIGINT) AS v100
+        FROM events
+    ),
+    s AS (
+        SELECT name, time, value,
+               count(*) OVER w       AS n,
+               sum(v100) OVER w      AS sv,
+               sum(v100 * v100) OVER w AS svv
+        FROM d
+        WINDOW w AS (PARTITION BY name ORDER BY time
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT name, time, round(value, 6) AS value,
+           CASE WHEN n < 2 OR n * svv - sv * sv = 0 THEN NULL
+                ELSE round((value - CAST(sv AS DOUBLE) / 100.0 / n)
+                           / sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                                  / (n * (n - 1)) / 10000.0), 4)
+           END AS z,
+           CAST(n AS BIGINT) AS n_prior
+    FROM s
+"""
+
+
+@register("t17s_prefix_anomaly_stream", family="T10", oracle=_T17_STREAM_ORACLE)
+def t17s_prefix_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-series anomaly detection (each sample z-scored
+    against the running moments of its series' PRIOR samples) executed by
+    the streaming engine via ``applyInPandasWithState`` and hash-checked
+    against the batch SQL oracle. The state is three exact integers per
+    series, so micro-batch boundaries can't perturb the output — the
+    oracle equality IS the exactly-once/evolution-order test. Complements
+    a11 (corpus-global moments, batch): this is the deployable
+    alerting-path form — O(1) state, no lookback buffer, works on an
+    unbounded stream."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import prefix_anomaly
+
+    out = prefix_anomaly(_event_series_stream(spark, sf_dir), idle_timeout_ms=None)
+    return run_to_batch(out, "append").select(
+        "name",
+        "time",
+        F.round("value", 6).alias("value"),
+        F.round("z", 4).alias("z"),
+        "n_prior",
+    )
+
+
+_T17_BATCH_ORACLE = """
+    WITH d AS (
+        SELECT event_id, event_type, user_id, value,
+               CAST(round(value * 100) AS BIGINT) AS v100, ts
+        FROM events
+    ),
+    s AS (
+        SELECT event_id, event_type, user_id, value,
+               count(*) OVER w         AS n,
+               sum(v100) OVER w        AS sv,
+               sum(v100 * v100) OVER w AS svv
+        FROM d
+        WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, user_id,
+           CASE WHEN n < 2 OR n * svv - sv * sv = 0 THEN NULL
+                ELSE round((value - CAST(sv AS DOUBLE) / 100.0 / n)
+                           / sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                                  / (n * (n - 1)) / 10000.0), 4)
+           END AS z,
+           CAST(n AS BIGINT) AS n_prior
+    FROM s
+"""
+
+
+@register("t17_prefix_anomaly", family="T10", oracle=_T17_BATCH_ORACLE)
+def t17_prefix_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of t17s: the same prefix-moment z-scores written
+    declaratively — one Window node of three integer prefix sums per
+    series key, one shuffle. The imperative stateful form and this plan
+    produce hash-identical output (shared oracle modulo key encoding),
+    demonstrating the batch/streaming duality Spark's unified model
+    promises — and giving the backfill path (reprocess history in batch,
+    then hand the live tail to t17s with state carried forward)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "value",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+    )
+    s = d.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v100").over(w).alias("sv"),
+        F.sum(F.col("v100") * F.col("v100")).over(w).alias("svv"),
+    )
+    num = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    mean = F.col("sv").cast("double") / 100.0 / F.col("n")
+    var = num.cast("double") / (F.col("n") * (F.col("n") - 1)) / 10000.0
+    return s.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when((F.col("n") < 2) | (num == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((F.col("value") - mean) / F.sqrt(var), 4))
+        .alias("z"),
+        F.col("n").alias("n_prior"),
     )

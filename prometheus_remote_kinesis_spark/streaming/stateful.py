@@ -325,3 +325,79 @@ def gap_fill(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("time", LongType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+        StructField("n_prior", LongType()),
+    ]
+)
+
+# Prefix moments as EXACT integers (values quantized to hundredths), so
+# the running state is bit-identical no matter how the stream is chopped
+# into micro-batches — the property that makes the streaming output equal
+# to the batch twin and the SQL oracle.
+_ANOM_STATE_SCHEMA = "n long, sv long, svv long"
+
+
+def prefix_anomaly(
+    records: DataFrame, idle_timeout_ms: int | None = 3_600_000
+) -> DataFrame:
+    """Per-series streaming anomaly detection: each sample's z-score
+    against the running moments of all PRIOR samples of its series
+    (applyInPandasWithState; state = three integers per key).
+
+    Quantizes values to integer hundredths (exact — the corpus is
+    2-decimal) and keeps (n, Σv, Σv²) as Python/int64 integers, so
+    cross-batch accumulation has no float order-dependence; the one
+    floating-point division per row is the identical expression the
+    DuckDB oracle runs. z is NULL until a series has ≥2 priors with
+    nonzero variance. Same timeout posture as ``counter_increase``
+    (NoTimeout for availableNow drains)."""
+
+    def fn(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        n, sv, svv = state.get if state.exists else (0, 0, 0)
+
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time")
+            for _, r in pdf.iterrows():
+                t, v = int(r["time"]), r["value"]
+                if v is None or pd.isna(v):
+                    continue
+                num = n * svv - sv * sv  # n² × variance, exact
+                if n < 2 or num == 0:
+                    z = None
+                else:
+                    mean = sv / 100.0 / n
+                    var = num / (n * (n - 1)) / 10000.0
+                    z = (v - mean) / var**0.5
+                rows.append(
+                    {"name": name, "time": t, "value": v, "z": z, "n_prior": n}
+                )
+                v100 = int(round(v * 100))
+                n, sv, svv = n + 1, sv + v100, svv + v100 * v100
+        state.update((n, sv, svv))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=[f.name for f in ANOMALY_SCHEMA.fields])
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("name").applyInPandasWithState(
+        fn,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
