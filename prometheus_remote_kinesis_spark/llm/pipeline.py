@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from prometheus_remote_kinesis_spark.llm.dedup import shingled_docs
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import load_table
 
@@ -193,6 +194,82 @@ def d3_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_shared"))
+    )
+
+
+@register(
+    "d3b_fuzzy_decontamination",
+    family="L7",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' ||
+                                        string_split(text, ' ')[i+1] || ' ' ||
+                                        string_split(text, ' ')[i+2])
+                            ELSE [text] END)) AS shingle
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT t.doc_id, e.doc_id AS eval_doc_id, count(*) AS i
+            FROM sh t JOIN sh e ON t.shingle = e.shingle
+            WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+            GROUP BY 1, 2
+        )
+        SELECT inter.doc_id AS doc_id, eval_doc_id,
+               round(i * 1.0 / (st.n + se.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes st ON st.doc_id = inter.doc_id
+        JOIN sizes se ON se.doc_id = eval_doc_id
+        WHERE i * 1.0 / (st.n + se.n - i) >= 0.2
+        QUALIFY row_number() OVER (
+            PARTITION BY inter.doc_id
+            ORDER BY i * 1.0 / (st.n + se.n - i) DESC, eval_doc_id) = 1
+    """,
+)
+def d3b_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination — d3 catches verbatim n-gram overlap; this
+    catches paraphrased/truncated contamination: training docs whose
+    3-gram-shingle Jaccard against ANY eval doc (stand-in split:
+    doc_id % 97 = 0) reaches 0.2, reporting each doc's best-matching
+    eval doc. l2b's inverted-index machinery pointed ACROSS corpora.
+
+    Scale shape: the eval side is tiny relative to the corpus, so its
+    postings BROADCAST — the training corpus's shingle explosion streams
+    through a broadcast-hash join without ever shuffling raw shingles;
+    only (train_id, eval_id) intersection counts shuffle. At an eval set
+    too big for that, l2's MinHash/LSH banding pre-filters candidates
+    and this exact pass runs per bucket. Argmax tie-broken on eval id —
+    cross-engine deterministic."""
+    sh = shingled_docs(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    inter = (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    st = sizes.select(F.col("doc_id"), F.col("n").alias("nt"))
+    se = sizes.select(F.col("doc_id").alias("eval_doc_id"), F.col("n").alias("ne"))
+    jac = F.col("i") / (F.col("nt") + F.col("ne") - F.col("i"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jac"), "eval_doc_id")
+    return (
+        inter.join(st, "doc_id")
+        .join(F.broadcast(se), "eval_doc_id")
+        .filter(jac >= 0.2)
+        .select("doc_id", "eval_doc_id", jac.alias("jac"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "eval_doc_id", F.round("jac", 4).alias("jaccard"))
     )
 
 
