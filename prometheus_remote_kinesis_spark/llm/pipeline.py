@@ -643,3 +643,69 @@ def d10_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_bad_props"),
         flag(F.col("ts").isNull()).alias("n_null_ts"),
     )
+
+
+# d11: RAG/packing-style chunk geometry. Small so the ~30-token test docs
+# produce multi-chunk output; the operator is (W, O)-agnostic.
+CHUNK_W = 16  # tokens per chunk
+CHUNK_O = 4  # overlap between consecutive chunks
+
+
+@register(
+    "d11_doc_chunking",
+    family="L7",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(s.i - 1 AS BIGINT) AS chunk_idx,
+               array_to_string(
+                   list_slice(t, (s.i - 1) * {CHUNK_W - CHUNK_O} + 1,
+                              (s.i - 1) * {CHUNK_W - CHUNK_O} + {CHUNK_W}), ' ')
+                   AS chunk_text,
+               CAST(least(len(t) - (s.i - 1) * {CHUNK_W - CHUNK_O},
+                          {CHUNK_W}) AS BIGINT) AS n_tokens
+        FROM toks,
+             LATERAL unnest(range(1,
+                 CASE WHEN len(t) <= {CHUNK_W} THEN 1
+                      ELSE CAST(ceil((len(t) - {CHUNK_W})
+                                     / {CHUNK_W - CHUNK_O}.0) AS BIGINT) + 1
+                 END + 1)) AS s(i)
+    """,
+)
+def d11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (RAG indexing / long-doc
+    training prep): split each document into chunks of {W} tokens with
+    {O}-token overlap — stride {W−O}, last chunk ragged, a doc at or
+    under {W} tokens yields exactly one chunk.
+
+    Pure column expressions: tokenize once, ``sequence`` over chunk
+    starts, ``transform`` + ``slice`` + ``array_join`` to build chunk
+    text, explode LAST (the one-to-many row generation, ~len/stride
+    fan-out). No UDF, no shuffle at all — chunking is embarrassingly
+    parallel and stays inside WholeStageCodegen; at 100 TB this runs at
+    scan speed. Chunk count = ceil((len−W)/stride)+1 — written
+    identically in the DuckDB oracle, so geometry (idx, text, ragged
+    tail length) is string/integer-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    stride = CHUNK_W - CHUNK_O
+    toked = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    n_chunks = (
+        F.when(n <= CHUNK_W, F.lit(1))
+        .otherwise(F.ceil((n - CHUNK_W) / float(stride)).cast("long") + 1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(F.slice("t", i * stride + 1, CHUNK_W), " ").alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(CHUNK_W)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return toked.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )
