@@ -192,6 +192,40 @@ def sql4_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL4_LOCAL_SUPPLIER_VOLUME)
 
 
+_SQL5_LARGE_VOLUME_CUSTOMER = """
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+"""
+
+
+@register(
+    "sql5_large_volume_customer", family="SQL", oracle=_SQL5_LARGE_VOLUME_CUSTOMER
+)
+def sql5_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): aggregate-HAVING
+    IN-subquery over the fact table, re-joined to the same fact — the
+    canonical subquery-decorrelation stress. One ANSI string, both
+    engines; Catalyst rewrites the IN as a left-semi join on the
+    pre-aggregated key set, so the fact table is scanned twice but
+    shuffled on the same key both times (AQE reuses the exchange where
+    it can). Quantity sums are decimal-exact; the HAVING threshold
+    therefore cuts identically on both engines — a double-accumulated
+    sum could straddle 150 differently per partition order."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL5_LARGE_VOLUME_CUSTOMER)
+
+
 _SCD2_UPDATES = """
     SELECT DISTINCT c_custkey AS k FROM customer
     JOIN orders ON o_custkey = c_custkey
