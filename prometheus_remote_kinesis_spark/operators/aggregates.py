@@ -423,6 +423,7 @@ def _hq_quantile_sql(phi: float) -> str:
 @register(
     "a10b_histogram_quantile",
     family="A1",
+    bench=True,
     oracle=f"""
         WITH w AS (
             SELECT event_type, count(*) AS n, [{_HQ_CUMS_SQL}] AS cums,

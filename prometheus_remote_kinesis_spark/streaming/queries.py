@@ -361,7 +361,7 @@ _T17_BATCH_ORACLE = """
 """
 
 
-@register("t17_prefix_anomaly", family="T10", oracle=_T17_BATCH_ORACLE)
+@register("t17_prefix_anomaly", family="T10", bench=True, oracle=_T17_BATCH_ORACLE)
 def t17_prefix_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of t17s: the same prefix-moment z-scores written
     declaratively — one Window node of three integer prefix sums per
