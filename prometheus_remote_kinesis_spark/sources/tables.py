@@ -24,6 +24,24 @@ from prometheus_remote_kinesis_spark.schema import RECORD_SCHEMA, TABLES
 # so the conversion is lossless and oracle-consistent.
 _NANOS_TS_COLUMNS = {"events": ("ts",)}
 
+
+def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Coerce TIMESTAMP_NTZ columns to TIMESTAMP under a UTC session.
+
+    The driver's parquet stores naive ``timestamp[us]`` (isAdjustedToUTC =
+    false), which Spark 4 surfaces as TIMESTAMP_NTZ — a type half the
+    datetime builtins (``unix_millis``, ``window`` …) reject. DuckDB reads
+    the same bytes as its (naive) TIMESTAMP. Pinning the session zone to
+    UTC and casting makes the NTZ→LTZ reinterpretation the identity on the
+    underlying micros, so every epoch-ms computation matches the oracle
+    bit-for-bit regardless of the host session's default zone.
+    """
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz_cols:
+        return df
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+
 # DataFrames are immutable logical plans, so one scan plan per
 # (session, sf_dir, table) can back every query. Building it fresh costs
 # 0.1-0.2 s of Py4J round trips + footer schema fetch PER CALL (measured),
@@ -53,6 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     else:
         df = spark.read.parquet(path)
+    df = _normalize_timestamps(spark, df)
     _DF_CACHE[key] = df
     return df
 

@@ -41,6 +41,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import (
     _NANOS_TS_COLUMNS,
+    _normalize_timestamps,
     load_table,
 )
 
@@ -66,7 +67,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    return _normalize_timestamps(spark, df)
 
 
 def run_to_batch(streaming_df: DataFrame, output_mode: str) -> DataFrame:
