@@ -81,10 +81,7 @@ def f2_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("dom"),
         (F.weekday("o_orderdate") + F.lit(1)).alias("iso_dow"),
         F.to_date("o_orderdate").alias("order_date"),
-        # parquet TIMESTAMP(isAdjustedToUTC=false) loads as TIMESTAMP_NTZ in
-        # Spark 4; unix_millis needs TIMESTAMP — UTC session makes the cast
-        # wall-clock-exact, matching DuckDB's naive-timestamp epoch_ms.
-        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_millis"),
+        F.unix_millis("o_orderdate").alias("epoch_millis"),
     )
 
 

@@ -26,7 +26,8 @@ _NANOS_TS_COLUMNS = {"events": ("ts",)}
 
 
 def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Coerce TIMESTAMP_NTZ columns to TIMESTAMP under a UTC session.
+    """Coerce TIMESTAMP_NTZ columns (incl. nested in struct/array/map) to
+    TIMESTAMP under a UTC session.
 
     The driver's parquet stores naive ``timestamp[us]`` (isAdjustedToUTC =
     false), which Spark 4 surfaces as TIMESTAMP_NTZ — a type half the
@@ -36,11 +37,55 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
     underlying micros, so every epoch-ms computation matches the oracle
     bit-for-bit regardless of the host session's default zone.
     """
-    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
-    if not ntz_cols:
+    def convert(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.TimestampNTZType):
+            return T.TimestampType()
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [T.StructField(f.name, convert(f.dataType), f.nullable, f.metadata) for f in dt]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(convert(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(convert(dt.keyType), convert(dt.valueType), dt.valueContainsNull)
+        return dt
+
+    casts = {
+        f.name: F.col(f.name).cast(converted)
+        for f in df.schema.fields
+        if (converted := convert(f.dataType)) != f.dataType
+    }
+    if not casts:
         return df
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    # session.py pins the session zone to UTC at build time; the NTZ→LTZ cast
+    # is only micros-preserving under UTC, so check the invariant rather than
+    # silently re-imposing it (a conf.set here would clobber a caller's zone).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if not _is_utc(tz):
+        raise RuntimeError(
+            f"TIMESTAMP_NTZ normalization requires a UTC session timezone, got {tz!r}"
+        )
+    return df.withColumns(casts)
+
+
+def _is_utc(tz: str) -> bool:
+    """True for any zone that is UTC year-round (UTC, Etc/UTC, GMT, +00:00…).
+
+    The driver builds a vanilla session, which inherits the container TZ
+    (``Etc/UTC``) rather than the literal ``UTC`` our session builder pins.
+    """
+    if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        return True
+    try:
+        from datetime import datetime, timedelta
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(tz)
+        return all(
+            zone.utcoffset(datetime(2026, m, 1)) == timedelta(0) for m in (1, 7)
+        )
+    except Exception:
+        return False
 
 # DataFrames are immutable logical plans, so one scan plan per
 # (session, sf_dir, table) can back every query. Building it fresh costs
