@@ -351,3 +351,62 @@ def l5h_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("cb") / F.col("cu"))), 6).alias("avg_logprob"),
         )
     )
+
+
+L5I_ORACLE = f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS wc,
+               (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                   / len(string_split(text, ' ')) AS mwl,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN {STOPWORDS!r})) AS stop_hits,
+               CAST(list_max(list_transform(string_split(text, ' '),
+                                            t -> length(t))) AS INTEGER)
+                   AS max_word_len
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(wc AS INTEGER)                AS wc,
+           round(mwl, 4)                      AS mean_word_len,
+           stop_hits,
+           max_word_len,
+           (wc >= 50 AND wc <= 100000)        AS gopher_wc_pass,
+           (mwl >= 3 AND mwl <= 10)           AS gopher_mwl_pass,
+           (stop_hits >= 2)                   AS gopher_stop_pass,
+           (wc >= 50 AND wc <= 100000 AND mwl >= 3 AND mwl <= 10
+            AND stop_hits >= 2)               AS keep
+    FROM m
+"""
+
+
+@register("l5i_gopher_filter_battery", family="L5", oracle=L5I_ORACLE)
+def l5i_gopher_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic filter battery as one zero-shuffle
+    projection: word count, mean word length, stopword hits, and max word
+    length feed per-rule pass flags plus the conjunctive keep decision
+    (Rae et al. Gopher §A1.1 rule shapes: 50 ≤ wc, 3 ≤ mean-word-len ≤ 10,
+    ≥ 2 stopword hits). Unlike l5c (which reports quality scores), this is
+    the decision operator a 100 TB curation pass runs as its first stage —
+    every expression is codegen-resident string/array arithmetic, so the
+    filter runs at scan speed with no Python in the path, and the kept/cut
+    corpus split falls out of one boolean column."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    wc = F.size(words)
+    mwl = (F.length("text") - (wc - F.lit(1))) * F.lit(1.0) / wc
+    stop_hits = F.size(F.filter(words, lambda t: t.isin(*STOPWORDS)))
+    gwc = (wc >= 50) & (wc <= 100000)
+    gmwl = (mwl >= 3) & (mwl <= 10)
+    gstop = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        wc.alias("wc"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.array_max(F.transform(words, F.length)).alias("max_word_len"),
+        gwc.alias("gopher_wc_pass"),
+        gmwl.alias("gopher_mwl_pass"),
+        gstop.alias("gopher_stop_pass"),
+        (gwc & gmwl & gstop).alias("keep"),
+    )

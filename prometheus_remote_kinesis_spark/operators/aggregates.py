@@ -547,3 +547,65 @@ def a4b_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (0.50, 0.90, 0.99)
         ]
     )
+
+
+A12_ORACLE = """
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+"""
+
+
+@register("a12_heavy_hitters_mg", family="A12", oracle=A12_ORACLE)
+def a12_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k heavy hitters by the two-phase sketch pattern: a
+    per-partition Misra-Gries summary (``mapInPandas``, K counters, O(K)
+    memory regardless of partition size) emits a tiny candidate set, and a
+    second exact pass counts ONLY the candidates (broadcast semi join on
+    the exploded tokens).
+
+    Pigeonhole guarantee: any token with global frequency > N/(K+1)
+    exceeds the local threshold n_p/(K+1) in at least one partition, so it
+    survives some partition's summary — with K=200 candidates the exact
+    top-20 is provably inside the candidate union whenever the 20th item
+    holds > 0.5%% of total mass. At 100 TB the first pass is map-only
+    (no shuffle of token instances); only candidate names cross the wire,
+    and the second pass's shuffle carries (token, partial-count) pairs
+    pre-filtered to ~K distinct keys. The driver's oracle is the plain
+    exact GROUP BY — the sketch path must reproduce it bit-for-bit.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 200
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in text.split(" "):
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        # decrement-all step; drop zeroed counters
+                        for key in list(counters):
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                del counters[key]
+        yield pd.DataFrame({"token": list(counters)})
+
+    candidates = (
+        docs.select("text").mapInPandas(mg_partition, "token string").distinct()
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )

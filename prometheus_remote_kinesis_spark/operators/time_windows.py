@@ -754,3 +754,148 @@ def t15b_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("delay_ms", 0.5), 4).alias("p50_delay_ms"),
         F.round(F.percentile("delay_ms", 0.9), 4).alias("p90_delay_ms"),
     )
+
+
+T14E_ORACLE = """
+    WITH d AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) // 1000 AS ms, value,
+               lag(value) OVER w AS prev_v,
+               lag(epoch_us(ts) // 1000) OVER w AS prev_ms
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type, user_id,
+           CASE WHEN prev_ms IS NULL OR ms <= prev_ms THEN NULL
+                ELSE round((CASE WHEN value >= prev_v THEN value - prev_v
+                                 ELSE value END) * 1000.0 / (ms - prev_ms), 6)
+           END AS irate_per_sec,
+           round(value - prev_v, 2) AS idelta
+    FROM d
+"""
+
+
+@register("t14e_irate_idelta", family="T14", oracle=T14E_ORACLE)
+def t14e_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``irate(m[..])`` / ``idelta(m[..])``: instantaneous rate and
+    delta from the LAST TWO samples of each series — the fast-moving-counter
+    companions to t14's windowed ``rate``. One lag window per series key
+    (same single shuffle as t14); counter resets make the new value the
+    increase (reference NaN/monotonicity model, prometheus.go:28-32 family);
+    duplicate-timestamp neighbors yield NULL rate rather than a division by
+    zero. Values are 2-decimal-quantized so irate's quotient is identical on
+    both engines before round(…,6)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    d = events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag(F.unix_millis("ts")).over(w).alias("prev_ms"),
+    )
+    inc = F.when(F.col("value") >= F.col("prev_v"), F.col("value") - F.col("prev_v")).otherwise(
+        F.col("value")
+    )
+    return d.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(
+            F.col("prev_ms").isNull() | (F.col("ms") <= F.col("prev_ms")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(inc * 1000.0 / (F.col("ms") - F.col("prev_ms")), 6))
+        .alias("irate_per_sec"),
+        F.round(F.col("value") - F.col("prev_v"), 2).alias("idelta"),
+    )
+
+
+T14F_ORACLE = """
+    WITH d AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) // 1000 AS ms, value
+        FROM events
+    )
+    SELECT event_id, event_type, user_id,
+           round(quantile_cont(value, 0.5) OVER w, 4) AS p50_ot,
+           round(quantile_cont(value, 0.9) OVER w, 4) AS p90_ot
+    FROM d
+    WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ms
+                 RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("t14f_quantile_over_time", family="T14", oracle=T14F_ORACLE)
+def t14f_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile_over_time(φ, m[5m])``: exact interpolated
+    percentiles of each series' trailing 5-minute range vector, evaluated at
+    every sample. Same one-shuffle RANGE frame as t14b with a percentile
+    aggregate in the frame (a4's percentile/quantile_cont linear-interpolation
+    parity); inputs are 2-decimal-quantized so the interpolation arithmetic
+    agrees bit-for-bit before round(…,4)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wrange = (
+        Window.partitionBy("event_type", "user_id").orderBy("ms").rangeBetween(-300000, 0)
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "value",
+    ).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(F.percentile("value", 0.5).over(wrange), 4).alias("p50_ot"),
+        F.round(F.percentile("value", 0.9).over(wrange), 4).alias("p90_ot"),
+    )
+
+
+T18_ORACLE = """
+    WITH b AS (
+        SELECT DISTINCT event_type, epoch_us(ts) // 1000 // 300000 AS bucket
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, bucket,
+               lag(bucket) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+        FROM b
+    )
+    SELECT event_type,
+           (prev + 1) * 300000   AS gap_start_ms,
+           bucket * 300000       AS gap_end_ms,
+           bucket - prev - 1     AS missing_buckets
+    FROM d
+    WHERE prev IS NOT NULL AND bucket - prev > 1
+"""
+
+
+@register("t18_absent_gaps", family="T18", oracle=T18_ORACLE)
+def t18_absent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``absent_over_time`` analog: contiguous runs of empty
+    5-minute buckets per series, found by gaps-and-islands over the
+    OBSERVED buckets (distinct → lag → run between non-adjacent
+    neighbors). Deliberately never materializes the dense time grid: cost
+    is O(observed buckets), not O(span) — the difference between a
+    groupBy over real data and exploding a sequence() per series over a
+    year of 100 TB history. All-integer arithmetic."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    b = events.select(
+        "event_type", (F.unix_millis("ts") / F.lit(300000)).cast("long").alias("bucket")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    d = b.select("event_type", "bucket", F.lag("bucket").over(w).alias("prev"))
+    return d.filter(F.col("prev").isNotNull() & (F.col("bucket") - F.col("prev") > 1)).select(
+        "event_type",
+        ((F.col("prev") + 1) * 300000).alias("gap_start_ms"),
+        (F.col("bucket") * 300000).alias("gap_end_ms"),
+        (F.col("bucket") - F.col("prev") - 1).alias("missing_buckets"),
+    )

@@ -72,7 +72,6 @@ _PRIORITY = (
     "p7_projection_pruning",
     # SQL entry path + lakehouse merge
     "sql1_shipping_priority",
-    "sql3_correlated_exists",
     "sql4_local_supplier_volume",
     "m1_scd2_merge",
     # J: broadcast / semi / range-bucketed / as-of
@@ -88,10 +87,10 @@ _PRIORITY = (
     "a5c_grouping_sets",
     "a7_event_type_sets",
     "a10b_histogram_quantile",
-    "a11_zscore_anomalies",
-    # W: rank family, scalable global rank, analytics, scalable range frame, top-k
+    # A12: two-phase Misra-Gries exact heavy hitters
+    "a12_heavy_hitters_mg",
+    # W: rank family, analytics, scalable range frame, top-k
     "w1b_rank_family",
-    "w1c_global_rank_scalable",
     "w2b_first_last_nth",
     "w3b_trailing_5min_scalable",
     "w4_top_parts_per_brand",
@@ -116,12 +115,14 @@ _PRIORITY = (
     "t14_rate_5m",
     "t15_funnel_conversion",
     "t16_retention_cohorts",
+    "t18_absent_gaps",
     # R: Layer-A ingest chain (flatten, NDJSON wire, prompb DataSource)
     "r1_event_records",
     "r2_ndjson_roundtrip",
     "r4_prompb_datasource",
     # Streaming-executed (real Structured Streaming path, same oracle)
     "t5s_tumbling_5min_stream",
+    "t19s_stream_static_join",
     # L: dedup, similarity, text analysis
     "l1_exact_dedup",
     "l2b_ngram_jaccard",

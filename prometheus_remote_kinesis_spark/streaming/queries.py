@@ -408,3 +408,42 @@ def t17_prefix_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("z"),
         F.col("n").alias("n_prior"),
     )
+
+
+T19S_ORACLE = """
+    SELECT c_mktsegment,
+           count(*)                                                   AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+           sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)  AS n_purchases
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@register("t19s_stream_static_join", family="T19-stream", oracle=T19S_ORACLE)
+def t19s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, STREAMING-EXECUTED: the event stream
+    joins the static ``customer`` dimension (broadcast — the canonical
+    "enrich a 100 TB stream with a small dim" shape; no state, no watermark,
+    the static side is re-broadcast per micro-batch) and rolls up per market
+    segment in complete mode. Distinct aggregates are unsupported on streams
+    (Spark raises), so the rollup uses conditional counts; a3b's mergeable
+    HLL partials are the streaming-safe distinct-count path. Oracle is the
+    equivalent batch join+GROUP BY, so the streaming join operator itself
+    sits inside the hash-match gate."""
+    events = stream_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+    )
+    return run_to_batch(agg, "complete")

@@ -71,3 +71,48 @@ def test_hll_union_matches_direct(spark):
             exact[t],
         )
         assert merged[t].n_partials >= 1
+
+
+def test_mg_heavy_hitters_partition_invariance(spark):
+    """The Misra-Gries candidate pass must contain the exact top-20 under
+    ANY partitioning (the pigeonhole bound) — exercise the adversarial
+    direction by slicing the corpus into many tiny partitions and checking
+    the two-phase result still equals the exact one."""
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        a12_heavy_hitters_mg,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+        .collect()
+    )
+    two_phase = a12_heavy_hitters_mg(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in two_phase] == [tuple(r) for r in exact]
+
+    # adversarial partitioning: 64 slivers of a small corpus — every
+    # partition summary is noisy, the union must still cover the top-20
+    import prometheus_remote_kinesis_spark.sources.tables as tables
+
+    key = next(iter(k for k in tables._DF_CACHE if k[1] == SF_SMOKE and k[2] == "documents"), None)
+    sliced = docs.repartition(64)
+    saved = tables._DF_CACHE.copy()
+    try:
+        for k in list(tables._DF_CACHE):
+            if k[2] == "documents":
+                tables._DF_CACHE[k] = sliced
+        if key is None:
+            app = spark.sparkContext.applicationId
+            tables._DF_CACHE[(app, SF_SMOKE, "documents")] = sliced
+        two_phase_64 = a12_heavy_hitters_mg(spark, SF_SMOKE).collect()
+    finally:
+        tables._DF_CACHE.clear()
+        tables._DF_CACHE.update(saved)
+    assert [tuple(r) for r in two_phase_64] == [tuple(r) for r in exact]
