@@ -322,15 +322,19 @@ def t14_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
-    wlag = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
-    d = events.select(
+    # lag orders by (ms, event_id) — ms is injective in ts, so this equals
+    # the oracle's (ts, event_id) ordering, and the RANGE window's [ms]
+    # requirement is a PREFIX of the sort, so Spark plans ONE Sort for both
+    # Window nodes instead of re-sorting between them.
+    d0 = events.select(
         "event_id",
         "event_type",
         "user_id",
         F.unix_millis("ts").alias("ms"),
         "value",
-        F.lag("value").over(wlag).alias("prev"),
     )
+    wlag = Window.partitionBy("event_type", "user_id").orderBy("ms", "event_id")
+    d = d0.withColumn("prev", F.lag("value").over(wlag))
     inc = (
         F.when(F.col("prev").isNull(), F.lit(None).cast("double"))
         .when(F.col("value") >= F.col("prev"), F.col("value") - F.col("prev"))
@@ -543,21 +547,22 @@ def t14d_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     predecessor), summed over t14's trailing RANGE frame. Completes the
     range-vector function family (rate t14, *_over_time t14b,
     deriv/predict t14c). All-integer arithmetic — engine-exact; one
-    shuffle on the series key shared by BOTH window passes (lag and
-    frame-sum use the same partitioning, so Catalyst plans a single
-    Exchange)."""
+    shuffle on the series key shared by BOTH window passes, and one Sort:
+    the lag orders by (ms, event_id) — ms is injective in ts, so semantics
+    match the oracle — and the RANGE window's [ms] requirement is a prefix
+    of that sort order (t14's single-sort shape)."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
-    wlag = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
-    d = events.select(
+    d0 = events.select(
         "event_id",
         "event_type",
         "user_id",
         F.unix_millis("ts").alias("ms"),
         "value",
-        F.lag("value").over(wlag).alias("prev"),
     )
+    wlag = Window.partitionBy("event_type", "user_id").orderBy("ms", "event_id")
+    d = d0.withColumn("prev", F.lag("value").over(wlag))
     chg = (F.col("prev").isNotNull() & (F.col("value") != F.col("prev"))).cast("long")
     rst = (F.col("prev").isNotNull() & (F.col("value") < F.col("prev"))).cast("long")
     wrange = (
