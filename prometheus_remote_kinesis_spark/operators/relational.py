@@ -304,3 +304,123 @@ def m1_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionByName(opened).unionByName(passthrough)
+
+
+_SQL6_NATION_TRADE = """
+    SELECT supp_nation, cust_nation, yr,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               year(l_shipdate) AS yr,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey  = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey  = o_custkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        WHERE ((ns.n_name = 'FRANCE' AND nc.n_name = 'GERMANY')
+            OR (ns.n_name = 'GERMANY' AND nc.n_name = 'FRANCE'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+@register("sql6_nation_trade_volume", family="SQL", oracle=_SQL6_NATION_TRADE)
+def sql6_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): six-table join with a
+    DISJUNCTIVE cross-dimension predicate over two aliases of the same
+    dimension (nation joined twice under different roles). Catalyst
+    broadcasts both nation sides and the supplier/customer dims; the OR
+    over the two role pairs cannot be pushed below the joins, so it tests
+    post-join filter placement. One ANSI string, both engines."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL6_NATION_TRADE)
+
+
+_SQL7_PRIORITY_CLASSES = """
+    SELECT year(o_orderdate) AS yr,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count,
+           round(sum(CASE WHEN l_returnflag = 'R'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 2) AS returned_revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+    GROUP BY yr
+    ORDER BY yr
+"""
+
+
+@register("sql7_priority_classes", family="SQL", oracle=_SQL7_PRIORITY_CLASSES)
+def sql7_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional classification agg): pivot-style CASE
+    sums inside one hash aggregate over a fact-fact join — one pass,
+    partial aggregation map-side, no per-class scans. The returned-revenue
+    arm mixes a float product under the CASE; rounded at 2dp on a
+    decimal-friendly magnitude (SCALE.md floats note)."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL7_PRIORITY_CLASSES)
+
+
+_SQL8_DISJUNCTIVE = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45
+           AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("sql8_disjunctive_join_filter", family="SQL", oracle=_SQL8_DISJUNCTIVE)
+def sql8_disjunctive_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive multi-column predicates straddling a
+    join): three OR-branches each combining part-side and lineitem-side
+    conditions. Catalyst extracts the common single-side conjuncts it can
+    (quantity/size envelopes) to push below the join while the residual
+    disjunction evaluates post-join — the classic predicate-decomposition
+    stress. Scalar-only output; decimal-rounded revenue."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL8_DISJUNCTIVE)
+
+
+_SQL9_ABOVE_BRAND_AVG = """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice > 1.2 * (
+        SELECT avg(p2.p_retailprice) FROM part p2
+        WHERE p2.p_brand = p.p_brand
+    )
+    ORDER BY p_partkey
+"""
+
+
+@register("sql9_above_brand_avg", family="SQL", oracle=_SQL9_ABOVE_BRAND_AVG)
+def sql9_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2/Q17-shape correlated SCALAR aggregate subquery: each part
+    compares against its brand's average. Catalyst decorrelates to a
+    grouped aggregate joined back on the correlation key (one extra scan +
+    one broadcastable per-brand aggregate) instead of a per-row subquery —
+    O(N) not O(N·groups). The 1.2 multiplier keeps the threshold away from
+    float-tie territory; average-of-decimals divides identically on both
+    engines at this scale."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL9_ABOVE_BRAND_AVG)

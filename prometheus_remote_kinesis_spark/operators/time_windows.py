@@ -904,3 +904,80 @@ def t18_absent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") * 300000).alias("gap_end_ms"),
         (F.col("bucket") - F.col("prev") - 1).alias("missing_buckets"),
     )
+
+
+T20_ORACLE = """
+    WITH RECURSIVE s AS (
+        SELECT event_type, user_id, CAST(value AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts, event_id) AS i,
+               count(*) OVER (PARTITION BY event_type, user_id) AS n
+        FROM events
+    ),
+    hw AS (
+        SELECT event_type, user_id, i, n, v AS l, CAST(0.0 AS DOUBLE) AS t
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.user_id, s.i, s.n,
+               0.3 * s.v + 0.7 * (hw.l + hw.t),
+               0.1 * ((0.3 * s.v + 0.7 * (hw.l + hw.t)) - hw.l) + 0.9 * hw.t
+        FROM hw
+        JOIN s ON s.event_type = hw.event_type AND s.user_id = hw.user_id
+              AND s.i = hw.i + 1
+    )
+    SELECT event_type, user_id,
+           CAST(n AS INTEGER)  AS n_samples,
+           round(l, 6)         AS hw_level,
+           round(t, 6)         AS hw_trend,
+           round(l + t, 6)     AS hw_forecast
+    FROM hw WHERE i = n
+"""
+
+
+@register("t20_holt_winters", family="T20", oracle=T20_ORACLE)
+def t20_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``holt_winters(v[..], 0.3, 0.1)``: double exponential
+    smoothing per series — an inherently SEQUENTIAL recurrence, expressed
+    as an order-stable left fold: Spark runs the ``aggregate`` higher-order
+    function over the time-sorted sample array (no Python in the path);
+    the oracle is a recursive CTE applying the identical recurrence (NOT
+    DuckDB ``list_reduce``: its struct accumulator evaluates fields
+    sequentially, so the trend arm reads the already-updated level —
+    verified wrong on a 3-element probe). Both sides apply bit-identical
+    IEEE ops in identical order, so the hash gate covers a stateful
+    recurrence no window frame can express — the declarative alternative
+    to a Python loop in applyInPandas (T10).
+
+    Scale: one shuffle (the groupBy); per-series arrays stay executor-side
+    and bounded by series length. For unbounded series, chunk by calendar
+    period and carry (level, trend) across chunks — the same
+    state-handoff shape as t17's prefix moments."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.groupBy("event_type", "user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("value").cast("double").alias("value"))
+            )
+        ).alias("samples")
+    )
+    vals = F.transform("samples", lambda r: r["value"])
+
+    def step(acc, x):
+        level = F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["t"])
+        return F.struct(
+            level.alias("l"),
+            (F.lit(0.1) * (level - acc["l"]) + F.lit(0.9) * acc["t"]).alias("t"),
+        )
+
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("t")
+    )
+    folded = F.aggregate(F.slice(vals, F.lit(2), F.size(vals) - 1), init, step)
+    return s.select(
+        "event_type",
+        "user_id",
+        F.size(vals).alias("n_samples"),
+        F.round(folded["l"], 6).alias("hw_level"),
+        F.round(folded["t"], 6).alias("hw_trend"),
+        F.round(folded["l"] + folded["t"], 6).alias("hw_forecast"),
+    )

@@ -97,8 +97,9 @@ _PRIORITY = (
     # O: sort, pagination, union, intersect
     "o1_nations_sorted",
     "o2b_pagination",
-    "o3_union_nation_counts",
     "o4_nation_intersect",
+    # T20: sequential Holt-Winters recurrence as an order-stable fold
+    "t20_holt_winters",
     # F: all seven scalar-function families
     "f1_string_ops",
     "f2_datetime_ops",

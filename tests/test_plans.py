@@ -296,3 +296,33 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_archive(spark, tmp_path):
+    """S9 archival lake + DPP: the archive is partitioned by metric name
+    (the reference's Kinesis partition key, kinesis.go:174); a join
+    against a filtered dimension must prune archive PARTITIONS at runtime
+    (`dynamicpruning` subquery in the scan's PartitionFilters) — at 100 TB
+    this is the difference between scanning one metric's directory and the
+    whole lake when the metric list arrives from a dimension, not a
+    literal."""
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.ingest_queries import _event_records
+
+    path = str(tmp_path / "archive")
+    records = _event_records(spark, SF_SMOKE)
+    records.write.mode("overwrite").partitionBy("name").parquet(path)
+
+    archive = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("purchase", 3), ("signup", 4), ("view", 5)],
+        "name string, prio int",
+    ).filter(F.col("prio") <= 1)
+
+    joined = archive.join(dim, "name").groupBy("name").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+    # and the pruned scan really reads only the one surviving partition
+    rows = joined.collect()
+    assert [r["name"] for r in rows] == ["click"]
