@@ -288,3 +288,55 @@ def r4_prompb_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("labels", "user").alias("label_user"),
         )
     )
+
+
+_R5_ORACLE = """
+    SELECT event_type,
+           sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS n_good,
+           sum(CASE WHEN event_id % 97 =  0 THEN 1 ELSE 0 END) AS n_quarantined,
+           round(CAST(sum(CASE WHEN event_id % 97 <> 0
+                               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE),
+                 2) AS recovered_sum
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("r5_corrupt_quarantine", family="S8-err", oracle=_R5_ORACLE)
+def r5_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on the NDJSON wire: serialize events to
+    JSON lines, deterministically mangle a subset (strip the opening brace
+    where event_id % 97 == 0 — the stand-in for a producer marshal
+    failure), parse back with ``from_json``, and split good vs quarantined.
+
+    The reference's marshal-failure path leaves a nil entry in the send
+    slice and forwards it to PutRecords (kinesis.go:156-161 — SURVEY §4.3
+    wart #2); this operator pins our divergence: bad records are COUNTED
+    AND SET ASIDE, never silently dropped or forwarded, and every good
+    record's value survives the round trip exactly (the oracle's
+    recovered_sum is computed from the original table). PERMISSIVE
+    from_json yields an all-null struct for unparseable lines, so the
+    quarantine predicate is one null check — no Python, scan-speed."""
+    events = load_table(spark, sf_dir, "events")
+    line = F.to_json(F.struct("event_id", "event_type", "value"))
+    mangled = F.when(
+        F.col("event_id") % 97 == 0, F.substring(line, 2, 1_000_000)
+    ).otherwise(line)
+    parsed = F.from_json(
+        mangled, "struct<event_id: bigint, event_type: string, value: double>"
+    )
+    d = events.select("event_type", parsed.alias("r"))
+    # PERMISSIVE from_json yields an ALL-NULL struct (not a NULL column) for
+    # unparseable lines; event_id is non-null in every real record, so its
+    # nullness is the quarantine flag.
+    good = F.col("r.event_id").isNotNull()
+    return d.groupBy("event_type").agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_quarantined"),
+        F.round(
+            F.sum(F.when(good, F.col("r.value").cast("decimal(18,2)"))).cast(
+                "double"
+            ),
+            2,
+        ).alias("recovered_sum"),
+    )

@@ -981,3 +981,71 @@ def t20_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded["t"], 6).alias("hw_trend"),
         F.round(folded["l"] + folded["t"], 6).alias("hw_forecast"),
     )
+
+
+T21_ORACLE = """
+    WITH v AS (
+        SELECT (epoch_us(ts) // 1000 // 300000) * 300000 AS bucket_ms,
+               event_type,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT bucket_ms, event_type, avg_value,
+               row_number() OVER (PARTITION BY bucket_ms
+                                  ORDER BY avg_value DESC, event_type) AS rk
+        FROM v
+    )
+    SELECT bucket_ms, event_type, rk,
+           CASE WHEN avg_value < 0 THEN 0.0
+                WHEN avg_value > 50 THEN 50.0
+                ELSE avg_value END AS clamped_avg,
+           regexp_replace(event_type, '^(err|sign)(.*)$', 'alert_\\1') AS sev_label
+    FROM r
+    WHERE rk <= 2
+"""
+
+
+@register("t21_promql_vector_ops", family="T21", oracle=T21_ORACLE)
+def t21_promql_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL instant-vector operator surface in one query:
+    ``topk(2, avg by (name) (v))`` per 5-minute evaluation bucket,
+    ``clamp(v, 0, 50)``, and ``label_replace(v, "sev", "alert_$1",
+    "name", "^(err|sign)(.*)$")``. The topk is w4's WindowGroupLimit
+    shape over the PRE-AGGREGATED per-(bucket, name) vector — ranking
+    5 rows per bucket, never raw samples; clamp/label_replace are pure
+    projections. Decimal-exact averages (t5's avg rule) keep the rank
+    order and the clamp branch engine-identical."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.groupBy(
+            ((F.unix_millis("ts") / F.lit(300000)).cast("long") * 300000).alias(
+                "bucket_ms"
+            ),
+            "event_type",
+        ).agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value")
+        )
+    )
+    w = Window.partitionBy("bucket_ms").orderBy(F.desc("avg_value"), "event_type")
+    r = v.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    return r.select(
+        "bucket_ms",
+        "event_type",
+        "rk",
+        F.when(F.col("avg_value") < 0, F.lit(0.0))
+        .when(F.col("avg_value") > 50, F.lit(50.0))
+        .otherwise(F.col("avg_value"))
+        .alias("clamped_avg"),
+        F.regexp_replace("event_type", r"^(err|sign)(.*)$", r"alert_$1").alias(
+            "sev_label"
+        ),
+    )
