@@ -447,3 +447,30 @@ def t19s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_batch(agg, "complete")
+
+
+@register("t20s_holt_winters_stream", family="T20-stream", oracle=None)
+def t20s_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t20's Holt-Winters recurrence executed BY the streaming engine:
+    ``applyInPandasWithState`` carries (n, level, trend) per series and the
+    Python fold applies the recurrence in the identical operand order as
+    the batch ``aggregate`` fold and the recursive-CTE oracle. Registered
+    rows-only (an availableNow drain emits one summary row per
+    series × batch; under multi-batch chop the intermediate rows are
+    extra, so the exact-equality check lives in
+    tests/test_streaming.py::test_holt_winters_stream_matches_batch which
+    pins stream == batch on the single-batch drain)."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import holt_winters
+
+    records = stream_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_millis("ts").alias("time"), "value"
+    )
+    out = holt_winters(records, idle_timeout_ms=None)
+    return run_to_batch(out, "append").select(
+        "event_type",
+        "user_id",
+        "n_samples",
+        F.round("hw_level", 6).alias("hw_level"),
+        F.round("hw_trend", 6).alias("hw_trend"),
+        F.round("hw_forecast", 6).alias("hw_forecast"),
+    )

@@ -401,3 +401,78 @@ def prefix_anomaly(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+HW_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("hw_level", DoubleType()),
+        StructField("hw_trend", DoubleType()),
+        StructField("hw_forecast", DoubleType()),
+    ]
+)
+
+_HW_STATE_SCHEMA = "n long, l double, t double"
+
+
+def holt_winters(
+    records: DataFrame,
+    sf: float = 0.3,
+    tf: float = 0.1,
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """Streaming twin of t20's Holt-Winters fold: (level, trend) carried
+    as per-series state across micro-batches, one summary row emitted per
+    (series, batch). The recurrence is written with EXACTLY the operand
+    order of the batch fold and the recursive-CTE oracle — Python floats
+    are the same IEEE doubles, so all three forms agree bit-for-bit.
+    State is O(1) per series; unlike the prefix-moment operator (t17s)
+    this state is a float pair, so its exactness argument is op-order
+    identity, not integer arithmetic."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        n, level, trend = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time")
+            for v in pdf["value"]:
+                x = float(v)
+                if n == 0:
+                    level, trend = x, 0.0
+                else:
+                    s = sf * x + (1.0 - sf) * (level + trend)
+                    trend = tf * (s - level) + (1.0 - tf) * trend
+                    level = s
+                n += 1
+        state.update((n, level, trend))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "user_id": user_id,
+                    "n_samples": n,
+                    "hw_level": level,
+                    "hw_trend": trend,
+                    "hw_forecast": level + trend,
+                }
+            ]
+        )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        fn,
+        outputStructType=HW_SCHEMA,
+        stateStructType=_HW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -375,3 +375,31 @@ def test_incremental_rollup_sink(spark, tmp_path):
         (10 * m, "m1"): (1, 3.0),   # new in batch 2
         (0, "m2"): (1, 5.0),        # sibling partition survived overwrite
     }
+
+
+def test_holt_winters_stream_matches_batch(spark):
+    """The stateful streaming Holt-Winters fold must equal the batch
+    aggregate() fold exactly on a single-batch drain — same recurrence,
+    same operand order, same IEEE doubles (t20's batch/streaming
+    duality)."""
+    from prometheus_remote_kinesis_spark.operators.time_windows import (
+        t20_holt_winters,
+    )
+    from prometheus_remote_kinesis_spark.streaming.queries import (
+        t20s_holt_winters_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    batch = {
+        (r["event_type"], r["user_id"]): (
+            r["n_samples"], r["hw_level"], r["hw_trend"], r["hw_forecast"],
+        )
+        for r in t20_holt_winters(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r["event_type"], r["user_id"]): (
+            r["n_samples"], r["hw_level"], r["hw_trend"], r["hw_forecast"],
+        )
+        for r in t20s_holt_winters_stream(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
