@@ -570,7 +570,7 @@ def a12_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds the local threshold n_p/(K+1) in at least one partition, so it
     survives some partition's summary — with K=200 candidates the exact
     top-20 is provably inside the candidate union whenever the 20th item
-    holds > 0.5%% of total mass. At 100 TB the first pass is map-only
+    holds > 0.5% of total mass. At 100 TB the first pass is map-only
     (no shuffle of token instances); only candidate names cross the wire,
     and the second pass's shuffle carries (token, partial-count) pairs
     pre-filtered to ~K distinct keys. The driver's oracle is the plain
