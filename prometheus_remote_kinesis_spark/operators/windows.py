@@ -233,9 +233,16 @@ def w1c_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; pick W from the key's known range — at unknown range, a
     sampled repartitionByRange + spark_partition_id gives the same shape
     at the cost of sampling nondeterminism). Phase 2: band counts are a
-    ~100-row aggregate, cumulative-summed and broadcast back. Shuffles
-    key on (band), never on a constant."""
-    band_width = 5000.0
+    ~1000-row aggregate, cumulative-summed and broadcast back. Shuffles
+    key on (band), never on a constant.
+
+    Band sizing (measured at 64× sf0.1, 9.6 M rows): width 5000 (~110
+    bands) ran 6.3 s — per-band row groups of ~90 k dominate the window
+    sort; width 500 (~1100 bands) runs 1.35 s. Aim for bands ≈ tens of
+    rows per core-task-slot times parallelism — many small bands cost
+    nothing (tasks = shuffle partitions, not bands) while big bands
+    serialize."""
+    band_width = 500.0
     orders = load_table(spark, sf_dir, "orders")
     banded = orders.select(
         "o_orderkey",
