@@ -469,7 +469,9 @@ def d7_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower bands, a 256-row broadcast) + (rank within my band, a 256-way
     parallel window). Same trick as w3b: turn a cardinality-1 partition
     key into (band) × parallel, exact results, no sampling-based range
-    partitioner nondeterminism."""
+    partitioner nondeterminism. Band sizing: first byte = 256 bands is
+    right up to ~10 M rows; past that take two bytes (65 536 bands) so
+    per-band sorts stay small — w1c's measured rule (SCALE.md)."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.col("text"), F.lit(SHUFFLE_SEED)))
     banded = docs.select(
