@@ -284,3 +284,37 @@ def f6b_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_is_null"
         ),
     ).filter(k_num % 7 == 0)
+
+
+@register(
+    "f8_try_ops",
+    family="F8",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice / nullif(l_quantity - 7, 0), 6) AS safe_ratio,
+               list_extract([l_quantity], 3)                         AS oob_elem,
+               TRY_CAST(l_returnflag AS DOUBLE)                      AS bad_cast,
+               TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)      AS roundtrip_qty
+        FROM lineitem
+        WHERE l_linenumber = 1
+    """,
+)
+def f8_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: Spark 4 runs under ANSI SQL mode, so
+    bare division by zero / bad casts RAISE at runtime — a 100 TB job must
+    use the ``try_*`` forms to get NULL-on-error semantics instead of a
+    3-hour job dying on one malformed row. try_divide (÷0 → NULL),
+    try_element_at (out-of-bounds → NULL), and try_cast (unparseable →
+    NULL) mirror DuckDB's natively NULL-yielding division, list_extract,
+    and TRY_CAST."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", F.col("l_quantity") - 7), 6).alias(
+            "safe_ratio"
+        ),
+        F.try_element_at(F.array("l_quantity"), F.lit(3)).alias("oob_elem"),
+        F.col("l_returnflag").try_cast("double").alias("bad_cast"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("roundtrip_qty"),
+    )
