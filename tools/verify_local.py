@@ -103,6 +103,12 @@ def main() -> int:
         help="use a bare SparkSession (driver-like: default shuffle "
         "partitions, no tuned confs) instead of session.get_spark",
     )
+    ap.add_argument(
+        "--first50",
+        action="store_true",
+        help="run exactly the driver's correctness window: the first 50 "
+        "registry entries in contract order (see registry._PRIORITY)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -114,7 +120,7 @@ def main() -> int:
         spark = get_spark("verify_local")
     con = duck_connection(args.sf_dir)
     qs = all_queries()
-    selected = args.queries or sorted(qs)
+    selected = args.queries or (list(qs)[:50] if args.first50 else sorted(qs))
     n_pass = n_fail = n_rows_only = 0
     for name in selected:
         q = qs[name]
