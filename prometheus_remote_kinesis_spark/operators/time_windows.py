@@ -1049,3 +1049,115 @@ def t21_promql_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sev_label"
         ),
     )
+
+
+T22_ORACLE = """
+    WITH bounds AS (SELECT max(epoch_us(ts) // 1000) AS t_max FROM events),
+    s AS (
+        SELECT event_type, user_id, epoch_us(ts) // 1000 AS ms, value, t_max
+        FROM events, bounds
+    )
+    SELECT event_type, user_id,
+           ms AS bucket_ms, 1 AS n,
+           round(CAST(value AS DECIMAL(18,2)), 2) AS v_avg,
+           value AS v_min, value AS v_max
+    FROM s WHERE ms > t_max - 86400000
+    UNION ALL
+    SELECT event_type, user_id,
+           (ms // 3600000) * 3600000 AS bucket_ms,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS v_avg,
+           min(value) AS v_min,
+           max(value) AS v_max
+    FROM s WHERE ms <= t_max - 86400000
+    GROUP BY event_type, user_id, (ms // 3600000) * 3600000
+"""
+
+
+@register("t22_downsample_retention", family="T22", oracle=T22_ORACLE)
+def t22_downsample_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention downsampling (the Thanos/M3 compaction shape): samples
+    younger than 24 h of the corpus max stay raw; older samples collapse
+    to per-(series, 1 h bucket) avg/min/max/count rollups. One scan fans
+    into a filter branch (no shuffle) and a pre-aggregated branch (one
+    shuffle on the growing (series, bucket) key); the 24 h cutoff is a
+    broadcast scalar from a max() aggregate, not a wall-clock read —
+    deterministic and oracle-checkable. At 100 TB this is the compaction
+    job that turns an append-only metrics lake into bounded storage with
+    full-resolution recency."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"
+    )
+    t_max = s.agg(F.max("ms").alias("t_max"))
+    s = s.crossJoin(F.broadcast(t_max))
+    recent = s.filter(F.col("ms") > F.col("t_max") - 86400000).select(
+        "event_type",
+        "user_id",
+        F.col("ms").alias("bucket_ms"),
+        F.lit(1).cast("long").alias("n"),
+        F.round(F.col("value").cast("decimal(18,2)"), 2).cast("double").alias("v_avg"),
+        F.col("value").alias("v_min"),
+        F.col("value").alias("v_max"),
+    )
+    old = (
+        s.filter(F.col("ms") <= F.col("t_max") - 86400000)
+        .groupBy(
+            "event_type",
+            "user_id",
+            ((F.col("ms") / F.lit(3600000)).cast("long") * 3600000).alias("bucket_ms"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("v_avg"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+    return recent.unionByName(old)
+
+
+T23_ORACLE = """
+    WITH bounds AS (SELECT max(epoch_us(ts) // 1000) AS t_eval FROM events),
+    s AS (
+        SELECT event_type, user_id, epoch_us(ts) // 1000 AS ms, value, t_eval
+        FROM events, bounds
+        WHERE epoch_us(ts) // 1000 BETWEEN t_eval - 300000 AND t_eval
+    )
+    SELECT event_type, user_id,
+           max(ms)                                  AS sample_ms,
+           arg_max(value, ms)                       AS value,
+           max(t_eval)                              AS eval_ms
+    FROM s
+    GROUP BY event_type, user_id
+"""
+
+
+@register("t23_instant_vector", family="T23", oracle=T23_ORACLE)
+def t23_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL instant-vector selection: evaluate `m` at time T (= corpus
+    max, deterministic) — each series contributes its LAST sample within
+    the 5-minute staleness lookback; series with no sample in the window
+    are absent (staleness, the complement of t18's gap detection). One
+    filter + one max_by aggregation — no window, no sort; the lookback
+    filter prunes the scan before the shuffle. (event_type, user_id, ms)
+    is unique in the corpus, so max_by's tie behavior is never exercised
+    and both engines pick the identical sample."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"
+    )
+    t_eval = s.agg(F.max("ms").alias("t_eval"))
+    s = s.crossJoin(F.broadcast(t_eval)).filter(
+        F.col("ms").between(F.col("t_eval") - 300000, F.col("t_eval"))
+    )
+    return s.groupBy("event_type", "user_id").agg(
+        F.max("ms").alias("sample_ms"),
+        F.max_by("value", F.col("ms")).alias("value"),
+        F.max("t_eval").alias("eval_ms"),
+    )
