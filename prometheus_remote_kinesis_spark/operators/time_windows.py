@@ -1161,3 +1161,61 @@ def t23_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", F.col("ms")).alias("value"),
         F.max("t_eval").alias("eval_ms"),
     )
+
+
+T24_ORACLE = """
+    WITH errors AS (
+        SELECT user_id, count(*) AS n_err,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_err
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    ),
+    views AS (
+        SELECT user_id, count(*) AS n_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    )
+    SELECT e.user_id,
+           e.n_err, v.n_view,
+           round(CAST(e.n_err AS DOUBLE) / v.n_view, 6) AS err_per_view,
+           e.n_err - v.n_view                           AS err_minus_view,
+           (e.n_err > v.n_view)                         AS err_gt_view
+    FROM errors e JOIN views v ON e.user_id = v.user_id
+"""
+
+
+@register("t24_vector_matching", family="T24", oracle=T24_ORACLE)
+def t24_vector_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL vector-to-vector binary operations with label matching:
+    ``errors / on(user) views`` (plus ``-`` and the ``>`` filter-style
+    comparison) — two instant vectors aggregated from the same stream,
+    joined on their shared label set. PromQL's default matching (series
+    present in BOTH vectors) is an inner equi-join of two pre-aggregated
+    vectors: both sides shuffle ~#series rows, never raw samples, and at
+    scale the smaller vector broadcasts. The arithmetic runs on exact
+    integers (counts), so ratios divide identically on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_err"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_err"),
+        )
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_view"))
+    )
+    j = errors.join(views, "user_id")
+    return j.select(
+        "user_id",
+        "n_err",
+        "n_view",
+        F.round(F.col("n_err").cast("double") / F.col("n_view"), 6).alias(
+            "err_per_view"
+        ),
+        (F.col("n_err") - F.col("n_view")).alias("err_minus_view"),
+        (F.col("n_err") > F.col("n_view")).alias("err_gt_view"),
+    )
