@@ -424,3 +424,58 @@ def sql9_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL9_ABOVE_BRAND_AVG)
+
+
+_SQL10_Q6 = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register("sql10_forecast_revenue", family="SQL", oracle=_SQL10_Q6)
+def sql10_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical
+    scan-filter-aggregate — no join, no group key, answer is one row. The
+    point at scale is the SCAN: all four predicates push to parquet
+    (row-group min/max pruning on shipdate) and the aggregate is a
+    partial+final over a 2-column projection — the query reads a sliver
+    of a 100 TB lineitem. Sum of 2-decimal × 2-decimal products rounds
+    identically on both engines at this magnitude."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL10_Q6)
+
+
+_SQL11_Q10 = """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate <  DATE '1996-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register("sql11_returned_items", family="SQL", oracle=_SQL11_Q10)
+def sql11_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): four-table star join
+    with a quarter date band and a returnflag filter, top-20 customers by
+    lost revenue. nation broadcasts; the orders date band prunes before
+    the lineitem join; TakeOrderedAndProject caps the sort at 20 rows.
+    Unique tie-break on c_custkey keeps the LIMIT deterministic."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL11_Q10)
