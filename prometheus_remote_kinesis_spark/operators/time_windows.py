@@ -1219,3 +1219,107 @@ def t24_vector_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_err") - F.col("n_view")).alias("err_minus_view"),
         (F.col("n_err") > F.col("n_view")).alias("err_gt_view"),
     )
+
+
+T25_ORACLE = """
+    WITH bounds AS (SELECT max(epoch_us(ts) // 1000) AS t_eval FROM events),
+    s AS (
+        SELECT event_type, user_id, epoch_us(ts) // 1000 AS ms, value, t_eval
+        FROM events, bounds
+        WHERE epoch_us(ts) // 1000 BETWEEN t_eval - 300000 AND t_eval
+    ),
+    d AS (
+        SELECT event_type, user_id, ms, value, t_eval,
+               lag(value) OVER (PARTITION BY event_type, user_id
+                                ORDER BY ms) AS prev
+        FROM s
+    ),
+    g AS (
+        SELECT event_type, user_id,
+               count(*)                           AS n,
+               min(ms)                            AS first_ms,
+               max(ms)                            AS last_ms,
+               max(t_eval)                        AS t_eval,
+               CAST(sum(CASE WHEN prev IS NULL THEN CAST(0.00 AS DECIMAL(18,2))
+                             WHEN value >= prev
+                               THEN CAST(value AS DECIMAL(18,2))
+                                    - CAST(prev AS DECIMAL(18,2))
+                             ELSE CAST(value AS DECIMAL(18,2)) END)
+                    AS DOUBLE)                    AS inc
+        FROM d
+        GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+           round(inc, 2) AS increase_raw,
+           round(inc * ((CAST(last_ms - first_ms AS DOUBLE)
+                 + CASE WHEN CAST(first_ms - (t_eval - 300000) AS DOUBLE)
+                             < 1.1 * (CAST(last_ms - first_ms AS DOUBLE) / (n - 1))
+                        THEN CAST(first_ms - (t_eval - 300000) AS DOUBLE)
+                        ELSE (CAST(last_ms - first_ms AS DOUBLE) / (n - 1)) / 2 END
+                 + CASE WHEN CAST(t_eval - last_ms AS DOUBLE)
+                             < 1.1 * (CAST(last_ms - first_ms AS DOUBLE) / (n - 1))
+                        THEN CAST(t_eval - last_ms AS DOUBLE)
+                        ELSE (CAST(last_ms - first_ms AS DOUBLE) / (n - 1)) / 2 END)
+                 / CAST(last_ms - first_ms AS DOUBLE)) / 300.0, 6) AS rate_per_sec
+    FROM g
+    WHERE n >= 2 AND last_ms > first_ms
+"""
+
+
+@register("t25_rate_extrapolated", family="T25", oracle=T25_ORACLE)
+def t25_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``rate(m[5m])`` with Prometheus's REAL boundary
+    extrapolation (promql/functions.go extrapolatedRate): the
+    reset-adjusted increase over the samples inside the window is scaled
+    out to the window edges — by the actual gap when the edge gap is
+    < 1.1× the average sample spacing, else by half a spacing — then
+    divided by the window length. t14 is the textbook frame-sum rate;
+    this is the semantic Prometheus actually ships, evaluated at T =
+    corpus max (t23's deterministic eval point).
+
+    One lookback filter → one lag pass → one hash agg per series; the
+    increase sums 2-decimal deltas as exact decimals, and every
+    extrapolation term is written in the identical operand order on both
+    engines so the doubles agree bit-for-bit before round(…,6)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"
+    )
+    t_eval = s.agg(F.max("ms").alias("t_eval"))
+    s = s.crossJoin(F.broadcast(t_eval)).filter(
+        F.col("ms").between(F.col("t_eval") - 300000, F.col("t_eval"))
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("ms")
+    d = s.withColumn("prev", F.lag("value").over(w))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    inc_term = (
+        F.when(F.col("prev").isNull(), F.lit(0.00).cast("decimal(18,2)"))
+        .when(F.col("value") >= F.col("prev"), dec("value") - dec("prev"))
+        .otherwise(dec("value"))
+    )
+    g = d.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ms").alias("first_ms"),
+        F.max("ms").alias("last_ms"),
+        F.max("t_eval").alias("t_eval"),
+        F.sum(inc_term).cast("double").alias("inc"),
+    )
+    g = g.filter((F.col("n") >= 2) & (F.col("last_ms") > F.col("first_ms")))
+    sampled = (F.col("last_ms") - F.col("first_ms")).cast("double")
+    avg_dur = sampled / (F.col("n") - 1)
+    dur_start = (F.col("first_ms") - (F.col("t_eval") - 300000)).cast("double")
+    dur_end = (F.col("t_eval") - F.col("last_ms")).cast("double")
+    extra = (
+        sampled
+        + F.when(dur_start < 1.1 * avg_dur, dur_start).otherwise(avg_dur / 2)
+        + F.when(dur_end < 1.1 * avg_dur, dur_end).otherwise(avg_dur / 2)
+    )
+    return g.select(
+        "event_type",
+        "user_id",
+        F.col("n").alias("n"),
+        F.round(F.col("inc"), 2).alias("increase_raw"),
+        F.round(F.col("inc") * (extra / sampled) / 300.0, 6).alias("rate_per_sec"),
+    )

@@ -114,8 +114,9 @@ _PRIORITY = (
     "t5_tumbling_5min",
     "t7_user_sessions",
     "t14_rate_5m",
+    # T25: Prometheus's real rate() boundary-extrapolation semantics
+    "t25_rate_extrapolated",
     "t15_funnel_conversion",
-    "t16_retention_cohorts",
     "t18_absent_gaps",
     # R: Layer-A ingest chain (flatten, NDJSON wire, prompb DataSource)
     "r1_event_records",
