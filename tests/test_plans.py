@@ -329,37 +329,21 @@ def test_dynamic_partition_pruning_on_archive(spark, tmp_path):
 
 
 def test_no_accidental_plan_antipatterns(spark):
-    """Plan-hygiene guard over the driver's 50-query correctness window:
-    no CartesianProduct, single-partition Window, or BroadcastNestedLoop
-    join sneaks into a query unless its docstring/design declares it.
-    Allowlisted: w1b (deliberate global-ORDER-BY window demo, w1c is its
-    scalable twin), l4 (broadcast-KNN is a BNL cross join by design)."""
+    """Plan-hygiene guard over the driver's 50-query correctness window,
+    using the fleet audit's node-sequence detection (tools/audit_plans):
+    no CartesianProduct, true single-partition fact window, BNL join, or
+    RDD scan sneaks in unless whitelisted there with a justification
+    (1-row broadcast scalars, banded rank windows, documented demos)."""
+    import tools.audit_plans as ap
     from prometheus_remote_kinesis_spark.registry import all_queries
 
-    allowed = {
-        "w1b_rank_family": {"single-part-window"},
-        "l4_knn_join": {"bnl-join"},
-    }
     qs = all_queries()
     offenders = {}
     for name in list(qs)[:50]:
         if "stream" in name or name == "r4_prompb_datasource":
             continue  # live streaming state / spool-writing sources
-        plan = (
-            qs[name]
-            .fn(spark, SF_SMOKE)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        flags = set()
-        if "CartesianProduct" in plan:
-            flags.add("cartesian")
-        if "Window" in plan and "SinglePartition" in plan:
-            flags.add("single-part-window")
-        if "BroadcastNestedLoopJoin" in plan:
-            flags.add("bnl-join")
-        flags -= allowed.get(name, set())
+        plan = ap.formatted_plan(qs[name].fn(spark, SF_SMOKE))
+        flags = [f for f in ap.audit_one(name, plan) if (name, f) not in ap.WHITELIST]
         if flags:
             offenders[name] = sorted(flags)
     assert not offenders, offenders

@@ -53,6 +53,9 @@ WHITELIST: set[tuple[str, str]] = {
     # the projection — nested-loop in name only.
     ("d8_mixture_weights", "nested_loop_join"),
     ("t14c_deriv_predict", "nested_loop_join"),
+    ("t22_downsample_retention", "nested_loop_join"),  # broadcast max(ms) cutoff
+    ("t23_instant_vector", "nested_loop_join"),  # broadcast eval-time scalar
+    ("t25_rate_extrapolated", "nested_loop_join"),  # broadcast eval-time scalar
     # All-pairs cosine on the small embeddings table; documented baseline,
     # scale paths are l2's LSH banding and l4b/l4c.
     ("l2d_embedding_neardup", "nested_loop_join"),
