@@ -135,8 +135,6 @@ def foreach_batch_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if commit_dir is not None:
-            import os
-
             os.makedirs(commit_dir, exist_ok=True)
             marker = os.path.join(commit_dir, f"batch-{batch_id}.done")
             if os.path.exists(marker):
