@@ -1323,3 +1323,81 @@ def t25_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("inc"), 2).alias("increase_raw"),
         F.round(F.col("inc") * (extra / sampled) / 300.0, 6).alias("rate_per_sec"),
     )
+
+
+T26_ORACLE = """
+    WITH d AS (
+        SELECT event_type, user_id, epoch_us(ts) // 1000 AS ms, value,
+               lag(value) OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    i AS (
+        SELECT event_type, user_id,
+               ms // 86400000 AS day,
+               ms // 300000   AS bucket,
+               CASE WHEN prev IS NULL THEN CAST(0.00 AS DECIMAL(18,2))
+                    WHEN value >= prev THEN CAST(value AS DECIMAL(18,2))
+                                            - CAST(prev AS DECIMAL(18,2))
+                    ELSE CAST(value AS DECIMAL(18,2)) END AS inc
+        FROM d
+    ),
+    b AS (
+        SELECT event_type, user_id, day, bucket,
+               round(CAST(sum(inc) AS DOUBLE) / 300.0, 6) AS bucket_rate
+        FROM i
+        GROUP BY event_type, user_id, day, bucket
+    )
+    SELECT event_type, user_id, day,
+           CAST(count(*) AS BIGINT)      AS n_buckets,
+           max(bucket_rate)              AS max_rate,
+           min(bucket_rate)              AS min_rate
+    FROM b
+    GROUP BY event_type, user_id, day
+"""
+
+
+@register("t26_subquery_max_rate", family="T26", oracle=T26_ORACLE)
+def t26_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery shape ``max_over_time(rate(m[5m])[1d:5m])`` on the
+    tumbling evaluation grid: per-series reset-aware increases roll into
+    5-minute bucket rates (inner evaluation), and each day takes the
+    max/min over its buckets (outer range aggregation). Two-level
+    aggregation after one lag pass — the second groupBy collapses keys of
+    the first, so AQE reuses the (series)-hashed exchange and the outer
+    level shuffles ONE ROW PER (series, day, bucket), not samples.
+    Increases are exact decimals; each bucket rate is one double division
+    rounded before the outer max/min, so both engines compare identical
+    values."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ms", "event_id")
+    d = events.select(
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "value",
+        "event_id",
+    ).withColumn("prev", F.lag("value").over(w))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(0.00).cast("decimal(18,2)"))
+        .when(F.col("value") >= F.col("prev"), dec("value") - dec("prev"))
+        .otherwise(dec("value"))
+    )
+    i = d.select(
+        "event_type",
+        "user_id",
+        (F.col("ms") / F.lit(86400000)).cast("long").alias("day"),
+        (F.col("ms") / F.lit(300000)).cast("long").alias("bucket"),
+        inc.alias("inc"),
+    )
+    b = i.groupBy("event_type", "user_id", "day", "bucket").agg(
+        F.round(F.sum("inc").cast("double") / 300.0, 6).alias("bucket_rate")
+    )
+    return b.groupBy("event_type", "user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_rate").alias("max_rate"),
+        F.min("bucket_rate").alias("min_rate"),
+    )
