@@ -94,8 +94,7 @@ _PRIORITY = (
     "w2b_first_last_nth",
     "w3b_trailing_5min_scalable",
     "w4_top_parts_per_brand",
-    # O: sort, pagination, union, intersect
-    "o1_nations_sorted",
+    # O: pagination, intersect (o1/o3 verified outside the window)
     "o2b_pagination",
     "o4_nation_intersect",
     # T20: sequential Holt-Winters recurrence as an order-stable fold
@@ -125,6 +124,7 @@ _PRIORITY = (
     # Streaming-executed (real Structured Streaming path, same oracle)
     "t5s_tumbling_5min_stream",
     "t19s_stream_static_join",
+    "t14s_rate_5m_stream",
     # L: dedup, similarity, text analysis
     "l1_exact_dedup",
     "l2b_ngram_jaccard",

@@ -34,6 +34,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T5_ORACLE,
     T6_ORACLE,
     T7_ORACLE,
+    T14_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -474,3 +475,25 @@ def t20s_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hw_trend", 6).alias("hw_trend"),
         F.round("hw_forecast", 6).alias("hw_forecast"),
     )
+
+
+@register("t14s_rate_5m_stream", family="T14-stream", oracle=T14_ORACLE)
+def t14s_rate_5m_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``rate(m[5m])`` EXECUTED BY the streaming engine: per-series
+    state = last sample + the trailing window's (timestamp, increase)
+    pairs (streaming/stateful.py::streaming_rate), the alerting-path form
+    of t14's batch RANGE frame. Registers with t14's own DuckDB oracle —
+    the streaming engine's rate output is hash-compared directly (t10s's
+    pattern: availableNow drains the file source in one batch). Exact
+    batch equality is additionally pinned by
+    tests/test_streaming.py::test_streaming_rate_matches_batch."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import streaming_rate
+
+    records = stream_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+    return run_to_batch(streaming_rate(records, idle_timeout_ms=None), "append")

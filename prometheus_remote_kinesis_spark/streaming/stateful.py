@@ -476,3 +476,96 @@ def holt_winters(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+RATE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("rate_per_sec", DoubleType()),
+        StructField("n_increases", LongType()),
+    ]
+)
+
+# trailing-window buffer: parallel arrays of increase timestamps/values,
+# plus the previous sample for the next delta
+_RATE_STATE_SCHEMA = "last_value double, inc_ms array<long>, inc_v array<double>"
+
+
+def streaming_rate(
+    records: DataFrame,
+    window_ms: int = 300_000,
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """Streaming PromQL ``rate(m[5m])``: per-series state carries the last
+    sample plus the (timestamp, increase) pairs inside the trailing window
+    — O(window) state per series, evicted as the window slides, the
+    alerting-path form of t14's batch RANGE frame.
+
+    Emits one row per sample with the reset-aware increase sum over the
+    trailing frame / window seconds — the exact t14 semantics, so it
+    registers with the SAME DuckDB oracle (T14_ORACLE) and the streaming
+    engine's output is hash-compared against it. Increases are 2-decimal
+    quantized, so the float frame-sum error (~1e-10) sits far below the
+    round(…,6) boundary on both paths."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        if state.exists:
+            last_value, inc_ms, inc_v = state.get
+            inc_ms, inc_v = list(inc_ms), list(inc_v)
+        else:
+            last_value, inc_ms, inc_v = None, [], []
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["time", "event_id"])
+            for _, r in pdf.iterrows():
+                t, v = int(r["time"]), float(r["value"])
+                if last_value is None:
+                    inc = None
+                elif v >= last_value:
+                    inc = v - last_value
+                else:
+                    inc = v  # counter reset: the new value IS the increase
+                if inc is not None:
+                    inc_ms.append(t)
+                    inc_v.append(inc)
+                last_value = v
+                lo = t - window_ms
+                while inc_ms and inc_ms[0] < lo:
+                    inc_ms.pop(0)
+                    inc_v.pop(0)
+                in_frame = [x for m, x in zip(inc_ms, inc_v) if m >= lo]
+                rows.append(
+                    {
+                        "event_id": int(r["event_id"]),
+                        "event_type": event_type,
+                        "user_id": user_id,
+                        "rate_per_sec": (
+                            round(sum(in_frame) / (window_ms / 1000.0), 6)
+                            if in_frame
+                            else None
+                        ),
+                        "n_increases": len(in_frame),
+                    }
+                )
+        state.update((last_value, inc_ms, inc_v))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=[f.name for f in RATE_SCHEMA.fields])
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        fn,
+        outputStructType=RATE_SCHEMA,
+        stateStructType=_RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -403,3 +403,24 @@ def test_holt_winters_stream_matches_batch(spark):
         for r in t20s_holt_winters_stream(spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+def test_streaming_rate_matches_batch(spark):
+    """The stateful streaming rate operator must reproduce t14's batch
+    (and therefore DuckDB-oracle-checked) output exactly on a single-batch
+    drain — the PromQL rate family's batch/streaming duality."""
+    from prometheus_remote_kinesis_spark.operators.time_windows import t14_rate_5m
+    from prometheus_remote_kinesis_spark.streaming.queries import (
+        t14s_rate_5m_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    batch = {
+        r["event_id"]: (r["rate_per_sec"], r["n_increases"])
+        for r in t14_rate_5m(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        r["event_id"]: (r["rate_per_sec"], r["n_increases"])
+        for r in t14s_rate_5m_stream(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
