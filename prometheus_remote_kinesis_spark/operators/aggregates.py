@@ -609,3 +609,31 @@ def a12_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(20)
     )
+
+
+@register(
+    "a2b_distinct_two_phase",
+    family="A2",
+    oracle="""
+        SELECT event_type, count(*) AS n_users
+        FROM (SELECT DISTINCT event_type, user_id FROM events)
+        GROUP BY event_type
+    """,
+)
+def a2b_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count by explicit two-phase re-aggregation:
+    dropDuplicates on (key, value) — a partial-deduping hash aggregate —
+    then a plain count per key. Same answer as a2's ``countDistinct``,
+    different physical shape: countDistinct plans a single aggregate that
+    must hold each key's full distinct set per task, while this form dedups
+    map-side FIRST so the shuffle carries unique (key, value) pairs and
+    the final count never materializes a set — the formulation that
+    survives a key with a hundred million distinct values at 100 TB
+    (a3's HLL is the approximate sibling when exactness is negotiable)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", "user_id")
+        .dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
