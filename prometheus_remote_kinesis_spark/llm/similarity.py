@@ -311,3 +311,60 @@ def l4d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = new
 
     return assigned.select("vec_id", "cluster")
+
+
+SEMDEDUP_TAU = 0.4  # same semantic threshold as l2d's all-pairs baseline
+
+
+@register("l2g_semdedup", family="L2", oracle=None)
+def l2g_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup bounded by k-means
+    clusters — embeddings cluster first (l4d's distributed Lloyd's), then
+    cosine near-dup pairs are searched ONLY within each cluster, and every
+    duplicate group keeps its lowest-id representative.
+
+    The scale story is the pair-count bound: all-pairs cosine (l2d) is
+    O(N²); clustering first makes it Σ|cluster|², and the within-cluster
+    self-join keys the shuffle by cluster id, so each cluster's quadratic
+    work is an independent task. Near-dups that straddle a cluster
+    boundary are missed by construction — the recall/cost trade SemDeDup
+    documents (l2d remains the exact baseline; the pytest invariant checks
+    every removed vector has a kept lower-id neighbor at ≥ τ in ITS
+    cluster). Rows-only: k-means is iterative (no SQL oracle), so the
+    driver runs the rows-only check and the invariants live in
+    tests/test_llm.py."""
+    assigned = l4d_kmeans(spark, sf_dir)  # (vec_id, cluster) — deterministic
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            / F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+        ).alias("v"),
+    )
+    av = assigned.join(norm, "vec_id")
+    a = av.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = av.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("v_b"),
+    )
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    dups = (
+        pairs.filter(dot(F.col("v_a"), F.col("v_b")) >= SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("dup") == F.lit(True), F.lit(False)).alias("is_removed"),
+        )
+    )

@@ -262,3 +262,47 @@ def test_kmeans_invariants(spark):
     seeds = mat[: KMEANS_K]  # init = k lowest vec_ids, as in the operator
     init_lab = (mat @ seeds.T).argmax(axis=1)
     assert objective(lab) >= objective(init_lab) - 1e-9
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup (l2g): every removed vector must have a KEPT, lower-id,
+    same-cluster neighbor at cosine >= tau (so removal never orphans a
+    duplicate group), kept vectors must have no kept lower-id neighbor at
+    >= tau in their cluster, and the whole assignment is deterministic."""
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.llm.similarity import (
+        SEMDEDUP_TAU,
+        l2g_semdedup,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = {r["vec_id"]: (r["cluster"], r["is_removed"])
+           for r in l2g_semdedup(spark, SF_SMOKE).collect()}
+    again = {r["vec_id"]: (r["cluster"], r["is_removed"])
+             for r in l2g_semdedup(spark, SF_SMOKE).collect()}
+    assert out == again  # deterministic
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    for k in emb:
+        emb[k] = emb[k] / np.linalg.norm(emb[k])
+
+    removed = {v for v, (_, r) in out.items() if r}
+    assert removed, "threshold should remove something on the smoke corpus"
+    for v, (cluster, is_removed) in out.items():
+        kept_lower = [
+            u for u, (c2, r2) in out.items()
+            if c2 == cluster and u < v and not r2
+            and float(emb[u] @ emb[v]) >= SEMDEDUP_TAU
+        ]
+        if is_removed:
+            assert kept_lower or any(
+                u for u, (c2, _) in out.items()
+                if c2 == cluster and u < v and float(emb[u] @ emb[v]) >= SEMDEDUP_TAU
+            ), f"removed {v} has no >=tau lower-id neighbor in cluster"
+        else:
+            assert not kept_lower, f"kept {v} duplicates kept {kept_lower}"
