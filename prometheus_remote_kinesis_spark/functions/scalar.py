@@ -318,3 +318,39 @@ def f8_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("double").alias("bad_cast"),
         F.col("l_quantity").cast("string").try_cast("double").alias("roundtrip_qty"),
     )
+
+
+@register(
+    "f2b_calendar_ops",
+    family="F2",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INTEGER)            AS q,
+               CAST(week(o_orderdate) AS INTEGER)               AS iso_week,
+               CAST(last_day(o_orderdate) AS DATE)              AS month_end,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+               CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start
+        FROM orders
+    """,
+)
+def f2b_calendar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar family beyond f2's field extraction: quarter, ISO week
+    (Spark's ``weekofyear`` and DuckDB's ``week`` are both ISO 8601),
+    month end, day arithmetic, and Monday-aligned week truncation — the
+    billing/cohort date axes. ``datediff`` argument order differs between
+    engines (Spark is (end, start), DuckDB ('day', start, end)) — pinned
+    here so the convention is recorded once."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+    )
