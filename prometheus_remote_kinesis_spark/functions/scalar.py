@@ -354,3 +354,37 @@ def f2b_calendar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
         F.date_trunc("week", "o_orderdate").alias("week_start"),
     )
+
+
+@register(
+    "f1b_fuzzy_string_ops",
+    family="F1",
+    oracle="""
+        SELECT p_partkey,
+               CAST(levenshtein(p_brand, 'Brand#13') AS INTEGER) AS brand_dist,
+               reverse(p_brand)                                  AS brand_rev,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0')          AS padded_key,
+               repeat('*', CAST(p_size % 5 AS INTEGER))          AS size_stars,
+               translate(p_brand, '#', '-')                      AS brand_dash
+        FROM part
+        WHERE levenshtein(p_brand, 'Brand#13') <= 2
+    """,
+)
+def f1b_fuzzy_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy/formatting string family — the data-cleaning companions to
+    f1's matchers: Levenshtein edit distance (typo-tolerant brand match,
+    the poor man's record linkage), reverse, zero-padding for sortable
+    fixed-width keys, repeat, and translate. All JVM built-ins with exact
+    DuckDB counterparts; the edit-distance filter pushes nothing to the
+    scan (function of a column), so at scale a prefix/length pre-filter
+    belongs in front — here the table is a dimension."""
+    part = load_table(spark, sf_dir, "part")
+    dist = F.levenshtein("p_brand", F.lit("Brand#13"))
+    return part.filter(dist <= 2).select(
+        "p_partkey",
+        dist.alias("brand_dist"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("size_stars"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+    )
