@@ -291,7 +291,8 @@ def f6b_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="F8",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               round(l_extendedprice / nullif(l_quantity - 7, 0), 6) AS safe_ratio,
+               floor((l_extendedprice / nullif(l_quantity - 7, 0)) * 1000000)
+                   / 1000000 AS safe_ratio,
                list_extract([l_quantity], 3)                         AS oob_elem,
                TRY_CAST(l_returnflag AS DOUBLE)                      AS bad_cast,
                TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)      AS roundtrip_qty
@@ -306,14 +307,19 @@ def f8_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-hour job dying on one malformed row. try_divide (÷0 → NULL),
     try_element_at (out-of-bounds → NULL), and try_cast (unparseable →
     NULL) mirror DuckDB's natively NULL-yielding division, list_extract,
-    and TRY_CAST."""
+    and TRY_CAST. The quotient is TRUNCATED at 6 decimals, not rounded:
+    both engines compute the identical IEEE quotient, but their round()
+    functions split half-way ties differently (observed at sf0.1 — 4
+    cells of 85k landed exactly on a 5e-7 tie), while floor on the same
+    double is tie-free."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.try_divide("l_extendedprice", F.col("l_quantity") - 7), 6).alias(
-            "safe_ratio"
-        ),
+        (
+            F.floor(F.try_divide("l_extendedprice", F.col("l_quantity") - 7) * 1000000)
+            / 1000000
+        ).alias("safe_ratio"),
         F.try_element_at(F.array("l_quantity"), F.lit(3)).alias("oob_elem"),
         F.col("l_returnflag").try_cast("double").alias("bad_cast"),
         F.col("l_quantity").cast("string").try_cast("double").alias("roundtrip_qty"),
