@@ -637,3 +637,42 @@ def a2b_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+A13_ORACLE = """
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS modal_type, n AS n_events
+    FROM (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM counts
+    ) WHERE rn = 1
+"""
+
+
+@register("a13_mode_per_group", family="A13", oracle=A13_ORACLE)
+def a13_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties broken by
+    value): two-level shape — count per (group, value), then top-1 per
+    group via a WindowGroupLimit-prunable row_number. Never a
+    collect+sort: the first aggregate collapses to ≤ |values| rows per
+    group before the rank, so the shuffle carries counts, not events.
+    (Both engines' native ``mode()`` is tie-nondeterministic — the
+    explicit form is what a reproducible pipeline should run.)"""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), F.col("n").alias("n_events"))
+    )

@@ -479,3 +479,49 @@ def sql11_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL11_Q10)
+
+
+_M2_CDC = """
+    WITH changes AS (
+        SELECT o_custkey AS k,
+               o_orderdate AS version,
+               o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_totalprice AS new_val
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+    ),
+    last AS (
+        SELECT k, op, new_val
+        FROM (
+            SELECT k, op, new_val,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY version DESC, o_orderkey DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT c_custkey,
+           round(CASE WHEN last.op = 'U' THEN last.new_val
+                      ELSE c_acctbal END, 2) AS balance,
+           coalesce(last.op, 'N') AS last_op
+    FROM customer
+    LEFT JOIN last ON last.k = c_custkey
+    WHERE last.op IS NULL OR last.op <> 'D'
+"""
+
+
+@register("m2_cdc_apply", family="ETL", oracle=_M2_CDC)
+def m2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the lakehouse MERGE's general form: a change stream of
+    versioned upserts and deletes collapses to last-writer-wins per key
+    (row_number over (key) by version, a WindowGroupLimit-prunable top-1)
+    and applies to the base snapshot in one outer join: U rewrites the
+    value, D drops the row, untouched keys pass through. m1 is the
+    SCD2 (history-keeping) sibling; this is the overwrite-in-place form.
+    At scale the change set is usually ≪ the snapshot — Spark broadcasts
+    it and the snapshot never shuffles; per-key versions make replays
+    idempotent (applying the same change set twice is a no-op)."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_M2_CDC)
