@@ -676,3 +676,33 @@ def a13_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), F.col("n").alias("n_events"))
     )
+
+
+@register(
+    "a2c_bitmap_distinct",
+    family="A2",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a2c_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count via BITMAP aggregation (Spark 3.5+
+    ``bitmap_construct_agg``): each value sets one bit, partial bitmaps
+    OR-merge map-side, and ``bitmap_count`` reads the cardinality — the
+    roaring-bitmap-style exact-distinct path for bounded integer domains
+    (user ids, shard ids). Memory is O(domain/8) bytes per group
+    regardless of row count — between a2b's shuffle-the-distinct-pairs
+    (unbounded domains) and a3's HLL (approximate): at 100 TB with int
+    keys this is usually the cheapest EXACT form. ``bitmap_bit_position``
+    is 1-based (value 0 maps to position -1 and silently drops — found by
+    the oracle, 149 vs 150), so the key shifts by +1; domains past 32768
+    additionally group by ``bitmap_bucket_number`` and sum the per-bucket
+    counts. Oracle is the plain COUNT(DISTINCT)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.bitmap_count(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id") + 1))
+        ).alias("n_users")
+    )
