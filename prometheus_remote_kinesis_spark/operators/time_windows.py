@@ -1401,3 +1401,31 @@ def t26_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("bucket_rate").alias("max_rate"),
         F.min("bucket_rate").alias("min_rate"),
     )
+
+
+T27_ORACLE = """
+    SELECT event_type,
+           round(value, 0) AS value_bucket,
+           count(*)        AS n_samples,
+           count(DISTINCT user_id) AS n_series
+    FROM events
+    GROUP BY event_type, round(value, 0)
+"""
+
+
+@register("t27_count_values", family="T27", oracle=T27_ORACLE)
+def t27_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``count_values("v", m)``: the distribution of sample VALUES
+    — group by the value itself (unit-rounded here, PromQL stringifies
+    exact values) and count samples and contributing series per bucket.
+    One hash aggregate; the group key's cardinality is the value domain,
+    not the series count, so partial aggregation collapses hard at scale.
+    Complements a10's fixed `le`-bucket histogram: count_values is the
+    exact/dynamic-bucket form."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.round("value", 0).alias("value_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.countDistinct("user_id").alias("n_series"),
+    )
