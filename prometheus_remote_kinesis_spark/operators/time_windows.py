@@ -1429,3 +1429,71 @@ def t27_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_samples"),
         F.countDistinct("user_id").alias("n_series"),
     )
+
+
+T28_ORACLE = """
+    WITH bounds AS (SELECT max(epoch_us(ts) // 1000) AS t_eval FROM events),
+    s AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+               CASE WHEN epoch_us(ts) // 1000 >= t_eval - 300000
+                    THEN 1 ELSE 0 END AS in_short
+        FROM events, bounds
+        WHERE epoch_us(ts) // 1000 BETWEEN t_eval - 3600000 AND t_eval
+    )
+    SELECT user_id,
+           CAST(sum(in_short) AS BIGINT)                    AS n_5m,
+           CAST(sum(is_err * in_short) AS BIGINT)           AS err_5m,
+           CAST(count(*) AS BIGINT)                         AS n_1h,
+           CAST(sum(is_err) AS BIGINT)                      AS err_1h,
+           round(sum(is_err * in_short) * 1.0
+                 / nullif(sum(in_short), 0), 6)             AS ratio_5m,
+           round(sum(is_err) * 1.0 / count(*), 6)           AS ratio_1h,
+           (sum(in_short) > 0
+            AND sum(is_err * in_short) * 1.0 / nullif(sum(in_short), 0) >= 0.3
+            AND sum(is_err) * 1.0 / count(*) >= 0.3)        AS page_alert
+    FROM s
+    GROUP BY user_id
+"""
+
+
+@register("t28_slo_burn_alert", family="T28", oracle=T28_ORACLE)
+def t28_slo_burn_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE-workbook multiwindow burn-rate alert: per series, the error
+    ratio over a SHORT (5 m) and a LONG (1 h) window must BOTH exceed the
+    burn threshold to page — the short window gives fast detection, the
+    long one suppresses blips (Google SRE workbook ch. 5 shape, the
+    canonical production consumer of a metrics stream). One lookback scan
+    computes both windows as conditional sums in a single hash aggregate
+    — no second pass, no join of two windowed queries; integer counts
+    make the ratios engine-exact. Evaluated at T = corpus max (t23's
+    deterministic eval-point pattern)."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.select("user_id", "event_type", F.unix_millis("ts").alias("ms"))
+    t_eval = s.agg(F.max("ms").alias("t_eval"))
+    s = s.crossJoin(F.broadcast(t_eval)).filter(
+        F.col("ms").between(F.col("t_eval") - 3600000, F.col("t_eval"))
+    )
+    is_err = (F.col("event_type") == "error").cast("long")
+    in_short = (F.col("ms") >= F.col("t_eval") - 300000).cast("long")
+    g = s.select("user_id", is_err.alias("is_err"), in_short.alias("in_short"))
+    agg = g.groupBy("user_id").agg(
+        F.sum("in_short").alias("n_5m"),
+        F.sum(F.col("is_err") * F.col("in_short")).alias("err_5m"),
+        F.count(F.lit(1)).alias("n_1h"),
+        F.sum("is_err").alias("err_1h"),
+    )
+    ratio_5m = F.col("err_5m") * 1.0 / F.nullif(F.col("n_5m"), F.lit(0))
+    ratio_1h = F.col("err_1h") * 1.0 / F.col("n_1h")
+    return agg.select(
+        "user_id",
+        "n_5m",
+        "err_5m",
+        "n_1h",
+        "err_1h",
+        F.round(ratio_5m, 6).alias("ratio_5m"),
+        F.round(ratio_1h, 6).alias("ratio_1h"),
+        ((F.col("n_5m") > 0) & (ratio_5m >= 0.3) & (ratio_1h >= 0.3)).alias(
+            "page_alert"
+        ),
+    )
