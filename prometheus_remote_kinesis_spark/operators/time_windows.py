@@ -1497,3 +1497,71 @@ def t28_slo_burn_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "page_alert"
         ),
     )
+
+
+T14G_ORACLE = """
+    WITH d AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) // 1000 AS ms,
+               CAST(round(value * 100) AS BIGINT) AS v100
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, user_id, event_id,
+               count(*) OVER w         AS n,
+               sum(v100) OVER w        AS sv,
+               sum(v100 * v100) OVER w AS svv
+        FROM d
+        WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ms
+                     RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, user_id,
+           CAST(n AS BIGINT) AS n_ot,
+           round(CAST(n * svv - sv * sv AS DOUBLE) / (n * n) / 10000.0, 6)
+               AS stdvar_ot,
+           round(sqrt(CAST(n * svv - sv * sv AS DOUBLE) / (n * n) / 10000.0), 6)
+               AS stddev_ot
+    FROM s
+"""
+
+
+@register("t14g_stddev_over_time", family="T14", oracle=T14G_ORACLE)
+def t14g_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``stddev_over_time`` / ``stdvar_over_time`` (population
+    moments of the trailing range vector) — completes t14b's over_time
+    family. Values quantize to integer hundredths, so the frame's count
+    and both moment sums are EXACT integers (t17's sufficient-statistics
+    trick applied to a window frame); n·Σv² − (Σv)² is the n²-scaled
+    variance computed in integer arithmetic, with exactly one double
+    division + sqrt per row — identical on both engines before
+    round(…,6). One Window node, one shuffle on the series key."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+    )
+    w = (
+        Window.partitionBy("event_type", "user_id").orderBy("ms").rangeBetween(-300000, 0)
+    )
+    s = d.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v100").over(w).alias("sv"),
+        F.sum(F.col("v100") * F.col("v100")).over(w).alias("svv"),
+    )
+    num = (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+    stdvar = num / (F.col("n") * F.col("n")) / 10000.0
+    return s.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.col("n").alias("n_ot"),
+        F.round(stdvar, 6).alias("stdvar_ot"),
+        F.round(F.sqrt(stdvar), 6).alias("stddev_ot"),
+    )
