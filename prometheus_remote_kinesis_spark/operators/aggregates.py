@@ -697,12 +697,23 @@ def a2c_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unbounded domains) and a3's HLL (approximate): at 100 TB with int
     keys this is usually the cheapest EXACT form. ``bitmap_bit_position``
     is 1-based (value 0 maps to position -1 and silently drops — found by
-    the oracle, 149 vs 150), so the key shifts by +1; domains past 32768
-    additionally group by ``bitmap_bucket_number`` and sum the per-bucket
-    counts. Oracle is the plain COUNT(DISTINCT)."""
+    the oracle, 149 vs 150), so the key shifts by +1. Each bitmap covers
+    a 32768-wide slice of the domain, so the first groupBy ALSO keys on
+    ``bitmap_bucket_number`` — one bitmap per (group, 32k-slice) — and a
+    second aggregate sums the per-bucket cardinalities. Without the
+    bucket key, any id ≥ 32768 wraps modulo 32768 into a lower bit and
+    silently undercounts; with it, the domain is unbounded and the inner
+    shuffle carries ≤ one 4 KB bitmap per slice instead of raw pairs.
+    Oracle is the plain COUNT(DISTINCT)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    per_bucket = events.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id") + 1).alias("bucket"),
+    ).agg(
         F.bitmap_count(
             F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id") + 1))
-        ).alias("n_users")
+        ).alias("bucket_users")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("bucket_users").alias("n_users")
     )

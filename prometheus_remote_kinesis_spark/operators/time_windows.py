@@ -771,8 +771,8 @@ T14E_ORACLE = """
     )
     SELECT event_id, event_type, user_id,
            CASE WHEN prev_ms IS NULL OR ms <= prev_ms THEN NULL
-                ELSE round((CASE WHEN value >= prev_v THEN value - prev_v
-                                 ELSE value END) * 1000.0 / (ms - prev_ms), 6)
+                ELSE floor((CASE WHEN value >= prev_v THEN value - prev_v
+                                 ELSE value END) * 1000.0 / (ms - prev_ms) * 1e6) / 1e6
            END AS irate_per_sec,
            round(value - prev_v, 2) AS idelta
     FROM d
@@ -813,7 +813,9 @@ def t14e_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_ms").isNull() | (F.col("ms") <= F.col("prev_ms")),
             F.lit(None).cast("double"),
         )
-        .otherwise(F.round(inc * 1000.0 / (F.col("ms") - F.col("prev_ms")), 6))
+        # floor-truncated, not rounded: the quotient is an arbitrary double
+        # (tie-prone under round — CLAUDE.md convention).
+        .otherwise(F.floor(inc * 1000.0 / (F.col("ms") - F.col("prev_ms")) * 1e6) / 1e6)
         .alias("irate_per_sec"),
         F.round(F.col("value") - F.col("prev_v"), 2).alias("idelta"),
     )
@@ -1251,7 +1253,7 @@ T25_ORACLE = """
     )
     SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
            round(inc, 2) AS increase_raw,
-           round(inc * ((CAST(last_ms - first_ms AS DOUBLE)
+           floor(inc * ((CAST(last_ms - first_ms AS DOUBLE)
                  + CASE WHEN CAST(first_ms - (t_eval - 300000) AS DOUBLE)
                              < 1.1 * (CAST(last_ms - first_ms AS DOUBLE) / (n - 1))
                         THEN CAST(first_ms - (t_eval - 300000) AS DOUBLE)
@@ -1260,7 +1262,7 @@ T25_ORACLE = """
                              < 1.1 * (CAST(last_ms - first_ms AS DOUBLE) / (n - 1))
                         THEN CAST(t_eval - last_ms AS DOUBLE)
                         ELSE (CAST(last_ms - first_ms AS DOUBLE) / (n - 1)) / 2 END)
-                 / CAST(last_ms - first_ms AS DOUBLE)) / 300.0, 6) AS rate_per_sec
+                 / CAST(last_ms - first_ms AS DOUBLE)) / 300.0 * 1e6) / 1e6 AS rate_per_sec
     FROM g
     WHERE n >= 2 AND last_ms > first_ms
 """
@@ -1321,7 +1323,14 @@ def t25_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n").alias("n"),
         F.round(F.col("inc"), 2).alias("increase_raw"),
-        F.round(F.col("inc") * (extra / sampled) / 300.0, 6).alias("rate_per_sec"),
+        # Floor-truncation, not round(): the extrapolation factor is an
+        # arbitrary double quotient, the half-tie class where Spark and
+        # DuckDB round() can split a representable .5 differently (CLAUDE.md
+        # convention, the f8 fix). floor(q*1e6)/1e6 is tie-free because both
+        # engines hold the identical IEEE quotient.
+        (F.floor(F.col("inc") * (extra / sampled) / 300.0 * 1e6) / 1e6).alias(
+            "rate_per_sec"
+        ),
     )
 
 
@@ -1344,7 +1353,7 @@ T26_ORACLE = """
     ),
     b AS (
         SELECT event_type, user_id, day, bucket,
-               round(CAST(sum(inc) AS DOUBLE) / 300.0, 6) AS bucket_rate
+               floor(CAST(sum(inc) AS DOUBLE) / 300.0 * 1e6) / 1e6 AS bucket_rate
         FROM i
         GROUP BY event_type, user_id, day, bucket
     )
@@ -1394,7 +1403,10 @@ def t26_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc.alias("inc"),
     )
     b = i.groupBy("event_type", "user_id", "day", "bucket").agg(
-        F.round(F.sum("inc").cast("double") / 300.0, 6).alias("bucket_rate")
+        # floor-truncated (tie-free), matching the oracle — see CLAUDE.md.
+        (F.floor(F.sum("inc").cast("double") / 300.0 * 1e6) / 1e6).alias(
+            "bucket_rate"
+        )
     )
     return b.groupBy("event_type", "user_id", "day").agg(
         F.count(F.lit(1)).alias("n_buckets"),

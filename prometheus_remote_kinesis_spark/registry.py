@@ -97,8 +97,12 @@ _PRIORITY = (
     # O: pagination, intersect (o1/o3 verified outside the window)
     "o2b_pagination",
     "o4_nation_intersect",
-    # T20: sequential Holt-Winters recurrence as an order-stable fold
-    "t20_holt_winters",
+    # T20: sequential Holt-Winters recurrence — driver slot holds the
+    # STREAMING twin (same recursive-CTE oracle; stream==batch is pinned
+    # by test_holt_winters_stream_matches_batch, and the batch fold t20
+    # stays oracle-verified locally), making a 4th streaming-executed
+    # entry inside the driver window.
+    "t20s_holt_winters_stream",
     # F: all seven scalar-function families
     "f1_string_ops",
     "f2_datetime_ops",

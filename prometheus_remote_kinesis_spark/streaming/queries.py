@@ -35,6 +35,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T6_ORACLE,
     T7_ORACLE,
     T14_ORACLE,
+    T20_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -414,7 +415,7 @@ def t17_prefix_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 T19S_ORACLE = """
     SELECT c_mktsegment,
            count(*)                                                   AS n_events,
-           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+           sum(CAST(round(e.value * 100) AS BIGINT))                  AS sum_cents,
            sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)  AS n_purchases
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
@@ -432,7 +433,9 @@ def t19s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark raises), so the rollup uses conditional counts; a3b's mergeable
     HLL partials are the streaming-safe distinct-count path. Oracle is the
     equivalent batch join+GROUP BY, so the streaming join operator itself
-    sits inside the hash-match gate."""
+    sits inside the hash-match gate. The value rollup is emitted as integer
+    cents (the v100 convention) — an all-integer output cannot hash-diverge
+    on float-tie rounding, which is what bit the r3 driver run."""
     events = stream_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = events.join(
@@ -440,9 +443,7 @@ def t19s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
-        ).alias("sum_value"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "n_purchases"
         ),
@@ -450,30 +451,45 @@ def t19s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(agg, "complete")
 
 
-@register("t20s_holt_winters_stream", family="T20-stream", oracle=None)
+@register("t20s_holt_winters_stream", family="T20-stream", oracle=T20_ORACLE)
 def t20s_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t20's Holt-Winters recurrence executed BY the streaming engine:
     ``applyInPandasWithState`` carries (n, level, trend) per series and the
     Python fold applies the recurrence in the identical operand order as
-    the batch ``aggregate`` fold and the recursive-CTE oracle. Registered
-    rows-only (an availableNow drain emits one summary row per
-    series × batch; under multi-batch chop the intermediate rows are
-    extra, so the exact-equality check lives in
-    tests/test_streaming.py::test_holt_winters_stream_matches_batch which
-    pins stream == batch on the single-batch drain)."""
+    the batch ``aggregate`` fold and the recursive-CTE oracle, over the
+    identical (time, event_id) sample order — same IEEE doubles on all
+    three paths. Each micro-batch emits one summary row per touched
+    series, so under multi-batch chop the drain holds intermediate rows
+    too; n_samples grows monotonically per series, so the FINAL state is
+    the max-n row — a WindowGroupLimit-prunable top-1 per series — and the
+    filtered output registers directly against t20's recursive-CTE oracle
+    (promoted from rows-only in round 4). Exact stream==batch equality is
+    additionally pinned by test_holt_winters_stream_matches_batch."""
+    from pyspark.sql import Window
+
     from prometheus_remote_kinesis_spark.streaming.stateful import holt_winters
 
     records = stream_table(spark, sf_dir, "events").select(
-        "event_type", "user_id", F.unix_millis("ts").alias("time"), "value"
-    )
-    out = holt_winters(records, idle_timeout_ms=None)
-    return run_to_batch(out, "append").select(
         "event_type",
         "user_id",
-        "n_samples",
-        F.round("hw_level", 6).alias("hw_level"),
-        F.round("hw_trend", 6).alias("hw_trend"),
-        F.round("hw_forecast", 6).alias("hw_forecast"),
+        "event_id",
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+    out = holt_winters(records, idle_timeout_ms=None)
+    drained = run_to_batch(out, "append")
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.desc("n_samples"))
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("n_samples").cast("int").alias("n_samples"),
+            F.round("hw_level", 6).alias("hw_level"),
+            F.round("hw_trend", 6).alias("hw_trend"),
+            F.round("hw_forecast", 6).alias("hw_forecast"),
+        )
     )
 
 

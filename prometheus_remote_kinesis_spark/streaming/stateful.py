@@ -34,6 +34,20 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark-compatible double rounding. Spark's ``round()`` on a double is
+    BigDecimal.valueOf(x) (shortest decimal repr, like Python ``repr``)
+    quantized with HALF_UP; Python's builtin ``round`` is banker's
+    (half-to-even) on the binary value — a representable halfway quotient
+    would make a stateful operator diverge from the batch twin and the
+    shared oracle it registers against. This mirrors Spark exactly."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 INCREASE_SCHEMA = StructType(
     [
         StructField("name", StringType()),
@@ -382,7 +396,7 @@ def prefix_anomaly(
                 rows.append(
                     {"name": name, "time": t, "value": v, "z": z, "n_prior": n}
                 )
-                v100 = int(round(v * 100))
+                v100 = int(_round_half_up(v * 100, 0))
                 n, sv, svv = n + 1, sv + v100, svv + v100 * v100
         state.update((n, sv, svv))
         if idle_timeout_ms is not None:
@@ -438,7 +452,13 @@ def holt_winters(
         event_type, user_id = key
         n, level, trend = state.get if state.exists else (0, 0.0, 0.0)
         for pdf in pdfs:
-            pdf = pdf.sort_values("time")
+            # (time, event_id) — the exact batch/oracle sample order; a
+            # time-only sort would leave equal-timestamp neighbors in
+            # arrival order and the fold is order-sensitive.
+            sort_keys = (
+                ["time", "event_id"] if "event_id" in pdf.columns else ["time"]
+            )
+            pdf = pdf.sort_values(sort_keys)
             for v in pdf["value"]:
                 x = float(v)
                 if n == 0:
@@ -545,7 +565,7 @@ def streaming_rate(
                         "event_type": event_type,
                         "user_id": user_id,
                         "rate_per_sec": (
-                            round(sum(in_frame) / (window_ms / 1000.0), 6)
+                            _round_half_up(sum(in_frame) / (window_ms / 1000.0), 6)
                             if in_frame
                             else None
                         ),

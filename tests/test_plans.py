@@ -329,21 +329,31 @@ def test_dynamic_partition_pruning_on_archive(spark, tmp_path):
 
 
 def test_no_accidental_plan_antipatterns(spark):
-    """Plan-hygiene guard over the driver's 50-query correctness window,
-    using the fleet audit's node-sequence detection (tools/audit_plans):
-    no CartesianProduct, true single-partition fact window, BNL join, or
-    RDD scan sneaks in unless whitelisted there with a justification
-    (1-row broadcast scalars, banded rank windows, documented demos)."""
+    """Plan-hygiene guard over the ENTIRE registry (not just the driver's
+    50-query window), using the fleet audit's node-sequence detection
+    (tools/audit_plans): no CartesianProduct, true single-partition fact
+    window, BNL join, or RDD scan sneaks in unless whitelisted there with
+    a justification (1-row broadcast scalars, banded rank windows,
+    documented demos). Fleet-wide on purpose: round 3 added t28 outside
+    the 50-window and its missing whitelist entry rotted `python
+    tools/audit_plans.py` to exit 1 without any test noticing."""
     import tools.audit_plans as ap
     from prometheus_remote_kinesis_spark.registry import all_queries
 
     qs = all_queries()
     offenders = {}
-    for name in list(qs)[:50]:
+    skipped = []
+    for name in qs:
         if "stream" in name or name == "r4_prompb_datasource":
             continue  # live streaming state / spool-writing sources
-        plan = ap.formatted_plan(qs[name].fn(spark, SF_SMOKE))
+        try:
+            plan = ap.formatted_plan(qs[name].fn(spark, SF_SMOKE))
+        except Exception:  # unplannable-in-batch entries, same as the tool
+            skipped.append(name)
+            continue
         flags = [f for f in ap.audit_one(name, plan) if (name, f) not in ap.WHITELIST]
         if flags:
             offenders[name] = sorted(flags)
     assert not offenders, offenders
+    # the skip list must stay an exception, not a loophole
+    assert len(skipped) <= 5, skipped

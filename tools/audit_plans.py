@@ -56,6 +56,7 @@ WHITELIST: set[tuple[str, str]] = {
     ("t22_downsample_retention", "nested_loop_join"),  # broadcast max(ms) cutoff
     ("t23_instant_vector", "nested_loop_join"),  # broadcast eval-time scalar
     ("t25_rate_extrapolated", "nested_loop_join"),  # broadcast eval-time scalar
+    ("t28_slo_burn_alert", "nested_loop_join"),  # broadcast eval-time scalar
     # All-pairs cosine on the small embeddings table; documented baseline,
     # scale paths are l2's LSH banding and l4b/l4c.
     ("l2d_embedding_neardup", "nested_loop_join"),

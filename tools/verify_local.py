@@ -3,11 +3,12 @@
 Runs every registered query at sf0.01 (or --sf-dir) on Spark AND its DuckDB
 oracle, then compares row count, column names, and an order-insensitive
 value comparison (columns sorted by name, rows sorted by all columns,
-cell-by-cell with exact match for non-floats and tight tolerance for
-floats — stricter in spirit than the driver's hash, so passing here should
-imply passing there).
+cell-by-cell, BIT-EXACT for floats — the driver hashes exact values, so
+any local tolerance would let a 1-ulp divergence pass here and fail there
+(round-3 t19s was exactly that). Exact is therefore the default; pass
+--tolerant only to triage how far apart a failing pair is.
 
-Usage: python tools/verify_local.py [--sf-dir DIR] [query ...]
+Usage: python tools/verify_local.py [--sf-dir DIR] [--tolerant] [query ...]
 """
 
 from __future__ import annotations
@@ -54,13 +55,18 @@ def normalize(rows: list[tuple], cols: list[str]):
     ]
 
 
+TOLERANT = False
+
+
 def cells_equal(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) or math.isnan(b):
             return math.isnan(a) and math.isnan(b)
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        if TOLERANT:
+            return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        return a == b  # bit-exact: the driver hashes exact values
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
         return float(a) == float(b)
     return a == b
@@ -109,8 +115,16 @@ def main() -> int:
         help="run exactly the driver's correctness window: the first 50 "
         "registry entries in contract order (see registry._PRIORITY)",
     )
+    ap.add_argument(
+        "--tolerant",
+        action="store_true",
+        help="compare floats with 1e-9 relative tolerance instead of "
+        "bit-exact (triage only — the driver's gate is exact)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
+    global TOLERANT
+    TOLERANT = args.tolerant
 
     if args.vanilla:
         from pyspark.sql import SparkSession
