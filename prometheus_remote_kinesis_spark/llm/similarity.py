@@ -52,13 +52,30 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query vector is a parameter (one collected row), inlined as a
     literal so the scan side runs embarrassingly parallel with a final
-    TakeOrderedAndProject top-k merge — no shuffle of the corpus."""
+    TakeOrderedAndProject top-k merge — no shuffle of the corpus.
+
+    The query's own norm is folded DRIVER-SIDE: Catalyst does not
+    constant-fold higher-order functions, so ``sqrt(dot(q,q))`` written
+    as a Column would re-run a |dim|-element fold on EVERY corpus row
+    (seen as a third aggregate() in the optimized plan — 3 dots/row
+    instead of 2). The Python left fold (0.0 start, sequential x*x adds
+    on the same doubles) and ``math.sqrt`` are bit-identical to the JVM
+    fold + sqrt, so the oracle hash is unchanged."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     q = F.array(*[F.lit(float(x)) for x in qvec])
+    qq = 0.0
+    for x in qvec:
+        qq += float(x) * float(x)
+    qnorm = F.lit(math.sqrt(qq))
+    cos = dot(F.col("embedding"), q) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * qnorm
+    )
     return (
         emb.filter(F.col("vec_id") != 0)
-        .select("vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
@@ -93,14 +110,28 @@ def l4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KNN join: top-3 cosine neighbors for each query vector
     (vec_id < 100). Broadcast the (small) query side; the corpus streams
     past it map-side, and a windowed top-k per query bounds the output —
-    the exact-KNN shape that scales until |queries| forces LSH (l4b)."""
+    the exact-KNN shape that scales until |queries| forces LSH (l4b).
+
+    Per-side norms are projected BELOW the join (each corpus row's
+    ``sqrt(dot(e,e))`` runs once, not once per query pair — with |Q|=100
+    the naive post-join cosine re-folds it 100×; same fold, same doubles,
+    so the oracle hash is unchanged). Per pair only dot(e,q) remains."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("enorm"),
     )
-    sim = F.round(cosine(F.col("embedding"), F.col("qe")), 6)
+    qs = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qnorm"),
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("qe")) / (F.col("enorm") * F.col("qnorm")), 6
+    )
     scored = (
-        emb.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        corpus.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("nn_id"), sim.alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nn_id")
@@ -161,8 +192,11 @@ def l4c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return f
 
+    # Norms projected below the join: each corpus row's fold runs once,
+    # not once per probed query (see l4_knn_join).
     corpus = emb.select(
         "vec_id", "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("enorm"),
         F.element_at(top_lists(1)(F.col("embedding")), 1).alias("list_id"),
     )
     queries = (
@@ -170,6 +204,7 @@ def l4c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qnorm"),
             F.explode(top_lists(N_PROBE)(F.col("embedding"))).alias("list_id"),
         )
     )
@@ -179,7 +214,11 @@ def l4c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.select(
         "qid",
         F.col("vec_id").alias("nn_id"),
-        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("embedding"), F.col("qe"))
+            / (F.col("enorm") * F.col("qnorm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nn_id")
     return (
@@ -219,23 +258,40 @@ def l4b_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(codes.astype(np.int32)))
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", buckets_of(F.col("embedding")).alias("buckets")
+        "vec_id",
+        "embedding",
+        # fold the norm once per vector, before the 8-way band explode and
+        # the bucket join fan-out (see l4_knn_join)
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        buckets_of(F.col("embedding")).alias("buckets"),
     )
-    banded = emb.select("vec_id", "embedding", F.explode("buckets").alias("bucket"))
+    banded = emb.select(
+        "vec_id", "embedding", "norm", F.explode("buckets").alias("bucket")
+    )
     a = banded.select(
-        F.col("bucket"), F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("bucket"),
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
     )
     b = banded.select(
-        F.col("bucket"), F.col("vec_id").alias("nn_id"), F.col("embedding").alias("ne")
+        F.col("bucket"),
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("ne"),
+        F.col("norm").alias("nnorm"),
     )
     candidates = (
         a.join(b, "bucket")
         .filter(F.col("qid") != F.col("nn_id"))
-        .select("qid", "nn_id", "qe", "ne")
+        .select("qid", "nn_id", "qe", "ne", "qnorm", "nnorm")
         .dropDuplicates(["qid", "nn_id"])  # union across tables
     )
     scored = candidates.select(
-        "qid", "nn_id", F.round(cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim")
+        "qid",
+        "nn_id",
+        F.round(
+            dot(F.col("qe"), F.col("ne")) / (F.col("qnorm") * F.col("nnorm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nn_id")
     return (
