@@ -324,6 +324,12 @@ def l4d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated sums. Iterations are driver-sequenced like l2e's label
     propagation; at 100 TB add mini-batching or a sampled warm start —
     the per-iteration plan is already the distributed form."""
+    return _kmeans_assign(spark, sf_dir, KMEANS_K).select("vec_id", "cluster")
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Distributed Lloyd's core shared by l4d (fixed k) and l2g (k scaled
+    to corpus size). Returns (vec_id, v-normalized, cluster)."""
     from pyspark.sql.functions import pandas_udf
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -337,7 +343,7 @@ def l4d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     centroids = np.array(
-        [r[0] for r in norm.sort("vec_id").limit(KMEANS_K).select("v").collect()],
+        [r[0] for r in norm.sort("vec_id").limit(k).select("v").collect()],
         dtype=np.float64,
     )
 
@@ -358,7 +364,7 @@ def l4d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = sums.collect()  # k×64 cells — bounded by k·d, not corpus size
         new = centroids.copy()
-        for c in range(KMEANS_K):
+        for c in range(len(centroids)):
             vec = np.array(
                 [r.m for r in sorted(rows, key=lambda r: r.dim) if r.cluster == c]
             )
@@ -366,10 +372,11 @@ def l4d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new[c] = vec / np.linalg.norm(vec)
         centroids = new
 
-    return assigned.select("vec_id", "cluster")
+    return assigned
 
 
 SEMDEDUP_TAU = 0.4  # same semantic threshold as l2d's all-pairs baseline
+SEMDEDUP_CLUSTER_TARGET = 1250  # aim |cluster| ≈ this, so pair work stays linear
 
 
 @register("l2g_semdedup", family="L2", oracle=None)
@@ -382,24 +389,20 @@ def l2g_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale story is the pair-count bound: all-pairs cosine (l2d) is
     O(N²); clustering first makes it Σ|cluster|², and the within-cluster
     self-join keys the shuffle by cluster id, so each cluster's quadratic
-    work is an independent task. Near-dups that straddle a cluster
-    boundary are missed by construction — the recall/cost trade SemDeDup
-    documents (l2d remains the exact baseline; the pytest invariant checks
-    every removed vector has a kept lower-id neighbor at ≥ τ in ITS
-    cluster). Rows-only: k-means is iterative (no SQL oracle), so the
-    driver runs the rows-only check and the invariants live in
-    tests/test_llm.py."""
-    assigned = l4d_kmeans(spark, sf_dir)  # (vec_id, cluster) — deterministic
-    emb = load_table(spark, sf_dir, "embeddings")
-    norm = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: x.cast("double")
-            / F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
-        ).alias("v"),
-    )
-    av = assigned.join(norm, "vec_id")
+    work is an independent task. With FIXED k, |cluster| ∝ N and the pair
+    space is still N²/k — measured 16.7× time at 16× data only because
+    assignment dominated at this scale; so k scales with the corpus
+    (k = max(8, N/1250)): constant expected cluster size ⇒ pair work
+    linear in N, while the per-iteration cost adds one k×d broadcast.
+    Near-dups that straddle a cluster boundary are missed by
+    construction — the recall/cost trade SemDeDup documents (l2d remains
+    the exact baseline; the pytest invariant checks every removed vector
+    has a kept lower-id neighbor at ≥ τ in ITS cluster). Rows-only:
+    k-means is iterative (no SQL oracle), so the driver runs the
+    rows-only check and the invariants live in tests/test_llm.py."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = max(KMEANS_K, -(-n // SEMDEDUP_CLUSTER_TARGET))  # ceil div
+    av = _kmeans_assign(spark, sf_dir, k)  # (vec_id, v, cluster) — deterministic
     a = av.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),
@@ -417,7 +420,8 @@ def l2g_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        assigned.join(dups.withColumn("dup", F.lit(True)), "vec_id", "left")
+        av.select("vec_id", "cluster")
+        .join(dups.withColumn("dup", F.lit(True)), "vec_id", "left")
         .select(
             "vec_id",
             "cluster",

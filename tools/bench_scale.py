@@ -10,7 +10,10 @@ per partition-key, same parallelism), and the realistic one for a metrics
 corpus (more samples per series, not more series).
 
 Usage: python tools/bench_scale.py [multipliers...]   (default: 1 4 16)
-Prints ONE JSON line per multiplier.
+       python tools/bench_scale.py --queries t25_rate_extrapolated,t28_slo_burn_alert 1 16
+Prints ONE JSON line per multiplier. --queries probes an arbitrary
+registered subset instead of the bench set (how SCALE.md's per-family
+scaling rows are measured).
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from prometheus_remote_kinesis_spark.registry import bench_queries
+from prometheus_remote_kinesis_spark.registry import all_queries, bench_queries
 from prometheus_remote_kinesis_spark.schema import TABLES
 from prometheus_remote_kinesis_spark.session import get_spark
 
@@ -96,7 +99,15 @@ def build_scaled_dir(spark, m: int, workdir: str) -> str:
 
 
 def main() -> None:
-    multipliers = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    argv = sys.argv[1:]
+    subset: dict | None = None
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        names = argv[i + 1].split(",")
+        del argv[i : i + 2]
+        qs = all_queries()
+        subset = {n: qs[n].fn for n in names}
+    multipliers = [int(a) for a in argv] or [1, 4, 16]
     spark = get_spark("bench_scale")
     # events.parquet is TIMESTAMP(NANOS); the rewrite (via nanosAsLong set
     # by queries later) must preserve the raw long readably — read it with
@@ -108,7 +119,7 @@ def main() -> None:
             sf_dir = build_scaled_dir(spark, m, workdir)
             plans = {
                 name: fn(spark, sf_dir)
-                for name, fn in sorted(bench_queries().items())
+                for name, fn in sorted((subset or bench_queries()).items())
             }
             timings = {}
             for name, df in plans.items():
