@@ -13,6 +13,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from prometheus_remote_kinesis_spark.sources.prompb import (
+    _write_uvarint,
     encode_remote_write_body,
     encode_write_request,
     parse_write_request,
@@ -42,6 +43,57 @@ def test_snappy_rejects_bad_offset():
     blob = bytes([4]) + bytes([(4 << 2) | 1 | (0 << 5), 200])
     with pytest.raises(ValueError):
         snappy_decompress(blob)
+
+
+def _encode_copy(kind: int, length: int, offset: int) -> bytes:
+    """Emit one back-reference element in the requested tag format
+    (format_description.txt §2: copy1 len 4-11 / off <2048, copy2 len
+    1-64 / off <65536, copy4 len 1-64 / off <2^32)."""
+    if kind == 1:
+        return bytes([((length - 4) << 2) | 1 | ((offset >> 8) << 5), offset & 0xFF])
+    if kind == 2:
+        return bytes([((length - 1) << 2) | 2]) + offset.to_bytes(2, "little")
+    return bytes([((length - 1) << 2) | 3]) + offset.to_bytes(4, "little")
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_snappy_fuzz_copy_literal_mix(data):
+    """Property fuzz over the FULL element grammar: random interleavings
+    of literals and all three copy tag formats (including overlapping
+    copies, offset < length) are built alongside the output they imply,
+    and the decoder must reproduce that output exactly. Closes the gap
+    between the literal-only round-trip test and the hand-built copy
+    cases — the decoder runs executor-side on every ingested body, so a
+    100 TB replay hits every element shape a conformant encoder emits."""
+    expected = bytearray()
+    body = bytearray()
+    n_ops = data.draw(st.integers(min_value=1, max_value=12))
+    for _ in range(n_ops):
+        if not expected or data.draw(st.booleans()):
+            lit = data.draw(st.binary(min_size=1, max_size=300))
+            ln = len(lit) - 1
+            if ln < 60:
+                body.append(ln << 2)
+            else:
+                nbytes = (ln.bit_length() + 7) // 8
+                body.append((59 + nbytes) << 2)
+                body += ln.to_bytes(nbytes, "little")
+            body += lit
+            expected += lit
+        else:
+            kind = data.draw(st.sampled_from([1, 2, 3]))
+            max_off = min(len(expected), 2047 if kind == 1 else 65535)
+            offset = data.draw(st.integers(min_value=1, max_value=max_off))
+            length = data.draw(
+                st.integers(min_value=4 if kind == 1 else 1, max_value=11 if kind == 1 else 64)
+            )
+            body += _encode_copy(kind, length, offset)
+            start = len(expected) - offset
+            for i in range(length):  # overlapping-copy semantics
+                expected.append(expected[start + i])
+    blob = bytes(_write_uvarint(len(expected))) + bytes(body)
+    assert snappy_decompress(blob) == bytes(expected)
 
 
 def test_protobuf_roundtrip():
