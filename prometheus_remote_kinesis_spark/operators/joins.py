@@ -22,6 +22,60 @@ from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import load_table
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """Generic backward as-of join (pandas ``merge_asof`` semantics): for
+    each left row, carry the payload of the LATEST right row with
+    ``right_ts <= left_ts`` within the same ``on`` key (NULLs when no
+    right row precedes). Ties at equal timestamps take the right row
+    (at-or-before), matching DuckDB ``ASOF JOIN``.
+
+    Union+window formulation (the j6 shape, SURVEY.md §2.3 J6): tag both
+    sides, union on (key, ts, side) and run ``last(payload,
+    ignorenulls)`` over a key-partitioned window ordered (ts, side) with
+    right rows sorting first at equal ts. ONE shuffle on the key, linear
+    in rows — no range explosion, no per-row subquery; the shape that
+    survives 1000 executors. Right (key, ts) pairs should be unique
+    (pre-aggregate otherwise) so latest-wins tie-breaking is
+    deterministic.
+
+    Output: every left column, plus ``payload`` columns from the right.
+    Left/payload names must be disjoint."""
+    left_cols = [c for c in left.columns if c != on]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c) for c in payload],
+    )
+    l = left.select(  # noqa: E741
+        F.col(on),
+        F.col(left_ts).cast(right.schema[right_ts].dataType).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l).select(
+        on,
+        "_asof_side",
+        *left_cols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return merged.filter(F.col("_asof_side") == 1).drop("_asof_side")
+
+
 @register(
     "j1_order_revenue",
     family="J1",
@@ -200,7 +254,9 @@ def j6_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in rows — scale-safe where a per-event subquery is not.
 
     Day-level pre-aggregation makes the as-of target unique per (key, ts),
-    so tie-breaking is deterministic on both engines.
+    so tie-breaking is deterministic on both engines. The union+window
+    core is the reusable ``asof_join`` helper above (property-tested
+    against a naive reference in tests/test_stateful_props.py).
     """
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
@@ -209,40 +265,21 @@ def j6_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey", "o_orderdate")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
         .select(
-            F.col("o_custkey").alias("key"),
-            F.col("o_orderdate").alias("t"),
-            F.lit(0).alias("side"),  # orders first at equal ts → '<=' semantics
-            F.lit(None).cast("long").alias("event_id"),
-            F.col("o_orderdate").alias("order_ts"),
-            F.col("day_total"),
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("odate"),
+            F.col("o_orderdate").alias("last_order_ts"),
+            F.col("day_total").alias("last_order_total"),
         )
     )
-    ev = events.select(
-        F.col("user_id").alias("key"),
-        F.col("ts").alias("t"),
-        F.lit(1).alias("side"),
-        F.col("event_id"),
-        F.lit(None).cast("timestamp").alias("order_ts"),
-        F.lit(None).cast("double").alias("day_total"),
-    )
-    w = (
-        Window.partitionBy("key")
-        .orderBy("t", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = day_orders.unionByName(ev).select(
-        "key",
-        "side",
-        "event_id",
-        F.last("order_ts", ignorenulls=True).over(w).alias("last_order_ts"),
-        F.last("day_total", ignorenulls=True).over(w).alias("last_order_total"),
-    )
-    return merged.filter(F.col("side") == 1).select(
-        F.col("event_id"),
-        F.col("key").alias("user_id"),
-        "last_order_ts",
-        "last_order_total",
-    )
+    ev = events.select("user_id", "ts", "event_id")
+    return asof_join(
+        ev,
+        day_orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="odate",
+        payload=["last_order_ts", "last_order_total"],
+    ).select("event_id", "user_id", "last_order_ts", "last_order_total")
 
 
 @register(

@@ -58,6 +58,54 @@ def test_counter_increase_matches_naive(spark, series):
         prev = v
 
 
+asof_left_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key — few keys → dense ties
+        st.integers(min_value=0, max_value=50),  # ts — small domain → equal-ts cases
+    ),
+    min_size=1,
+    max_size=15,
+)
+asof_right_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=-1000, max_value=1000),  # payload
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),  # unique (key, ts) — the helper's contract
+)
+
+
+@given(left=asof_left_st, right=asof_right_st)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_naive(spark, left, right):
+    """The generic union+window as-of join (operators/joins.py::asof_join,
+    j6's core) vs the obvious quadratic reference: for each left row the
+    payload of the latest right row at-or-before its ts within the key —
+    including equal-ts (right wins), no-predecessor (NULL), duplicate left
+    rows, and keys present on only one side."""
+    from prometheus_remote_kinesis_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, rowid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right], "k long, rts long, payload long"
+    )
+    got = {
+        r["rowid"]: r["payload"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts", payload=["payload"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        expected = max(cands)[1] if cands else None
+        assert got[i] == expected, (i, k, t, got[i], expected)
+
+
 @given(series=series_st, interval=st.sampled_from([7, 100, 999]))
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_gap_fill_matches_naive(spark, series, interval):
