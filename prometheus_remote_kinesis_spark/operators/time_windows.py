@@ -283,20 +283,22 @@ def t13_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 T14_ORACLE = """
     WITH d AS (
         SELECT event_type, user_id, event_id, epoch_us(ts) // 1000 AS ms,
-               value,
-               lag(value) OVER (PARTITION BY event_type, user_id
-                                ORDER BY ts, event_id) AS prev
+               CAST(round(value * 100) AS BIGINT) AS v100,
+               lag(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY event_type, user_id
+                         ORDER BY ts, event_id) AS prev
         FROM events
     ),
     i AS (
         SELECT event_type, user_id, event_id, ms,
                CASE WHEN prev IS NULL THEN NULL
-                    WHEN value >= prev THEN value - prev
-                    ELSE value END AS inc
+                    WHEN v100 >= prev THEN v100 - prev
+                    ELSE v100 END AS inc
         FROM d
     )
     SELECT event_id, event_type, user_id,
-           round(sum(inc) OVER w / 300.0, 6) AS rate_per_sec,
+           floor(CAST(sum(inc) OVER w AS DOUBLE) / 100.0 / 300.0 * 1e6) / 1e6
+               AS rate_per_sec,
            count(inc) OVER w                 AS n_increases
     FROM i
     WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ms
@@ -315,10 +317,12 @@ def t14_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     w3's epoch-ms range frame, partitioned by the high-cardinality
     (event_type, user_id) series key — one shuffle, state bounded per
     series; w3b's bucket decomposition applies unchanged if a deployment
-    has few series. Increases are differences of 2-decimal-quantized
-    values, so the frame sum's regrouped double error (~1e-9, then
-    /300) sits far below the round(…,6) boundary (SCALE.md
-    floats-vs-oracle note)."""
+    has few series. Increases are integer cents (the v100 pattern), so
+    the frame sum is EXACT on any accumulation order; the single
+    cents→rate quotient is then the identical IEEE double on both
+    engines and floor-truncation (tie-free on identical doubles) makes
+    the hash safe BY CONSTRUCTION — no 'float error below the rounding
+    boundary' argument left (that argument is what bit t19s in r3)."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -331,14 +335,14 @@ def t14_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         F.unix_millis("ts").alias("ms"),
-        "value",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
     )
     wlag = Window.partitionBy("event_type", "user_id").orderBy("ms", "event_id")
-    d = d0.withColumn("prev", F.lag("value").over(wlag))
+    d = d0.withColumn("prev", F.lag("v100").over(wlag))
     inc = (
-        F.when(F.col("prev").isNull(), F.lit(None).cast("double"))
-        .when(F.col("value") >= F.col("prev"), F.col("value") - F.col("prev"))
-        .otherwise(F.col("value"))
+        F.when(F.col("prev").isNull(), F.lit(None).cast("long"))
+        .when(F.col("v100") >= F.col("prev"), F.col("v100") - F.col("prev"))
+        .otherwise(F.col("v100"))
     )
     wrange = (
         Window.partitionBy("event_type", "user_id")
@@ -350,7 +354,12 @@ def t14_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "user_id",
-        F.round(F.sum("inc").over(wrange) / 300.0, 6).alias("rate_per_sec"),
+        (
+            F.floor(
+                F.sum("inc").over(wrange).cast("double") / 100.0 / 300.0 * 1e6
+            )
+            / 1e6
+        ).alias("rate_per_sec"),
         F.count("inc").over(wrange).alias("n_increases"),
     )
 

@@ -508,9 +508,10 @@ RATE_SCHEMA = StructType(
     ]
 )
 
-# trailing-window buffer: parallel arrays of increase timestamps/values,
-# plus the previous sample for the next delta
-_RATE_STATE_SCHEMA = "last_value double, inc_ms array<long>, inc_v array<double>"
+# trailing-window buffer: parallel arrays of increase timestamps/values
+# (integer cents — exact, see streaming_rate), plus the previous sample's
+# cents for the next delta
+_RATE_STATE_SCHEMA = "last_v100 long, inc_ms array<long>, inc_v array<long>"
 
 
 def streaming_rate(
@@ -526,53 +527,63 @@ def streaming_rate(
     Emits one row per sample with the reset-aware increase sum over the
     trailing frame / window seconds — the exact t14 semantics, so it
     registers with the SAME DuckDB oracle (T14_ORACLE) and the streaming
-    engine's output is hash-compared against it. Increases are 2-decimal
-    quantized, so the float frame-sum error (~1e-10) sits far below the
-    round(…,6) boundary on both paths."""
+    engine's output is hash-compared against it. Increases are INTEGER
+    CENTS (the v100 pattern, matching t14 batch and oracle): the frame
+    sum is exact on any accumulation/batching order, the one cents→rate
+    quotient is the identical IEEE double on all three paths, and
+    floor-truncation is tie-free on identical doubles — hash-safe by
+    construction."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import math
+
         event_type, user_id = key
         if state.exists:
-            last_value, inc_ms, inc_v = state.get
+            last_v100, inc_ms, inc_v = state.get
             inc_ms, inc_v = list(inc_ms), list(inc_v)
         else:
-            last_value, inc_ms, inc_v = None, [], []
+            last_v100, inc_ms, inc_v = None, [], []
         rows: list[dict[str, Any]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["time", "event_id"])
             for _, r in pdf.iterrows():
-                t, v = int(r["time"]), float(r["value"])
-                if last_value is None:
+                t = int(r["time"])
+                v100 = int(_round_half_up(float(r["value"]) * 100, 0))
+                if last_v100 is None:
                     inc = None
-                elif v >= last_value:
-                    inc = v - last_value
+                elif v100 >= last_v100:
+                    inc = v100 - last_v100
                 else:
-                    inc = v  # counter reset: the new value IS the increase
+                    inc = v100  # counter reset: the new value IS the increase
                 if inc is not None:
                     inc_ms.append(t)
                     inc_v.append(inc)
-                last_value = v
+                last_v100 = v100
                 lo = t - window_ms
                 while inc_ms and inc_ms[0] < lo:
                     inc_ms.pop(0)
                     inc_v.pop(0)
                 in_frame = [x for m, x in zip(inc_ms, inc_v) if m >= lo]
+                if in_frame:
+                    # identical operand order as t14 batch / the oracle:
+                    # cast exact cents sum to double, /100.0, /300.0, then
+                    # tie-free floor truncation at 6 decimals
+                    q = float(sum(in_frame)) / 100.0 / (window_ms / 1000.0)
+                    rate = math.floor(q * 1e6) / 1e6
+                else:
+                    rate = None
                 rows.append(
                     {
                         "event_id": int(r["event_id"]),
                         "event_type": event_type,
                         "user_id": user_id,
-                        "rate_per_sec": (
-                            _round_half_up(sum(in_frame) / (window_ms / 1000.0), 6)
-                            if in_frame
-                            else None
-                        ),
+                        "rate_per_sec": rate,
                         "n_increases": len(in_frame),
                     }
                 )
-        state.update((last_value, inc_ms, inc_v))
+        state.update((last_v100, inc_ms, inc_v))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(rows, columns=[f.name for f in RATE_SCHEMA.fields])
