@@ -64,7 +64,12 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:  # empty corpus / missing query id → empty result, same schema
+        return emb.select(
+            "vec_id", F.lit(None).cast("double").alias("cos_sim")
+        ).limit(0)
+    qvec = qrow[0]
     q = F.array(*[F.lit(float(x)) for x in qvec])
     qq = 0.0
     for x in qvec:
@@ -169,12 +174,20 @@ def l4c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         [r[0] for r in emb.select("embedding").sort("vec_id").limit(2000).collect()],
         dtype=np.float64,
     )
+    if len(sample) == 0:  # empty corpus → empty result, same schema
+        return emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec_id").alias("nn_id"),
+            F.lit(None).cast("double").alias("cos_sim"),
+            F.lit(None).cast("int").alias("rn"),
+        ).limit(0)
+    n_lists = min(N_LISTS, len(sample))  # degenerate tiny corpora
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     rng = np.random.RandomState(7)
-    centroids = sample[rng.choice(len(sample), N_LISTS, replace=False)]
+    centroids = sample[rng.choice(len(sample), n_lists, replace=False)]
     for _ in range(10):
         assign = (sample @ centroids.T).argmax(axis=1)
-        for c in range(N_LISTS):
+        for c in range(n_lists):
             members = sample[assign == c]
             if len(members):
                 m = members.mean(axis=0)
