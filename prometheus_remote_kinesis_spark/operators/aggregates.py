@@ -585,6 +585,9 @@ def a12_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         counters: dict[str, int] = {}
         for pdf in batches:
             for text in pdf["text"]:
+                if not isinstance(text, str):
+                    continue  # NULL text rows contribute no tokens, like
+                    # the exact pass's explode(split(NULL)) → zero rows
                 for tok in text.split(" "):
                     if tok in counters:
                         counters[tok] += 1

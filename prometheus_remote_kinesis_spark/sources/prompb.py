@@ -233,7 +233,11 @@ def encode_write_request(timeseries: list[tuple[dict, list[tuple[float, int]]]])
             ts += _len_delim(1, lbl)
         for value, t in samples:
             raw_t = t & ((1 << 64) - 1)  # int64 two's complement varint
-            smp = _field(1, 1) + struct.pack("<d", value) + _field(2, 0) + _write_uvarint(raw_t)
+            # NULL value → NaN on the wire: the exact inverse of the decode
+            # path's NaN→NULL staleness mapping (prometheus.go:28-32), so a
+            # record round-trips through encode∘decode unchanged.
+            v = float("nan") if value is None else value
+            smp = _field(1, 1) + struct.pack("<d", v) + _field(2, 0) + _write_uvarint(raw_t)
             ts += _len_delim(2, smp)
         out += _len_delim(1, bytes(ts))
     return bytes(out)

@@ -54,18 +54,26 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``readStream`` twin of ``sources.tables.load_table``: stream one
     driver parquet table as a file source.
 
-    FileStreamSource wants a directory, so the sf dir is the base path and
-    ``pathGlobFilter`` selects the one table file; the TIMESTAMP(NANOS)
-    columns get the same nanosAsLong + µs conversion as the batch reader.
+    FileStreamSource wants a directory. When ``<name>.parquet`` IS a
+    directory (the layout every Spark/production writer produces), it is
+    the stream source directly; the driver's testdata instead ships each
+    table as a single FILE, so there the sf dir is the base path and
+    ``pathGlobFilter`` selects the one table file — without the isdir
+    branch the glob matches zero part-files inside a directory table and
+    the stream silently reads NOTHING. TIMESTAMP(NANOS) columns get the
+    same nanosAsLong + µs conversion as the batch reader.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema  # footer-only read
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        df = spark.readStream.schema(schema).parquet(path)
+    else:
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

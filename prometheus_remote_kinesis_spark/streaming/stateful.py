@@ -460,6 +460,9 @@ def holt_winters(
             )
             pdf = pdf.sort_values(sort_keys)
             for v in pdf["value"]:
+                if v is None or pd.isna(v):
+                    continue  # staleness marker (NaN→NULL) — the batch
+                    # fold's collect_list skips nulls identically
                 x = float(v)
                 if n == 0:
                     level, trend = x, 0.0
@@ -549,6 +552,8 @@ def streaming_rate(
         for pdf in pdfs:
             pdf = pdf.sort_values(["time", "event_id"])
             for _, r in pdf.iterrows():
+                if r["value"] is None or pd.isna(r["value"]):
+                    continue  # staleness marker — contributes no increase
                 t = int(r["time"])
                 v100 = int(_round_half_up(float(r["value"]) * 100, 0))
                 if last_v100 is None:
