@@ -424,3 +424,127 @@ def test_streaming_rate_matches_batch(spark):
         for r in t14s_rate_5m_stream(spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+def _chopped_stream(spark, tmp_path, rows, n_files):
+    """Write (event_id, event_type, user_id, time, value) rows as n_files
+    JSON chop files and stream them ONE FILE PER MICRO-BATCH — forcing
+    real state carry-over, the path a single availableNow drain of one
+    file never exercises."""
+    src = tmp_path / "chop_src"
+    src.mkdir()
+    per = -(-len(rows) // n_files)
+    now = time.time()
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            p = str(src / f"c{i}.json")
+            write_ndjson(p, chunk)
+            # FileStreamSource batches files in TIMESTAMP order; same-mtime
+            # files tie-break arbitrarily — make arrival order the row order
+            os.utime(p, (now + i * 10, now + i * 10))
+    return (
+        spark.readStream.schema(
+            "event_id long, event_type string, user_id long, time long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+
+def test_streaming_rate_multibatch_matches_naive(spark, tmp_path):
+    """streaming_rate under a REAL multi-batch chop (one file per
+    micro-batch, 4 batches): the trailing-window state — last v100 plus
+    the in-window (ts, increase-cents) buffer — must carry and evict
+    across batch boundaries exactly; output equals the naive reference
+    (integer cents, floor-truncated quotient, t14's conventions).
+    Timestamps straddle the 5-minute window so eviction happens
+    mid-stream, and a counter reset lands in a later batch than the
+    samples it resets against."""
+    import math
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import streaming_rate
+
+    # one series: rising, reset at 260s, rising again past window eviction
+    vals = [1.0, 2.5, 4.0, 7.5, 1.2, 3.0, 9.9, 12.4, 15.0, 15.0, 20.25, 21.0]
+    rows = [
+        {
+            "event_id": i,
+            "event_type": "m",
+            "user_id": 1,
+            "time": i * 65_000,  # 65 s apart → >5 m span, rolling eviction
+            "value": v,
+        }
+        for i, v in enumerate(vals)
+    ]
+    out = run_to_batch(
+        streaming_rate(_chopped_stream(spark, tmp_path, rows, 4), idle_timeout_ms=None),
+        "append",
+    )
+    got = {
+        r["event_id"]: (r["rate_per_sec"], r["n_increases"]) for r in out.collect()
+    }
+
+    window_ms = 300_000
+    last, buf = None, []  # buf: (ms, inc_cents)
+    expected = {}
+    for r in rows:
+        v100 = int(round(r["value"] * 100))
+        inc = None if last is None else (v100 - last if v100 >= last else v100)
+        if inc is not None:
+            buf.append((r["time"], inc))
+        last = v100
+        lo = r["time"] - window_ms
+        buf = [(m, x) for m, x in buf if m >= lo]
+        if buf:
+            q = float(sum(x for _, x in buf)) / 100.0 / 300.0
+            expected[r["event_id"]] = (math.floor(q * 1e6) / 1e6, len(buf))
+        else:
+            expected[r["event_id"]] = (None, 0)
+    assert got == expected
+
+
+def test_holt_winters_multibatch_final_state(spark, tmp_path):
+    """holt_winters under a multi-batch chop: each touched series emits a
+    summary row per batch; the max-n final-state row (t20s's registered
+    filter) must equal the full-sequence recurrence — the property that
+    justifies registering t20s against t20's oracle."""
+    from pyspark.sql import Window
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import holt_winters
+
+    vals = [5.0, 6.25, 4.5, 8.0, 7.75, 9.0, 10.5]
+    rows = [
+        {
+            "event_id": i,
+            "event_type": "m",
+            "user_id": 7,
+            "time": 1000 * i,
+            "value": v,
+        }
+        for i, v in enumerate(vals)
+    ]
+    drained = run_to_batch(
+        holt_winters(_chopped_stream(spark, tmp_path, rows, 3), idle_timeout_ms=None),
+        "append",
+    )
+    assert drained.count() >= 2  # really was chopped into multiple batches
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.desc("n_samples"))
+    final = (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert len(final) == 1
+    level, trend = vals[0], 0.0
+    for x in vals[1:]:
+        s = 0.3 * x + 0.7 * (level + trend)
+        trend = 0.1 * (s - level) + 0.9 * trend
+        level = s
+    r = final[0]
+    assert r["n_samples"] == len(vals)
+    assert r["hw_level"] == level  # bit-exact: same IEEE ops, same order
+    assert r["hw_trend"] == trend
+    assert r["hw_forecast"] == level + trend
