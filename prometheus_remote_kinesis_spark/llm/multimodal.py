@@ -2,16 +2,30 @@
 
 Media (image/audio/video) are opaque ``binary`` columns plus a typed
 metadata struct; decode/feature-extraction runs as Arrow-batched
-``mapInPandas`` over partitions of blobs. The decode itself is STUBBED
-behind ``decode_stub`` (media libraries are not available in this
-environment — clearly marked); the Spark-side plumbing — schema, batch
-iteration, partition behavior, UDF signatures — is real and tested.
+``mapInPandas`` over partitions of blobs.
+
+Decode coverage is split honestly by what this container can run:
+
+- **REAL decoders** for codec-free formats, implemented from their public
+  specs with stdlib + numpy only: 24-bpp uncompressed BMP
+  (``decode_bmp24`` — header parse, 4-byte row padding, bottom-up row
+  order) and PCM-16 WAV (``decode_wav_pcm16`` via the stdlib ``wave``
+  reader), plus a REAL numpy nearest-neighbor ``resize_nearest``. The
+  ``l6d`` query pushes synthesized BMP/WAV blobs through encoder →
+  decoder → resize → features inside ``mapInPandas`` and hash-verifies
+  the all-integer result against an arithmetic DuckDB oracle.
+- **STUBS** for codec-dependent formats (JPEG/PNG/MP4 — PIL/ffmpeg are
+  not installed here): ``decode_stub`` raises ``NotImplementedError``
+  for them, and the plumbing (schema, batching, one-to-many frame
+  fan-out) is exercised with deterministic stand-ins.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +59,82 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.DoubleType()),
     ]
 )
+
+
+# --------------------- real codec-free media decoders ---------------------
+
+
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array (logical top-down rows, BGR channel
+    order) as an uncompressed 24-bpp BMP — BITMAPFILEHEADER +
+    BITMAPINFOHEADER, rows bottom-up and zero-padded to 4 bytes, per the
+    public format spec. Fixture twin of ``decode_bmp24`` (the
+    ``snappy_compress_literal`` pattern: encoder exists for tests)."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = pixels[y].tobytes()
+        data += row + b"\0" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + bytes(data)
+
+
+def decode_bmp24(blob: bytes) -> np.ndarray:
+    """REAL decode of an uncompressed 24-bpp BMP from the public format
+    spec (stdlib struct + numpy — no PIL): validates the magic, follows
+    the pixel-array offset, strips per-row 4-byte padding, and flips the
+    bottom-up storage order back to logical top-down rows. Returns
+    (h, w, 3) uint8, BGR channel order as stored. Raises on compressed /
+    non-24-bpp inputs (those need a codec library)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", blob, 10)
+    size, w, h, planes, bpp, compression = struct.unpack_from("<IiiHHI", blob, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bpp BMP is supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * abs(h), offset=offset)
+    rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    return rows[::-1] if h > 0 else rows  # positive height = bottom-up
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL nearest-neighbor resize (numpy fancy indexing, no PIL):
+    output pixel (yd, xd) samples source ((yd*h)//out_h, (xd*w)//out_w)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a PCM WAV (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(blob: bytes) -> tuple[int, np.ndarray]:
+    """REAL decode of a PCM-16 WAV via the stdlib ``wave`` reader (RIFF
+    chunk walk); returns (sample_rate, int16 array). Raises on compressed
+    WAV encodings (those need a codec library)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only PCM-16 WAV is supported")
+        frames = wf.readframes(wf.getnframes())
+        return wf.getframerate(), np.frombuffer(frames, dtype="<i2")
 
 
 def decode_stub(blob: bytes, mime: str) -> float:
@@ -141,6 +231,102 @@ def l6b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     values unit-tested in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
+
+
+MEDIA_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("img_w", T.IntegerType()),
+        T.StructField("img_h", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("resized_sum", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("audio_abs_sum", T.LongType()),
+    ]
+)
+
+_IMG_W, _IMG_H = 15, 16  # W*3=45 → stride pads to 48: exercises row padding
+_WAV_N = 256
+
+L6D_ORACLE = """
+    WITH px AS (
+        SELECT d.doc_id,
+               sum((d.doc_id * 31 + t.i * 7) % 256) AS pixel_sum
+        FROM documents d, range(720) t(i)
+        GROUP BY d.doc_id
+    ),
+    rs AS (
+        SELECT d.doc_id,
+               sum((d.doc_id * 31
+                    + (((yd.i * 16) // 5) * 45 + ((xd.i * 15) // 5) * 3 + c.i) * 7)
+                   % 256) AS resized_sum
+        FROM documents d, range(5) yd(i), range(5) xd(i), range(3) c(i)
+        GROUP BY d.doc_id
+    ),
+    au AS (
+        SELECT d.doc_id,
+               sum(abs((d.doc_id * 13 + k.i * 11) % 2003 - 1001)) AS audio_abs_sum
+        FROM documents d, range(256) k(i)
+        GROUP BY d.doc_id
+    )
+    SELECT px.doc_id,
+           CAST(15 AS INTEGER)              AS img_w,
+           CAST(16 AS INTEGER)              AS img_h,
+           CAST(px.pixel_sum AS BIGINT)     AS pixel_sum,
+           CAST(rs.resized_sum AS BIGINT)   AS resized_sum,
+           CAST(256 AS INTEGER)             AS n_samples,
+           CAST(au.audio_abs_sum AS BIGINT) AS audio_abs_sum
+    FROM px JOIN rs USING (doc_id) JOIN au USING (doc_id)
+"""
+
+
+@register("l6d_media_decode", family="L6", oracle=L6D_ORACLE)
+def l6d_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode inside the engine, hash-verified: per document a
+    deterministic 24-bpp BMP (15×16, padded 48-byte rows, bottom-up) and
+    a 256-sample PCM-16 WAV are synthesized from doc_id arithmetic, run
+    through the REAL encoder → decoder → numpy nearest-neighbor 5×5
+    resize → feature reduction inside ``mapInPandas``, emitting
+    ALL-INTEGER features. The DuckDB oracle recomputes every feature
+    arithmetically from doc_id (range() cross joins) — so a decoder bug
+    in header offsets, row padding, or the bottom-up flip (the resize
+    picks SPECIFIC pixels, catching row-order mistakes a plain sum would
+    miss) hash-mismatches instead of passing silently. The synthesis
+    stands in for reading stored blobs (the testdata ships no real
+    media); decode → resize → featurize is the production path, and the
+    per-row cost is what a 100 TB media scan amortizes across executors.
+    Codec formats (JPEG/PNG/MP4) remain NotImplementedError — no codec
+    libs in this container."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = _IMG_H * _IMG_W * 3
+        i = np.arange(n_px, dtype=np.int64)
+        k = np.arange(_WAV_N, dtype=np.int64)
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MEDIA_DECODE_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                pixels = (
+                    ((doc_id * 31 + i * 7) % 256)
+                    .astype(np.uint8)
+                    .reshape(_IMG_H, _IMG_W, 3)
+                )
+                samples = ((doc_id * 13 + k * 11) % 2003 - 1001).astype(np.int16)
+                # encode → REAL decode → REAL resize → features
+                img = decode_bmp24(encode_bmp24(pixels))
+                rate, aud = decode_wav_pcm16(encode_wav_pcm16(samples))
+                small = resize_nearest(img, 5, 5)
+                out["doc_id"].append(doc_id)
+                out["img_h"].append(img.shape[0])
+                out["img_w"].append(img.shape[1])
+                out["pixel_sum"].append(int(img.astype(np.int64).sum()))
+                out["resized_sum"].append(int(small.astype(np.int64).sum()))
+                out["n_samples"].append(len(aud))
+                out["audio_abs_sum"].append(int(np.abs(aud.astype(np.int64)).sum()))
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_DECODE_SCHEMA.fields])
+
+    return docs.mapInPandas(run, MEDIA_DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -95,6 +95,67 @@ def test_decode_stub_contract():
         decode_stub(b"\x89PNG", "image/png")  # real decoders are stubbed
 
 
+def test_bmp24_roundtrip_and_layout():
+    """REAL BMP codec: random arrays round-trip encode→decode exactly,
+    including non-multiple-of-4 strides (row padding) and the bottom-up
+    storage flip; corrupt/unsupported inputs raise."""
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.llm.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (16, 15), (7, 4), (5, 31)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_bmp24(encode_bmp24(px)) == px).all(), (h, w)
+    # the stored bytes really are bottom-up: first data row == last logical
+    px = np.zeros((2, 1, 3), dtype=np.uint8)
+    px[0] = 10  # logical TOP row
+    px[1] = 20
+    blob = encode_bmp24(px)
+    assert blob[54] == 20  # file starts with the BOTTOM (last logical) row
+    with pytest.raises(ValueError):
+        decode_bmp24(b"\x89PNG" + b"\0" * 60)
+    with pytest.raises(NotImplementedError):
+        # 8-bpp header (unsupported depth)
+        import struct as _s
+
+        bad = bytearray(encode_bmp24(px))
+        _s.pack_into("<H", bad, 28, 8)
+        decode_bmp24(bytes(bad))
+
+
+def test_wav_pcm16_roundtrip():
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.llm.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([-32768, -1, 0, 1, 32767, 1234], dtype=np.int16)
+    rate, back = decode_wav_pcm16(encode_wav_pcm16(s, rate=16000))
+    assert rate == 16000
+    assert (back == s).all()
+
+
+def test_resize_nearest_selection():
+    """Nearest-neighbor resize picks source pixel ((yd*h)//oh, (xd*w)//ow)
+    — the selection the l6d oracle recomputes arithmetically."""
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.llm.multimodal import resize_nearest
+
+    h, w = 16, 15
+    px = np.arange(h * w * 3, dtype=np.int32).reshape(h, w, 3)
+    small = resize_nearest(px, 5, 5)
+    for yd in range(5):
+        for xd in range(5):
+            assert (small[yd, xd] == px[(yd * h) // 5, (xd * w) // 5]).all()
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame([(7, "hi")], "doc_id long, text string")
     out = extract_features(documents_as_media(docs)).collect()
