@@ -70,9 +70,10 @@ _PRIORITY = (
     # P: filter / projection
     "p6_label_filter",
     "p7_projection_pruning",
-    # SQL entry path + lakehouse merge
+    # SQL entry path + lakehouse merge (sql4 rotated out in r4 — both
+    # sql* are beyond-§2 showcase entries; the slot now drives l6d, the
+    # REAL media-decode query for the one previously-partial §2 row)
     "sql1_shipping_priority",
-    "sql4_local_supplier_volume",
     "m1_scd2_merge",
     # J: broadcast / semi / range-bucketed / as-of
     "j1_order_revenue",
@@ -129,12 +130,13 @@ _PRIORITY = (
     "t5s_tumbling_5min_stream",
     "t19s_stream_static_join",
     "t14s_rate_5m_stream",
-    # L: dedup, similarity, text analysis
+    # L: dedup, similarity, text analysis, real media decode
     "l1_exact_dedup",
     "l2b_ngram_jaccard",
     "l3_cosine_topk",
     "l4_knn_join",
     "l5f_tfidf",
+    "l6d_media_decode",
     # D: training-data pipeline
     "d9_substring_dedup",
 )
