@@ -308,19 +308,56 @@ def w4_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w1b_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of the ranking family (dense_rank / ntile / percent_rank /
-    cume_dist) over a total order (unique tie-break key, so both engines
-    agree bit-for-bit). Single-partition window over the filtered subset —
-    at scale, rank-family queries should always carry a partition key or a
-    pre-filter like this one; a global ORDER BY window on the full fact
-    table would serialize on one reducer."""
+    cume_dist) over a total order — WITHOUT the single-partition window
+    the oracle's plain SQL implies (and this query shipped with through
+    round 3). The window's ORDER BY carries a unique tie-break key, so
+    every member of the family is pure arithmetic on the GLOBAL ROW
+    NUMBER rn and the total count n:
+
+        dense_rank   = rn            (no peers → every rank form equals rn)
+        ntile(4)     = first n%4 buckets get ceil(n/4) rows, rest floor
+        percent_rank = (rn-1)/(n-1)
+        cume_dist    = rn/n
+
+    rn comes from w1c's banded two-phase rank (band = monotone function
+    of the sort key; per-band row_number + broadcast cumulative band
+    offsets — parallelism = #bands, the fact table never serializes
+    through one task); n is one more column on the tiny band-count
+    aggregate. Both engines compute the same integer-ratio divisions on
+    identical IEEE doubles, so the oracle (the straightforward window
+    SQL) still matches bit-for-bit."""
+    band_width = 500.0
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return orders.select(
+    banded = orders.select(
         "o_orderkey",
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / band_width).alias("band"),
+    )
+    w_pos = Window.partitionBy("band").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "band",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("bn").over(w_all).alias("n"),
+    )
+    rn = F.col("offset") + F.row_number().over(w_pos)
+    n = F.col("n")
+    q, r = (n / 4).cast("long"), n % 4
+    quartile = (
+        F.when(rn <= r * (q + 1), ((rn - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((rn - r * (q + 1) - 1) / q).cast("long") + 1)
+        .cast("int")
+    )
+    return banded.join(F.broadcast(offsets), "band").select(
+        "o_orderkey",
+        rn.alias("drnk"),
+        quartile.alias("quartile"),
+        F.round((rn - 1).cast("double") / (n - 1), 6).alias("pct_rank"),
+        F.round(rn.cast("double") / n, 6).alias("cdist"),
     )
 
 

@@ -68,8 +68,8 @@ WHITELIST: set[tuple[str, str]] = {
     # ~100-256-row band-count aggregate, never the fact table.
     ("w1c_global_rank_scalable", "global_window"),
     ("d7_deterministic_shuffle", "global_window"),
-    # Documented single-partition window over a pre-filtered subset; the
-    # docstring is explicit that the unfiltered form must not ship.
+    # Banded since r4 (w1c's shape): the only global window runs over the
+    # tiny band-count aggregate, never the fact table.
     ("w1b_rank_family", "global_window"),
 }
 
