@@ -64,6 +64,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "relay_records_per_sec": relay["value"],
+                "relay_cold_records_per_sec": relay["cold_records_per_sec"],
                 "relay_mb_per_sec": relay["mb_per_sec"],
                 "relay_speedup_vs_reference_ticker": relay[
                     "speedup_vs_reference_ticker"

@@ -63,6 +63,23 @@ def measure(spark, sf_dir: str) -> dict:
             if f.endswith(".txt") or f.startswith("part-")
         )
 
+        # Steady-state methodology, same as bench.py's query side: a
+        # deployed relay is a LONG-RUNNING stream, so its throughput is
+        # the per-micro-batch drain rate, not the one-time session cost
+        # (Catalyst analysis, codegen compile, stream init — measured
+        # ~5 s cold vs ~1.1 s warm for the identical 100k-record drain).
+        # Warm-up run (fresh checkpoint, full drain, untimed), then the
+        # timed run; the cold number is reported alongside.
+        t0 = time.time()
+        q = relay(
+            read_record_stream(spark, src),
+            put_records_fn=noop_put,
+            checkpoint_dir=ckpt + "_warmup",
+            available_now=True,
+        )
+        q.awaitTermination()
+        cold_elapsed = time.time() - t0
+
         t0 = time.time()
         q = relay(
             read_record_stream(spark, src),
@@ -81,6 +98,8 @@ def measure(spark, sf_dir: str) -> dict:
             "records": n_records,
             "mb": round(n_bytes / 1e6, 2),
             "elapsed_sec": round(elapsed, 3),
+            "cold_elapsed_sec": round(cold_elapsed, 3),
+            "cold_records_per_sec": round(n_records / cold_elapsed, 1),
             "mb_per_sec": round(n_bytes / 1e6 / elapsed, 2),
             "reference_ticker_ceiling_rps": REFERENCE_TICKER_CEILING_RPS,
             "aws_shard_quota_rps": AWS_SHARD_QUOTA_RPS,
@@ -147,6 +166,17 @@ def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
             with open(os.path.join(src, f"b{i:05d}.pb.sz"), "wb") as fh:
                 fh.write(body)
 
+        # same steady-state warm-up as measure() — see the note there
+        t0 = time.time()
+        q = relay(
+            read_prompb_record_stream(spark, src, parallel=True),
+            put_records_fn=noop_put,
+            checkpoint_dir=ckpt + "_warmup",
+            available_now=True,
+        )
+        q.awaitTermination()
+        cold_elapsed = time.time() - t0
+
         t0 = time.time()
         q = relay(
             read_prompb_record_stream(spark, src, parallel=True),
@@ -164,6 +194,7 @@ def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
             "records": n_records,
             "wire_mb": round(n_bytes / 1e6, 2),
             "elapsed_sec": round(elapsed, 3),
+            "cold_elapsed_sec": round(cold_elapsed, 3),
             "speedup_vs_reference_ticker": round(
                 rps / REFERENCE_TICKER_CEILING_RPS, 1
             ),
