@@ -117,7 +117,7 @@ T7_ORACLE = """
         WITH flagged AS (
             SELECT user_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -156,10 +156,14 @@ def user_sessions(events: DataFrame) -> DataFrame:
 def t7_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute inactivity gap) via ``session_window``.
 
-    Spark merges events whose windows overlap: a new session starts when
-    the gap is >= 30 m (strictly-less merges); session end = last event
-    + gap. The oracle reproduces exactly that with the classic
-    lag/cumulative-sum sessionization."""
+    Boundary semantics, probed empirically and pinned by
+    test_session_window_boundary_semantics: Spark merges an event at gap
+    == EXACTLY 30 m into the previous session (inclusive merge; a new
+    session needs gap > 30 m); session end = last event + gap. The
+    oracle's lag/cumulative-sum sessionization uses the matching
+    strictly-greater split — through round 3 it used ``>=``, a latent
+    divergence the driver data never exposed (no exact-gap ties at ms
+    resolution) but adversarial data would."""
     return user_sessions(load_table(spark, sf_dir, "events"))
 
 

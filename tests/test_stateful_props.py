@@ -106,6 +106,80 @@ def test_asof_join_matches_naive(spark, left, right):
         assert got[i] == expected, (i, k, t, got[i], expected)
 
 
+def test_session_window_boundary_semantics(spark):
+    """Spark ``session_window`` merges an event at gap == EXACTLY the gap
+    duration into the previous session (inclusive); a new session needs a
+    STRICTLY greater gap. Pinned because t7's oracle encoded `>=`-splits
+    through round 3 — a latent hash divergence the driver data never
+    exposed (ms-resolution timestamps, no exact-gap ties)."""
+    import datetime
+
+    from prometheus_remote_kinesis_spark.operators.time_windows import user_sessions
+
+    base = datetime.datetime(2024, 1, 1)
+    m = datetime.timedelta(minutes=1)
+    df = spark.createDataFrame(
+        [
+            (1, base, 1.0),
+            (1, base + 30 * m, 2.0),  # exact 30-min gap → merges
+            (1, base + 60 * m + datetime.timedelta(seconds=1), 3.0),  # > gap → splits
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = sorted(
+        (r["session_start"], r["n_events"]) for r in user_sessions(df).collect()
+    )
+    assert out == [(base, 2), (base + 60 * m + datetime.timedelta(seconds=1), 1)]
+
+
+session_events_st = st.lists(
+    st.integers(min_value=0, max_value=200),  # minutes — small domain forces
+    min_size=1,                               # exact-gap ties and dense merges
+    max_size=14,
+    unique=True,
+)
+
+
+@given(minutes=session_events_st)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_session_window_matches_naive(spark, minutes):
+    """Spark session_window vs the naive gap-merge reference (new session
+    iff gap > 30 minutes, end = last event + 30 m) over random minute
+    grids — including exact-30-minute gaps, the boundary class above."""
+    import datetime
+
+    from prometheus_remote_kinesis_spark.operators.time_windows import user_sessions
+
+    base = datetime.datetime(2024, 1, 1)
+    one_m = datetime.timedelta(minutes=1)
+    df = spark.createDataFrame(
+        [(1, base + t * one_m, float(t)) for t in minutes],
+        "user_id long, ts timestamp, value double",
+    )
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in user_sessions(df).collect()
+    )
+    expected = []
+    cur: list[int] = []
+    for t in sorted(minutes):
+        if cur and t - cur[-1] > 30:
+            expected.append(cur)
+            cur = []
+        cur.append(t)
+    expected.append(cur)
+    expected = sorted(
+        (
+            base + s[0] * one_m,
+            base + (s[-1] + 30) * one_m,
+            len(s),
+            round(float(sum(s)), 2),
+        )
+        for s in expected
+    )
+    assert got == expected
+
+
 @given(series=series_st, interval=st.sampled_from([7, 100, 999]))
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_gap_fill_matches_naive(spark, series, interval):
