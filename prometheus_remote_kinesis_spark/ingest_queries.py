@@ -155,9 +155,11 @@ def r3_flatten_writerequest(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CASE WHEN prev IS NULL THEN NULL
                           WHEN value >= prev THEN value - prev
                           ELSE value END, 6) AS increase,
-               sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY name ORDER BY time
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS resets
+               CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY name ORDER BY time
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS resets
         FROM d
     """,
 )
@@ -292,8 +294,10 @@ def r4_prompb_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _R5_ORACLE = """
     SELECT event_type,
-           sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS n_good,
-           sum(CASE WHEN event_id % 97 =  0 THEN 1 ELSE 0 END) AS n_quarantined,
+           CAST(sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN event_id % 97 =  0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
            round(CAST(sum(CASE WHEN event_id % 97 <> 0
                                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE),
                  2) AS recovered_sum

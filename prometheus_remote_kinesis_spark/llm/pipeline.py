@@ -410,9 +410,9 @@ def d5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                round(127.0 / maxabs, 6) AS scale,
-               list_transform(embedding,
+               array_to_string(list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs))
-                             AS INTEGER)) AS q
+                             AS INTEGER)), ',') AS q
         FROM (
             SELECT vec_id, embedding,
                    list_max(list_transform(embedding,
@@ -428,7 +428,11 @@ def d6_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-abs is materialized in its own projection first (Catalyst does
     not CSE inside lambda bodies — the shingle-pipeline lesson), so each
     element transform reuses one computed scale instead of re-reducing
-    the array per element."""
+    the array per element. The quantized vector is emitted comma-joined
+    (a7's list-serialization convention): a raw list column survives
+    ``fetchall`` but materializes differently through pandas/arrow
+    (ndarray vs list), the same representation-hash trap as HUGEINT —
+    see tools/audit_oracle_types.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     scaled = emb.select("vec_id", "embedding", maxabs.alias("maxabs"))
@@ -436,8 +440,11 @@ def d6_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         F.round(scale, 6).alias("scale"),
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
+            ),
         ).alias("q"),
     )
 

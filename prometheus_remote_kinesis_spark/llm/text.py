@@ -72,7 +72,7 @@ def language_id(text: Column) -> Column:
                count(*) AS n_docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                round(avg(len(string_split(text, ' '))), 4)       AS avg_tokens,
-               sum(n_chars)                                      AS total_chars
+               CAST(sum(n_chars) AS BIGINT)                      AS total_chars
         FROM documents
         GROUP BY lang
     """,

@@ -361,7 +361,8 @@ _HIST_BOUNDS = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
     "a10_le_histogram",
     family="A1",
     oracle=f"""
-        WITH b AS (SELECT unnest([{", ".join(str(b) for b in _HIST_BOUNDS)}]) AS le)
+        WITH b AS (SELECT unnest(CAST([{", ".join(str(b) for b in _HIST_BOUNDS)}]
+                                      AS DOUBLE[])) AS le)
         SELECT event_type, le,
                CAST(sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT)
                    AS cum_count

@@ -344,10 +344,10 @@ def sql6_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL7_PRIORITY_CLASSES = """
     SELECT year(o_orderdate) AS yr,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
            round(sum(CASE WHEN l_returnflag = 'R'
                           THEN l_extendedprice * (1 - l_discount)
                           ELSE 0 END), 2) AS returned_revenue

@@ -70,11 +70,14 @@ _PRIORITY = (
     # P: filter / projection
     "p6_label_filter",
     "p7_projection_pruning",
-    # SQL entry path + lakehouse merge (sql4 rotated out in r4 — both
-    # sql* are beyond-§2 showcase entries; the slot now drives l6d, the
-    # REAL media-decode query for the one previously-partial §2 row)
-    "sql1_shipping_priority",
-    "m1_scd2_merge",
+    # Round-5 rotation (VERDICT r4 tasks #1/#3): OUT sql1_shipping_priority
+    # + m1_scd2_merge (beyond-§2 showcases, driver-green r1–r4, still
+    # verified locally) → IN the two t19 bisect probes; OUT f4/f5/f7
+    # (driver-green 4 rounds; same scalar-expression mechanism as the
+    # remaining f1/f2/f3/f6 reps) + t14_rate_5m (T14 stays driver-checked
+    # via t14s_rate_5m_stream, which registers against the SAME oracle)
+    # → IN t9s/t12s streaming state, a2c bitmap distinct, l2e CC clusters
+    # (families never driver-hash-checked before r5).
     # J: broadcast / semi / range-bucketed / as-of
     "j1_order_revenue",
     "j2_customer_region",
@@ -84,6 +87,7 @@ _PRIORITY = (
     # A: hash agg, distinct, quantiles, grouping sets, collect, histogram, z-score
     "a1_pricing_summary",
     "a2_series_cardinality",
+    "a2c_bitmap_distinct",
     "a4_value_quantiles",
     "a5c_grouping_sets",
     "a7_event_type_sets",
@@ -104,20 +108,16 @@ _PRIORITY = (
     # stays oracle-verified locally), making a 4th streaming-executed
     # entry inside the driver window.
     "t20s_holt_winters_stream",
-    # F: all seven scalar-function families
+    # F: scalar-function family reps (f4/f5/f7 rotated out r5, local-pass)
     "f1_string_ops",
     "f2_datetime_ops",
     "f3_math_ops",
-    "f4_array_ops",
-    "f5_map_ops",
     "f6_json_ops",
-    "f7_conditional_ops",
     # U: custom-UDF surface
     "u3_median_udaf",
     # T: event-time windows, PromQL, funnels, cohorts
     "t5_tumbling_5min",
     "t7_user_sessions",
-    "t14_rate_5m",
     # T25: Prometheus's real rate() boundary-extrapolation semantics
     "t25_rate_extrapolated",
     "t15_funnel_conversion",
@@ -129,10 +129,15 @@ _PRIORITY = (
     # Streaming-executed (real Structured Streaming path, same oracle)
     "t5s_tumbling_5min_stream",
     "t19s_stream_static_join",
+    "t19b_counts_only",
+    "t19c_membership_probe",
     "t14s_rate_5m_stream",
+    "t9s_stream_dedup",
+    "t12s_stream_stream_join",
     # L: dedup, similarity, text analysis, real media decode
     "l1_exact_dedup",
     "l2b_ngram_jaccard",
+    "l2e_neardup_clusters",
     "l3_cosine_topk",
     "l4_knn_join",
     "l5f_tfidf",

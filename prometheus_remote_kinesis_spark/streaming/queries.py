@@ -209,9 +209,11 @@ _T10_STREAM_ORACLE = """
            round(CASE WHEN prev IS NULL THEN NULL
                       WHEN value >= prev THEN value - prev
                       ELSE value END, 6) AS increase,
-           sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
-               OVER (PARTITION BY name ORDER BY time
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS resets
+           CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY name ORDER BY time
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS resets
     FROM d
 """
 
@@ -422,9 +424,10 @@ def t17_prefix_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T19S_ORACLE = """
     SELECT c_mktsegment,
-           count(*)                                                   AS n_events,
-           sum(CAST(round(e.value * 100) AS BIGINT))                  AS sum_cents,
-           sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)  AS n_purchases
+           count(*)                                                  AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN e.event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT)               AS n_purchases
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c_mktsegment
@@ -443,7 +446,19 @@ def t19s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent batch join+GROUP BY, so the streaming join operator itself
     sits inside the hash-match gate. The value rollup is emitted as integer
     cents (the v100 convention) — an all-integer output cannot hash-diverge
-    on float-tie rounding, which is what bit the r3 driver run."""
+    on float-tie rounding.
+
+    ROUND-5 ROOT CAUSE of the r3/r4 driver-red/local-green mystery: the
+    oracle's ``sum(BIGINT)`` / ``sum(CASE...)`` returned DuckDB HUGEINT
+    (int128). ``fetchall()`` (tools/verify_local.py) converts HUGEINT to a
+    Python int → green locally; a harness materializing via pandas
+    (``rel.df()`` → float64: ``8624653.0``) or Arrow (``rel.arrow()`` →
+    decimal128(38,0)) hashes a different representation than Spark's
+    BIGINT ``8624653`` → hash-red with rows 5/5 and schema ok, exactly
+    CORRECTNESS_r03/r04. Fixed by ``CAST(sum(...) AS BIGINT)`` on every
+    integer sum; tools/audit_oracle_types.py + the pinning pytest now
+    forbid HUGEINT/DECIMAL/list outputs fleet-wide. The t19b/t19c probe
+    variants (below) bisect the remaining layers per VERDICT r4 task #1."""
     events = stream_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = events.join(
@@ -456,6 +471,67 @@ def t19s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases"
         ),
     )
+    return run_to_batch(agg, "complete")
+
+
+T19B_ORACLE = """
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN e.event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@register("t19b_counts_only", family="T19-stream", oracle=T19B_ORACLE)
+def t19b_counts_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t19s bisect probe (a), VERDICT r4 task #1: the IDENTICAL
+    stream-static broadcast join and complete-mode rollup, but emitting
+    ONLY counts — no value arithmetic of any kind. If this is green while
+    t19s is red in the driver gate, the divergence lives in the value
+    column's representation, not in streaming row membership. (Round-5
+    analysis says t19s's real bug was the oracle's HUGEINT output type —
+    this probe plus t19c confirms or refutes that in the driver's own
+    environment.)"""
+    events = stream_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+    )
+    return run_to_batch(agg, "complete")
+
+
+T19C_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(sum(e.user_id) AS BIGINT) AS sum_uid
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@register("t19c_membership_probe", family="T19-stream", oracle=T19C_ORACLE)
+def t19c_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t19s bisect probe (b), VERDICT r4 task #1: same stream-static
+    join, output = sum of the join key itself per segment — rounding-free
+    integer math that is maximally sensitive to exactly WHICH event rows
+    survive the streaming read + per-micro-batch broadcast join. Red here
+    with t19b green would mean driver-side row membership differs;
+    green+green localizes any remaining t19s red to the cents column."""
+    events = stream_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(F.sum("user_id").alias("sum_uid"))
     return run_to_batch(agg, "complete")
 
 

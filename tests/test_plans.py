@@ -357,3 +357,20 @@ def test_no_accidental_plan_antipatterns(spark):
     assert not offenders, offenders
     # the skip list must stay an exception, not a loophole
     assert len(skipped) <= 5, skipped
+
+
+def test_oracle_output_types_are_materialization_safe():
+    """Fleet-wide guard for the round-5 t19s root cause: a DuckDB oracle
+    whose OUTPUT column type is HUGEINT (what ``sum(BIGINT)`` returns),
+    DECIMAL, or a raw list materializes differently through pandas
+    (float64 / object-of-Decimal / ndarray) than through ``fetchall``
+    (Python int / Decimal / list) — so a hash-comparing harness on the
+    pandas/arrow path diverges from Spark's BIGINT/DOUBLE even when every
+    value is identical (CORRECTNESS_r03/r04's t19s: rows 5/5, schema ok,
+    hash red; green under fetchall-based tools/verify_local.py). Every
+    integer sum must be wrapped ``CAST(sum(...) AS BIGINT)`` and lists
+    serialized (a7's convention); this pins that fleet-wide."""
+    import tools.audit_oracle_types as aot
+
+    bad = aot.audit()
+    assert not bad, bad
