@@ -144,6 +144,7 @@ def r3_flatten_writerequest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    epoch_us(ts) // 1000 AS time,
                    max(value) AS value
             FROM events
+            WHERE value IS NOT NULL
             GROUP BY 1, 2
         ), d AS (
             SELECT name, time, value,

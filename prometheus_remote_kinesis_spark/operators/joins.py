@@ -45,19 +45,52 @@ def asof_join(
     (pre-aggregate otherwise) so latest-wins tie-breaking is
     deterministic.
 
+    Mixed timestamp types: both sides are cast to their common WIDER type
+    (date+timestamp → timestamp, narrower+wider numeric → wider) before
+    comparing — never a narrowing cast. (Through r4 the LEFT key was
+    silently cast to the RIGHT key's type; for j6's timestamp→date that
+    was provably equivalent to midnight coercion, but as a reusable
+    helper it would truncate a finer left key against any coarser right
+    key — the r4-ADVICE trap.) Type pairs outside the temporal/numeric
+    ladders raise: pre-cast explicitly at the call site.
+
     Output: every left column, plus ``payload`` columns from the right.
     Left/payload names must be disjoint."""
+    from pyspark.sql import types as T
+
+    lt, rt = left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    if lt == rt:
+        common = lt
+    else:
+        _temporal = {T.DateType: 0, T.TimestampNTZType: 1, T.TimestampType: 1}
+        _numeric = {
+            T.ByteType: 0,
+            T.ShortType: 1,
+            T.IntegerType: 2,
+            T.LongType: 3,
+            T.FloatType: 4,
+            T.DoubleType: 5,
+        }
+        for ladder in (_temporal, _numeric):
+            if type(lt) in ladder and type(rt) in ladder:
+                common = lt if ladder[type(lt)] >= ladder[type(rt)] else rt
+                break
+        else:
+            raise TypeError(
+                f"asof_join: no common wider type for {left_ts}:{lt} vs "
+                f"{right_ts}:{rt}; pre-cast both sides to the same type"
+            )
     left_cols = [c for c in left.columns if c != on]
     r = right.select(
         F.col(on),
-        F.col(right_ts).alias("_asof_ts"),
+        F.col(right_ts).cast(common).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         *[F.col(c) for c in payload],
     )
     l = left.select(  # noqa: E741
         F.col(on),
-        F.col(left_ts).cast(right.schema[right_ts].dataType).alias("_asof_ts"),
+        F.col(left_ts).cast(common).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],

@@ -292,6 +292,7 @@ T14_ORACLE = """
                    OVER (PARTITION BY event_type, user_id
                          ORDER BY ts, event_id) AS prev
         FROM events
+        WHERE value IS NOT NULL
     ),
     i AS (
         SELECT event_type, user_id, event_id, ms,
@@ -334,7 +335,11 @@ def t14_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's (ts, event_id) ordering, and the RANGE window's [ms]
     # requirement is a PREFIX of the sort, so Spark plans ONE Sort for both
     # Window nodes instead of re-sorting between them.
-    d0 = events.select(
+    # NULL samples are PromQL staleness markers: excluded identically on
+    # all three paths (this filter, the oracle's WHERE, and the stateful
+    # streaming_rate's per-row skip) so lag() chains across them the same
+    # way everywhere — the r4-ADVICE alignment.
+    d0 = events.filter(F.col("value").isNotNull()).select(
         "event_id",
         "event_type",
         "user_id",
@@ -928,6 +933,7 @@ T20_ORACLE = """
                                   ORDER BY ts, event_id) AS i,
                count(*) OVER (PARTITION BY event_type, user_id) AS n
         FROM events
+        WHERE value IS NOT NULL
     ),
     hw AS (
         SELECT event_type, user_id, i, n, v AS l, CAST(0.0 AS DOUBLE) AS t
@@ -968,12 +974,21 @@ def t20_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     period and carry (level, trend) across chunks — the same
     state-handoff shape as t17's prefix moments."""
     events = load_table(spark, sf_dir, "events")
-    s = events.groupBy("event_type", "user_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct("ts", "event_id", F.col("value").cast("double").alias("value"))
-            )
-        ).alias("samples")
+    # NULL staleness markers excluded on all three paths (filter here,
+    # WHERE in the recursive-CTE oracle, per-row skip in the stateful
+    # holt_winters) so n_samples and the recurrence agree everywhere.
+    s = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "ts", "event_id", F.col("value").cast("double").alias("value")
+                    )
+                )
+            ).alias("samples")
+        )
     )
     vals = F.transform("samples", lambda r: r["value"])
 

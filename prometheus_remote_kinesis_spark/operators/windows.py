@@ -299,8 +299,8 @@ def w4_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                dense_rank()   OVER w            AS drnk,
                ntile(4)       OVER w            AS quartile,
-               round(percent_rank() OVER w, 6)  AS pct_rank,
-               round(cume_dist()    OVER w, 6)  AS cdist
+               floor(percent_rank() OVER w * 1e6) / 1e6 AS pct_rank,
+               floor(cume_dist()    OVER w * 1e6) / 1e6 AS cdist
         FROM orders
         WHERE o_orderstatus = 'F'
         WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
@@ -352,12 +352,22 @@ def w1b_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(r + ((rn - r * (q + 1) - 1) / q).cast("long") + 1)
         .cast("int")
     )
+    # percent_rank() is DEFINED as 0.0 for a single-row partition, while
+    # the arithmetic (rn-1)/(n-1) is 0/0 = NaN at n == 1 — guard the
+    # degenerate case (r4 ADVICE). Quotients are floor-truncated at 1e-6,
+    # not round()ed: both engines hold the identical IEEE quotient, and
+    # floor on identical doubles is tie-free, whereas round() on an
+    # arbitrary quotient can land on a representable half-tie that Spark
+    # HALF_UP and DuckDB split differently (the f8/t25 lesson).
+    pct_rank = F.when(n == 1, F.lit(0.0)).otherwise(
+        F.floor((rn - 1).cast("double") / (n - 1) * 1e6) / 1e6
+    )
     return banded.join(F.broadcast(offsets), "band").select(
         "o_orderkey",
         rn.alias("drnk"),
         quartile.alias("quartile"),
-        F.round((rn - 1).cast("double") / (n - 1), 6).alias("pct_rank"),
-        F.round(rn.cast("double") / n, 6).alias("cdist"),
+        pct_rank.alias("pct_rank"),
+        (F.floor(rn.cast("double") / n * 1e6) / 1e6).alias("cdist"),
     )
 
 

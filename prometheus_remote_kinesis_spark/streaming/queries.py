@@ -203,6 +203,7 @@ _T10_STREAM_ORACLE = """
                epoch_us(ts) // 1000 AS time, value,
                lag(value) OVER (PARTITION BY event_type, user_id ORDER BY ts) AS prev
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT name, time,
            round(value, 6) AS value,
@@ -304,6 +305,7 @@ _T17_STREAM_ORACLE = """
                epoch_us(ts) // 1000 AS time, value,
                CAST(round(value * 100) AS BIGINT) AS v100
         FROM events
+        WHERE value IS NOT NULL
     ),
     s AS (
         SELECT name, time, value,
@@ -353,6 +355,7 @@ _T17_BATCH_ORACLE = """
         SELECT event_id, event_type, user_id, value,
                CAST(round(value * 100) AS BIGINT) AS v100, ts
         FROM events
+        WHERE value IS NOT NULL
     ),
     s AS (
         SELECT event_id, event_type, user_id, value,
@@ -391,7 +394,9 @@ def t17_prefix_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    d = events.select(
+    # NULL staleness markers excluded on all three paths (here, the
+    # oracle's WHERE, prefix_anomaly's per-row skip) — r4-ADVICE alignment.
+    d = events.filter(F.col("value").isNotNull()).select(
         "event_id",
         "event_type",
         "user_id",

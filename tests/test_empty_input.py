@@ -37,3 +37,48 @@ def test_all_queries_survive_empty_tables(spark, empty_sf_dir):
         except Exception as e:  # noqa: BLE001 — we report the full set
             crashed[name] = (str(e).splitlines() or [type(e).__name__])[0][:120]
     assert not crashed, crashed
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(spark, tmp_path_factory):
+    """Exactly ONE row per table — the n=1 degenerate class r4 ADVICE
+    flagged: w1b's arithmetic percent_rank (rn-1)/(n-1) is 0/0 = NaN on a
+    single-row partition while percent_rank() is DEFINED as 0.0 there.
+    The empty-input probe can't see it (no rows, no cells)."""
+    out = tmp_path_factory.mktemp("one_row_sf")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        df.limit(1).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+def test_w1b_percent_rank_single_row_is_zero(spark, one_row_sf_dir):
+    """With one 'F'-status order (or zero — then trivially empty), w1b
+    must emit pct_rank 0.0 and cdist 1.0, never NaN."""
+    import math
+
+    from pyspark.sql import functions as F
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    # force exactly one qualifying row regardless of the sampled status
+    orders = load_table(spark, one_row_sf_dir, "orders").limit(1)
+    orders = orders.withColumn("o_orderstatus", F.lit("F"))
+    one_dir = one_row_sf_dir + "_forced"
+    import os, shutil
+
+    if not os.path.isdir(one_dir):
+        os.makedirs(one_dir)
+        for t in TABLES:
+            src = f"{one_row_sf_dir}/{t}.parquet"
+            dst = f"{one_dir}/{t}.parquet"
+            if t == "orders":
+                orders.write.mode("overwrite").parquet(dst)
+            else:
+                shutil.copytree(src, dst)
+    qs = all_queries()
+    rows = qs["w1b_rank_family"].fn(spark, one_dir).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["pct_rank"] == 0.0 and not math.isnan(r["pct_rank"]), r
+    assert r["cdist"] == 1.0, r

@@ -58,3 +58,64 @@ def test_all_queries_survive_nulls(spark, null_sf_dir):
             zero_rows_streaming.append(name)
     assert not crashed, crashed
     assert not zero_rows_streaming, zero_rows_streaming
+
+
+# The stateful-op families whose three paths (batch twin, SQL oracle,
+# streaming stateful op) must agree on NULL-bearing data. Round-4 ADVICE:
+# streaming_rate/holt_winters dropped NULL samples while their oracles
+# lag()'d across them (emitting a row per NULL event and NULLing the next
+# increase) — counts and values diverged the moment values were NULL,
+# invisible at sf0.01 because the driver data has none. Round 5 aligned all
+# three paths on PromQL staleness semantics (NULL samples excluded
+# everywhere); this test runs the REAL oracle comparison on NULL-bearing
+# data so the alignment is pinned, not just claimed.
+_NULL_ORACLE_FAMILIES = [
+    "t10_counter_increase",
+    "t10s_counter_increase_stream",
+    "t14_rate_5m",
+    "t14s_rate_5m_stream",
+    "t17_prefix_anomaly",
+    "t17s_prefix_anomaly_stream",
+    "t20_holt_winters",
+    "t20s_holt_winters_stream",
+]
+
+
+@pytest.fixture(scope="module")
+def null_oracle_dir(spark, tmp_path_factory):
+    """NULL-bearing copy of the smoke tables with DuckDB-readable
+    timestamps (events' TIMESTAMP(NANOS) → micros), single-file-per-dir
+    parquet, so the same oracles run unmodified on both engines."""
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    out = tmp_path_factory.mktemp("null_oracle_sf")
+    for t in TABLES:
+        df = load_table(spark, SF_SMOKE, t)  # normalizes nanos/NTZ → micros
+        if t == "events":
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+def test_stateful_families_match_oracle_on_null_data(spark, null_oracle_dir):
+    import duckdb
+
+    import tools.verify_local as vl
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '{null_oracle_dir}/{t}.parquet/*.parquet'"
+        )
+    qs = all_queries()
+    failures = {}
+    for name in _NULL_ORACLE_FAMILIES:
+        q = qs[name]
+        problems = vl.compare(name, q.fn(spark, null_oracle_dir), con.sql(q.oracle))
+        if problems:
+            failures[name] = problems
+    assert not failures, failures

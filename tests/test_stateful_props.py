@@ -198,3 +198,54 @@ def test_gap_fill_matches_naive(spark, series, interval):
     assert set(out) == set(expected)
     for g, v in expected.items():
         assert abs(out[g] - v) < 1e-9
+
+
+def test_asof_join_mixed_types_widen_not_truncate(spark):
+    """r4-ADVICE: the helper used to cast left_ts to right_ts's type — a
+    silent NARROWING when the right key is coarser (timestamp→date). Now
+    both sides widen to the common supertype. The test pins the widening
+    with a case where narrowing gives the WRONG answer: right carries one
+    date-day D and one timestamp-ish later day; a left row at D 23:00
+    must match day D (both semantics agree), while a left row at D-1
+    23:00 (no right row at-or-before) must be NULL — under truncation of
+    right-to-left instead (the reversed bug) it would differ. Also pins
+    int/long widening and the incompatible-type TypeError."""
+    import datetime
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from prometheus_remote_kinesis_spark.operators.joins import asof_join
+
+    D = datetime.date(2024, 3, 2)
+    ldf = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 3, 2, 23, 0), 10),
+            (1, datetime.datetime(2024, 3, 1, 23, 0), 11),
+            (1, datetime.datetime(2024, 3, 2, 0, 0), 12),  # equal-ts: right wins
+        ],
+        "k long, ts timestamp, rowid long",
+    )
+    rdf = spark.createDataFrame([(1, D, 77)], "k long, rts date, payload long")
+    got = {
+        r["rowid"]: r["payload"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts", payload=["payload"]
+        ).collect()
+    }
+    assert got == {10: 77, 11: None, 12: 77}, got
+
+    # numeric ladder: int left vs long right widens to long, values intact
+    ldf2 = spark.createDataFrame([(1, 5, 0)], "k long, ts int, rowid long")
+    rdf2 = spark.createDataFrame(
+        [(1, 5, 1), (1, 6, 2)], "k long, rts long, payload long"
+    )
+    got2 = asof_join(
+        ldf2, rdf2, on="k", left_ts="ts", right_ts="rts", payload=["payload"]
+    ).collect()
+    assert got2[0]["payload"] == 1
+
+    # outside both ladders → explicit error, not a silent cast
+    ldf3 = spark.createDataFrame([(1, "a", 0)], "k long, ts string, rowid long")
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="common wider type"):
+        asof_join(ldf3, rdf2, on="k", left_ts="ts", right_ts="rts", payload=["payload"])

@@ -489,8 +489,15 @@ def test_streaming_rate_multibatch_matches_naive(spark, tmp_path):
     window_ms = 300_000
     last, buf = None, []  # buf: (ms, inc_cents)
     expected = {}
+    from prometheus_remote_kinesis_spark.streaming.stateful import _round_half_up
+
     for r in rows:
-        v100 = int(round(r["value"] * 100))
+        # production's Spark-compatible HALF_UP, not Python's banker's
+        # round() — the values above never land on .5 ties, but the naive
+        # reference must pin the production convention so a tie-prone
+        # addition fails loudly here instead of masking a regression
+        # (r4 ADVICE).
+        v100 = int(_round_half_up(r["value"] * 100, 0))
         inc = None if last is None else (v100 - last if v100 >= last else v100)
         if inc is not None:
             buf.append((r["time"], inc))
