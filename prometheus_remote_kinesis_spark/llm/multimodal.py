@@ -6,18 +6,21 @@ metadata struct; decode/feature-extraction runs as Arrow-batched
 
 Decode coverage is split honestly by what this container can run:
 
-- **REAL decoders** for codec-free formats, implemented from their public
-  specs with stdlib + numpy only: 24-bpp uncompressed BMP
+- **REAL decoders** for formats this container can decode from their
+  public specs with stdlib + numpy only: 24-bpp uncompressed BMP
   (``decode_bmp24`` — header parse, 4-byte row padding, bottom-up row
-  order) and PCM-16 WAV (``decode_wav_pcm16`` via the stdlib ``wave``
-  reader), plus a REAL numpy nearest-neighbor ``resize_nearest``. The
-  ``l6d`` query pushes synthesized BMP/WAV blobs through encoder →
-  decoder → resize → features inside ``mapInPandas`` and hash-verifies
-  the all-integer result against an arithmetic DuckDB oracle.
-- **STUBS** for codec-dependent formats (JPEG/PNG/MP4 — PIL/ffmpeg are
-  not installed here): ``decode_stub`` raises ``NotImplementedError``
-  for them, and the plumbing (schema, batching, one-to-many frame
-  fan-out) is exercised with deterministic stand-ins.
+  order), PCM-16 WAV (``decode_wav_pcm16`` via the stdlib ``wave``
+  reader), 8-bit truecolor PNG (``decode_png_rgb8`` — chunk CRC walk,
+  stdlib zlib inflate, all five scanline defilters; added in r5, the
+  one compressed format whose codec IS stdlib), plus a REAL numpy
+  nearest-neighbor ``resize_nearest``. The ``l6d``/``l6e`` queries push
+  synthesized BMP/WAV/PNG blobs through encoder → decoder → resize →
+  features inside ``mapInPandas`` and hash-verify the all-integer
+  results against arithmetic DuckDB oracles.
+- **STUBS** for codec-dependent formats (JPEG/MP4 — DCT/H.264 live in
+  PIL/ffmpeg, not installed here): ``decode_stub`` raises
+  ``NotImplementedError`` for them, and the plumbing (schema, batching,
+  one-to-many frame fan-out) is exercised with deterministic stand-ins.
 """
 
 from __future__ import annotations
@@ -107,6 +110,143 @@ def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return pixels[ys][:, xs]
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_rgb8(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an 8-bit truecolor PNG
+    (public spec: RFC 2083 / W3C PNG) with stdlib zlib — no PIL. Rows
+    CYCLE through all five scanline filters (None/Sub/Up/Average/Paeth,
+    filter = y % 5) so a decoder must invert every filter correctly to
+    round-trip; filtering reads ORIGINAL neighbor bytes, so each row's
+    filter computation is fully vectorized. Fixture twin of
+    ``decode_png_rgb8`` (the ``encode_bmp24`` pattern)."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int16)
+    zero3 = np.zeros(3, dtype=np.int16)
+    for y in range(h):
+        line = pixels[y].reshape(-1).astype(np.int16)
+        a = np.concatenate([zero3, line[:-3]])  # left neighbor (same pixel, x-1)
+        b = prev  # up neighbor
+        c = np.concatenate([zero3, prev[:-3]])  # upper-left
+        ftype = y % 5
+        if ftype == 0:
+            enc = line
+        elif ftype == 1:
+            enc = (line - a) % 256
+        elif ftype == 2:
+            enc = (line - b) % 256
+        elif ftype == 3:
+            enc = (line - ((a + b) >> 1)) % 256
+        else:  # Paeth predictor
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pr = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            enc = (line - pr) % 256
+        raw.append(ftype)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8(blob: bytes) -> np.ndarray:
+    """REAL decode of an 8-bit truecolor non-interlaced PNG from the
+    public spec with stdlib zlib + numpy — the one "codec" format this
+    container CAN decode for real (DEFLATE is stdlib; r4-VERDICT task
+    #4). Walks the chunk stream validating each CRC32, parses IHDR,
+    inflates the concatenated IDAT zlib stream, and inverts the five
+    scanline filters (None/Sub/Up/Average/Paeth). Defiltering is
+    inherently sequential per scanline (Sub/Average/Paeth read the
+    already-RECONSTRUCTED left neighbor), so the inner loop is Python
+    over bytes of one row — fine for thumbnail-scale fixtures; a 100 TB
+    media scan amortizes it across executors exactly like l6d's BMP
+    path. Raises NotImplementedError on palette/alpha/16-bit/interlaced
+    variants. Returns (h, w, 3) uint8, logical top-down RGB."""
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height = 8, None, None
+    idat = bytearray()
+    while pos + 12 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG is supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = [0] * stride
+    pos2 = 0
+    for y in range(height):
+        ftype = raw[pos2]
+        line = list(raw[pos2 + 1 : pos2 + 1 + stride])
+        pos2 += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = [(v + p) & 0xFF for v, p in zip(line, prev)]
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b, c = prev[x], prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(height, width, 3)
 
 
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -327,6 +467,95 @@ def l6d_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_DECODE_SCHEMA.fields])
 
     return docs.mapInPandas(run, MEDIA_DECODE_SCHEMA)
+
+
+PNG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("img_w", T.IntegerType()),
+        T.StructField("img_h", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("resized_sum", T.LongType()),
+        T.StructField("avg_row_sum", T.LongType()),
+        T.StructField("paeth_row_sum", T.LongType()),
+    ]
+)
+
+L6E_ORACLE = """
+    WITH px AS (
+        SELECT d.doc_id,
+               sum((d.doc_id * 17 + t.i * 23) % 256)  AS pixel_sum,
+               sum(CASE WHEN t.i // 45 = 3
+                        THEN (d.doc_id * 17 + t.i * 23) % 256 ELSE 0 END)
+                   AS avg_row_sum,
+               sum(CASE WHEN t.i // 45 = 4
+                        THEN (d.doc_id * 17 + t.i * 23) % 256 ELSE 0 END)
+                   AS paeth_row_sum
+        FROM documents d, range(720) t(i)
+        GROUP BY d.doc_id
+    ),
+    rs AS (
+        SELECT d.doc_id,
+               sum((d.doc_id * 17
+                    + (((yd.i * 16) // 5) * 45 + ((xd.i * 15) // 5) * 3 + c.i) * 23)
+                   % 256) AS resized_sum
+        FROM documents d, range(5) yd(i), range(5) xd(i), range(3) c(i)
+        GROUP BY d.doc_id
+    )
+    SELECT px.doc_id,
+           CAST(15 AS INTEGER)              AS img_w,
+           CAST(16 AS INTEGER)              AS img_h,
+           CAST(px.pixel_sum AS BIGINT)     AS pixel_sum,
+           CAST(rs.resized_sum AS BIGINT)   AS resized_sum,
+           CAST(px.avg_row_sum AS BIGINT)   AS avg_row_sum,
+           CAST(px.paeth_row_sum AS BIGINT) AS paeth_row_sum
+    FROM px JOIN rs USING (doc_id)
+"""
+
+
+@register("l6e_png_decode", family="L6", oracle=L6E_ORACLE)
+def l6e_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode inside the engine, hash-verified (r4-VERDICT task
+    #4 — PNG is the one compressed format stdlib can decode: DEFLATE is
+    ``zlib``). Per document a deterministic 15×16 RGB image is
+    synthesized from doc_id arithmetic, encoded as a real PNG whose rows
+    cycle ALL FIVE scanline filters (None/Sub/Up/Average/Paeth — the
+    encoder's y % 5), decoded back through chunk-CRC validation + zlib
+    inflate + per-scanline defiltering, nearest-neighbor resized 5×5,
+    and reduced to ALL-INTEGER features. The DuckDB oracle recomputes
+    every feature arithmetically from doc_id, so a defilter bug in ANY
+    filter type hash-mismatches: pixel_sum covers all rows, avg_row_sum
+    isolates a row encoded with Average (y=3), paeth_row_sum one with
+    Paeth (y=4), and resized_sum samples SPECIFIC pixels (catching
+    positional errors a sum would compensate). 16 rows ⇒ filters are
+    exercised 4/3/3/3/3 times per image. JPEG/MP4 remain
+    NotImplementedError — DCT/H.264 codecs are not stdlib."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = _IMG_H * _IMG_W * 3
+        i = np.arange(n_px, dtype=np.int64)
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PNG_DECODE_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                pixels = (
+                    ((doc_id * 17 + i * 23) % 256)
+                    .astype(np.uint8)
+                    .reshape(_IMG_H, _IMG_W, 3)
+                )
+                img = decode_png_rgb8(encode_png_rgb8(pixels))
+                small = resize_nearest(img, 5, 5)
+                out["doc_id"].append(doc_id)
+                out["img_w"].append(img.shape[1])
+                out["img_h"].append(img.shape[0])
+                out["pixel_sum"].append(int(img.astype(np.int64).sum()))
+                out["resized_sum"].append(int(small.astype(np.int64).sum()))
+                out["avg_row_sum"].append(int(img[3].astype(np.int64).sum()))
+                out["paeth_row_sum"].append(int(img[4].astype(np.int64).sum()))
+            yield pd.DataFrame(out, columns=[f.name for f in PNG_DECODE_SCHEMA.fields])
+
+    return docs.mapInPandas(run, PNG_DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
