@@ -85,7 +85,7 @@ class PrompbReader(DataSourceReader):
     def read(self, partition):
         if partition.value is None:
             return
-        yield from _decode_file(partition.value)
+        yield from _decode_file_arrow(partition.value)
 
 
 def _decode_file(path: str):
@@ -99,6 +99,65 @@ def _decode_file(path: str):
         body = fh.read()
     for rec in flatten_timeseries(parse_write_request(snappy_decompress(body))):
         yield (rec["name"], rec["time"], rec["value"], rec["labels"])
+
+
+def _decode_file_arrow(path: str):
+    """Arrow-batched twin of ``_decode_file``: one ``pyarrow.RecordBatch``
+    per spool file. Yielding RecordBatch (supported by the Python
+    DataSource API) skips Spark's per-row tuple→Arrow conversion — the
+    r5 profiling found THAT conversion, not the prompb parse, dominated
+    the relay decode path (~17 µs/record parse per core vs ~14 s wall for
+    600 k records on 32 cores in BENCH_r04). Columns are built in one
+    pass; the RECORD_DDL column order is load-bearing."""
+    import math
+
+    import pyarrow as pa
+
+    from prometheus_remote_kinesis_spark.sources.prompb import (
+        parse_write_request,
+        snappy_decompress,
+    )
+
+    with open(path, "rb") as fh:
+        body = fh.read()
+    # Columnar flatten (same semantics as server.flatten_timeseries,
+    # prometheus.go:10-37 — label-map build with last-wins duplicates,
+    # __name__ projection, empty-series passthrough, NaN→NULL) straight
+    # into flat arrays; the map column is assembled via
+    # MapArray.from_arrays(offsets, keys, values), which skips the
+    # per-row dict→map conversion cost of pa.array-of-dicts.
+    names: list[str] = []
+    times: list[int] = []
+    values: list[float | None] = []
+    offsets: list[int] = [0]
+    keys: list[str] = []
+    vals: list[str] = []
+    for ts in parse_write_request(snappy_decompress(body)):
+        d = {lbl["name"]: lbl["value"] for lbl in ts["labels"]}
+        lkeys, lvals = list(d.keys()), list(d.values())
+        name = d.get("__name__", "")
+        samples = ts["samples"] or [{"value": None, "timestamp": 0}]
+        for s in samples:
+            v = s["value"]
+            names.append(name)
+            times.append(s["timestamp"])
+            values.append(None if v is not None and math.isnan(v) else v)
+            keys += lkeys
+            vals += lvals
+            offsets.append(len(keys))
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(names, pa.string()),
+            pa.array(times, pa.int64()),
+            pa.array(values, pa.float64()),
+            pa.MapArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(keys, pa.string()),
+                pa.array(vals, pa.string()),
+            ),
+        ],
+        ["name", "time", "value", "labels"],
+    )
 
 
 class PrompbStreamReader(SimpleDataSourceStreamReader):
@@ -173,7 +232,7 @@ class PrompbParallelStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition.value is None:
             return
-        yield from _decode_file(partition.value)
+        yield from _decode_file_arrow(partition.value)
 
     def commit(self, end: dict) -> None:
         pass

@@ -80,9 +80,17 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_timestamps(spark, df)
 
 
+# Last drained query's progress events (dicts, one per micro-batch) —
+# observability hook for tools/probe_stateful_scale.py: stateOperators[*]
+# carries numRowsTotal / memoryUsedBytes, the measured (not designed)
+# state-store footprint SCALE.md records. Overwritten per run_to_batch call.
+last_run_progress: list[dict] = []
+
+
 def run_to_batch(streaming_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) through a
     memory sink and return the materialized result as a batch DataFrame."""
+    global last_run_progress
     name = f"stream_result_{next(_qname_counter)}"
     query = (
         streaming_df.writeStream.format("memory")
@@ -93,6 +101,9 @@ def run_to_batch(streaming_df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    import json as _json
+
+    last_run_progress = [_json.loads(p.json) for p in query.recentProgress]
     return streaming_df.sparkSession.table(name)
 
 

@@ -149,3 +149,43 @@ def test_decode_remote_write_end_to_end(spark):
         ("up", 1000, 1.0, {"__name__": "up", "job": "n"}),
         ("up", 2000, None, {"__name__": "up", "job": "n"}),  # NaN→NULL
     ]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.text(min_size=0, max_size=150),  # >127-byte names hit the
+                st.text(min_size=0, max_size=150),  # general-path fallback
+                max_size=4,
+            ),
+            st.lists(
+                st.tuples(
+                    st.floats(allow_nan=False, allow_infinity=True, width=64),
+                    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                ),
+                max_size=4,
+            ),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_prompb_parse_fuzz_roundtrip(ts):
+    """Property fuzz for the r5 fast-path parser: encode∘parse is the
+    identity over arbitrary label strings (including >127-byte values,
+    which overflow the single-byte-length fast path and must fall back to
+    the general submessage parse), full-range int64 timestamps (negative
+    → 10-byte varints), ±inf values, and empty series. Guards the
+    fast/fallback boundary — the exact seam where an off-by-one would
+    silently corrupt records."""
+    body = encode_write_request(ts)
+    parsed = parse_write_request(body)
+    assert len(parsed) == len(ts)
+    for (labels, samples), got in zip(ts, parsed):
+        assert got["labels"] == [
+            {"name": n, "value": v} for n, v in labels.items()
+        ]
+        assert got["samples"] == [
+            {"value": v, "timestamp": t} for v, t in samples
+        ]
