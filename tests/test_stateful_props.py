@@ -249,3 +249,100 @@ def test_asof_join_mixed_types_widen_not_truncate(spark):
 
     with _pytest.raises(TypeError, match="common wider type"):
         asof_join(ldf3, rdf2, on="k", left_ts="ts", right_ts="rts", payload=["payload"])
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=8).flatmap(
+            lambda k: st.sampled_from(
+                # exactly ON a 5-minute edge, 1 ms before, 1 ms after
+                [k * 300_000, k * 300_000 - 1, k * 300_000 + 1]
+            )
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_tumbling_window_boundary_semantics(spark, offsets_ms):
+    """Spark ``window(ts, '5 minutes')`` is start-INCLUSIVE / end-
+    EXCLUSIVE: an event at exactly hh:m5:00.000 belongs to the window
+    STARTING there, never the one ending there. t7's `>=`-vs-`>` latent
+    oracle bug (fixed r4) showed boundary semantics are where drift
+    hides; this pins t5's tumbling assignment against a naive floor-
+    bucket reference on adversarial edge/edge±1ms timestamps (the driver
+    data never lands on an exact edge, so only a property test sees
+    this)."""
+    import datetime
+
+    from prometheus_remote_kinesis_spark.operators.time_windows import (
+        tumbling_rollup_5min,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(milliseconds=max(0, ms)), "m", 1.0)
+        for ms in offsets_ms
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {
+        (r["window_start"], r["window_end"]): r["n"]
+        for r in tumbling_rollup_5min(df).collect()
+    }
+    expected: dict = {}
+    for ts, _, _ in rows:
+        ems = int((ts - base).total_seconds() * 1000)
+        start = ems // 300_000 * 300_000  # floor bucket == [start, end)
+        key = (
+            base + datetime.timedelta(milliseconds=start),
+            base + datetime.timedelta(milliseconds=start + 300_000),
+        )
+        expected[key] = expected.get(key, 0) + 1
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=6).flatmap(
+            lambda k: st.sampled_from(
+                [k * 300_000, k * 300_000 - 1, k * 300_000 + 1]
+            )
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sliding_window_boundary_semantics(spark, offsets_ms):
+    """t6's sliding window (10 m / 5 m slide): every event belongs to
+    EXACTLY the two windows whose half-open [start, start+10m) span
+    contains it — an edge event enters the window starting at its own
+    timestamp and the one starting 5 m earlier, never the one ending at
+    its timestamp."""
+    import datetime
+
+    from prometheus_remote_kinesis_spark.operators.time_windows import (
+        sliding_rollup_10min,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(milliseconds=max(0, ms)), 1.0)
+        for ms in offsets_ms
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        (r["window_start"], r["window_end"]): r["n"]
+        for r in sliding_rollup_10min(df).collect()
+    }
+    expected: dict = {}
+    for ts, _ in rows:
+        ems = int((ts - base).total_seconds() * 1000)
+        bucket = ems // 300_000 * 300_000
+        for start in (bucket, bucket - 300_000):  # the two covering slides
+            key = (
+                base + datetime.timedelta(milliseconds=start),
+                base + datetime.timedelta(milliseconds=start + 600_000),
+            )
+            expected[key] = expected.get(key, 0) + 1
+    assert got == expected

@@ -43,7 +43,16 @@ def normalize(rows: list[tuple], cols: list[str]):
             if math.isnan(v):
                 return "NaN"
             return v
+        if v is not None and not isinstance(v, (str, bytes, int)) and v != v:
+            return None  # pd.NaT (pandas NULL timestamp) ≡ None
         if hasattr(v, "isoformat"):
+            import datetime as _dt
+
+            # date vs midnight-datetime render identically to a
+            # value-hash (pandas upcasts DATE to datetime64) — normalize
+            # both to the full datetime isoformat
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                v = _dt.datetime(v.year, v.month, v.day)
             return v.isoformat()
         if isinstance(v, bytes):
             return v.hex()
@@ -72,12 +81,59 @@ def cells_equal(a, b) -> bool:
     return a == b
 
 
+PANDAS_SIDE = False
+
+
 def compare(name: str, spark_df, duck_rel) -> list[str]:
     problems: list[str] = []
     s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols = [d[0] for d in duck_rel.description]
-    d_rows = duck_rel.fetchall()
+    if PANDAS_SIDE:
+        # Materialize BOTH engines through pandas — the path the round-5
+        # t19s root-cause showed the driver harness takes. fetchall()
+        # launders DuckDB HUGEINT/DECIMAL into Python ints (masking
+        # representation divergence); .df()/toPandas() render what a
+        # pandas-hashing harness actually sees, so a dtype mismatch
+        # (float64 vs int64, object-of-Decimal vs float) fails HERE
+        # instead of only in the driver's gate.
+        s_pdf = spark_df.toPandas()
+        d_pdf = duck_rel.df()
+        s_rows = [tuple(r) for r in s_pdf.itertuples(index=False)]
+        d_rows = [tuple(r) for r in d_pdf.itertuples(index=False)]
+
+        # Compare dtype CLASSES, not raw dtypes: datetime64[ns] vs [us],
+        # int32 vs int64, and date-object vs datetime64 are benign (same
+        # rendered values — queries with them have been driver-green for
+        # rounds). The class a hash actually diverges on is NUMERIC
+        # representation: int vs float ('8624653' vs '8624653.0' — the
+        # HUGEINT trap) or numeric vs object (Decimal). Those fail here.
+        def klass(dt: str) -> str:
+            if dt.startswith("datetime64"):
+                return "temporal"
+            if dt.startswith(("int", "uint", "Int", "UInt")):
+                return "int"
+            if dt.startswith(("float", "Float")):
+                return "float"
+            if dt == "bool":
+                return "bool"
+            return "object"  # strings, dates, lists — value compare decides
+
+        s_dt = {c: klass(str(t)) for c, t in s_pdf.dtypes.items()}
+        d_dt = {c: klass(str(t)) for c, t in d_pdf.dtypes.items()}
+        bad = {}
+        for c in set(s_dt) | set(d_dt):
+            a, b = s_dt.get(c), d_dt.get(c)
+            if a == b:
+                continue
+            if {a, b} <= {"temporal", "object"}:  # date obj vs datetime64
+                continue
+            bad[c] = (a, b)
+        if bad:
+            problems.append(f"pandas dtype classes differ: {bad}")
+            return problems
+    else:
+        s_rows = [tuple(r) for r in spark_df.collect()]
+        d_rows = duck_rel.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
@@ -121,10 +177,18 @@ def main() -> int:
         help="compare floats with 1e-9 relative tolerance instead of "
         "bit-exact (triage only — the driver's gate is exact)",
     )
+    ap.add_argument(
+        "--pandas",
+        action="store_true",
+        help="materialize BOTH engines through pandas (toPandas / .df()) "
+        "and require matching dtypes — the representation a pandas-"
+        "hashing harness sees (catches the HUGEINT class fetchall hides)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
-    global TOLERANT
+    global TOLERANT, PANDAS_SIDE
     TOLERANT = args.tolerant
+    PANDAS_SIDE = args.pandas
 
     if args.vanilla:
         from pyspark.sql import SparkSession
