@@ -152,6 +152,137 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
 
 
+# --- l2h: MinHash+LSH with a CROSS-ENGINE hash family (oracle-backed) ---
+#
+# l2's production MinHash seeds JVM xxhash64 — fast, but no SQL engine
+# reproduces it, so l2 is rows-only (recall pytest only). This twin swaps
+# the hash family for md5-derived 60-bit ints, which BOTH engines compute
+# bit-identically (Spark conv(substring(md5(s||':'||i),1,15),16,10) ==
+# DuckDB ('0x'||substring(md5(...),1,15))::BIGINT — probed equal), putting
+# the ENTIRE MinHash→band→bucket-join→estimate pipeline inside the
+# driver's hash gate: 8 permutations, 4 bands × 2 rows, est ≥ 0.25 (≥2/8
+# matching signature positions — exact eighths, so the rounded double is
+# engine-identical by construction). md5 costs ~3× xxhash64 per shingle;
+# production keeps l2, the gate keeps this.
+
+_MD5_PERMS = 8
+_MD5_BANDS = 4
+_MD5_RPB = 2
+
+L2H_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                   CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN list_transform(
+                               range(1, len(string_split(text, ' ')) - 1),
+                               i -> string_split(text, ' ')[i] || ' ' ||
+                                    string_split(text, ' ')[i+1] || ' ' ||
+                                    string_split(text, ' ')[i+2])
+                        ELSE [text] END)) AS shingle
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, p.i AS perm,
+               min(('0x' || substring(md5(shingle || ':' || p.i), 1, 15))::BIGINT)
+                   AS mh
+        FROM sh, range(8) p(i)
+        GROUP BY doc_id, p.i
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY perm) AS sig FROM h GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.i AS band,
+               CAST(sig[b.i*2 + 1] AS VARCHAR) || '|' ||
+               CAST(sig[b.i*2 + 2] AS VARCHAR) AS key
+        FROM sig, range(4) b(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                 AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS m
+        FROM cand c
+        JOIN h ha ON ha.doc_id = c.id_a
+        JOIN h hb ON hb.doc_id = c.id_b AND hb.perm = ha.perm
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(m / 8.0, 4) AS est_jaccard
+    FROM est WHERE m >= 2
+"""
+
+
+def _md5_hash64(col: Column, i: int) -> Column:
+    """60-bit integer hash from the first 15 hex chars of md5(s + ':' + i)
+    — the cross-engine-exact hash family (always positive: fits BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f":{i}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+@register("l2h_minhash_md5", family="L2", oracle=L2H_ORACLE)
+def l2h_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4×2) near-dup candidates with the md5 hash family —
+    the oracle-backed twin of l2 (same single-pass signature fold, same
+    band/bucket-join plan shape; only the hash function differs). Every
+    stage of the LSH pipeline is hash-compared against DuckDB."""
+    docs = shingled_docs(load_table(spark, sf_dir, "documents"))
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), _MD5_PERMS)
+    sig = F.aggregate(
+        "sh",
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[_md5_hash64(s, i) for i in range(_MD5_PERMS)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    d = docs.select("doc_id", sig.alias("sig"))
+    banded = d.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            F.slice("sig", b * _MD5_RPB + 1, _MD5_RPB).cast(
+                                "array<string>"
+                            ),
+                        ).alias("key"),
+                    )
+                    for b in range(_MD5_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.select(
+        "band", "key", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    right = banded.select(
+        "band", "key", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    m = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(m / F.lit(float(_MD5_PERMS)), 4).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.25)
+
+
 @register(
     "l1_exact_dedup",
     family="L1",

@@ -173,12 +173,46 @@ def l5d_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
-@register("l5e_language_id", family="L5", oracle=None)
+# Oracle generated from the SAME LANG_MARKERS table the Spark expression
+# uses: per-language marker-hit counts, argmax with first-language-wins
+# ties (the CASE tests languages in declaration order, mirroring the
+# reversed-iteration overwrite in language_id), 'und' when nothing hits.
+# All-integer scoring → engine-identical by construction; upgraded from
+# rows-only in round 5.
+_L5E_SCORES = ",\n               ".join(
+    f"len(list_filter(toks, x -> x IN ("
+    + ", ".join("'" + m.replace("'", "''") + "'" for m in markers)
+    + f"))) AS s_{lang}"
+    for lang, markers in LANG_MARKERS.items()
+)
+_L5E_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+_L5E_PICK = "\n                    ".join(
+    f"WHEN s_{lang} = {_L5E_BEST} THEN '{lang}'" for lang in LANG_MARKERS
+)
+L5E_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               {_L5E_SCORES}
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {_L5E_BEST} = 0 THEN 'und'
+                    {_L5E_PICK}
+                ELSE 'und' END AS predicted_lang
+    FROM s
+"""
+
+
+@register("l5e_language_id", family="L5", oracle=L5E_ORACLE)
 def l5e_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID over documents (marker-token argmax). The
-    corpus is synthetic same-vocab word soup, so predictions are checked
-    structurally here (rows-only) and behaviorally on multilingual
-    fixtures in tests/test_llm.py."""
+    """Heuristic language-ID over documents (marker-token argmax),
+    oracle-checked: the DuckDB oracle recomputes the marker-hit argmax
+    from the same LANG_MARKERS table with the same first-language tie
+    order (integer scores — no float hazard). Behavioral multilingual
+    fixtures remain in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
