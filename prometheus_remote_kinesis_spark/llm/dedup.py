@@ -662,13 +662,53 @@ def l2f_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l2c_simhash", family="L2", oracle=None)
+L2C_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+        SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.i AS bit,
+               sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, range(64) b(i)
+        GROUP BY doc_id, b.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               coalesce(bit_or(CASE WHEN v > 0
+                                    THEN CAST(1 AS UBIGINT) << bit END),
+                        0) AS s
+        FROM votes GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CAST(s AS HUGEINT)
+                - CASE WHEN s >= CAST(9223372036854775808 AS UBIGINT)
+                       THEN CAST(18446744073709551616 AS HUGEINT)
+                       ELSE 0 END AS BIGINT) AS simhash,
+           CAST(s >> 48 AS BIGINT) AS bucket16
+    FROM sig
+"""
+
+
+@register("l2c_simhash", family="L2", oracle=L2C_ORACLE)
 def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (token-unigram features, md5-derived
     bit hashes — platform-stable), plus a 16-bit prefix usable as a
     hamming-LSH bucket key. Arrow-batched pandas UDF: the per-token
     bit-vote accumulation is genuinely imperative (SURVEY.md guidance:
-    pandas UDF when built-ins can't express it)."""
+    pandas UDF when built-ins can't express it).
+
+    Oracle-checked since r5: the pandas UDF's first-8-bytes-of-md5 hash
+    is the same value DuckDB computes as
+    ``('0x' || substring(md5(tok), 1, 16))::UBIGINT``, so the oracle
+    re-runs the whole bit-vote in SQL (duplicate tokens keep their
+    votes via unnest; sign bit handled by an explicit two's-complement
+    wrap, probed bit-identical including negative signatures) — a
+    Python-imperative operator hash-verified against a declarative
+    reformulation on a different engine."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
