@@ -134,9 +134,13 @@ _PRIORITY = (
     "t14s_rate_5m_stream",
     "t9s_stream_dedup",
     "t12s_stream_stream_join",
-    # L: dedup, similarity, text analysis, real media decode
+    # L: dedup, similarity, text analysis, real media decode.
+    # r5 swap: l2b_ngram_jaccard (exact ground truth, driver-green r3/r4)
+    # → l2h_minhash_md5, putting the MinHash→LSH band-join pipeline
+    # itself inside the driver hash gate for the first time (cross-engine
+    # md5 hash family; l2b stays bit-exact under the local gate).
     "l1_exact_dedup",
-    "l2b_ngram_jaccard",
+    "l2h_minhash_md5",
     "l2e_neardup_clusters",
     "l3_cosine_topk",
     "l4_knn_join",

@@ -15,7 +15,16 @@ for a metrics corpus.
 
 Usage: python tools/probe_stateful_scale.py [multipliers...]  (default 1 4 16)
        python tools/probe_stateful_scale.py --queries t14s_rate_5m_stream 1 16
+       python tools/probe_stateful_scale.py --noop-sink --queries t12s_stream_stream_join 16
 Prints ONE JSON line per (query, multiplier).
+
+``--noop-sink`` swaps the registered queries' memory sink for a
+foreachBatch counting sink (rows counted executor-side, never collected):
+the memory sink serializes EVERY result row to the driver and trips
+``spark.driver.maxResultSize`` on quadratic-output shapes (t12s at 16×
+produces ~21 M join rows), which measures the harness, not the operator.
+A real deployment's sink is partition-parallel — the noop sink is the
+faithful stand-in for measuring operator throughput/state alone.
 """
 
 from __future__ import annotations
@@ -43,9 +52,40 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _install_noop_sink(sq) -> None:
+    """Replace run_to_batch with a foreachBatch counting sink: output rows
+    are counted per-batch on executors and only the scalar count returns,
+    so quadratic-output probes measure the OPERATOR, not driver collect."""
+    import json as _json
+
+    def run_to_batch_counting(streaming_df, output_mode):
+        counts = {"n": 0}
+
+        def fb(df, _epoch):
+            counts["n"] += df.count()
+
+        query = (
+            streaming_df.writeStream.foreachBatch(fb)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="skt_noop_"))
+            .start()
+        )
+        query.awaitTermination()
+        sq.last_run_progress = [_json.loads(p.json) for p in query.recentProgress]
+        return streaming_df.sparkSession.createDataFrame(
+            [(counts["n"],)], "output_rows bigint"
+        )
+
+    sq.run_to_batch = run_to_batch_counting
+
+
 def main() -> None:
     argv = sys.argv[1:]
     names = DEFAULT_QUERIES
+    noop = "--noop-sink" in argv
+    if noop:
+        argv.remove("--noop-sink")
     if "--queries" in argv:
         i = argv.index("--queries")
         names = argv[i + 1].split(",")
@@ -54,6 +94,9 @@ def main() -> None:
     spark = get_spark("probe_stateful_scale")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import prometheus_remote_kinesis_spark.streaming.queries as sq
+
+    if noop:
+        _install_noop_sink(sq)
 
     qs = all_queries()
     workdir = tempfile.mkdtemp(prefix="probe_stateful_")
@@ -64,7 +107,10 @@ def main() -> None:
             for name in names:
                 t0 = time.time()
                 df = qs[name].fn(spark, sf_dir)
-                out_rows = df.count()
+                if noop and df.columns == ["output_rows"]:
+                    out_rows = df.collect()[0][0]
+                else:
+                    out_rows = df.count()
                 dt = time.time() - t0
                 state = [
                     {
