@@ -62,8 +62,17 @@ def shingled_docs(
       cheap no-op-ish rebalance, never a correctness dependency.
     """
     spark = docs.sparkSession
-    toked = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    # NULL-text docs are EXCLUDED from shingling on both engines (the
+    # text-family analog of the metrics NULL-staleness rule): without
+    # this, Spark shingled NULL as [''] — pairing every NULL doc with
+    # every other — while DuckDB's string_split(NULL) dropped them, a
+    # latent all-NULL-docs-cluster divergence invisible at the driver
+    # SFs (r5 code review; every consumer's oracle carries the matching
+    # WHERE text IS NOT NULL).
+    toked = (
+        docs.filter(F.col(text_col).isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
     )
     grams = F.transform(
         F.sequence(F.lit(0), F.size("toks") - n),
@@ -180,6 +189,7 @@ L2H_ORACLE = """
                                     string_split(text, ' ')[i+2])
                         ELSE [text] END)) AS shingle
         FROM documents
+        WHERE text IS NOT NULL
     ),
     h AS (
         SELECT doc_id, p.i AS perm,
@@ -330,6 +340,7 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         string_split(text, ' ')[i+2])
                             ELSE [text] END)) AS shingle
             FROM documents
+            WHERE text IS NOT NULL
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
@@ -440,6 +451,7 @@ L2E_ORACLE = """
                                     string_split(text, ' ')[i+2])
                         ELSE [text] END)) AS shingle
         FROM documents
+        WHERE text IS NOT NULL
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -664,7 +676,8 @@ def l2f_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 L2C_ORACLE = """
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
     ),
     th AS (
         SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h
@@ -735,7 +748,8 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[row] = sig.astype(np.int64)
         return pd.Series(out)
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-text docs excluded on both engines (shingled_docs convention)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return docs.select(
         "doc_id",
         simhash64(F.col("text")).alias("simhash"),

@@ -619,7 +619,7 @@ def frame_sample(media_df: DataFrame, every_n: int) -> DataFrame:
         SELECT doc_id,
                CAST((length(text) + 15) // 16 AS BIGINT)      AS n_frames,
                CAST(((length(text) + 15) // 16 + 3) // 4 AS BIGINT) AS n_sampled
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
 )
 def l6c_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -211,6 +211,7 @@ def d3_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         string_split(text, ' ')[i+2])
                             ELSE [text] END)) AS shingle
             FROM documents
+            WHERE text IS NOT NULL
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
@@ -459,7 +460,7 @@ SHUFFLE_SEED = "seed0"
         SELECT doc_id,
                row_number() OVER (ORDER BY md5(text || '{SHUFFLE_SEED}'), doc_id)
                    AS pos
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
 )
 def d7_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,8 +479,14 @@ def d7_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     key into (band) × parallel, exact results, no sampling-based range
     partitioner nondeterminism. Band sizing: first byte = 256 bands is
     right up to ~10 M rows; past that take two bytes (65 536 bands) so
-    per-band sorts stay small — w1c's measured rule (SCALE.md)."""
-    docs = load_table(spark, sf_dir, "documents")
+    per-band sorts stay small — w1c's measured rule (SCALE.md).
+
+    NULL-text docs are excluded EXPLICITLY (text-family convention):
+    without the filter their NULL hash forms a NULL band whose count
+    silently inflates every real band's broadcast offset (the rank join
+    drops the rows themselves, so positions were off by exactly the
+    NULL-doc count — r5 NULL-text probe)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     h = F.md5(F.concat(F.col("text"), F.lit(SHUFFLE_SEED)))
     banded = docs.select(
         "doc_id", h.alias("h"), F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("band")

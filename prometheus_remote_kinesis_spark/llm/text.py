@@ -156,15 +156,16 @@ def l5c_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list_transform(string_split(text, ' '),
                                       t -> CAST(length(t) + 1 AS BIGINT))),
                    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
 )
 def l5d_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling document fingerprint: a polynomial hash
     over the token-length sequence, mod 1e9+7 — cheap shift-resistant
     content identity (same idea as Rabin fingerprints). Pure higher-order
-    fold, identical arithmetic on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    fold, identical arithmetic on both engines. NULL-text docs excluded
+    on both engines (text-family NULL convention, r5)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     fp = F.aggregate(
         F.split("text", " "),
         F.lit(0).cast("long"),

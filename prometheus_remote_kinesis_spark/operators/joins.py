@@ -46,13 +46,16 @@ def asof_join(
     deterministic.
 
     Mixed timestamp types: both sides are cast to their common WIDER type
-    (date+timestamp → timestamp, narrower+wider numeric → wider) before
-    comparing — never a narrowing cast. (Through r4 the LEFT key was
-    silently cast to the RIGHT key's type; for j6's timestamp→date that
-    was provably equivalent to midnight coercion, but as a reusable
-    helper it would truncate a finer left key against any coarser right
-    key — the r4-ADVICE trap.) Type pairs outside the temporal/numeric
-    ladders raise: pre-cast explicitly at the call site.
+    within a VALUE-PRESERVING ladder (date+timestamp → timestamp,
+    byte<short<int<long; float<double) before comparing — never a lossy
+    cast. (Through r4 the LEFT key was silently cast to the RIGHT key's
+    type; for j6's timestamp→date that was provably equivalent to
+    midnight coercion, but as a reusable helper it would truncate a finer
+    left key against any coarser right key — the r4-ADVICE trap.)
+    Integer-vs-float pairs raise rather than cast: long→double loses
+    integer values above 2^53 (and int→float above 2^24), which can flip
+    an as-of comparison at the boundary — pre-cast explicitly at the call
+    site if that loss is acceptable. Pairs outside one ladder raise too.
 
     Output: every left column, plus ``payload`` columns from the right.
     Left/payload names must be disjoint."""
@@ -63,15 +66,12 @@ def asof_join(
         common = lt
     else:
         _temporal = {T.DateType: 0, T.TimestampNTZType: 1, T.TimestampType: 1}
-        _numeric = {
-            T.ByteType: 0,
-            T.ShortType: 1,
-            T.IntegerType: 2,
-            T.LongType: 3,
-            T.FloatType: 4,
-            T.DoubleType: 5,
-        }
-        for ladder in (_temporal, _numeric):
+        # integers and floats are SEPARATE ladders: casting long→double
+        # (or int→float) is value-lossy past 2^53 (2^24) — an as-of match
+        # could flip exactly at the boundary, so such pairs must raise
+        _ints = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+        _floats = {T.FloatType: 0, T.DoubleType: 1}
+        for ladder in (_temporal, _ints, _floats):
             if type(lt) in ladder and type(rt) in ladder:
                 common = lt if ladder[type(lt)] >= ladder[type(rt)] else rt
                 break

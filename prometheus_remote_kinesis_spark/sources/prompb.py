@@ -223,15 +223,29 @@ def _parse_timeseries_span(buf: bytes, pos: int, end: int) -> dict:
             p = pos
             while p < lend:
                 t2 = buf[p]
-                if t2 == 0x0A and p + 1 < lend and buf[p + 1] < 0x80:
+                # fast only when the WHOLE string lies inside the declared
+                # submessage span — a length claiming bytes past `lend`
+                # (malformed wire) must reparse through the slice-bounded
+                # general path so truncation behavior matches it exactly
+                if (
+                    t2 == 0x0A
+                    and p + 1 < lend
+                    and buf[p + 1] < 0x80
+                    and p + 2 + buf[p + 1] <= lend
+                ):
                     n2 = buf[p + 1]
                     name = buf[p + 2 : p + 2 + n2].decode("utf-8")
                     p += 2 + n2
-                elif t2 == 0x12 and p + 1 < lend and buf[p + 1] < 0x80:
+                elif (
+                    t2 == 0x12
+                    and p + 1 < lend
+                    and buf[p + 1] < 0x80
+                    and p + 2 + buf[p + 1] <= lend
+                ):
                     n2 = buf[p + 1]
                     value = buf[p + 2 : p + 2 + n2].decode("utf-8")
                     p += 2 + n2
-                else:  # long string / unknown field → general reparse
+                else:  # long/overflowing string / unknown field → reparse
                     name, value = _parse_label(buf[pos:lend])
                     break
             labels.append({"name": name, "value": value})
@@ -247,14 +261,19 @@ def _parse_timeseries_span(buf: bytes, pos: int, end: int) -> dict:
                 v = struct.unpack_from("<d", buf, pos + 1)[0]
                 p = pos + 10
                 raw = shift = 0
-                while True:
+                ok = False
+                # bounded exactly like _read_uvarint: never read past the
+                # declared span and never accept >64-bit varints (the
+                # general path raises on both; fast path defers to it)
+                while p < send and shift <= 63:
                     b = buf[p]
                     p += 1
                     raw |= (b & 0x7F) << shift
                     if not b & 0x80:
+                        ok = True
                         break
                     shift += 7
-                if p == send:
+                if ok and p == send:
                     samples.append(
                         {
                             "value": v,

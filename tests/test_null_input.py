@@ -96,6 +96,11 @@ def null_oracle_dir(spark, tmp_path_factory):
                 "value",
                 F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")),
             )
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("text")),
+            )
         df.coalesce(1).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
     return str(out)
 
@@ -114,6 +119,51 @@ def test_stateful_families_match_oracle_on_null_data(spark, null_oracle_dir):
     qs = all_queries()
     failures = {}
     for name in _NULL_ORACLE_FAMILIES:
+        q = qs[name]
+        problems = vl.compare(name, q.fn(spark, null_oracle_dir), con.sql(q.oracle))
+        if problems:
+            failures[name] = problems
+    assert not failures, failures
+
+
+# Text-family twin of the stateful-family NULL test above (r5 code
+# review): NULL-text documents are EXCLUDED from text processing on both
+# engines — before r5, Spark shingled NULL as [''] (pairing every NULL doc
+# with every other near-dup-wise) while DuckDB's string_split(NULL)
+# dropped them, and d7's NULL hash band silently inflated every real
+# band's rank offset by the NULL-doc count. Invisible at the driver SFs
+# (no NULL text there); pinned here on a NULL-injected corpus.
+_NULL_TEXT_ORACLE_FAMILIES = [
+    "l1_exact_dedup",
+    "l2b_ngram_jaccard",
+    "l2c_simhash",
+    "l2e_neardup_clusters",
+    "l2h_minhash_md5",
+    "l5_token_stats",
+    "l5d_fingerprints",
+    "l5e_language_id",
+    "l6c_frame_stats",
+    "d3_decontamination",
+    "d3b_fuzzy_decontamination",
+    "d7_deterministic_shuffle",
+    "d9_substring_dedup",
+]
+
+
+def test_text_families_match_oracle_on_null_text(spark, null_oracle_dir):
+    import duckdb
+
+    import tools.verify_local as vl
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '{null_oracle_dir}/{t}.parquet/*.parquet'"
+        )
+    qs = all_queries()
+    failures = {}
+    for name in _NULL_TEXT_ORACLE_FAMILIES:
         q = qs[name]
         problems = vl.compare(name, q.fn(spark, null_oracle_dir), con.sql(q.oracle))
         if problems:

@@ -189,3 +189,35 @@ def test_prompb_parse_fuzz_roundtrip(ts):
         assert got["samples"] == [
             {"value": v, "timestamp": t} for v, t in samples
         ]
+
+
+def test_parse_malformed_wire_matches_slice_bounded_semantics():
+    """r5 code-review repro: the fast-path parser must not read past a
+    declared submessage span nor accept varints the general path rejects.
+
+    (a) A Label whose inner name length claims bytes beyond the label
+    span: the slice-bounded general parse truncates the name at the span
+    (here 'ab'); the fast path must yield the same, never bleeding bytes
+    from the following submessage.
+    (b) A Sample whose timestamp varint is 11 bytes (>64-bit): the
+    general path raises ValueError('uvarint too long'); the fast path
+    must defer to it, not silently accept a >int64 value."""
+    import pytest
+
+    # (a) TimeSeries = Label(span 4: 0x0A 0x06 'ab' — name claims 6 bytes)
+    #     followed by a valid Sample
+    label = bytes([0x0A, 0x06]) + b"ab"
+    sample = bytes([0x09]) + struct.pack("<d", 2.0) + bytes([0x10, 0x09])
+    ts_msg = bytes([0x0A, len(label)]) + label + bytes([0x12, len(sample)]) + sample
+    body = bytes([0x0A, len(ts_msg)]) + ts_msg
+    parsed = parse_write_request(body)
+    assert parsed[0]["labels"] == [{"name": "ab", "value": ""}]
+    assert parsed[0]["samples"] == [{"value": 2.0, "timestamp": 9}]
+
+    # (b) overlong (11-byte) timestamp varint → ValueError, same as the
+    #     pre-fast-path parser
+    bad_sample = bytes([0x09]) + struct.pack("<d", 1.0) + bytes([0x10]) + b"\x80" * 10 + b"\x01"
+    ts_msg2 = bytes([0x12, len(bad_sample)]) + bad_sample
+    body2 = bytes([0x0A, len(ts_msg2)]) + ts_msg2
+    with pytest.raises(ValueError, match="uvarint too long"):
+        parse_write_request(body2)

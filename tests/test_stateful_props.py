@@ -346,3 +346,18 @@ def test_sliding_window_boundary_semantics(spark, offsets_ms):
             )
             expected[key] = expected.get(key, 0) + 1
     assert got == expected
+
+
+def test_asof_join_int_float_pair_raises(spark):
+    """r5 code-review: the numeric 'widening' ladder must not rank float
+    above long — long→double is value-lossy past 2^53 (int→float past
+    2^24) and can flip an as-of boundary match. Integer-vs-float key
+    pairs raise instead of silently casting."""
+    import pytest as _pytest
+
+    from prometheus_remote_kinesis_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame([(1, 16777216, 0)], "k long, ts int, rowid long")
+    rdf = spark.createDataFrame([(1, 2.0, 1)], "k long, rts float, payload long")
+    with _pytest.raises(TypeError, match="common wider type"):
+        asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts", payload=["payload"])

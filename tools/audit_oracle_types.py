@@ -12,11 +12,13 @@ was the ONLY window entry whose oracle emitted HUGEINT, and it was the only
 hash-red row two rounds running (CORRECTNESS_r03/r04, rows 5/5, schema ok).
 
 This audit runs every oracle with LIMIT 0 (type inference only, no data
-work) and fails if any output column has a type outside the allowlist that
-Spark can also produce: BOOLEAN/INT/BIGINT/DOUBLE/VARCHAR/DATE/TIMESTAMP/
-DECIMAL(18,2)-via-explicit-cast etc. HUGEINT and implicit high-precision
-DECIMAL are exactly the trap types. Wired into pytest via
-tests/test_plans.py::test_oracle_output_types so the class cannot recur.
+work) and fails if any OUTPUT column type is outside the `_SAFE`
+allowlist. HUGEINT, every DECIMAL (including explicit casts — decimal is
+fine as INTERMEDIATE math but an output column materializes as
+object-of-Decimal/decimal128, diverging from Spark double/bigint), and
+list types are exactly the traps. Wired into pytest via
+tests/test_plans.py::test_oracle_output_types_are_materialization_safe
+so the class cannot recur.
 
 Usage: python tools/audit_oracle_types.py  (exit 0 = clean)
 """
@@ -67,16 +69,7 @@ def audit() -> dict[str, list[tuple[str, str]]]:
         offending = [
             (col, str(typ))
             for col, typ in zip(rel.columns, rel.types)
-            if str(typ) not in _SAFE and not str(typ).startswith("DECIMAL")
-            or str(typ) == "HUGEINT"
-        ]
-        # Explicit DECIMAL casts are allowed only as INTERMEDIATE math; a
-        # DECIMAL OUTPUT column still differs from Spark double/bigint in
-        # pandas (object-of-Decimal) — flag those too.
-        offending += [
-            (col, str(typ))
-            for col, typ in zip(rel.columns, rel.types)
-            if str(typ).startswith("DECIMAL")
+            if str(typ) not in _SAFE
         ]
         if offending:
             bad[name] = offending

@@ -43,8 +43,18 @@ def normalize(rows: list[tuple], cols: list[str]):
             if math.isnan(v):
                 return "NaN"
             return v
-        if v is not None and not isinstance(v, (str, bytes, int)) and v != v:
-            return None  # pd.NaT (pandas NULL timestamp) ≡ None
+        # pd.NaT (pandas NULL timestamp) ≡ None. Identity check, not
+        # `v != v`: an ndarray cell (array-typed column under --pandas)
+        # would make the elementwise comparison's truth value ambiguous.
+        try:
+            import pandas as _pd
+
+            if v is _pd.NaT:
+                return None
+        except ImportError:
+            pass
+        if type(v).__name__ == "ndarray":
+            return tuple(v.tolist())  # comparable + hashable rendering
         if hasattr(v, "isoformat"):
             import datetime as _dt
 
