@@ -146,6 +146,104 @@ def l4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIGN_DIMS = 6  # l4e: 2^6 = 64 sign-buckets
+
+
+@register(
+    "l4e_sign_bucket_ann",
+    family="L4",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   (CASE WHEN embedding[1] >= 0 THEN 1  ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 2  ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 4  ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 8  ELSE 0 END
+                  + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+                  + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+            FROM embeddings
+        ),
+        qs AS (SELECT vec_id AS qid, e AS qe, bucket FROM b WHERE vec_id < 100),
+        probes AS (
+            SELECT qid, qe, xor(bucket, f.flip) AS probe
+            FROM qs, (VALUES (0), (1), (2), (4), (8), (16), (32)) f(flip)
+        )
+        SELECT qid, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn
+        FROM (
+            SELECT p.qid, c.vec_id AS nn_id,
+                   round(list_dot_product(c.e, p.qe)
+                         / (sqrt(list_dot_product(c.e, c.e))
+                            * sqrt(list_dot_product(p.qe, p.qe))), 6) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY round(list_dot_product(c.e, p.qe)
+                               / (sqrt(list_dot_product(c.e, c.e))
+                                  * sqrt(list_dot_product(p.qe, p.qe))), 6) DESC,
+                               c.vec_id) AS rn
+            FROM b c JOIN probes p ON c.bucket = p.probe AND c.vec_id <> p.qid
+        )
+        WHERE rn <= 3
+    """,
+)
+def l4e_sign_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via DETERMINISTIC sign-buckets — the oracle-backed member of
+    the L4 scale-path family (l4b hyperplane-LSH and l4c IVF stay
+    rows-only: RNG hyperplanes / k-means centroids aren't reproducible in
+    SQL, and a float PROJECTION's sign can flip on a ulp). The bucket
+    here is the sign pattern of the first 6 raw coordinates — pure
+    comparisons against 0, no arithmetic, so bucket assignment is exact
+    on any engine — and candidate generation is an equi-join on the
+    64-value bucket key instead of the O(N·Q) cross product, MULTI-PROBED
+    with every 1-bit flip of the query's bucket (7 probes: standard
+    multi-probe LSH — each corpus row still matches at most one probe, so
+    no dedup). Exact cosine top-3 within the probed buckets (same fold +
+    rounding as l3/l4, proven cross-engine bit-stable). Same output shape
+    as l4; recall vs exact KNN is asserted in tests/test_llm.py; more
+    flips (or learned bit confidences) are the recall knob at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.lit(0)
+    for j in range(_SIGN_DIMS):
+        bucket = bucket + F.when(
+            F.element_at("embedding", j + 1) >= 0, F.lit(2**j)
+        ).otherwise(F.lit(0))
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("enorm"),
+    )
+    qs = b.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+        F.col("enorm").alias("qnorm"),
+    )
+    flips = F.array(*[F.lit(v) for v in (0, 1, 2, 4, 8, 16, 32)])
+    probes = qs.select(
+        "qid",
+        "qe",
+        "qnorm",
+        "qbucket",
+        F.explode(flips).alias("flip"),
+    ).select(
+        "qid",
+        "qe",
+        "qnorm",
+        F.col("qbucket").bitwiseXOR(F.col("flip")).alias("probe"),
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("qe")) / (F.col("enorm") * F.col("qnorm")), 6
+    )
+    scored = b.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("qid")),
+    ).select("qid", F.col("vec_id").alias("nn_id"), sim.alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nn_id")
+    return scored.select(
+        "qid", "nn_id", "cos_sim", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+
+
 N_LISTS = 16  # IVF coarse centroids (√N-ish for the sf0.1 corpus)
 N_PROBE = 4  # centroids probed per query (recall/cost knob)
 
