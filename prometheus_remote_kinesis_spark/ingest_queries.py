@@ -196,20 +196,25 @@ def t10_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t10b_gap_fill",
-    family="T10",
-    oracle="""
-        WITH s AS (
-            SELECT event_type AS name, epoch_us(ts) // 1000 AS t, max(value) AS v
-            FROM events GROUP BY 1, 2
-        ),
-        b AS (SELECT name, min(t) AS lo, max(t) AS hi FROM s GROUP BY name),
-        g AS (SELECT name, unnest(range(lo, hi, 60000)) AS time FROM b)
-        SELECT g.name, g.time, round(s.v, 6) AS value
-        FROM g ASOF JOIN s ON g.name = s.name AND s.t <= g.time
-    """,
-)
+# Shared by the batch form (below) and the STREAMING-EXECUTED twin
+# (streaming/queries.py t10bs). NULL staleness markers excluded up front:
+# equivalent to the batch form's post-collapse isNotNull filter (WHERE-
+# before-GROUP BY drops NULL members; max ignores NULLs; an all-NULL
+# group vanishes either way), and it is what the stateful gap_fill's
+# per-row NULL skip produces.
+T10B_ORACLE = """
+    WITH s AS (
+        SELECT event_type AS name, epoch_us(ts) // 1000 AS t, max(value) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (SELECT name, min(t) AS lo, max(t) AS hi FROM s GROUP BY name),
+    g AS (SELECT name, unnest(range(lo, hi, 60000)) AS time FROM b)
+    SELECT g.name, g.time, round(s.v, 6) AS value
+    FROM g ASOF JOIN s ON g.name = s.name AND s.t <= g.time
+"""
+
+
+@register("t10b_gap_fill", family="T10", oracle=T10B_ORACLE)
 def t10b_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap fill (LOCF resampling) of the per-type event series onto a
     1-minute grid — the second stateful-family operator promised by
@@ -217,7 +222,11 @@ def t10b_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the oracle (same at-or-before, latest-wins semantics)."""
     from prometheus_remote_kinesis_spark.streaming.stateful import gap_fill_batch
 
-    events = load_table(spark, sf_dir, "events")
+    # NULL staleness markers excluded BEFORE the collapse (matching the
+    # oracle's WHERE and the stateful gap_fill's per-row skip): without
+    # it an all-NULL (name, ms) group leaks its timestamp into the grid
+    # bounds — gap_fill_batch's contract says value non-null.
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     series = (
         events.select(
             F.col("event_type").alias("name"),

@@ -593,6 +593,48 @@ def t20s_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t10bs_gap_fill_stream",
+    family="T13-stream",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS name, epoch_us(ts) // 1000 AS t, max(value) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (SELECT name, min(t) AS lo, max(t) AS hi FROM s GROUP BY name),
+    g AS (SELECT name, unnest(range(lo, hi, 60000)) AS time FROM b)
+    SELECT g.name, g.time, round(s.v, 6) AS value
+    FROM g ASOF JOIN s ON g.name = s.name AND s.t <= g.time
+    """,
+)
+def t10bs_gap_fill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful LOCF gap-fill operator (applyInPandasWithState,
+    O(1) state: last value + next pending grid time) EXECUTED BY the
+    streaming engine and hash-checked against t10b's DuckDB ASOF-JOIN
+    oracle — upgrading the grid-resample family from batch-only oracle
+    coverage. Same text as ingest_queries.T10B_ORACLE (duplicated
+    verbatim because oracles are registered at import time and this
+    module imports before ingest_queries).
+
+    Deterministic despite duplicate (name, ms) samples: the stateful op
+    sorts each batch by (time, value) so the last value processed at a
+    timestamp is the MAX — identical to the oracle's max(value) collapse
+    — and a grid point is only emitted once a strictly later sample
+    arrives, which reproduces the oracle's [lo, hi) range exactly on a
+    completed (availableNow) drain."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import gap_fill
+
+    records = stream_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("name"),
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+    out = gap_fill(records, interval_ms=60_000, idle_timeout_ms=None)
+    return run_to_batch(out, "append").select(
+        "name", "time", F.round("value", 6).alias("value")
+    )
+
+
 @register("t14s_rate_5m_stream", family="T14-stream", oracle=T14_ORACLE)
 def t14s_rate_5m_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL ``rate(m[5m])`` EXECUTED BY the streaming engine: per-series

@@ -310,7 +310,13 @@ def gap_fill(
 
         rows: list[dict[str, Any]] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values("time")
+            # (time, value) sort so duplicate-timestamp samples resolve
+            # max-wins WITHIN a batch (the last processed value at a ts
+            # is the max), matching the batch form's max(value) collapse
+            # and the t10bs oracle. Across micro-batches later-batch-wins
+            # applies — the availableNow drains the registered query
+            # runs are single-batch, where the equivalence is exact.
+            pdf = pdf.sort_values(["time", "value"])
             for t, v in zip(pdf["time"], pdf["value"]):
                 if v is None or pd.isna(v):
                     continue

@@ -71,6 +71,8 @@ def test_all_queries_survive_nulls(spark, null_sf_dir):
 # data so the alignment is pinned, not just claimed.
 _NULL_ORACLE_FAMILIES = [
     "t10_counter_increase",
+    "t10b_gap_fill",
+    "t10bs_gap_fill_stream",
     "t10s_counter_increase_stream",
     "t14_rate_5m",
     "t14s_rate_5m_stream",

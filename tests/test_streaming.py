@@ -555,3 +555,31 @@ def test_holt_winters_multibatch_final_state(spark, tmp_path):
     assert r["hw_level"] == level  # bit-exact: same IEEE ops, same order
     assert r["hw_trend"] == trend
     assert r["hw_forecast"] == level + trend
+
+
+def test_gap_fill_duplicate_timestamp_max_wins(spark, tmp_path):
+    """Duplicate (series, ms) samples must resolve max-wins (the batch
+    form collapses with max(value), the t10bs oracle likewise): gap_fill
+    sorts each batch by (time, value) so the surviving LOCF value at a
+    duplicated timestamp is the maximum regardless of arrival order."""
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import gap_fill
+
+    rows = [
+        {"name": "m", "time": 0, "value": 5.0},
+        {"name": "m", "time": 0, "value": 9.0},  # dup ts — max must win
+        {"name": "m", "time": 0, "value": 7.0},
+        {"name": "m", "time": 150_000, "value": 1.0},
+    ]
+    src = tmp_path / "gfsrc"
+    spark.createDataFrame(
+        [(r["name"], r["time"], r["value"]) for r in rows],
+        "name string, time long, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("name string, time long, value double")
+        .parquet(str(src))
+    )
+    out = run_to_batch(gap_fill(stream, interval_ms=60_000, idle_timeout_ms=None), "append")
+    got = sorted((r["time"], r["value"]) for r in out.collect())
+    assert got == [(0, 9.0), (60_000, 9.0), (120_000, 9.0)], got
