@@ -35,6 +35,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T6_ORACLE,
     T7_ORACLE,
     T14_ORACLE,
+    T15_ORACLE,
     T20_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
@@ -632,6 +633,44 @@ def t10bs_gap_fill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gap_fill(records, interval_ms=60_000, idle_timeout_ms=None)
     return run_to_batch(out, "append").select(
         "name", "time", F.round("value", 6).alias("value")
+    )
+
+
+@register("t15s_funnel_stream", family="T15-stream", oracle=T15_ORACLE)
+def t15s_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15's view→purchase funnel EXECUTED BY the streaming engine
+    (``funnel_views``: per-user pending-view state, first-purchase
+    resolution) and hash-checked against t15's correlated-EXISTS oracle
+    — equivalent because the FIRST purchase at-or-after a view is inside
+    the 1-hour window iff ANY purchase is. The stateful op's emission
+    protocol is chop-invariant (unresolved emission superseded by the
+    resolved one), so the registered query takes the authoritative row
+    per (user, view) — top-1 on resolved DESC, the t20s drain-then-filter
+    shape — then rolls up per day. A view never followed by any purchase
+    keeps its unresolved conv=0 row, matching the batch's NULL
+    next-purchase."""
+    from pyspark.sql import Window
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import funnel_views
+
+    records = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        F.unix_millis("ts").alias("time"),
+        (F.col("event_type") == "purchase").cast("int").alias("side"),
+    )
+    out = funnel_views(records, convert_ms=3_600_000, idle_timeout_ms=None)
+    drained = run_to_batch(out, "append")
+    w = Window.partitionBy("user_id", "view_ms").orderBy(F.desc("resolved"))
+    per_view = (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select((F.col("view_ms") / 86400000).cast("long").alias("day"), "conv")
+    )
+    return per_view.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("conv").cast("bigint").alias("n_converted"),
     )
 
 

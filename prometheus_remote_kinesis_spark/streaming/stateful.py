@@ -28,6 +28,7 @@ from pyspark.sql.streaming import StatefulProcessor
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -608,6 +609,90 @@ def streaming_rate(
         fn,
         outputStructType=RATE_SCHEMA,
         stateStructType=_RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("view_ms", LongType()),
+        StructField("conv", IntegerType()),
+        StructField("resolved", IntegerType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = "pending array<long>"
+
+
+def funnel_views(
+    records: DataFrame,
+    convert_ms: int = 3_600_000,
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """Streaming funnel step (T15's alerting-path form): per user, every
+    'view' is resolved by the FIRST later-or-simultaneous 'purchase' —
+    conv = (purchase_ms − view_ms ≤ convert_ms) — exactly t15's
+    next-purchase window semantics.
+
+    Emission protocol makes the output CHOP-INVARIANT without an
+    end-of-stream hook: a view emits immediately as (conv=0, resolved=0)
+    and stays in state; the first purchase re-emits every pending view as
+    (conv, resolved=1) and clears them. The authoritative row per
+    (user_id, view_ms) is the resolved one when it exists, else the
+    unresolved conv=0 row (a view no purchase ever follows) — a
+    WindowGroupLimit top-1 on resolved DESC downstream, the same
+    drain-then-filter shape as t20s. State = pending view timestamps:
+    bounded by views-between-purchases; a live deployment bounds it
+    further with the event-time horizon (a view older than convert_ms
+    can be resolved conv=0 eagerly — not done here so the drain matches
+    the batch window exactly).
+
+    Input: (user_id, time, side) with side 0=view / 1=purchase; per-batch
+    order (time, side) so a same-ms purchase resolves the view
+    (matching t15's window ORDER BY (ms, side))."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pending: list[int] = list(state.get[0]) if state.exists else []
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["time", "side"])
+            for t, side in zip(pdf["time"], pdf["side"]):
+                t = int(t)
+                if side == 0:
+                    pending.append(t)
+                    rows.append(
+                        {"user_id": user_id, "view_ms": t, "conv": 0, "resolved": 0}
+                    )
+                else:
+                    for v in pending:
+                        rows.append(
+                            {
+                                "user_id": user_id,
+                                "view_ms": v,
+                                "conv": 1 if t - v <= convert_ms else 0,
+                                "resolved": 1,
+                            }
+                        )
+                    pending = []
+        state.update((pending,))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=[f.name for f in FUNNEL_SCHEMA.fields])
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
     )

@@ -583,3 +583,46 @@ def test_gap_fill_duplicate_timestamp_max_wins(spark, tmp_path):
     out = run_to_batch(gap_fill(stream, interval_ms=60_000, idle_timeout_ms=None), "append")
     got = sorted((r["time"], r["value"]) for r in out.collect())
     assert got == [(0, 9.0), (60_000, 9.0), (120_000, 9.0)], got
+
+
+def test_funnel_multibatch_chop_invariant(spark, tmp_path):
+    """funnel_views under a real multi-batch chop: a view in batch 1
+    resolved by a purchase in batch 3, a view never resolved, a same-ms
+    view+purchase pair, and a too-late purchase — the authoritative-row
+    selection (resolved DESC top-1 per view) must equal the batch t15
+    semantics no matter where the chop falls."""
+    from pyspark.sql import Window
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import funnel_views
+
+    H = 3_600_000
+    rows = [  # (user, time, side): 0=view 1=purchase
+        {"event_id": 0, "event_type": "v", "user_id": 1, "time": 0, "value": 0.0},
+        {"event_id": 1, "event_type": "v", "user_id": 2, "time": 1000, "value": 0.0},
+        {"event_id": 2, "event_type": "p", "user_id": 1, "time": H // 2, "value": 0.0},
+        {"event_id": 3, "event_type": "v", "user_id": 3, "time": 2000, "value": 0.0},
+        {"event_id": 4, "event_type": "p", "user_id": 3, "time": 2000, "value": 0.0},
+        {"event_id": 5, "event_type": "v", "user_id": 1, "time": H, "value": 0.0},
+        {"event_id": 6, "event_type": "p", "user_id": 1, "time": 3 * H, "value": 0.0},
+        # user 2's view never resolves (no purchase at all)
+    ]
+    stream = _chopped_stream(spark, tmp_path, rows, 3).select(
+        "user_id",
+        "time",
+        (F.col("event_type") == "p").cast("int").alias("side"),
+    )
+    out = run_to_batch(funnel_views(stream, idle_timeout_ms=None), "append")
+    w = Window.partitionBy("user_id", "view_ms").orderBy(F.desc("resolved"))
+    got = {
+        (r["user_id"], r["view_ms"]): r["conv"]
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == {
+        (1, 0): 1,       # purchase at H/2, within the hour, later batch
+        (2, 1000): 0,    # never resolved
+        (3, 2000): 1,    # same-ms purchase counts
+        (1, H): 0,       # next purchase at 3H — too late
+    }, got
