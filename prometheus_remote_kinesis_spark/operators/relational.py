@@ -481,6 +481,287 @@ def sql11_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL11_Q10)
 
 
+_SQL12_MIN_COST_SUPPLIER = """
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS min_price
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, l_suppkey AS s_suppkey, s_name, n_name,
+           min_price AS best_price
+    FROM part
+    JOIN supply   ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_size <= 10
+      AND min_price = (SELECT min(s2.min_price) FROM supply s2
+                       WHERE s2.l_partkey = p_partkey)
+    ORDER BY p_partkey, s_suppkey
+"""
+
+
+@register("sql12_min_cost_supplier", family="SQL", oracle=_SQL12_MIN_COST_SUPPLIER)
+def sql12_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small part, the
+    supplier(s) offering its cheapest observed price — a correlated MIN
+    subquery whose correlation key (partkey) threads through a multi-way
+    dimension join. Catalyst decorrelates to a per-part min aggregate
+    joined back on the key, and because the equality is against a
+    MIN (selection, not arithmetic) over decimal-exact prices the
+    tie-set is engine-deterministic — ALL suppliers at the minimum
+    survive on both engines, no float boundary involved.
+
+    One ANSI string, both engines; the supply CTE is referenced twice
+    (join input + subquery) and Catalyst plans it once under AQE exchange
+    reuse."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL12_MIN_COST_SUPPLIER)
+
+
+_SQL13_ORDER_COUNT_DIST = """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) per_customer
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders
+"""
+
+
+@register("sql13_order_count_dist", family="SQL", oracle=_SQL13_ORDER_COUNT_DIST)
+def sql13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): the
+    double-aggregation histogram — count orders per customer, then count
+    customers per order-count. The filter lives in the LEFT JOIN's ON
+    clause, not WHERE, so zero-order customers survive as n_orders = 0
+    (the Q13 signature a WHERE would silently destroy). Integer counts
+    only — nothing float-sensitive. At scale: first agg shuffles on
+    custkey, second on the tiny n_orders domain; both map-side
+    partial-aggregated."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL13_ORDER_COUNT_DIST)
+
+
+_SQL14_PROMO_SHARE = """
+    SELECT yr,
+           CAST(floor(100.0 * promo_rev / total_rev * 1e6) / 1e6
+                AS DOUBLE) AS promo_share_pct,
+           n_lines
+    FROM (
+        SELECT year(l_shipdate) AS yr,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END)
+                    AS DOUBLE) AS promo_rev,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY yr
+    ) by_year
+    ORDER BY yr
+"""
+
+
+@register("sql14_promo_share", family="SQL", oracle=_SQL14_PROMO_SHARE)
+def sql14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14/Q8 shape (market-share ratio): a conditional-sum ÷
+    total-sum ratio per year — one hash aggregate computes both arms in a
+    single pass (no second scan for the denominator). Both sums
+    accumulate as DECIMAL(18,6) (order-independent), cast to double once,
+    and the ratio is floor-truncated at 1e-6 per the repo convention —
+    round() on an arbitrary quotient can land on a cross-engine half-tie
+    (CLAUDE.md, the f8 class). total_rev > 0 whenever the group exists
+    (prices are positive), so the plain division never hits ANSI
+    divide-by-zero."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL14_PROMO_SHARE)
+
+
+_SQL15_TOP_SUPPLIER = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@register("sql15_top_supplier", family="SQL", oracle=_SQL15_TOP_SUPPLIER)
+def sql15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue-per-supplier CTE filtered
+    by equality against its own uncorrelated MAX — the view-plus-max
+    pattern. The equality is double=double, safe ONLY because both sides
+    come from the same decimal-exact per-supplier sums (accumulation
+    order cannot perturb them) and max() is a selection; every supplier
+    tied at the max survives identically on both engines. Catalyst runs
+    the scalar subquery as an independent one-row job injected as a
+    literal filter."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL15_TOP_SUPPLIER)
+
+
+_SQL16_SUPPLIER_CNT = """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+@register("sql16_supplier_cnt", family="SQL", oracle=_SQL16_SUPPLIER_CNT)
+def sql16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): count(DISTINCT)
+    grouped by part attributes, with an anti-join exclusion list
+    (negative-balance suppliers) expressed as NOT EXISTS — NOT IN is
+    avoided deliberately: its three-valued NULL semantics silently
+    returns zero rows if the exclusion side ever contains a NULL key,
+    and the two engines would at least agree on being wrong. Catalyst
+    plans the distinct as a two-phase expand+agg shuffled on the group
+    keys; the supplier exclusion broadcasts."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL16_SUPPLIER_CNT)
+
+
+_SQL17_SMALL_QTY_REVENUE = """
+    SELECT CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) / 7.0 * 1e6) / 1e6
+                AS DOUBLE) AS avg_weekly_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+@register("sql17_small_qty_revenue", family="SQL", oracle=_SQL17_SMALL_QTY_REVENUE)
+def sql17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): each lineitem
+    compares against a correlated aggregate over the SAME fact table
+    (half the part's average quantity) — the self-correlated-agg stress
+    that decorrelates to a per-part average joined back on partkey, so
+    the 100 TB fact is scanned twice but never nested-looped. The
+    threshold is deterministic: quantities are integer-valued doubles,
+    their sum is exact (≪ 2^53), and avg ÷ 2 are identical IEEE ops on
+    both engines. Output sum is decimal-exact; the /7.0 quotient is
+    floor-truncated (f8 convention)."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL17_SMALL_QTY_REVENUE)
+
+
+_SQL18_LAST_SHIPPER = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name IN ('NATION_7', 'NATION_8')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+"""
+
+
+@register("sql18_last_shipper", family="SQL", oracle=_SQL18_LAST_SHIPPER)
+def sql18_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): two
+    correlated subqueries against the fact table itself, one with an
+    INEQUALITY correlation (l3.l_shipdate > l1.l_shipdate) — the
+    hardest decorrelation in the TPC-H suite. Catalyst rewrites the
+    EXISTS to a left-semi and the NOT EXISTS to a left-anti hash join on
+    orderkey with the inequality as a post-probe residual; the fact
+    never nested-loops. l_receiptdate/l_commitdate don't exist in this
+    schema, so 'kept waiting' is re-expressed as 'was the strictly last
+    shipper in a multi-supplier finished order' over l_shipdate —
+    same plan shape, same semantics class. LIMIT tie-broken on s_name
+    (unique per supplier)."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL18_LAST_SHIPPER)
+
+
+_SQL19_DORMANT_ACCOUNTS = """
+    SELECT c_mktsegment AS segment,
+           count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS totacctbal
+    FROM customer c
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'FURNITURE')
+      AND c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                                   AS DOUBLE) / count(*)
+                       FROM customer c2
+                       WHERE c2.c_acctbal > 0.0
+                         AND c2.c_mktsegment IN
+                             ('AUTOMOBILE', 'MACHINERY', 'FURNITURE'))
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY segment
+"""
+
+
+@register("sql19_dormant_accounts", family="SQL", oracle=_SQL19_DORMANT_ACCOUNTS)
+def sql19_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): rich customers with no
+    orders — an uncorrelated scalar-average subquery gating the scan plus
+    a NOT EXISTS anti-join against the fact. The mean is decimal-exact
+    sum ÷ count (sql2's idiom) because the filter is a strict comparison
+    against it: an ulp of accumulation-order drift could flip customers
+    sitting on the boundary. The anti-join shuffles on custkey (or
+    broadcasts the order-key set when small); the scalar subquery is one
+    independent row injected as a literal."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL19_DORMANT_ACCOUNTS)
+
+
 _M2_CDC = """
     WITH changes AS (
         SELECT o_custkey AS k,
