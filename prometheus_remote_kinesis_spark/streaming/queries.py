@@ -36,6 +36,8 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T7_ORACLE,
     T14_ORACLE,
     T15_ORACLE,
+    T16_ORACLE,
+    T18_ORACLE,
     T20_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
@@ -671,6 +673,85 @@ def t15s_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_view.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_views"),
         F.sum("conv").cast("bigint").alias("n_converted"),
+    )
+
+
+@register("t16s_retention_cohorts_stream", family="T16-stream", oracle=T16_ORACLE)
+def t16s_retention_cohorts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t16's cohort-retention triangle fed BY the streaming engine:
+    ``cohort_pairs`` (applyInPandasWithState, one pass over the stream)
+    emits each user's distinct activity weeks once plus their
+    running-minimum signup week; the drain then assembles exactly t16's
+    batch plan — min-cohort per user (order-insensitive, absorbs the
+    re-emission protocol), broadcast join against the deduped
+    (user, week) pairs, count per (cohort_week, week_offset). Registered
+    against t16's own DuckDB oracle, so the streaming dedup + state
+    carry-over sit inside the hash gate. The week expression is
+    IDENTICAL to the batch twin's (double division then cast — exact:
+    boundary multiples divide exactly, non-boundaries sit ≥1.65e-12
+    relative from an integer vs ~1e-13 double epsilon)."""
+    from pyspark.sql import Window  # noqa: F401  (parallel structure with siblings)
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import cohort_pairs
+
+    records = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_millis("ts") / 604800000).cast("long").alias("wk"),
+        (F.col("event_type") == "signup").cast("int").alias("is_signup"),
+    )
+    drained = run_to_batch(cohort_pairs(records, idle_timeout_ms=None), "append")
+    # Both sides project the same drained table — rename the cohort key so
+    # the self-join doesn't carry conflicting `user_id` attributes.
+    cohorts = (
+        drained.filter(F.col("is_cohort") == 1)
+        .groupBy(F.col("user_id").alias("cu"))
+        .agg(F.min("wk").alias("cw"))
+    )
+    weeks = drained.filter(F.col("is_cohort") == 0).select(
+        "user_id", F.col("wk").alias("w")
+    )
+    return (
+        weeks.join(F.broadcast(cohorts), F.col("user_id") == F.col("cu"))
+        .filter(F.col("w") >= F.col("cw"))
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register("t18s_absent_gaps_stream", family="T18-stream", oracle=T18_ORACLE)
+def t18s_absent_gaps_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t18's absent_over_time gap scan with the heavy step EXECUTED BY the
+    streaming engine: the distinct-(series, bucket) collapse — the only
+    part that touches event volume — runs as Spark's built-in streaming
+    ``dropDuplicates`` (JVM-side state, no Python), and the drain derives
+    gaps-and-islands over the observed buckets exactly as the batch twin
+    (lag + non-adjacent filter, O(observed buckets) — the post-drain
+    window is over the tiny deduped set, not the stream). Registered
+    against t18's own oracle. Chop-invariant by construction: the deduped
+    union over any micro-batch partitioning is the same set. State here
+    is unbounded over all history to match the batch answer exactly; a
+    live deployment uses ``dropDuplicatesWithinWatermark`` (t9s) since a
+    bucket stops receiving events once the watermark passes it."""
+    from pyspark.sql import Window
+
+    events = stream_table(spark, sf_dir, "events")
+    b = events.select(
+        "event_type",
+        (F.unix_millis("ts") / F.lit(300000)).cast("long").alias("bucket"),
+    ).dropDuplicates(["event_type", "bucket"])
+    drained = run_to_batch(b, "append")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    d = drained.select("event_type", "bucket", F.lag("bucket").over(w).alias("prev"))
+    return d.filter(
+        F.col("prev").isNotNull() & (F.col("bucket") - F.col("prev") > 1)
+    ).select(
+        "event_type",
+        ((F.col("prev") + 1) * 300000).alias("gap_start_ms"),
+        (F.col("bucket") * 300000).alias("gap_end_ms"),
+        (F.col("bucket") - F.col("prev") - 1).alias("missing_buckets"),
     )
 
 

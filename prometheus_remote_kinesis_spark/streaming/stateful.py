@@ -614,6 +614,78 @@ def streaming_rate(
     )
 
 
+COHORT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("is_cohort", IntegerType()),
+        StructField("wk", LongType()),
+    ]
+)
+
+_COHORT_STATE_SCHEMA = "cw long, weeks array<long>"
+
+
+def cohort_pairs(
+    records: DataFrame, idle_timeout_ms: int | None = 3_600_000
+) -> DataFrame:
+    """Streaming feed for cohort retention (T16's single-pass form): per
+    user, emit each activity week ONCE (is_cohort=0 rows — a stateful
+    dedup of (user, week)) and the user's signup-cohort week whenever the
+    known minimum improves (is_cohort=1 rows). One traversal of the
+    stream produces both sides of t16's join.
+
+    Chop-invariance: week rows are emitted exactly once (the state's seen
+    set carries across micro-batches); cohort rows re-emit only when a
+    strictly EARLIER signup arrives in a later batch, so the
+    authoritative cohort is min(wk) over the is_cohort=1 rows — an
+    order-insensitive batch aggregate downstream, no supersede protocol
+    needed. State per user = cohort week + the distinct activity weeks
+    (bounded by the retention span in weeks — 53/year — not by event
+    volume; a live deployment additionally ages out weeks behind the
+    watermark horizon).
+
+    Input: (user_id, wk, is_signup) with wk an integer week number and
+    is_signup 1 on signup events (signup events also count as activity,
+    matching t16's act CTE which scans ALL events)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            cw, weeks = state.get
+            seen = set(weeks)
+        else:
+            cw, seen = None, set()
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            for wk, sg in zip(pdf["wk"], pdf["is_signup"]):
+                wk = int(wk)
+                if sg == 1 and (cw is None or wk < cw):
+                    cw = wk
+                    rows.append({"user_id": user_id, "is_cohort": 1, "wk": wk})
+                if wk not in seen:
+                    seen.add(wk)
+                    rows.append({"user_id": user_id, "is_cohort": 0, "wk": wk})
+        state.update((cw, sorted(seen)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=[f.name for f in COHORT_SCHEMA.fields])
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=COHORT_SCHEMA,
+        stateStructType=_COHORT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 FUNNEL_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -626,3 +626,105 @@ def test_funnel_multibatch_chop_invariant(spark, tmp_path):
         (3, 2000): 1,    # same-ms purchase counts
         (1, H): 0,       # next purchase at 3H — too late
     }, got
+
+
+def test_cohort_pairs_multibatch_chop_invariant(spark, tmp_path):
+    """cohort_pairs under a real multi-batch chop: a signup arriving in a
+    LATER batch than the user's activity, duplicate weeks across batches
+    (the dedup state must carry), a strictly earlier second signup (the
+    cohort re-emission path — min() downstream must absorb it), and a
+    user with activity but no signup (must drop). The assembled retention
+    triangle must equal the hand-computed batch answer no matter where
+    the chop falls."""
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import cohort_pairs
+
+    rows = [  # time doubles as the week number
+        # batch 0
+        {"event_id": 0, "event_type": "view", "user_id": 1, "time": 5, "value": 0.0},
+        {"event_id": 1, "event_type": "view", "user_id": 1, "time": 6, "value": 0.0},
+        {"event_id": 2, "event_type": "signup", "user_id": 2, "time": 7, "value": 0.0},
+        # batch 1
+        {"event_id": 3, "event_type": "view", "user_id": 2, "time": 9, "value": 0.0},
+        {"event_id": 4, "event_type": "signup", "user_id": 1, "time": 5, "value": 0.0},
+        {"event_id": 5, "event_type": "view", "user_id": 1, "time": 5, "value": 0.0},
+        # batch 2
+        {"event_id": 6, "event_type": "signup", "user_id": 2, "time": 6, "value": 0.0},
+        {"event_id": 7, "event_type": "view", "user_id": 3, "time": 4, "value": 0.0},
+        {"event_id": 8, "event_type": "view", "user_id": 2, "time": 7, "value": 0.0},
+    ]
+    stream = _chopped_stream(spark, tmp_path, rows, 3).select(
+        "user_id",
+        F.col("time").alias("wk"),
+        (F.col("event_type") == "signup").cast("int").alias("is_signup"),
+    )
+    drained = run_to_batch(cohort_pairs(stream, idle_timeout_ms=None), "append")
+    # week rows are emitted exactly once per (user, week)
+    week_rows = drained.filter(F.col("is_cohort") == 0).collect()
+    assert len(week_rows) == len({(r["user_id"], r["wk"]) for r in week_rows})
+    cohorts = (
+        drained.filter(F.col("is_cohort") == 1)
+        .groupBy(F.col("user_id").alias("cu"))
+        .agg(F.min("wk").alias("cw"))
+    )
+    weeks = drained.filter(F.col("is_cohort") == 0).select(
+        "user_id", F.col("wk").alias("w")
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in weeks.join(F.broadcast(cohorts), F.col("user_id") == F.col("cu"))
+        .filter(F.col("w") >= F.col("cw"))
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .collect()
+    }
+    # u1: cw=5 weeks{5,6}; u2: cw=6 (the later-batch EARLIER signup wins)
+    # weeks{6,7,9} — signup weeks count as activity; u3: no signup, dropped
+    assert got == {
+        (5, 0): 1,
+        (5, 1): 1,
+        (6, 0): 1,
+        (6, 1): 1,
+        (6, 3): 1,
+    }, got
+
+
+def test_stream_absent_gaps_multibatch(spark, tmp_path):
+    """The t18s composition (streaming dropDuplicates on derived
+    (series, bucket) + post-drain gaps-and-islands) under a multi-batch
+    chop with duplicate buckets straddling batch boundaries: the deduped
+    union is the same set regardless of chop, so the derived gaps equal
+    the hand-computed answer."""
+    from pyspark.sql import Window
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+
+    rows = [  # time = bucket number (scaled in the assertion)
+        {"event_id": 0, "event_type": "a", "user_id": 1, "time": 1, "value": 0.0},
+        {"event_id": 1, "event_type": "a", "user_id": 1, "time": 2, "value": 0.0},
+        {"event_id": 2, "event_type": "b", "user_id": 1, "time": 3, "value": 0.0},
+        {"event_id": 3, "event_type": "a", "user_id": 1, "time": 2, "value": 0.0},
+        {"event_id": 4, "event_type": "a", "user_id": 1, "time": 5, "value": 0.0},
+        {"event_id": 5, "event_type": "b", "user_id": 1, "time": 4, "value": 0.0},
+        {"event_id": 6, "event_type": "a", "user_id": 1, "time": 9, "value": 0.0},
+        {"event_id": 7, "event_type": "a", "user_id": 1, "time": 5, "value": 0.0},
+    ]
+    b = (
+        _chopped_stream(spark, tmp_path, rows, 4)
+        .select("event_type", F.col("time").alias("bucket"))
+        .dropDuplicates(["event_type", "bucket"])
+    )
+    drained = run_to_batch(b, "append")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    d = drained.select("event_type", "bucket", F.lag("bucket").over(w).alias("prev"))
+    got = {
+        (r["event_type"], r["prev"] + 1, r["bucket"]): r["bucket"] - r["prev"] - 1
+        for r in d.filter(
+            F.col("prev").isNotNull() & (F.col("bucket") - F.col("prev") > 1)
+        ).collect()
+    }
+    # a: buckets {1,2,5,9} → gaps [3,5) missing 2 and [6,9) missing 3; b: none
+    assert got == {("a", 3, 5): 2, ("a", 6, 9): 3}, got
