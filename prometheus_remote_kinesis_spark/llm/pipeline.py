@@ -725,3 +725,73 @@ def d11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toked.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
     )
+
+
+@register(
+    "d12_vocab_coverage",
+    family="L7",
+    oracle="""
+        WITH counts AS (
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+        ),
+        top AS (
+            SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 64
+        )
+        SELECT token,
+               CAST(n AS BIGINT) AS n_occurrences,
+               CAST(floor(CAST(sum(n) OVER (ORDER BY n DESC, token
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS DOUBLE)
+                          / (SELECT CAST(sum(n) AS DOUBLE) FROM counts)
+                          * 1e6) / 1e6
+                    AS DOUBLE) AS cum_coverage
+        FROM top
+    """,
+)
+def d12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing: the top-V corpus tokens with the
+    CUMULATIVE share of all token occurrences a V-entry vocab covers —
+    the curve that answers "how big must the vocab be for X% coverage"
+    before training a tokenizer. Complements l5b (term/doc frequencies):
+    this is the corpus-global coverage integral, not per-term stats.
+
+    Scale order matters: the top-64 head is taken FIRST
+    (TakeOrderedAndProject — no global sort) and the running sum windows
+    over only those 64 rows; a prefix of a consistently-ordered set has
+    the same cumulative sums as the full-vocabulary window, so the
+    million-token tail never enters a single-partition window (the w1c
+    lesson). The denominator is one scalar aggregate broadcast back
+    (1-row cross join, the d8 pattern). Total occurrences ≤ 2^53 so the
+    double denominator is exact; the one quotient per row is the
+    identical IEEE double on both engines, floor-truncated tie-free (f8
+    convention). Empty/NULL text never contributes: explode/unnest drop
+    NULL identically and '' tokens are filtered on both paths."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "token").limit(64)
+    w = Window.orderBy(F.desc("n"), "token").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("tot"))
+    return (
+        top.withColumn("cum", F.sum("n").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("n").alias("n_occurrences"),
+            (F.floor(F.col("cum").cast("double") / F.col("tot") * 1e6) / 1e6)
+            .cast("double")
+            .alias("cum_coverage"),
+        )
+    )

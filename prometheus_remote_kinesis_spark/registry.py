@@ -108,11 +108,14 @@ _PRIORITY = (
     # stays oracle-verified locally), making a 4th streaming-executed
     # entry inside the driver window.
     "t20s_holt_winters_stream",
-    # F: scalar-function family reps (f4/f5/f7 rotated out r5, local-pass)
+    # F: scalar-function family reps (f4/f5/f7 rotated out r5, local-pass;
+    # f6 swapped out mid-r5 — same from_json/get_json_object mechanism the
+    # p6 rep also exercises — for t16s, putting the never-driver-checked
+    # T16 cohort family (and a 7th streaming-executed entry) in the gate)
     "f1_string_ops",
     "f2_datetime_ops",
     "f3_math_ops",
-    "f6_json_ops",
+    "t16s_retention_cohorts_stream",
     # U: custom-UDF surface
     "u3_median_udaf",
     # T: event-time windows, PromQL, funnels, cohorts
