@@ -762,6 +762,67 @@ def sql19_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL19_DORMANT_ACCOUNTS)
 
 
+_SQL20_LATE_ORDERS = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate <  DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register("sql20_late_orders", family="SQL", oracle=_SQL20_LATE_ORDERS)
+def sql20_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS whose correlation
+    reaches a NON-KEY outer column — the lineitem must ship more than 60
+    days after ITS order's date, so the subquery predicate compares inner
+    l_shipdate against outer o_orderdate, not a constant (sql3's EXISTS
+    correlates only on the key). Catalyst decorrelates to a left-semi
+    join on orderkey carrying the date comparison as the join residual;
+    l_commitdate/l_receiptdate don't exist here, so Q4's 'receipt after
+    commit' becomes 'shipped 60+ days after order' — same shape. Date +
+    interval arithmetic is identical on both engines; outputs are a
+    string and a count."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL20_LATE_ORDERS)
+
+
+_SQL21_PROMO_SUPPLIERS = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 100
+    )
+    ORDER BY s_suppkey
+"""
+
+
+@register("sql21_promo_suppliers", family="SQL", oracle=_SQL21_PROMO_SUPPLIERS)
+def sql21_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): a TWO-LEVEL semijoin
+    chain — suppliers IN (fact aggregated per (supplier, part), itself
+    filtered by part IN (dimension predicate)) with an aggregate-HAVING
+    threshold in the middle. Catalyst collapses the inner IN to a
+    broadcast semi join BEFORE the aggregation (pruning the fact scan to
+    PROMO parts) and the outer IN to a semi join on the aggregated key
+    set — the full chain runs as two semi joins and one partial+final
+    agg, no correlated execution. Quantity sums are decimal-exact so the
+    HAVING threshold cuts identically on both engines (sql5's idiom)."""
+    from prometheus_remote_kinesis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL21_PROMO_SUPPLIERS)
+
+
 _M2_CDC = """
     WITH changes AS (
         SELECT o_custkey AS k,

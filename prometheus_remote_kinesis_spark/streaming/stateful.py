@@ -625,28 +625,10 @@ COHORT_SCHEMA = StructType(
 _COHORT_STATE_SCHEMA = "cw long, weeks array<long>"
 
 
-def cohort_pairs(
-    records: DataFrame, idle_timeout_ms: int | None = 3_600_000
-) -> DataFrame:
-    """Streaming feed for cohort retention (T16's single-pass form): per
-    user, emit each activity week ONCE (is_cohort=0 rows — a stateful
-    dedup of (user, week)) and the user's signup-cohort week whenever the
-    known minimum improves (is_cohort=1 rows). One traversal of the
-    stream produces both sides of t16's join.
-
-    Chop-invariance: week rows are emitted exactly once (the state's seen
-    set carries across micro-batches); cohort rows re-emit only when a
-    strictly EARLIER signup arrives in a later batch, so the
-    authoritative cohort is min(wk) over the is_cohort=1 rows — an
-    order-insensitive batch aggregate downstream, no supersede protocol
-    needed. State per user = cohort week + the distinct activity weeks
-    (bounded by the retention span in weeks — 53/year — not by event
-    volume; a live deployment additionally ages out weeks behind the
-    watermark horizon).
-
-    Input: (user_id, wk, is_signup) with wk an integer week number and
-    is_signup 1 on signup events (signup events also count as activity,
-    matching t16's act CTE which scans ALL events)."""
+def _make_cohort_fn(idle_timeout_ms: int | None):
+    """Module-level so the pure state-transition logic is property-testable
+    against a fake GroupState without a Spark streaming query (the
+    _make_increase_fn pattern)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -672,6 +654,32 @@ def cohort_pairs(
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(rows, columns=[f.name for f in COHORT_SCHEMA.fields])
 
+    return fn
+
+
+def cohort_pairs(
+    records: DataFrame, idle_timeout_ms: int | None = 3_600_000
+) -> DataFrame:
+    """Streaming feed for cohort retention (T16's single-pass form): per
+    user, emit each activity week ONCE (is_cohort=0 rows — a stateful
+    dedup of (user, week)) and the user's signup-cohort week whenever the
+    known minimum improves (is_cohort=1 rows). One traversal of the
+    stream produces both sides of t16's join.
+
+    Chop-invariance: week rows are emitted exactly once (the state's seen
+    set carries across micro-batches); cohort rows re-emit only when a
+    strictly EARLIER signup arrives in a later batch, so the
+    authoritative cohort is min(wk) over the is_cohort=1 rows — an
+    order-insensitive batch aggregate downstream, no supersede protocol
+    needed. State per user = cohort week + the distinct activity weeks
+    (bounded by the retention span in weeks — 53/year — not by event
+    volume; a live deployment additionally ages out weeks behind the
+    watermark horizon).
+
+    Input: (user_id, wk, is_signup) with wk an integer week number and
+    is_signup 1 on signup events (signup events also count as activity,
+    matching t16's act CTE which scans ALL events)."""
+    fn = _make_cohort_fn(idle_timeout_ms)
     timeout = (
         GroupStateTimeout.NoTimeout
         if idle_timeout_ms is None

@@ -361,3 +361,105 @@ def test_asof_join_int_float_pair_raises(spark):
     rdf = spark.createDataFrame([(1, 2.0, 1)], "k long, rts float, payload long")
     with _pytest.raises(TypeError, match="common wider type"):
         asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts", payload=["payload"])
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving stateful fns outside a
+    streaming query: exists/get/update plus a no-op timeout setter."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+cohort_events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # user
+        st.integers(min_value=0, max_value=10),  # week
+        st.integers(min_value=0, max_value=1),   # is_signup
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(
+    events=cohort_events_st,
+    n_chops=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cohort_pairs_chop_invariance_property(events, n_chops, data):
+    """The cohort_pairs state transition is chop-invariant: for ANY event
+    sequence and ANY micro-batch partitioning, the assembled result
+    (min over emitted cohort rows, the emitted week set) equals the naive
+    whole-sequence computation, and week rows are emitted exactly once.
+    Drives the pure fn with a fake GroupState — no Spark query needed, so
+    hypothesis can afford 200 random chops."""
+    import pandas as pd
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import _make_cohort_fn
+
+    # random chop points -> n_chops batches (possibly empty)
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(events)),
+                min_size=n_chops - 1,
+                max_size=n_chops - 1,
+            )
+        )
+    )
+    batches = []
+    lo = 0
+    for c in [*cuts, len(events)]:
+        batches.append(events[lo:c])
+        lo = c
+
+    fn = _make_cohort_fn(None)
+    states: dict[int, _FakeGroupState] = {}
+    emitted = []
+    for batch in batches:
+        by_user: dict[int, list] = {}
+        for u, wk, sg in batch:
+            by_user.setdefault(u, []).append((wk, sg))
+        for u, rows in by_user.items():
+            pdf = pd.DataFrame(rows, columns=["wk", "is_signup"])
+            state = states.setdefault(u, _FakeGroupState())
+            for out in fn((u,), iter([pdf]), state):
+                emitted.extend(out.to_dict("records"))
+
+    # naive whole-sequence reference
+    exp_cohort: dict[int, int] = {}
+    exp_weeks: dict[int, set] = {}
+    for u, wk, sg in events:
+        if sg == 1:
+            exp_cohort[u] = min(exp_cohort.get(u, wk), wk)
+        exp_weeks.setdefault(u, set()).add(wk)
+
+    week_rows = [(r["user_id"], r["wk"]) for r in emitted if r["is_cohort"] == 0]
+    assert len(week_rows) == len(set(week_rows))  # exactly-once emission
+    got_weeks: dict[int, set] = {}
+    for u, wk in week_rows:
+        got_weeks.setdefault(u, set()).add(wk)
+    assert got_weeks == exp_weeks
+
+    got_cohort: dict[int, int] = {}
+    for r in emitted:
+        if r["is_cohort"] == 1:
+            u = r["user_id"]
+            got_cohort[u] = min(got_cohort.get(u, r["wk"]), r["wk"])
+    assert got_cohort == exp_cohort
