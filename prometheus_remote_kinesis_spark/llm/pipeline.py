@@ -734,7 +734,7 @@ def d11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH counts AS (
             SELECT token, count(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS token
-                  FROM documents)
+                  FROM documents WHERE text IS NOT NULL)
             WHERE token <> ''
             GROUP BY token
         ),
@@ -768,13 +768,17 @@ def d12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-row cross join, the d8 pattern). Total occurrences ≤ 2^53 so the
     double denominator is exact; the one quotient per row is the
     identical IEEE double on both engines, floor-truncated tie-free (f8
-    convention). Empty/NULL text never contributes: explode/unnest drop
-    NULL identically and '' tokens are filtered on both paths."""
+    convention). NULL text is excluded EXPLICITLY on both paths (the
+    repo-wide text-op convention, pinned by tests/test_null_input.py) —
+    explode/unnest would drop it anyway, but the explicit filter keeps
+    the NULL alignment robust to future edits; '' tokens are filtered
+    on both paths."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -740,7 +740,8 @@ _SQL19_DORMANT_ACCOUNTS = """
                        WHERE c2.c_acctbal > 0.0
                          AND c2.c_mktsegment IN
                              ('AUTOMOBILE', 'MACHINERY', 'FURNITURE'))
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01')
     GROUP BY c_mktsegment
     ORDER BY segment
 """
@@ -749,13 +750,20 @@ _SQL19_DORMANT_ACCOUNTS = """
 @register("sql19_dormant_accounts", family="SQL", oracle=_SQL19_DORMANT_ACCOUNTS)
 def sql19_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): rich customers with no
-    orders — an uncorrelated scalar-average subquery gating the scan plus
-    a NOT EXISTS anti-join against the fact. The mean is decimal-exact
-    sum ÷ count (sql2's idiom) because the filter is a strict comparison
-    against it: an ulp of accumulation-order drift could flip customers
-    sitting on the boundary. The anti-join shuffles on custkey (or
-    broadcasts the order-key set when small); the scalar subquery is one
-    independent row injected as a literal."""
+    RECENT orders — an uncorrelated scalar-average subquery gating the
+    scan plus a NOT EXISTS anti-join against the date-banded fact.
+    Dormancy is 'no order since 2000' rather than Q22's 'no order ever'
+    because this corpus gives every customer early orders — the no-order-
+    ever form returns ZERO rows at both verification scales, making the
+    oracle check vacuous (empty==empty; caught in r5 self-review). The
+    2000 cutoff selects ~30/~400 customers at sf0.01/sf0.1, so the
+    boundary-sensitive mean and the anti-join are actually exercised.
+    The mean is decimal-exact sum ÷ count (sql2's idiom) because the
+    filter is a strict comparison against it: an ulp of accumulation-
+    order drift could flip customers sitting on the boundary. The
+    anti-join shuffles on custkey (or broadcasts the recent-order key
+    set when small); the scalar subquery is one independent row injected
+    as a literal."""
     from prometheus_remote_kinesis_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)

@@ -901,6 +901,26 @@ T18_ORACLE = """
 """
 
 
+def absent_gaps_from_buckets(b: DataFrame) -> DataFrame:
+    """Gaps-and-islands derivation over a deduped (event_type, bucket)
+    set: lag per series, keep runs between non-adjacent neighbors. The
+    ONE home for the gap arithmetic — shared by the batch t18, the
+    streaming t18s drain, and their tests, so a boundary fix cannot
+    update one twin and silently leave the other on old semantics."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    d = b.select("event_type", "bucket", F.lag("bucket").over(w).alias("prev"))
+    return d.filter(
+        F.col("prev").isNotNull() & (F.col("bucket") - F.col("prev") > 1)
+    ).select(
+        "event_type",
+        ((F.col("prev") + 1) * 300000).alias("gap_start_ms"),
+        (F.col("bucket") * 300000).alias("gap_end_ms"),
+        (F.col("bucket") - F.col("prev") - 1).alias("missing_buckets"),
+    )
+
+
 @register("t18_absent_gaps", family="T18", oracle=T18_ORACLE)
 def t18_absent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL ``absent_over_time`` analog: contiguous runs of empty
@@ -910,20 +930,11 @@ def t18_absent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(observed buckets), not O(span) — the difference between a
     groupBy over real data and exploding a sequence() per series over a
     year of 100 TB history. All-integer arithmetic."""
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events")
     b = events.select(
         "event_type", (F.unix_millis("ts") / F.lit(300000)).cast("long").alias("bucket")
     ).distinct()
-    w = Window.partitionBy("event_type").orderBy("bucket")
-    d = b.select("event_type", "bucket", F.lag("bucket").over(w).alias("prev"))
-    return d.filter(F.col("prev").isNotNull() & (F.col("bucket") - F.col("prev") > 1)).select(
-        "event_type",
-        ((F.col("prev") + 1) * 300000).alias("gap_start_ms"),
-        (F.col("bucket") * 300000).alias("gap_end_ms"),
-        (F.col("bucket") - F.col("prev") - 1).alias("missing_buckets"),
-    )
+    return absent_gaps_from_buckets(b)
 
 
 T20_ORACLE = """

@@ -74,8 +74,9 @@ _PRIORITY = (
     # + m1_scd2_merge (beyond-§2 showcases, driver-green r1–r4, still
     # verified locally) → IN the two t19 bisect probes; OUT f4/f5/f7
     # (driver-green 4 rounds; same scalar-expression mechanism as the
-    # remaining f1/f2/f3/f6 reps) + t14_rate_5m (T14 stays driver-checked
-    # via t14s_rate_5m_stream, which registers against the SAME oracle)
+    # remaining f1/f2/f3 reps — f6 followed mid-r5, see the F section
+    # comment) + t14_rate_5m (T14 stays driver-checked via
+    # t14s_rate_5m_stream, which registers against the SAME oracle)
     # → IN t9s/t12s streaming state, a2c bitmap distinct, l2e CC clusters
     # (families never driver-hash-checked before r5).
     # J: broadcast / semi / range-bucketed / as-of

@@ -690,8 +690,6 @@ def t16s_retention_cohorts_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     IDENTICAL to the batch twin's (double division then cast — exact:
     boundary multiples divide exactly, non-boundaries sit ≥1.65e-12
     relative from an integer vs ~1e-13 double epsilon)."""
-    from pyspark.sql import Window  # noqa: F401  (parallel structure with siblings)
-
     from prometheus_remote_kinesis_spark.streaming.stateful import cohort_pairs
 
     records = stream_table(spark, sf_dir, "events").select(
@@ -735,24 +733,16 @@ def t18s_absent_gaps_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unbounded over all history to match the batch answer exactly; a
     live deployment uses ``dropDuplicatesWithinWatermark`` (t9s) since a
     bucket stops receiving events once the watermark passes it."""
-    from pyspark.sql import Window
+    from prometheus_remote_kinesis_spark.operators.time_windows import (
+        absent_gaps_from_buckets,
+    )
 
     events = stream_table(spark, sf_dir, "events")
     b = events.select(
         "event_type",
         (F.unix_millis("ts") / F.lit(300000)).cast("long").alias("bucket"),
     ).dropDuplicates(["event_type", "bucket"])
-    drained = run_to_batch(b, "append")
-    w = Window.partitionBy("event_type").orderBy("bucket")
-    d = drained.select("event_type", "bucket", F.lag("bucket").over(w).alias("prev"))
-    return d.filter(
-        F.col("prev").isNotNull() & (F.col("bucket") - F.col("prev") > 1)
-    ).select(
-        "event_type",
-        ((F.col("prev") + 1) * 300000).alias("gap_start_ms"),
-        (F.col("bucket") * 300000).alias("gap_end_ms"),
-        (F.col("bucket") - F.col("prev") - 1).alias("missing_buckets"),
-    )
+    return absent_gaps_from_buckets(run_to_batch(b, "append"))
 
 
 @register("t14s_rate_5m_stream", family="T14-stream", oracle=T14_ORACLE)

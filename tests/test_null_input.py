@@ -149,6 +149,7 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     "d3b_fuzzy_decontamination",
     "d7_deterministic_shuffle",
     "d9_substring_dedup",
+    "d12_vocab_coverage",
 ]
 
 

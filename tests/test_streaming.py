@@ -698,8 +698,9 @@ def test_stream_absent_gaps_multibatch(spark, tmp_path):
     chop with duplicate buckets straddling batch boundaries: the deduped
     union is the same set regardless of chop, so the derived gaps equal
     the hand-computed answer."""
-    from pyspark.sql import Window
-
+    from prometheus_remote_kinesis_spark.operators.time_windows import (
+        absent_gaps_from_buckets,
+    )
     from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
 
     rows = [  # time = bucket number (scaled in the assertion)
@@ -717,14 +718,13 @@ def test_stream_absent_gaps_multibatch(spark, tmp_path):
         .select("event_type", F.col("time").alias("bucket"))
         .dropDuplicates(["event_type", "bucket"])
     )
-    drained = run_to_batch(b, "append")
-    w = Window.partitionBy("event_type").orderBy("bucket")
-    d = drained.select("event_type", "bucket", F.lag("bucket").over(w).alias("prev"))
     got = {
-        (r["event_type"], r["prev"] + 1, r["bucket"]): r["bucket"] - r["prev"] - 1
-        for r in d.filter(
-            F.col("prev").isNotNull() & (F.col("bucket") - F.col("prev") > 1)
-        ).collect()
+        (
+            r["event_type"],
+            r["gap_start_ms"] // 300000,
+            r["gap_end_ms"] // 300000,
+        ): r["missing_buckets"]
+        for r in absent_gaps_from_buckets(run_to_batch(b, "append")).collect()
     }
     # a: buckets {1,2,5,9} → gaps [3,5) missing 2 and [6,9) missing 3; b: none
     assert got == {("a", 3, 5): 2, ("a", 6, 9): 3}, got
