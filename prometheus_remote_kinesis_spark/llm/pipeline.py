@@ -217,7 +217,7 @@ def d3_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter AS (
             SELECT t.doc_id, e.doc_id AS eval_doc_id, count(*) AS i
             FROM sh t JOIN sh e ON t.shingle = e.shingle
-            WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+            WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
             GROUP BY 1, 2
         )
         SELECT inter.doc_id AS doc_id, eval_doc_id,
@@ -235,7 +235,7 @@ def d3b_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY decontamination — d3 catches verbatim n-gram overlap; this
     catches paraphrased/truncated contamination: training docs whose
     3-gram-shingle Jaccard against ANY eval doc (stand-in split:
-    doc_id % 97 = 0) reaches 0.2, reporting each doc's best-matching
+    doc_id % 7 = 0) reaches 0.2, reporting each doc's best-matching
     eval doc. l2b's inverted-index machinery pointed ACROSS corpora.
 
     Scale shape: the eval side is tiny relative to the corpus, so its
@@ -250,8 +250,8 @@ def d3b_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    train = sh.filter(F.col("doc_id") % 97 != 0)
-    ev = sh.filter(F.col("doc_id") % 97 == 0).select(
+    train = sh.filter(F.col("doc_id") % 7 != 0)
+    ev = sh.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
     )
     inter = (

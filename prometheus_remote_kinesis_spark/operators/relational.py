@@ -320,8 +320,8 @@ _SQL6_NATION_TRADE = """
         JOIN customer ON c_custkey  = o_custkey
         JOIN nation ns ON ns.n_nationkey = s_nationkey
         JOIN nation nc ON nc.n_nationkey = c_nationkey
-        WHERE ((ns.n_name = 'FRANCE' AND nc.n_name = 'GERMANY')
-            OR (ns.n_name = 'GERMANY' AND nc.n_name = 'FRANCE'))
+        WHERE ((ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_8')
+            OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_7'))
     ) shipping
     GROUP BY supp_nation, cust_nation, yr
     ORDER BY supp_nation, cust_nation, yr
@@ -332,7 +332,10 @@ _SQL6_NATION_TRADE = """
 def sql6_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): six-table join with a
     DISJUNCTIVE cross-dimension predicate over two aliases of the same
-    dimension (nation joined twice under different roles). Catalyst
+    dimension (nation joined twice under different roles) — the nation
+    pair uses this corpus's NATION_N names (TPC-H's FRANCE/GERMANY don't
+    exist here; with them the predicate matched nothing and the oracle
+    check was vacuous, r5 vacuity audit). Catalyst
     broadcasts both nation sides and the supplier/customer dims; the OR
     over the two role pairs cannot be pushed below the joins, so it tests
     post-join filter placement. One ANSI string, both engines."""
@@ -403,7 +406,7 @@ def sql8_disjunctive_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL9_ABOVE_BRAND_AVG = """
     SELECT p_partkey, p_brand, p_retailprice
     FROM part p
-    WHERE p_retailprice > 1.2 * (
+    WHERE p_retailprice > 1.05 * (
         SELECT avg(p2.p_retailprice) FROM part p2
         WHERE p2.p_brand = p.p_brand
     )
@@ -417,9 +420,12 @@ def sql9_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares against its brand's average. Catalyst decorrelates to a
     grouped aggregate joined back on the correlation key (one extra scan +
     one broadcastable per-brand aggregate) instead of a per-row subquery —
-    O(N) not O(N·groups). The 1.2 multiplier keeps the threshold away from
-    float-tie territory; average-of-decimals divides identically on both
-    engines at this scale."""
+    O(N) not O(N·groups). The multiplier is 1.05 because retail prices
+    span only 900-999.9 (max ±6% from a brand mean) — at the classic 1.2
+    no part ever qualified and the oracle check was vacuous (r5 vacuity
+    audit); 1.05 selects ~3% of parts while still sitting clear of
+    float-tie territory (the threshold is a product of exactly-computed
+    doubles, identical on both engines)."""
     from prometheus_remote_kinesis_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)

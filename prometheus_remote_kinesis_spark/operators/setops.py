@@ -84,17 +84,29 @@ def o4_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "o4b_nation_except",
     family="O4",
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
         EXCEPT
-        SELECT s_nationkey FROM supplier
+        SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
     """,
 )
 def o4b_nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): nations with customers but no suppliers."""
+    """EXCEPT (distinct): nations with overdrawn customers but no
+    overdrawn supplier. The negative-balance filters are what make the
+    check REAL: every nation has both customers and suppliers in this
+    corpus, so the unfiltered EXCEPT returned zero rows at both
+    verification scales — a vacuous oracle (empty==empty, r5 vacuity
+    audit); overdrawn suppliers are rare (~6 at sf0.01) so the
+    subtraction leaves most nations standing."""
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
-    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        customer.filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(
+            supplier.filter(F.col("s_acctbal") < 0).select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        )
     )
 
 

@@ -1267,7 +1267,7 @@ T25_ORACLE = """
     s AS (
         SELECT event_type, user_id, epoch_us(ts) // 1000 AS ms, value, t_eval
         FROM events, bounds
-        WHERE epoch_us(ts) // 1000 BETWEEN t_eval - 300000 AND t_eval
+        WHERE epoch_us(ts) // 1000 BETWEEN t_eval - 86400000 AND t_eval
     ),
     d AS (
         SELECT event_type, user_id, ms, value, t_eval,
@@ -1293,15 +1293,15 @@ T25_ORACLE = """
     SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
            round(inc, 2) AS increase_raw,
            floor(inc * ((CAST(last_ms - first_ms AS DOUBLE)
-                 + CASE WHEN CAST(first_ms - (t_eval - 300000) AS DOUBLE)
+                 + CASE WHEN CAST(first_ms - (t_eval - 86400000) AS DOUBLE)
                              < 1.1 * (CAST(last_ms - first_ms AS DOUBLE) / (n - 1))
-                        THEN CAST(first_ms - (t_eval - 300000) AS DOUBLE)
+                        THEN CAST(first_ms - (t_eval - 86400000) AS DOUBLE)
                         ELSE (CAST(last_ms - first_ms AS DOUBLE) / (n - 1)) / 2 END
                  + CASE WHEN CAST(t_eval - last_ms AS DOUBLE)
                              < 1.1 * (CAST(last_ms - first_ms AS DOUBLE) / (n - 1))
                         THEN CAST(t_eval - last_ms AS DOUBLE)
                         ELSE (CAST(last_ms - first_ms AS DOUBLE) / (n - 1)) / 2 END)
-                 / CAST(last_ms - first_ms AS DOUBLE)) / 300.0 * 1e6) / 1e6 AS rate_per_sec
+                 / CAST(last_ms - first_ms AS DOUBLE)) / 86400.0 * 1e6) / 1e6 AS rate_per_sec
     FROM g
     WHERE n >= 2 AND last_ms > first_ms
 """
@@ -1309,14 +1309,19 @@ T25_ORACLE = """
 
 @register("t25_rate_extrapolated", family="T25", oracle=T25_ORACLE)
 def t25_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PromQL ``rate(m[5m])`` with Prometheus's REAL boundary
+    """PromQL ``rate(m[1d])`` with Prometheus's REAL boundary
     extrapolation (promql/functions.go extrapolatedRate): the
     reset-adjusted increase over the samples inside the window is scaled
     out to the window edges — by the actual gap when the edge gap is
     < 1.1× the average sample spacing, else by half a spacing — then
     divided by the window length. t14 is the textbook frame-sum rate;
     this is the semantic Prometheus actually ships, evaluated at T =
-    corpus max (t23's deterministic eval point).
+    corpus max (t23's deterministic eval point). The range is 1 day, not
+    the classic 5 m: this corpus is ~30 days at minutes-apart per-series
+    samples, so a 5 m lookback at corpus end holds no series with ≥2
+    samples and the oracle check was VACUOUS (0 == 0 rows; r5 vacuity
+    audit) — at [1d] the extrapolation arithmetic actually executes
+    (~47/~580 series at sf0.01/sf0.1).
 
     One lookback filter → one lag pass → one hash agg per series; the
     increase sums 2-decimal deltas as exact decimals, and every
@@ -1330,7 +1335,7 @@ def t25_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t_eval = s.agg(F.max("ms").alias("t_eval"))
     s = s.crossJoin(F.broadcast(t_eval)).filter(
-        F.col("ms").between(F.col("t_eval") - 300000, F.col("t_eval"))
+        F.col("ms").between(F.col("t_eval") - 86400000, F.col("t_eval"))
     )
     w = Window.partitionBy("event_type", "user_id").orderBy("ms")
     d = s.withColumn("prev", F.lag("value").over(w))
@@ -1350,7 +1355,7 @@ def t25_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = g.filter((F.col("n") >= 2) & (F.col("last_ms") > F.col("first_ms")))
     sampled = (F.col("last_ms") - F.col("first_ms")).cast("double")
     avg_dur = sampled / (F.col("n") - 1)
-    dur_start = (F.col("first_ms") - (F.col("t_eval") - 300000)).cast("double")
+    dur_start = (F.col("first_ms") - (F.col("t_eval") - 86400000)).cast("double")
     dur_end = (F.col("t_eval") - F.col("last_ms")).cast("double")
     extra = (
         sampled
@@ -1367,7 +1372,7 @@ def t25_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB round() can split a representable .5 differently (CLAUDE.md
         # convention, the f8 fix). floor(q*1e6)/1e6 is tie-free because both
         # engines hold the identical IEEE quotient.
-        (F.floor(F.col("inc") * (extra / sampled) / 300.0 * 1e6) / 1e6).alias(
+        (F.floor(F.col("inc") * (extra / sampled) / 86400.0 * 1e6) / 1e6).alias(
             "rate_per_sec"
         ),
     )

@@ -32,6 +32,17 @@ def test_contract_shape():
     assert len(qs) >= 50
 
 
+def test_no_vacuous_oracles():
+    """Every registered oracle must select ≥1 row at the driver scale —
+    an empty oracle makes its hash check vacuous (empty==empty passes
+    forever). Pins the r5 vacuity-audit fix class (sql19, t25, sql6,
+    sql9, o4b, d3b) fleet-wide; DuckDB-only, so it costs seconds."""
+    from tools.audit_vacuity import run_audit
+
+    result = run_audit()
+    assert result["empty"] == [], result
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs(spark, name):
     q = QUERIES[name]
