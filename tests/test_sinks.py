@@ -222,3 +222,27 @@ def test_foreach_batch_writer_commit_dir_skips_replayed_batch(spark, tmp_path):
 
     writer(records, 1)  # new batch id: delivered
     assert n_sent() == 20
+
+
+def test_archive_write_is_time_clustered(spark, tmp_path):
+    """S9 sort_by_time: rows inside each archive file must be
+    time-ascending (per file; files are per-name under partitionBy), so
+    parquet row-group min/max stats form narrow, skippable bands —
+    the property tools/probe_data_skipping.py measures (40/280 vs
+    680/680 groups read for a 1-day band). Shuffled input, one output
+    partition → the sort is the only thing that can order the file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from prometheus_remote_kinesis_spark.sinks import write_parquet_archive
+
+    rows = [("m", t, float(t)) for t in [5000, 1000, 4000, 2000, 3000, 500]]
+    df = spark.createDataFrame(
+        rows, "name string, time long, value double"
+    ).repartition(1)
+    path = str(tmp_path / "clustered")
+    write_parquet_archive(df, path, sort_by_time=True)
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        times = pq.read_table(f, columns=["time"])["time"].to_pylist()
+        assert times == sorted(times), f
