@@ -1049,33 +1049,31 @@ T21_ORACLE = """
 """
 
 
-@register("t21_promql_vector_ops", family="T21", oracle=T21_ORACLE)
-def t21_promql_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PromQL instant-vector operator surface in one query:
-    ``topk(2, avg by (name) (v))`` per 5-minute evaluation bucket,
-    ``clamp(v, 0, 50)``, and ``label_replace(v, "sev", "alert_$1",
-    "name", "^(err|sign)(.*)$")``. The topk is w4's WindowGroupLimit
-    shape over the PRE-AGGREGATED per-(bucket, name) vector — ranking
-    5 rows per bucket, never raw samples; clamp/label_replace are pure
-    projections. Decimal-exact averages (t5's avg rule) keep the rank
-    order and the clamp branch engine-identical."""
+def avg_vector_5min(events: DataFrame) -> DataFrame:
+    """Per-(5-minute bucket, series) decimal-exact average — the
+    instant-vector evaluation both t21 (batch) and t21s (streaming
+    complete-mode agg) run; one home so the two twins can't drift."""
+    return events.groupBy(
+        ((F.unix_millis("ts") / F.lit(300000)).cast("long") * 300000).alias(
+            "bucket_ms"
+        ),
+        "event_type",
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_value")
+    )
+
+
+def vector_ops_from_avg(v: DataFrame) -> DataFrame:
+    """topk(2) + clamp + label_replace over a pre-aggregated
+    (bucket_ms, event_type, avg_value) vector — shared by t21/t21s
+    (the absent_gaps_from_buckets pattern: one home for the operator
+    arithmetic)."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
-    v = (
-        events.groupBy(
-            ((F.unix_millis("ts") / F.lit(300000)).cast("long") * 300000).alias(
-                "bucket_ms"
-            ),
-            "event_type",
-        ).agg(
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_value")
-        )
-    )
     w = Window.partitionBy("bucket_ms").orderBy(F.desc("avg_value"), "event_type")
     r = v.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
     return r.select(
@@ -1090,6 +1088,20 @@ def t21_promql_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sev_label"
         ),
     )
+
+
+@register("t21_promql_vector_ops", family="T21", oracle=T21_ORACLE)
+def t21_promql_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL instant-vector operator surface in one query:
+    ``topk(2, avg by (name) (v))`` per 5-minute evaluation bucket,
+    ``clamp(v, 0, 50)``, and ``label_replace(v, "sev", "alert_$1",
+    "name", "^(err|sign)(.*)$")``. The topk is w4's WindowGroupLimit
+    shape over the PRE-AGGREGATED per-(bucket, name) vector — ranking
+    5 rows per bucket, never raw samples; clamp/label_replace are pure
+    projections. Decimal-exact averages (t5's avg rule) keep the rank
+    order and the clamp branch engine-identical."""
+    events = load_table(spark, sf_dir, "events")
+    return vector_ops_from_avg(avg_vector_5min(events))
 
 
 T22_ORACLE = """

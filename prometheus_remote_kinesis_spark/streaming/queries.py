@@ -39,6 +39,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T16_ORACLE,
     T18_ORACLE,
     T20_ORACLE,
+    T21_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -743,6 +744,27 @@ def t18s_absent_gaps_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis("ts") / F.lit(300000)).cast("long").alias("bucket"),
     ).dropDuplicates(["event_type", "bucket"])
     return absent_gaps_from_buckets(run_to_batch(b, "append"))
+
+
+@register("t21s_promql_vector_ops_stream", family="T21-stream", oracle=T21_ORACLE)
+def t21s_promql_vector_ops_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t21's PromQL instant-vector surface with the volume-touching step
+    EXECUTED BY the streaming engine: the per-(bucket, series)
+    decimal-exact average runs as a streaming complete-mode aggregation
+    (``avg_vector_5min``, the identical expression tree as batch t21);
+    the drain then applies the shared ``vector_ops_from_avg`` stage
+    (topk/clamp/label_replace) over the tiny pre-aggregated vector —
+    the t18s shape: stream the heavy collapse, post-process the small
+    result, one home for each twin's arithmetic. Registered against
+    t21's own oracle."""
+    from prometheus_remote_kinesis_spark.operators.time_windows import (
+        avg_vector_5min,
+        vector_ops_from_avg,
+    )
+
+    events = stream_table(spark, sf_dir, "events")
+    drained = run_to_batch(avg_vector_5min(events), "complete")
+    return vector_ops_from_avg(drained)
 
 
 @register("t14s_rate_5m_stream", family="T14-stream", oracle=T14_ORACLE)
