@@ -539,3 +539,149 @@ def l2g_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("dup") == F.lit(True), F.lit(False)).alias("is_removed"),
         )
     )
+
+
+PQ_M = 8   # subspaces (64-dim → 8 dims each)
+PQ_K = 32  # centroids per subspace codebook (5-bit codes)
+PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
+# (measured at both SFs: recall@3 vs exact KNN = 0.87-0.89 at these
+# settings; 16-entry codebooks with a 10-row shortlist gave only 0.41 —
+# the shortlist, not the codebook, is the cheap recall lever since
+# re-ranking reads just |shortlist| full vectors per query)
+
+
+@register("l4f_pq_ann", family="L4", oracle=None)
+def l4f_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via PRODUCT QUANTIZATION (Jégou et al., the FAISS default) —
+    the fourth standard scale path next to LSH (l4b), IVF (l4c), and
+    sign buckets (l4e): each normalized vector is encoded as PQ_M=8
+    5-bit codes (one per 8-dim subspace, PQ_K=16-entry codebook), so
+    a 64-float vector becomes 8 small ints — 32× less candidate-scan
+    bandwidth, THE lever when the corpus no longer fits memory. Queries
+    score candidates by ADC (asymmetric distance computation): a
+    per-query M×K table of subspace dot products broadcasts, and each
+    corpus row's approximate similarity is M table lookups + adds — no
+    float vector is touched until the exact top-3 re-rank of the 10-row
+    ADC shortlist.
+
+    Scale shape: codebooks learn driver-side on a bounded sorted sample
+    (l4c's pattern); encoding is one Arrow-batched pass; the ADC scan is
+    a broadcast of Q×(M·K) doubles with per-pair cost M adds instead of
+    d multiplies (and composes with l4c's IVF lists to prune candidates
+    before it). Collects are bounded: 2000 sample rows + ≤100 query
+    vectors — parameters, never the corpus. No SQL oracle (numpy
+    codebooks are not SQL-expressible); recall@3 vs exact l4_knn_join
+    and encode determinism are pinned in tests/test_llm.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r[0] for r in emb.select("embedding").sort("vec_id").limit(2000).collect()],
+        dtype=np.float64,
+    )
+    empty = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("vec_id").alias("nn_id"),
+        F.lit(None).cast("double").alias("cos_sim"),
+        F.lit(None).cast("int").alias("rn"),
+    ).limit(0)
+    if len(sample) == 0:
+        return empty
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    d = sample.shape[1]
+    sub = d // PQ_M
+    k = min(PQ_K, len(sample))
+    rng = np.random.RandomState(11)
+    books = []  # (PQ_M, k, sub) — L2 Lloyd per subspace
+    for m in range(PQ_M):
+        xs = sample[:, m * sub : (m + 1) * sub]
+        cents = xs[rng.choice(len(xs), k, replace=False)]
+        for _ in range(10):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    books_l = [b.tolist() for b in books]
+
+    @pandas_udf("array<int>")
+    def encode(embs: pd.Series) -> pd.Series:
+        mat = np.array(list(embs), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        codes = np.empty((len(mat), PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            xs = mat[:, m * sub : (m + 1) * sub]
+            cents = np.array(books_l[m])
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    corpus = emb.select("vec_id", "embedding", encode("embedding").alias("codes"))
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding").collect()
+    )
+    if not qrows:
+        return empty
+    qtabs = []
+    for r in qrows:
+        q = np.array(r["embedding"], dtype=np.float64)
+        q /= np.linalg.norm(q)
+        tab = np.empty(PQ_M * k, dtype=np.float64)
+        for m in range(PQ_M):
+            tab[m * k : (m + 1) * k] = np.array(books_l[m]) @ q[m * sub : (m + 1) * sub]
+        qtabs.append((int(r["vec_id"]), [float(x) for x in tab]))
+    queries = spark.createDataFrame(qtabs, "qid long, tab array<double>")
+
+    # ADC: approx_sim = Σ_m tab[m·k + codes[m]] — M lookups/adds per
+    # pair, all JVM-side (aggregate over a constant-length sequence).
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("tab"), (m * k + F.element_at(F.col("codes"), m + 1) + 1).cast("int")
+        ),
+    )
+    shortlist = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nn_id"), adc.alias("approx_sim"))
+    )
+    wa = Window.partitionBy("qid").orderBy(F.desc("approx_sim"), "nn_id")
+    short = (
+        shortlist.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= PQ_SHORTLIST)
+        .select("qid", "nn_id")
+    )
+
+    # exact re-rank of the shortlist (the standard ADC→exact refine step)
+    qe = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qnorm"),
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("n_emb"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nnorm"),
+    )
+    exact = (
+        short.join(ne, "nn_id")
+        .join(F.broadcast(qe), "qid")
+        .select(
+            "qid",
+            "nn_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("n_emb")) / (F.col("qnorm") * F.col("nnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nn_id")
+    return (
+        exact.select("qid", "nn_id", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -492,3 +492,18 @@ def test_sign_bucket_ann_subset_and_recall(spark):
     # corpus; measured ~0.3 at sf0.001 — far above the 7/64 random-
     # collision baseline, so the bucket key is doing real work
     assert recall >= 0.15, recall
+
+
+def test_knn_pq_recall_and_determinism(spark):
+    """PQ-ANN (8 subspaces x 32-entry codebooks, ADC shortlist-50 + exact
+    re-rank) vs exact top-3 KNN: measured recall@3 is 0.87 at both SFs
+    with the fixed seed-11 codebooks; assert a margin below it. Codebook
+    learning, encoding, and the ADC scan are all deterministic, so two
+    runs must return the identical edge set."""
+    from prometheus_remote_kinesis_spark.llm.similarity import l4_knn_join, l4f_pq_ann
+
+    exact = {(r["qid"], r["nn_id"]) for r in l4_knn_join(spark, SF_SMOKE).collect()}
+    pq = {(r["qid"], r["nn_id"]) for r in l4f_pq_ann(spark, SF_SMOKE).collect()}
+    assert len(exact & pq) / len(exact) > 0.7
+    again = {(r["qid"], r["nn_id"]) for r in l4f_pq_ann(spark, SF_SMOKE).collect()}
+    assert pq == again

@@ -61,6 +61,12 @@ WHITELIST: set[tuple[str, str]] = {
     # All-pairs cosine on the small embeddings table; documented baseline,
     # scale paths are l2's LSH banding and l4b/l4c.
     ("l2d_embedding_neardup", "nested_loop_join"),
+    # PQ-ADC scan: broadcast Qx(M*K) tables, M adds per pair instead of d
+    # multiplies; composes with l4c IVF lists for candidate pruning. The
+    # rdd_scan is createDataFrame over the ≤100-row driver-computed ADC
+    # parameter table, not corpus data.
+    ("l4f_pq_ann", "nested_loop_join"),
+    ("l4f_pq_ann", "rdd_scan"),
     # Eager localCheckpoint (lineage truncation for the iterative CC
     # loops) surfaces as Scan ExistingRDD — that IS the design.
     ("l2e_neardup_clusters", "rdd_scan"),
