@@ -555,7 +555,7 @@ def l4f_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via PRODUCT QUANTIZATION (Jégou et al., the FAISS default) —
     the fourth standard scale path next to LSH (l4b), IVF (l4c), and
     sign buckets (l4e): each normalized vector is encoded as PQ_M=8
-    5-bit codes (one per 8-dim subspace, PQ_K=16-entry codebook), so
+    5-bit codes (one per 8-dim subspace, PQ_K=32-entry codebook), so
     a 64-float vector becomes 8 small ints — 32× less candidate-scan
     bandwidth, THE lever when the corpus no longer fits memory. Queries
     score candidates by ADC (asymmetric distance computation): a

@@ -407,7 +407,9 @@ _SQL9_ABOVE_BRAND_AVG = """
     SELECT p_partkey, p_brand, p_retailprice
     FROM part p
     WHERE p_retailprice > 1.05 * (
-        SELECT avg(p2.p_retailprice) FROM part p2
+        SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*)
+        FROM part p2
         WHERE p2.p_brand = p.p_brand
     )
     ORDER BY p_partkey
@@ -423,9 +425,12 @@ def sql9_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N) not O(N·groups). The multiplier is 1.05 because retail prices
     span only 900-999.9 (max ±6% from a brand mean) — at the classic 1.2
     no part ever qualified and the oracle check was vacuous (r5 vacuity
-    audit); 1.05 selects ~3% of parts while still sitting clear of
-    float-tie territory (the threshold is a product of exactly-computed
-    doubles, identical on both engines)."""
+    audit); 1.05 selects ~3% of parts. The brand mean is decimal-exact
+    sum ÷ count (sql2's idiom, CLAUDE.md's boundary rule): a plain
+    avg() of doubles is accumulation-order-dependent, and with the
+    threshold now LIVE the nearest price sits only 0.002 away at sf0.1
+    — an ulp of engine drift could flip membership (r5 self-review
+    catch; the prior 1.2 threshold made the hazard dead code)."""
     from prometheus_remote_kinesis_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)

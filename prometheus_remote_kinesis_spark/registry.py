@@ -138,6 +138,11 @@ _PRIORITY = (
     "t14s_rate_5m_stream",
     "t9s_stream_dedup",
     "t12s_stream_stream_join",
+    # (t21s_promql_vector_ops_stream stays OUTSIDE the window by choice:
+    # T21 has never held a slot, its streaming mechanism — complete-mode
+    # agg + post-drain batch stage — is already driver-checked via
+    # t5s/t19s/t16s, and every family with a slot would lose one to add
+    # it; the local gate covers it bit-exactly at both SFs.)
     # L: dedup, similarity, text analysis, real media decode.
     # r5 swap: l2b_ngram_jaccard (exact ground truth, driver-green r3/r4)
     # → l2h_minhash_md5, putting the MinHash→LSH band-join pipeline

@@ -207,8 +207,12 @@ def compact_archive(
     metric's rows collapse to one file per partition dir (a metric larger
     than one target file needs a salt added to the repartition key —
     deliberately not done blind, since it doubles small metrics' files).
-    The rewrite lands in a temp dir and swaps in atomically; returns the
-    task count used.
+    The rewrite re-sorts each task by (name, time) — the repartition
+    shuffle interleaves rows from many input files, so WITHOUT the sort
+    every compacted row group's time min/max would span the whole
+    history, silently destroying the clustering ``write_parquet_archive``
+    establishes (r5 self-review catch). The rewrite lands in a temp dir
+    and swaps in atomically; returns the task count used.
     """
     import glob
     import math
@@ -223,6 +227,7 @@ def compact_archive(
     (
         spark.read.parquet(base)
         .repartition(n_target, F.col("name"))
+        .sortWithinPartitions("name", "time")
         .write.mode("overwrite")
         .partitionBy("name")
         .parquet(tmp)

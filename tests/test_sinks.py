@@ -191,6 +191,16 @@ def test_compact_archive(spark, tmp_path):
     )
     assert content_after == content_before
 
+    # compaction must RE-ESTABLISH (name, time) clustering — the
+    # repartition shuffle interleaves input files, and without the
+    # re-sort every compacted row group would span the whole history,
+    # undoing the write path's data skipping (r5 self-review catch)
+    import pyarrow.parquet as pq
+
+    for f in after:
+        times = pq.read_table(f, columns=["time"])["time"].to_pylist()
+        assert times == sorted(times), f
+
 
 def test_foreach_batch_writer_commit_dir_skips_replayed_batch(spark, tmp_path):
     """commit_dir: a replayed batch_id (foreachBatch's crash-replay

@@ -36,11 +36,10 @@ def run_audit(sf_dir: str = SF_DIR) -> dict:
 
     import __spark_entry__ as entry
 
+    from prometheus_remote_kinesis_spark.schema import TABLES
+
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split():
+    for t in TABLES:  # one source of truth — verify_local builds the same views
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
