@@ -116,3 +116,67 @@ def test_mg_heavy_hitters_partition_invariance(spark):
         tables._DF_CACHE.clear()
         tables._DF_CACHE.update(saved)
     assert [tuple(r) for r in two_phase_64] == [tuple(r) for r in exact]
+
+
+def test_w3b_decomposition_boundary_cases(spark, tmp_path):
+    """w3 (direct RANGE frame) vs w3b (bucket decomposition) on ENGINEERED
+    edge timestamps the driver corpus may not contain: a sample exactly
+    at t−300000 (the RANGE frame is inclusive of the edge — the probe's
+    strictly-below semantics must keep it), samples exactly on a bucket
+    boundary, ms ties within a series, and a single-sample series. The
+    t7 lesson: >=-vs-> divergence hides precisely on these edges."""
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.operators.windows import (
+        w3_trailing_5min_sum,
+        w3b_trailing_5min_scalable,
+    )
+
+    rows = []
+    eid = 0
+    for ms, val in [
+        (0, 1.0),
+        (1, 2.0),
+        (1, 4.0),          # ms tie (distinct event_ids)
+        (299999, 8.0),     # just inside bucket 0
+        (300000, 16.0),    # exactly on the bucket boundary AND exactly
+                           # t-W from ms=600000
+        (300001, 32.0),    # frame [1, 300001] keeps the ties at ms=1
+        (600000, 64.0),    # frame [300000, 600000] includes the edge sample
+        (900001, 128.0),   # frame excludes ms=600000 by 1 ms
+    ]:
+        rows.append((eid, ms, 1, "a", val, "{}"))
+        eid += 1
+    rows.append((eid, 450000, 2, "b", 7.5, "{}"))  # single-sample series
+
+    df = spark.createDataFrame(
+        [(e, u, t, v, p, m) for (e, m, u, t, v, p) in rows],
+        "event_id long, user_id long, event_type string, value double, props string, ms long",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ms") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "w3edge")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    direct = {
+        r["event_id"]: (r["trailing_sum"], r["trailing_n"])
+        for r in w3_trailing_5min_sum(spark, sf).collect()
+    }
+    banded = {
+        r["event_id"]: (r["trailing_sum"], r["trailing_n"])
+        for r in w3b_trailing_5min_scalable(spark, sf).collect()
+    }
+    assert banded == direct, {k: (direct.get(k), banded.get(k)) for k in direct}
+    # spot-pin the frame-edge inclusion: ms=600000's frame [300000,
+    # 600000] keeps the exactly-t-W sample at 300000 (16+32+64) but
+    # not 299999; ms=900001's frame excludes 600000 by 1 ms
+    assert direct[6] == (112.0, 3)
+    assert direct[7] == (128.0, 1)
