@@ -639,6 +639,67 @@ def t10bs_gap_fill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T13S_ORACLE = """
+    WITH s AS (
+        SELECT event_type AS name, epoch_us(ts) // 1000 AS t, max(value) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT name, t AS ms, 1 AS side, v FROM s
+        UNION ALL
+        SELECT name, k * 3600000 AS ms, 0 AS side, NULL AS v FROM (
+            SELECT name,
+                   unnest(range((lo + 3599999) // 3600000,
+                                hi // 3600000 + 1)) AS k
+            FROM (SELECT name, min(t) AS lo, max(t) AS hi FROM s GROUP BY name)
+            WHERE hi // 3600000 >= (lo + 3599999) // 3600000
+        )
+    ),
+    w AS (
+        SELECT name, ms, side,
+               last_value(v IGNORE NULLS) OVER wp AS v0,
+               last_value(CASE WHEN side = 1 THEN ms END IGNORE NULLS)
+                   OVER wp AS t0,
+               first_value(v IGNORE NULLS) OVER wf AS v1,
+               first_value(CASE WHEN side = 1 THEN ms END IGNORE NULLS)
+                   OVER wf AS t1
+        FROM u
+        WINDOW wp AS (PARTITION BY name ORDER BY ms, side DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY name ORDER BY ms, side DESC
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT name, ms AS time,
+           CAST(floor(CASE WHEN t1 IS NULL OR t0 = ms THEN v0
+                           ELSE v0 + (v1 - v0) * (ms - t0) / (t1 - t0)
+                      END * 1e6) / 1e6 AS DOUBLE) AS value
+    FROM w WHERE side = 0
+"""
+
+
+@register("t13s_resample_linear_stream", family="T13-stream", oracle=_T13S_ORACLE)
+def t13s_resample_linear_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation grid resample EXECUTED BY the streaming
+    engine (``interp_fill``: O(1) per-series state — last sample + next
+    pending grid time; each grid point emits the moment its bracketing
+    right sample arrives) — t13's semantics as the alerting-path form,
+    completing the T13 family's streaming pair next to t10bs's LOCF.
+    Registered against its own union+window oracle over deduped non-NULL
+    samples (t13's CTE structure, keyed by event_type, max-collapse on
+    duplicate timestamps, floor-truncated output): the op's exact-hit
+    short-circuit and operand order mirror the oracle term-for-term, so
+    the IEEE doubles agree bit-for-bit."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import interp_fill
+
+    records = stream_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("name"),
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+    out = interp_fill(records, step_ms=3_600_000, idle_timeout_ms=None)
+    return run_to_batch(out, "append")
+
+
 @register("t15s_funnel_stream", family="T15-stream", oracle=T15_ORACLE)
 def t15s_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t15's view→purchase funnel EXECUTED BY the streaming engine

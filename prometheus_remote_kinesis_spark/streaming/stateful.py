@@ -614,6 +614,109 @@ def streaming_rate(
     )
 
 
+_IF_STATE_SCHEMA = "t_prev long, v_prev double, next_g long"
+
+
+def interp_fill(
+    records: DataFrame, step_ms: int, idle_timeout_ms: int | None = 3_600_000
+) -> DataFrame:
+    """Streaming LINEAR-interpolation resample (t13's semantics as a
+    stateful op; gap_fill is the LOCF sibling): per series, each grid
+    point g in (prev_sample, curr_sample] emits
+    ``v_prev + (v - v_prev) · (g - t_prev)/(t - t_prev)`` the moment its
+    bracketing RIGHT sample arrives — O(1) state (last sample + next
+    pending grid time). A grid point equal to a sample time emits that
+    sample's value (the formula degenerates to v), and the first sample
+    emits its own grid point when it sits exactly on the grid. Output is
+    floor-truncated at 1e-6 (the f8 convention — the interpolation ratio
+    is an arbitrary quotient, round()'s half-tie class).
+
+    NULL values (staleness markers) are skipped; duplicate (name, time)
+    samples collapse max-wins WITHIN a batch via the (time, value) sort
+    — both aligned with the registered oracle (t10bs's conventions).
+    Across micro-batches later-batch-wins applies to same-ms duplicates;
+    the availableNow drains the registered query runs are single-batch,
+    where the oracle equivalence is exact. Emitted grid points cover
+    exactly [ceil(lo/step)·step, hi] — a tail grid point past the last
+    sample has no right bracket and is never emitted, matching the
+    batch [lo, hi] bound."""
+    import math
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        if state.exists:
+            t_prev, v_prev, next_g = state.get
+        else:
+            t_prev, v_prev, next_g = None, None, None
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            # NULLs (staleness markers) filtered FIRST — pandas sorts NaN
+            # last, so a keep-last dedup would otherwise shadow the real
+            # max with a NaN. Then (time, value) sort + keep-last =
+            # max-wins per timestamp, collapsed BEFORE the loop so an
+            # exact-hit grid point at a duplicated ts emits the max (the
+            # oracle's max(value)), not whichever duplicate came first.
+            pdf = (
+                pdf[pdf["value"].notna()]
+                .sort_values(["time", "value"])
+                .drop_duplicates(subset=["time"], keep="last")
+            )
+            for t, v in zip(pdf["time"], pdf["value"]):
+                t, v = int(t), float(v)
+                if t_prev is None:
+                    next_g = -(-t // step_ms) * step_ms  # ceil to grid
+                    if next_g == t:
+                        rows.append(
+                            {
+                                "name": name,
+                                "time": t,
+                                "value": math.floor(v * 1e6) / 1e6,
+                            }
+                        )
+                        next_g += step_ms
+                else:
+                    while next_g <= t:
+                        # exact hit short-circuits to v: the oracle's
+                        # bracketing makes the sample the LEFT endpoint
+                        # (ratio exactly 0 → v), while this op's ratio
+                        # would be 1 and v_prev + (v - v_prev) is NOT
+                        # guaranteed to round back to v in IEEE.
+                        if next_g == t:
+                            x = v
+                        else:
+                            x = v_prev + (v - v_prev) * (next_g - t_prev) / (
+                                t - t_prev
+                            )
+                        rows.append(
+                            {
+                                "name": name,
+                                "time": next_g,
+                                "value": math.floor(x * 1e6) / 1e6,
+                            }
+                        )
+                        next_g += step_ms
+                t_prev, v_prev = t, v
+        state.update((t_prev, v_prev, next_g))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=[f.name for f in GAPFILL_SCHEMA.fields])
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("name").applyInPandasWithState(
+        fn,
+        outputStructType=GAPFILL_SCHEMA,
+        stateStructType=_IF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 COHORT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -728,3 +728,44 @@ def test_stream_absent_gaps_multibatch(spark, tmp_path):
     }
     # a: buckets {1,2,5,9} → gaps [3,5) missing 2 and [6,9) missing 3; b: none
     assert got == {("a", 3, 5): 2, ("a", 6, 9): 3}, got
+
+
+def test_interp_fill_multibatch_matches_naive(spark, tmp_path):
+    """interp_fill under a real multi-batch chop: grid points whose
+    bracketing samples land in DIFFERENT batches must interpolate
+    across the batch boundary from carried state; an exact-hit grid
+    point must short-circuit to the sample value; NULLs are skipped;
+    and nothing past the last sample is emitted."""
+    import math
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import interp_fill
+
+    step = 1000
+    samples = [  # (ms, value) — one series; grid at multiples of 1000
+        (500, 10.0),     # first sample off-grid
+        (1200, 17.0),    # brackets grid 1000 (batch 1)
+        (2000, 5.0),     # exact hit at grid 2000 — batch 2
+        (2500, None),    # staleness marker: skipped entirely
+        (4400, 11.0),    # brackets grids 3000 and 4000 across the NULL
+        (4600, 99.0),    # tail: no grid in (4400, 4600]
+    ]
+    rows = [
+        {"event_id": i, "event_type": "m", "user_id": 1, "time": t, "value": v}
+        for i, (t, v) in enumerate(samples)
+    ]
+    stream = _chopped_stream(spark, tmp_path, rows, 3).select(
+        F.col("event_type").alias("name"), "time", "value"
+    )
+    out = run_to_batch(interp_fill(stream, step_ms=step, idle_timeout_ms=None), "append")
+    got = {r["time"]: r["value"] for r in out.collect()}
+
+    def lerp(t0, v0, t1, v1, g):
+        return math.floor((v0 + (v1 - v0) * (g - t0) / (t1 - t0)) * 1e6) / 1e6
+
+    assert got == {
+        1000: lerp(500, 10.0, 1200, 17.0, 1000),
+        2000: math.floor(5.0 * 1e6) / 1e6,  # exact hit → sample value
+        3000: lerp(2000, 5.0, 4400, 11.0, 3000),  # across the NULL
+        4000: lerp(2000, 5.0, 4400, 11.0, 4000),
+    }, got
