@@ -40,6 +40,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T18_ORACLE,
     T20_ORACLE,
     T21_ORACLE,
+    T24_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -636,6 +637,37 @@ def t10bs_gap_fill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gap_fill(records, interval_ms=60_000, idle_timeout_ms=None)
     return run_to_batch(out, "append").select(
         "name", "time", F.round("value", 6).alias("value")
+    )
+
+
+@register("t24s_vector_matching_stream", family="T24-stream", oracle=T24_ORACLE)
+def t24s_vector_matching_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t24's PromQL vector-to-vector binary ops EXECUTED BY the streaming
+    engine — and the two-vector join COLLAPSED to one pass: a stream
+    supports only one aggregation, so both instant vectors (errors,
+    views) build as CONDITIONAL sums inside a single complete-mode
+    groupBy(user) (the t19s trick), and PromQL's inner matching becomes
+    the post-drain filter n_err > 0 AND n_view > 0 — series present in
+    both vectors. The batch twin's two-aggregate join and this one-pass
+    form register against the SAME oracle; the ratio/difference/compare
+    arithmetic runs on exact integer counts, identical on both engines."""
+    events = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "view")
+    )
+    agg = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+    )
+    drained = run_to_batch(agg, "complete")
+    return drained.filter((F.col("n_err") > 0) & (F.col("n_view") > 0)).select(
+        "user_id",
+        "n_err",
+        "n_view",
+        F.round(F.col("n_err").cast("double") / F.col("n_view"), 6).alias(
+            "err_per_view"
+        ),
+        (F.col("n_err") - F.col("n_view")).alias("err_minus_view"),
+        (F.col("n_err") > F.col("n_view")).alias("err_gt_view"),
     )
 
 
