@@ -40,6 +40,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T18_ORACLE,
     T20_ORACLE,
     T21_ORACLE,
+    T23_ORACLE,
     T24_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
@@ -637,6 +638,38 @@ def t10bs_gap_fill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gap_fill(records, interval_ms=60_000, idle_timeout_ms=None)
     return run_to_batch(out, "append").select(
         "name", "time", F.round("value", 6).alias("value")
+    )
+
+
+@register("t23s_instant_vector_stream", family="T23-stream", oracle=T23_ORACLE)
+def t23s_instant_vector_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t23's PromQL instant-vector selection EXECUTED BY the streaming
+    engine. The eval time T (= corpus max) is unknowable until the
+    stream drains, so the evaluation order flips: the stream keeps each
+    series' LAST sample (complete-mode max/max_by — O(1) state per
+    series, no window), and the drain applies the 5-minute staleness
+    cut against the global max of those lasts. Equivalent to the batch
+    filter-then-aggregate: a series' last-overall sample IS its
+    last-in-window sample whenever it lies inside the window, and the
+    global max over all samples equals the max over per-series lasts.
+    Same oracle as batch t23."""
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.select(
+            "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max("ms").alias("sample_ms"),
+            F.max_by("value", F.col("ms")).alias("value"),
+        )
+    )
+    drained = run_to_batch(agg, "complete")
+    t_eval = drained.agg(F.max("sample_ms").alias("eval_ms"))
+    return (
+        drained.crossJoin(F.broadcast(t_eval))
+        .filter(F.col("sample_ms") >= F.col("eval_ms") - 300000)
+        .select("event_type", "user_id", "sample_ms", "value", "eval_ms")
     )
 
 

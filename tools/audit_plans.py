@@ -56,6 +56,9 @@ WHITELIST: set[tuple[str, str]] = {
     ("t14c_deriv_predict", "nested_loop_join"),
     ("t22_downsample_retention", "nested_loop_join"),  # broadcast max(ms) cutoff
     ("t23_instant_vector", "nested_loop_join"),  # broadcast eval-time scalar
+    # same 1-row eval-time broadcast, applied post-drain over the
+    # per-series lasts (≤ |series| rows, not the stream)
+    ("t23s_instant_vector_stream", "nested_loop_join"),
     ("t25_rate_extrapolated", "nested_loop_join"),  # broadcast eval-time scalar
     ("t28_slo_burn_alert", "nested_loop_join"),  # broadcast eval-time scalar
     # All-pairs cosine on the small embeddings table; documented baseline,
