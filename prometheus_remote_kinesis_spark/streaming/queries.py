@@ -42,6 +42,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T21_ORACLE,
     T23_ORACLE,
     T24_ORACLE,
+    T27_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -670,6 +671,27 @@ def t23s_instant_vector_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained.crossJoin(F.broadcast(t_eval))
         .filter(F.col("sample_ms") >= F.col("eval_ms") - 300000)
         .select("event_type", "user_id", "sample_ms", "value", "eval_ms")
+    )
+
+
+@register("t27s_count_values_stream", family="T27-stream", oracle=T27_ORACLE)
+def t27s_count_values_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t27's PromQL ``count_values`` EXECUTED BY the streaming engine.
+    ``count(DISTINCT user_id)`` raises on a stream, so the distinct runs
+    TWO-PHASE (a2b's pattern, streaming-executed): the complete-mode agg
+    keys on the FINER (event_type, value_bucket, user_id) — map-side
+    dedup of the series dimension — and the drain collapses to the
+    bucket level where n_series is a plain count of the pre-deduped
+    rows and n_samples sums their per-series counts. Exact (not HLL),
+    one streaming pass; same oracle as the batch countDistinct form."""
+    events = stream_table(spark, sf_dir, "events")
+    inner = events.groupBy(
+        "event_type", F.round("value", 0).alias("value_bucket"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained = run_to_batch(inner, "complete")
+    return drained.groupBy("event_type", "value_bucket").agg(
+        F.sum("n").cast("bigint").alias("n_samples"),
+        F.count(F.lit(1)).alias("n_series"),
     )
 
 
