@@ -138,11 +138,14 @@ _PRIORITY = (
     "t14s_rate_5m_stream",
     "t9s_stream_dedup",
     "t12s_stream_stream_join",
-    # (t21s_promql_vector_ops_stream stays OUTSIDE the window by choice:
-    # T21 has never held a slot, its streaming mechanism — complete-mode
-    # agg + post-drain batch stage — is already driver-checked via
-    # t5s/t19s/t16s, and every family with a slot would lose one to add
-    # it; the local gate covers it bit-exactly at both SFs.)
+    # (The late-r5 streaming twins — t21s, t13s, t23s, t24s, t27s —
+    # stay OUTSIDE the window by the same choice: none of their families
+    # has ever held a slot, their mechanisms (complete-mode agg or
+    # applyInPandasWithState + post-drain batch stage) are already
+    # driver-checked via t5s/t19s/t16s/t10bs-class entries, and every
+    # family with a slot would lose one to add them; the local gate
+    # covers each bit-exactly at both SFs, both materialization modes,
+    # and 7/32 shuffle partitions.)
     # L: dedup, similarity, text analysis, real media decode.
     # r5 swap: l2b_ngram_jaccard (exact ground truth, driver-green r3/r4)
     # → l2h_minhash_md5, putting the MinHash→LSH band-join pipeline

@@ -73,6 +73,7 @@ _NULL_ORACLE_FAMILIES = [
     "t10_counter_increase",
     "t10b_gap_fill",
     "t10bs_gap_fill_stream",
+    "t13s_resample_linear_stream",
     "t10s_counter_increase_stream",
     "t14_rate_5m",
     "t14s_rate_5m_stream",
