@@ -769,3 +769,26 @@ def test_interp_fill_multibatch_matches_naive(spark, tmp_path):
         3000: lerp(2000, 5.0, 4400, 11.0, 3000),  # across the NULL
         4000: lerp(2000, 5.0, 4400, 11.0, 4000),
     }, got
+
+
+def test_interp_fill_all_null_first_batch(spark, tmp_path):
+    """interp_fill when the ENTIRE first micro-batch is staleness
+    markers: the (None, None, None) state tuple must round-trip through
+    the state store and the op must anchor its grid at the first real
+    sample in a later batch (r5 review noted this edge was unpinned)."""
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import interp_fill
+
+    rows = [
+        {"event_id": 0, "event_type": "m", "user_id": 1, "time": 100, "value": None},
+        {"event_id": 1, "event_type": "m", "user_id": 1, "time": 900, "value": None},
+        # batch 2: first real samples — grid anchors at ceil(1500/1000)=2000
+        {"event_id": 2, "event_type": "m", "user_id": 1, "time": 1500, "value": 4.0},
+        {"event_id": 3, "event_type": "m", "user_id": 1, "time": 2500, "value": 8.0},
+    ]
+    stream = _chopped_stream(spark, tmp_path, rows, 2).select(
+        F.col("event_type").alias("name"), "time", "value"
+    )
+    out = run_to_batch(interp_fill(stream, step_ms=1000, idle_timeout_ms=None), "append")
+    got = {r["time"]: r["value"] for r in out.collect()}
+    assert got == {2000: 6.0}, got  # midpoint of (1500, 4.0) → (2500, 8.0)
