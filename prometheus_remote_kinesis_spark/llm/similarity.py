@@ -561,8 +561,8 @@ def l4f_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     score candidates by ADC (asymmetric distance computation): a
     per-query M×K table of subspace dot products broadcasts, and each
     corpus row's approximate similarity is M table lookups + adds — no
-    float vector is touched until the exact top-3 re-rank of the 10-row
-    ADC shortlist.
+    float vector is touched until the exact top-3 re-rank of the
+    PQ_SHORTLIST-row (50) ADC shortlist.
 
     Scale shape: codebooks learn driver-side on a bounded sorted sample
     (l4c's pattern); encoding is one Arrow-batched pass; the ADC scan is

@@ -683,8 +683,16 @@ def t27s_count_values_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup of the series dimension — and the drain collapses to the
     bucket level where n_series is a plain count of the pre-deduped
     rows and n_samples sums their per-series counts. Exact (not HLL),
-    one streaming pass; same oracle as the batch countDistinct form."""
-    events = stream_table(spark, sf_dir, "events")
+    one streaming pass; same oracle as the batch countDistinct form.
+
+    NULL user_id is excluded EXPLICITLY before the inner groupBy: the
+    drain's plain count would otherwise count a NULL-user group that
+    the oracle's count(DISTINCT user_id) and batch t27's countDistinct
+    both drop (dormant on this corpus, but the repo's NULL-alignment
+    convention demands all three paths agree by construction)."""
+    events = stream_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     inner = events.groupBy(
         "event_type", F.round("value", 0).alias("value_bucket"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n"))

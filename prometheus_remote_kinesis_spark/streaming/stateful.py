@@ -179,6 +179,9 @@ class _CounterIncreaseProcessor(StatefulProcessor):
         yield pd.DataFrame(out, columns=[f.name for f in INCREASE_SCHEMA.fields])
 
     def close(self) -> None:
+        # Mandatory StatefulProcessor lifecycle hook; this processor holds
+        # no external resources (its only state lives in the store handle
+        # Spark manages), so there is nothing to release here.
         pass
 
 
@@ -651,13 +654,21 @@ def interp_fill(
         else:
             t_prev, v_prev, next_g = None, None, None
         rows: list[dict[str, Any]] = []
-        for pdf in pdfs:
+        # The group's micro-batch arrives as an ITERATOR of Arrow chunks;
+        # a per-chunk dedup would degrade to later-chunk-wins when one
+        # timestamp's duplicates straddle a chunk boundary, so the chunks
+        # are concatenated FIRST and deduped once per (group, micro-batch).
+        # Memory bound: one group's batch slice, the same bound the sort
+        # below already implies.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
             # NULLs (staleness markers) filtered FIRST — pandas sorts NaN
             # last, so a keep-last dedup would otherwise shadow the real
             # max with a NaN. Then (time, value) sort + keep-last =
             # max-wins per timestamp, collapsed BEFORE the loop so an
             # exact-hit grid point at a duplicated ts emits the max (the
             # oracle's max(value)), not whichever duplicate came first.
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = (
                 pdf[pdf["value"].notna()]
                 .sort_values(["time", "value"])
