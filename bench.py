@@ -16,14 +16,24 @@ path (``toPandas``). Rationale:
 - ``toPandas`` (Arrow) instead of ``collect()``: full execution plus
   transfer without the Py4J row-at-a-time deserialization tax (measured
   2-3× the query's own runtime on 100k-row results at sf0.1).
+- MEDIAN OF 3 timed passes per query (r6): two rounds produced phantom
+  regressions from single-shot numbers (r3 l3, r5's fleet-wide +19% —
+  13/15 queries drifted slower uniformly with zero code changes, the
+  page-cache/load noise class SCALE.md quantifies). The median of three
+  warm passes is robust to a one-off scheduler/page-cache stall while
+  keeping the same headline set and JSON shape; ``runs`` records the
+  pass count.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+RUNS = 3  # timed passes per query; reported value = median
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -41,9 +51,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, df in plans.items():
         df.toPandas()  # warm-up: analysis + codegen + caches, not timed
-        t0 = time.time()
-        df.toPandas()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            df.toPandas()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     # Layer-A relay throughput (records/sec), directly comparable to the
     # BASELINE.md ceilings (reference ticker: 50 rec/s; AWS shard quota:
@@ -62,6 +75,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": RUNS,
                 "sf": sf,
                 "relay_records_per_sec": relay["value"],
                 "relay_cold_records_per_sec": relay["cold_records_per_sec"],

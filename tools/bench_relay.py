@@ -128,7 +128,18 @@ def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
     decoded INSIDE Spark by the format("prompb") parallel stream reader,
     then through the identical chunked-put sink. Directly comparable to
     ``measure``: same records, decode moved from HTTP handler to
-    executors."""
+    executors.
+
+    The headline ``value`` is the MARGINAL (asymptotic) rate from two
+    volume points — a 1× drain and a 4× drain (the staged bodies
+    replicated 4 times): rate = 3n / (t_4x − t_1x). At sf0.1 the 1×
+    drain is dominated by the ~2.6 s fixed micro-batch/Python-worker
+    setup that a long-running stream pays once, so a raw n/t_1x number
+    measures setup, not decode throughput, and masks regressions in the
+    decode loop (the r5 lesson: SCALE.md's 4×-volume protocol showed
+    153 k rec/s while the 1× quotient reported 32 k). Differencing two
+    volumes cancels the fixed setup exactly; the 1× quotient and the
+    implied setup seconds are reported alongside for continuity."""
     from prometheus_remote_kinesis_spark.sources.prompb import (
         encode_remote_write_body,
     )
@@ -166,6 +177,14 @@ def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
             with open(os.path.join(src, f"b{i:05d}.pb.sz"), "wb") as fh:
                 fh.write(body)
 
+        # 4× staging: the same bodies hard-linked 4 times — identical
+        # decode work per record, 4× the volume, zero extra encode cost.
+        src4 = os.path.join(workdir, "src4")
+        os.makedirs(src4)
+        for f in os.listdir(src):
+            for r in range(4):
+                os.link(os.path.join(src, f), os.path.join(src4, f"r{r}_{f}"))
+
         # same steady-state warm-up as measure() — see the note there
         t0 = time.time()
         q = relay(
@@ -186,7 +205,26 @@ def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
         )
         q.awaitTermination()
         elapsed = time.time() - t0
-        rps = n_records / elapsed
+
+        t0 = time.time()
+        q = relay(
+            read_prompb_record_stream(spark, src4, parallel=True),
+            put_records_fn=noop_put,
+            checkpoint_dir=ckpt + "_4x",
+            available_now=True,
+        )
+        q.awaitTermination()
+        elapsed_4x = time.time() - t0
+
+        # Marginal rate: the fixed per-drain setup cancels in the
+        # difference. Guard against clock noise making t_4x <= t_1x
+        # (tiny corpora): fall back to the 4× quotient, still far less
+        # setup-dominated than the 1× one.
+        if elapsed_4x > elapsed:
+            rps = 3 * n_records / (elapsed_4x - elapsed)
+        else:
+            rps = 4 * n_records / elapsed_4x
+        setup_sec = max(0.0, elapsed - n_records / rps)
         return {
             "metric": "relay_prompb_throughput",
             "value": round(rps, 1),
@@ -194,7 +232,10 @@ def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
             "records": n_records,
             "wire_mb": round(n_bytes / 1e6, 2),
             "elapsed_sec": round(elapsed, 3),
+            "elapsed_4x_sec": round(elapsed_4x, 3),
             "cold_elapsed_sec": round(cold_elapsed, 3),
+            "records_per_sec_1x_quotient": round(n_records / elapsed, 1),
+            "setup_sec_implied": round(setup_sec, 3),
             "speedup_vs_reference_ticker": round(
                 rps / REFERENCE_TICKER_CEILING_RPS, 1
             ),
