@@ -67,6 +67,19 @@ _LOADED = False
 # remaining queries follow in registration order and are still all present,
 # locally verified by tools/verify_local.py.
 _PRIORITY = (
+    # Round-6 rotation (VERDICT r5 task #3) — the t19 HUGEINT root cause
+    # is confirmed, so the bisect probes pay their slots back:
+    # OUT t19b_counts_only + t19c_membership_probe → IN
+    # t13s_resample_linear_stream + t15s_funnel_stream (the late-r5
+    # stateful streaming twins whose chop-invariance was never
+    # driver-checked). OUT t5_tumbling_5min (T5 stays driver-checked via
+    # t5s, which registers against the SAME oracle — the t14/t14s
+    # precedent) + a2_series_cardinality (A2 stays via a2c bitmap
+    # distinct, same oracle shape; a2 remains bit-exact under the local
+    # gate) → IN l6e_png_decode (real PNG decode deserves the driver
+    # confirmation l6d got) + sql18_last_shipper (the decorrelated-
+    # subquery family sql12–21 has NEVER held a slot; sql18 is the Q21
+    # inequality-correlation shape).
     # P: filter / projection
     "p6_label_filter",
     "p7_projection_pruning",
@@ -85,9 +98,10 @@ _PRIORITY = (
     "j4_semi_active_customers",
     "j5b_bucketed_range_join",
     "j6_asof_last_order",
+    # SQL: decorrelated-subquery family (first slot ever, r6)
+    "sql18_last_shipper",
     # A: hash agg, distinct, quantiles, grouping sets, collect, histogram, z-score
     "a1_pricing_summary",
-    "a2_series_cardinality",
     "a2c_bitmap_distinct",
     "a4_value_quantiles",
     "a5c_grouping_sets",
@@ -119,8 +133,8 @@ _PRIORITY = (
     "t16s_retention_cohorts_stream",
     # U: custom-UDF surface
     "u3_median_udaf",
-    # T: event-time windows, PromQL, funnels, cohorts
-    "t5_tumbling_5min",
+    # T: event-time windows, PromQL, funnels, cohorts (t5 batch rotated
+    # out r6 — T5's slot is the streaming-executed t5s, same oracle)
     "t7_user_sessions",
     # T25: Prometheus's real rate() boundary-extrapolation semantics
     "t25_rate_extrapolated",
@@ -133,8 +147,8 @@ _PRIORITY = (
     # Streaming-executed (real Structured Streaming path, same oracle)
     "t5s_tumbling_5min_stream",
     "t19s_stream_static_join",
-    "t19b_counts_only",
-    "t19c_membership_probe",
+    "t13s_resample_linear_stream",
+    "t15s_funnel_stream",
     "t14s_rate_5m_stream",
     "t9s_stream_dedup",
     "t12s_stream_stream_join",
@@ -158,6 +172,7 @@ _PRIORITY = (
     "l4_knn_join",
     "l5f_tfidf",
     "l6d_media_decode",
+    "l6e_png_decode",
     # D: training-data pipeline
     "d9_substring_dedup",
 )
