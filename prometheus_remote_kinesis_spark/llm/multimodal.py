@@ -18,9 +18,16 @@ Decode coverage is split honestly by what this container can run:
   features inside ``mapInPandas`` and hash-verify the all-integer
   results against arithmetic DuckDB oracles.
 - **STUBS** for codec-dependent formats (JPEG/MP4 — DCT/H.264 live in
-  PIL/ffmpeg, not installed here): ``decode_stub`` raises
+  PIL/ffmpeg, not installed here): ``decode_media`` raises
   ``NotImplementedError`` for them, and the plumbing (schema, batching,
   one-to-many frame fan-out) is exercised with deterministic stand-ins.
+
+The production dispatch point is ``decode_media`` (mime-routed): the
+registered ``l6b_media_features`` pushes a MIXED-format corpus (real
+PNG/BMP/WAV blobs + text) through it inside ``mapInPandas`` and is
+hash-verified against a closed-form DuckDB oracle, so the real decoders
+are exercised on the production path, not only by the standalone
+``l6d``/``l6e`` exhibits.
 """
 
 from __future__ import annotations
@@ -277,16 +284,35 @@ def decode_wav_pcm16(blob: bytes) -> tuple[int, np.ndarray]:
         return wf.getframerate(), np.frombuffer(frames, dtype="<i2")
 
 
-def decode_stub(blob: bytes, mime: str) -> float:
-    """STUB for the media decode / feature-extract step.
+def decode_media(blob: bytes, mime: str) -> float:
+    """Mime-dispatched media decode → scalar feature (the production
+    dispatch point of the multimodal pipeline; r5-VERDICT task #5 wired
+    the REAL decoders in here instead of leaving them standalone
+    exhibits):
 
-    A real deployment would dispatch on ``mime`` to an image/audio decoder
-    (PIL / torchaudio / ffmpeg — not installed in this container) and emit
-    an embedding. This deterministic stand-in (mean byte value) keeps the
-    pipeline end-to-end testable with the exact production plumbing.
-    """
+    - ``image/png``  → :func:`decode_png_rgb8`, mean pixel value
+    - ``image/bmp``  → :func:`decode_bmp24`,   mean pixel value
+    - ``audio/wav``  → :func:`decode_wav_pcm16`, mean \\|sample\\|
+    - ``text/plain`` / ``application/octet-stream`` → mean byte value
+      (the featurizer stand-in for raw blobs)
+    - ``image/jpeg`` / ``video/mp4`` / anything else →
+      ``NotImplementedError`` (DCT/H.264 codecs live in PIL/ffmpeg,
+      not installed here — the honest stub boundary).
+
+    All branches return an exact integer-sum / count quotient, so a
+    DuckDB oracle recomputing the same integers lands on the identical
+    IEEE double (see ``l6b_media_features``)."""
+    if mime == "image/png":
+        px = decode_png_rgb8(blob)
+        return int(px.astype(np.int64).sum()) / px.size
+    if mime == "image/bmp":
+        px = decode_bmp24(blob)
+        return int(px.astype(np.int64).sum()) / px.size
+    if mime in ("audio/wav", "audio/x-wav"):
+        _, samples = decode_wav_pcm16(blob)
+        return int(np.abs(samples.astype(np.int64)).sum()) / len(samples)
     if mime not in ("application/octet-stream", "text/plain"):
-        raise NotImplementedError(f"no decoder for {mime}: media libs are stubbed out")
+        raise NotImplementedError(f"no decoder for {mime}: codec libs not installed")
     if not blob:
         return 0.0
     return sum(blob) / len(blob)
@@ -308,7 +334,7 @@ def extract_features(media_df: DataFrame) -> DataFrame:
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
                     "feature": [
-                        decode_stub(blob, m["mime"])
+                        decode_media(blob, m["mime"])
                         for blob, m in zip(pdf["media"], pdf["meta"])
                     ],
                 }
@@ -363,14 +389,87 @@ def l6_multimodal_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l6b_media_features", family="L6", oracle=None)
+def synthesize_media_mix(docs: DataFrame) -> DataFrame:
+    """Assemble a MIXED-FORMAT media corpus: one media row per document
+    whose format rotates by ``doc_id % 4`` — a real PNG (0), a real BMP
+    (1), a real PCM-16 WAV (2), or the raw utf-8 text blob (3). The
+    binary payloads are synthesized from doc_id arithmetic BY THE REAL
+    ENCODERS (the l6d/l6e formulas), so downstream ``decode_media``
+    dispatch runs every real decoder end-to-end — the production shape
+    where a blob column holds heterogeneous formats and the mime column
+    routes. NULL text (mime 3) becomes an empty blob, feature 0.0 —
+    aligned with the oracle's coalesce."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = _IMG_H * _IMG_W * 3
+        i = np.arange(n_px, dtype=np.int64)
+        k = np.arange(_WAV_N, dtype=np.int64)
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "media": [], "meta": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                m = doc_id % 4
+                if m == 0:
+                    px = ((doc_id * 17 + i * 23) % 256).astype(np.uint8)
+                    blob = encode_png_rgb8(px.reshape(_IMG_H, _IMG_W, 3))
+                    mime = "image/png"
+                elif m == 1:
+                    px = ((doc_id * 31 + i * 7) % 256).astype(np.uint8)
+                    blob = encode_bmp24(px.reshape(_IMG_H, _IMG_W, 3))
+                    mime = "image/bmp"
+                elif m == 2:
+                    s = ((doc_id * 13 + k * 11) % 2003 - 1001).astype(np.int16)
+                    blob = encode_wav_pcm16(s)
+                    mime = "audio/wav"
+                else:
+                    blob = (text if isinstance(text, str) else "").encode("utf-8")
+                    mime = "text/plain"
+                rows["doc_id"].append(doc_id)
+                rows["media"].append(blob)
+                rows["meta"].append({"mime": mime, "n_bytes": len(blob)})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+L6B_ORACLE = """
+    SELECT d.doc_id,
+        CASE CAST(d.doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+            WHEN 2 THEN 'audio/wav' ELSE 'text/plain' END AS mime,
+        CASE CAST(d.doc_id % 4 AS INTEGER)
+            WHEN 0 THEN (SELECT sum((d.doc_id*17 + t.i*23) % 256)
+                         FROM range(720) t(i)) / 720.0
+            WHEN 1 THEN (SELECT sum((d.doc_id*31 + t.i*7) % 256)
+                         FROM range(720) t(i)) / 720.0
+            WHEN 2 THEN (SELECT sum(abs((d.doc_id*13 + t.i*11) % 2003 - 1001))
+                         FROM range(256) t(i)) / 256.0
+            ELSE coalesce((SELECT sum(ord(c))
+                           FROM unnest(string_split(d.text, '')) u(c)) * 1.0
+                          / nullif(length(d.text), 0), 0.0)
+        END AS feature
+    FROM documents d
+"""
+
+
+@register("l6b_media_features", family="L6", oracle=L6B_ORACLE)
 def l6b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline on the stub decoder: documents →
-    binary media rows → mapInPandas feature extraction. Deterministic
-    (mean byte value of the utf-8 blob) — rows-only driver check; exact
-    values unit-tested in tests/test_llm.py."""
+    """End-to-end multimodal pipeline through the REAL mime dispatcher,
+    hash-verified (upgraded from rows-only in r6): documents →
+    mixed-format media rows (``synthesize_media_mix`` — real PNG / BMP /
+    WAV blobs by doc_id rotation, text otherwise) → ``mapInPandas``
+    feature extraction with ``decode_media`` routing each blob through
+    its REAL decoder. Every feature is an integer-sum / count quotient,
+    so the DuckDB oracle recomputes the identical IEEE double from
+    doc_id arithmetic (images: mean pixel; audio: mean \\|sample\\|;
+    text: mean byte — the corpus is ASCII so ord == byte; NULL/empty
+    text coalesces to 0.0 on both engines). A decode bug in ANY format's
+    real decoder now hash-mismatches this registered query, not just
+    the standalone l6d/l6e exhibits."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(documents_as_media(docs))
+    return extract_features(synthesize_media_mix(docs)).select(
+        "doc_id", "mime", "feature"
+    )
 
 
 MEDIA_DECODE_SCHEMA = T.StructType(

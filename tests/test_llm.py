@@ -14,7 +14,7 @@ from prometheus_remote_kinesis_spark.llm.dedup import (
     shingles,
 )
 from prometheus_remote_kinesis_spark.llm.multimodal import (
-    decode_stub,
+    decode_media,
     documents_as_media,
     extract_features,
 )
@@ -88,11 +88,32 @@ def test_simhash_deterministic_and_locality(spark):
     assert len(set(a.values())) > 1
 
 
-def test_decode_stub_contract():
-    assert decode_stub(b"abc", "text/plain") == (97 + 98 + 99) / 3
-    assert decode_stub(b"", "text/plain") == 0.0
+def test_decode_media_dispatch():
+    """The mime dispatcher routes every real decoder and keeps the
+    honest NotImplementedError boundary for codec formats."""
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.llm.multimodal import (
+        encode_bmp24,
+        encode_png_rgb8,
+        encode_wav_pcm16,
+    )
+
+    assert decode_media(b"abc", "text/plain") == (97 + 98 + 99) / 3
+    assert decode_media(b"", "text/plain") == 0.0
+
+    px = np.arange(2 * 3 * 3, dtype=np.int64).reshape(2, 3, 3) % 256
+    mean_px = px.sum() / px.size
+    assert decode_media(encode_png_rgb8(px.astype(np.uint8)), "image/png") == mean_px
+    assert decode_media(encode_bmp24(px.astype(np.uint8)), "image/bmp") == mean_px
+
+    s = np.array([-4, 2, 6], dtype=np.int16)
+    assert decode_media(encode_wav_pcm16(s), "audio/wav") == (4 + 2 + 6) / 3
+
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\x89PNG", "image/png")  # real decoders are stubbed
+        decode_media(b"\xff\xd8\xff", "image/jpeg")  # DCT codec not stdlib
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\0\0\0\x18ftyp", "video/mp4")
 
 
 def test_bmp24_roundtrip_and_layout():
@@ -163,6 +184,35 @@ def test_multimodal_plumbing(spark):
     r = out[0]
     assert (r["doc_id"], r["mime"], r["n_bytes"]) == (7, "text/plain", 2)
     assert r["feature"] == (ord("h") + ord("i")) / 2
+
+
+def test_media_mix_dispatch_end_to_end(spark):
+    """l6b's mixed-format assembly really routes each doc_id through its
+    REAL decoder: doc_ids 0-3 cover png/bmp/wav/text, and every feature
+    matches the oracle's closed-form doc_id arithmetic (incl. a NULL
+    text row → empty blob → 0.0)."""
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.llm.multimodal import synthesize_media_mix
+
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "z"), (3, "hi"), (7, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["mime"], r["feature"])
+        for r in extract_features(synthesize_media_mix(docs)).collect()
+    }
+    i = np.arange(720, dtype=np.int64)
+    k = np.arange(256, dtype=np.int64)
+    assert out[0] == ("image/png", int(((0 * 17 + i * 23) % 256).sum()) / 720)
+    assert out[1] == ("image/bmp", int(((1 * 31 + i * 7) % 256).sum()) / 720)
+    assert out[2] == (
+        "audio/wav",
+        int(np.abs((2 * 13 + k * 11) % 2003 - 1001).sum()) / 256,
+    )
+    assert out[3] == ("text/plain", (ord("h") + ord("i")) / 2)
+    assert out[7] == ("text/plain", 0.0)  # NULL text → empty blob → 0.0
 
 
 def test_knn_lsh_overlap(spark):
