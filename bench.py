@@ -84,6 +84,13 @@ def main() -> None:
                     "speedup_vs_reference_ticker"
                 ],
                 "relay_prompb_records_per_sec": relay_pb["value"],
+                # r6 methodology discontinuity marker (see bench_relay.py):
+                # r1-r5 values under this key were 1x quotients (~32.5k),
+                # r6+ are marginal 4x-drain rates — not comparable.
+                "relay_prompb_method": relay_pb["prompb_method"],
+                "relay_prompb_records_per_sec_1x_quotient": relay_pb[
+                    "records_per_sec_1x_quotient"
+                ],
             }
         )
     )

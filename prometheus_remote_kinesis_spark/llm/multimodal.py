@@ -462,7 +462,9 @@ def l6b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     its REAL decoder. Every feature is an integer-sum / count quotient,
     so the DuckDB oracle recomputes the identical IEEE double from
     doc_id arithmetic (images: mean pixel; audio: mean \\|sample\\|;
-    text: mean byte — the corpus is ASCII so ord == byte; NULL/empty
+    text: mean byte — the corpus is ASCII so ord == byte, an assumption
+    ENFORCED by tools/audit_vacuity.py's non_ascii_docs guard so corpus
+    drift fails loudly rather than as an opaque hash-red; NULL/empty
     text coalesces to 0.0 on both engines). A decode bug in ANY format's
     real decoder now hash-mismatches this registered query, not just
     the standalone l6d/l6e exhibits."""

@@ -1138,7 +1138,22 @@ def t22_downsample_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalar from a max() aggregate, not a wall-clock read —
     deterministic and oracle-checkable. At 100 TB this is the compaction
     job that turns an append-only metrics lake into bounded storage with
-    full-resolution recency."""
+    full-resolution recency.
+
+    NO STREAMING TWIN, by argument rather than omission (VERDICT r6 task
+    #3): T26 and T28 got streaming twins (t26s: the inner recurrence is
+    O(1)-state per series; t28s: the drain folds O(distinct-sample)
+    COUNTS), but t22's output literally CONTAINS every raw sample younger
+    than a cutoff that is itself a function of the drain-time corpus max
+    — any sample, however old when it arrives, may end up in the raw
+    branch if no newer data follows. A streaming operator therefore
+    cannot summarize, evict, or pre-aggregate ANYTHING: its state must
+    hold every raw sample verbatim until drain, i.e. the only faithful
+    "twin" is a t9s-style identity dedup with the whole of t22 deferred
+    to the drain — a batch query wearing a streaming costume, proving
+    nothing the batch form doesn't. In production the cutoff is
+    wall-clock, which makes downsampling a periodic batch compaction job
+    over closed partitions (the Thanos compactor model), not a stream."""
     events = load_table(spark, sf_dir, "events")
     s = events.select(
         "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"
@@ -1396,6 +1411,7 @@ T26_ORACLE = """
                lag(value) OVER (PARTITION BY event_type, user_id
                                 ORDER BY ts, event_id) AS prev
         FROM events
+        WHERE value IS NOT NULL
     ),
     i AS (
         SELECT event_type, user_id,
@@ -1433,10 +1449,15 @@ def t26_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     level shuffles ONE ROW PER (series, day, bucket), not samples.
     Increases are exact decimals; each bucket rate is one double division
     rounded before the outer max/min, so both engines compare identical
-    values."""
+    values. NULL samples (staleness markers) are excluded on all three
+    paths — batch filter, oracle WHERE, and the streaming twin's stateful
+    op (which skips them natively) — per the repo's PromQL-staleness
+    alignment convention (r7, with the t26s twin; the t14 precedent)."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("event_type", "user_id").orderBy("ms", "event_id")
     d = events.select(
         "event_type",

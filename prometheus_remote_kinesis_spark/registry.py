@@ -67,6 +67,18 @@ _LOADED = False
 # remaining queries follow in registration order and are still all present,
 # locally verified by tools/verify_local.py.
 _PRIORITY = (
+    # Round-7 rotation (VERDICT r6 tasks #1/#7): OUT t15_funnel_conversion
+    # (T15's slot is held by the driver-green t15s streaming twin, SAME
+    # oracle — the t5/t14 precedent) + f3_math_ops and f2_datetime_ops
+    # (same scalar-expression mechanism as the remaining f1 rep,
+    # driver-green 6 rounds each; both stay bit-exact under the local
+    # gate) → IN t27s_count_values_stream (two-phase streaming distinct,
+    # never driver-checked, fresh off the r7 NULL-user alignment fix),
+    # sql12_min_cost_supplier (the CTE-referenced-twice TPC-H Q2 shape;
+    # sql18's r6 green proved the decorrelated-subquery family travels),
+    # and l4e_sign_bucket_ann (the only oracle-backed ANN family member —
+    # the ANN scale story's first driver confirmation). l6b_media_features
+    # (r6 ADVICE) is queued for the r8 rotation.
     # Round-6 rotation (VERDICT r5 task #3) — the t19 HUGEINT root cause
     # is confirmed, so the bisect probes pay their slots back:
     # OUT t19b_counts_only + t19c_membership_probe → IN
@@ -98,8 +110,9 @@ _PRIORITY = (
     "j4_semi_active_customers",
     "j5b_bucketed_range_join",
     "j6_asof_last_order",
-    # SQL: decorrelated-subquery family (first slot ever, r6)
+    # SQL: decorrelated-subquery family (first slot r6; Q2 shape added r7)
     "sql18_last_shipper",
+    "sql12_min_cost_supplier",
     # A: hash agg, distinct, quantiles, grouping sets, collect, histogram, z-score
     "a1_pricing_summary",
     "a2c_bitmap_distinct",
@@ -128,8 +141,6 @@ _PRIORITY = (
     # p6 rep also exercises — for t16s, putting the never-driver-checked
     # T16 cohort family (and a 7th streaming-executed entry) in the gate)
     "f1_string_ops",
-    "f2_datetime_ops",
-    "f3_math_ops",
     "t16s_retention_cohorts_stream",
     # U: custom-UDF surface
     "u3_median_udaf",
@@ -138,7 +149,6 @@ _PRIORITY = (
     "t7_user_sessions",
     # T25: Prometheus's real rate() boundary-extrapolation semantics
     "t25_rate_extrapolated",
-    "t15_funnel_conversion",
     "t18_absent_gaps",
     # R: Layer-A ingest chain (flatten, NDJSON wire, prompb DataSource)
     "r1_event_records",
@@ -152,7 +162,8 @@ _PRIORITY = (
     "t14s_rate_5m_stream",
     "t9s_stream_dedup",
     "t12s_stream_stream_join",
-    # (The late-r5 streaming twins — t21s, t13s, t23s, t24s, t27s —
+    "t27s_count_values_stream",
+    # (The remaining late-r5 streaming twins — t21s, t23s, t24s —
     # stay OUTSIDE the window by the same choice: none of their families
     # has ever held a slot, their mechanisms (complete-mode agg or
     # applyInPandasWithState + post-drain batch stage) are already
@@ -170,6 +181,7 @@ _PRIORITY = (
     "l2e_neardup_clusters",
     "l3_cosine_topk",
     "l4_knn_join",
+    "l4e_sign_bucket_ann",
     "l5f_tfidf",
     "l6d_media_decode",
     "l6e_png_decode",

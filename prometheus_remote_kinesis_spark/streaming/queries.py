@@ -42,7 +42,9 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T21_ORACLE,
     T23_ORACLE,
     T24_ORACLE,
+    T26_ORACLE,
     T27_ORACLE,
+    T28_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -681,25 +683,26 @@ def t27s_count_values_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO-PHASE (a2b's pattern, streaming-executed): the complete-mode agg
     keys on the FINER (event_type, value_bucket, user_id) — map-side
     dedup of the series dimension — and the drain collapses to the
-    bucket level where n_series is a plain count of the pre-deduped
-    rows and n_samples sums their per-series counts. Exact (not HLL),
-    one streaming pass; same oracle as the batch countDistinct form.
+    bucket level where n_series counts the pre-deduped rows and
+    n_samples sums their per-series counts. Exact (not HLL), one
+    streaming pass; same oracle as the batch countDistinct form.
 
-    NULL user_id is excluded EXPLICITLY before the inner groupBy: the
-    drain's plain count would otherwise count a NULL-user group that
-    the oracle's count(DISTINCT user_id) and batch t27's countDistinct
-    both drop (dormant on this corpus, but the repo's NULL-alignment
-    convention demands all three paths agree by construction)."""
-    events = stream_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
+    NULL-user alignment is on the n_series dimension ONLY (r6 ADVICE):
+    the oracle's count(*) n_samples COUNTS NULL-user samples while its
+    count(DISTINCT user_id) n_series drops them, so NULL-user rows flow
+    THROUGH the inner agg (they form their own per-bucket group, keeping
+    n_samples complete) and the drain counts n_series with count(user_id)
+    — SQL count-of-column skips NULLs, exactly countDistinct's NULL
+    behavior after the inner dedup. Pinned on a NULL-user-injected corpus
+    by tests/test_null_input.py::test_t27_family_null_users."""
+    events = stream_table(spark, sf_dir, "events")
     inner = events.groupBy(
         "event_type", F.round("value", 0).alias("value_bucket"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n"))
     drained = run_to_batch(inner, "complete")
     return drained.groupBy("event_type", "value_bucket").agg(
         F.sum("n").cast("bigint").alias("n_samples"),
-        F.count(F.lit(1)).alias("n_series"),
+        F.count("user_id").alias("n_series"),
     )
 
 
@@ -731,6 +734,121 @@ def t24s_vector_matching_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_err") - F.col("n_view")).alias("err_minus_view"),
         (F.col("n_err") > F.col("n_view")).alias("err_gt_view"),
+    )
+
+
+@register("t28s_slo_burn_alert_stream", family="T28-stream", oracle=T28_ORACLE)
+def t28s_slo_burn_alert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t28's SRE multiwindow burn-rate alert EXECUTED BY the streaming
+    engine (closes VERDICT r5 task #6 / r6 task #3). The eval point
+    T = corpus max is unknowable until the stream drains and BOTH window
+    predicates (1 h membership, 5 m membership) depend on it, so the
+    t23s evaluation-order flip applies: the stream runs ONE complete-mode
+    agg keyed on the finest distinguishing tuple (user_id, ms, is_err) —
+    a map-side-combined count per (series, timestamp, class) — and the
+    drain computes T = max(ms) over those partials, applies the two
+    window cuts, and folds the four conditional sums weighted by the
+    per-tuple counts. The drain arithmetic is t28's exactly (integer
+    counts → one double division per ratio), so all three paths agree by
+    construction; same oracle as batch t28.
+
+    State bound: one row per distinct (user, timestamp, class) inside
+    the retention horizon — the same O(distinct-samples) envelope as
+    t9s's streaming dedup. A production deployment evaluates T as
+    wall-clock per trigger and bounds this with a watermark-evicted
+    sliding window; T-at-drain is what makes the result deterministic
+    and oracle-checkable here."""
+    events = stream_table(spark, sf_dir, "events")
+    inner = (
+        events.select(
+            "user_id",
+            F.unix_millis("ts").alias("ms"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("user_id", "ms", "is_err")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drained = run_to_batch(inner, "complete")
+    t_eval = drained.agg(F.max("ms").alias("t_eval"))
+    s = drained.crossJoin(F.broadcast(t_eval)).filter(
+        F.col("ms").between(F.col("t_eval") - 3600000, F.col("t_eval"))
+    )
+    in_short = (F.col("ms") >= F.col("t_eval") - 300000).cast("long")
+    agg = s.groupBy("user_id").agg(
+        F.sum(in_short * F.col("n")).alias("n_5m"),
+        F.sum(F.col("is_err") * in_short * F.col("n")).alias("err_5m"),
+        F.sum("n").alias("n_1h"),
+        F.sum(F.col("is_err") * F.col("n")).alias("err_1h"),
+    )
+    ratio_5m = F.col("err_5m") * 1.0 / F.nullif(F.col("n_5m"), F.lit(0))
+    ratio_1h = F.col("err_1h") * 1.0 / F.col("n_1h")
+    return agg.select(
+        "user_id",
+        "n_5m",
+        "err_5m",
+        "n_1h",
+        "err_1h",
+        F.round(ratio_5m, 6).alias("ratio_5m"),
+        F.round(ratio_1h, 6).alias("ratio_1h"),
+        ((F.col("n_5m") > 0) & (ratio_5m >= 0.3) & (ratio_1h >= 0.3)).alias(
+            "page_alert"
+        ),
+    )
+
+
+@register("t26s_subquery_max_rate_stream", family="T26-stream", oracle=T26_ORACLE)
+def t26s_subquery_max_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t26's PromQL subquery ``max_over_time(rate(m[5m])[1d:5m])``
+    EXECUTED BY the streaming engine. The inner evaluation is a
+    sequential per-series recurrence (reset-aware lag), which is exactly
+    the stateful counter-increase operator t10s already runs — so the
+    stream computes per-sample increases with applyInPandasWithState
+    (O(1) state per series: last value + reset count) and the drain runs
+    t26's two-level rollup (5 m bucket rates, then per-day max/min) on
+    the emitted increases.
+
+    Exactness bridge: values quantize to integer hundredths (t14g's
+    measured property, max |value*100 − round| ≈ 4e-12), so the stream
+    feeds the stateful op CENTS (round(value*100) — integer-exact in
+    doubles) and the per-sample increases come out as exact integers.
+    The drain sums cents per bucket, divides by 100.0 once (correctly
+    rounded, identical to the oracle's DECIMAL→DOUBLE cast of the same
+    exact rational), and applies the oracle's /300.0·1e6 floor-truncation
+    — tie-free per CLAUDE.md. The oracle's first-sample CASE (prev IS
+    NULL → 0.00) maps to coalesce(increase, 0) at the drain; reset
+    semantics (v < prev → increase = v) are the operator's own. Same
+    oracle as batch t26."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import counter_increase
+
+    records = stream_table(spark, sf_dir, "events").select(
+        F.concat_ws("/", "event_type", F.col("user_id").cast("string")).alias(
+            "name"
+        ),
+        F.unix_millis("ts").alias("time"),
+        F.round(F.col("value") * 100, 0).alias("value"),
+    )
+    out = counter_increase(records, idle_timeout_ms=None)
+    drained = run_to_batch(out, "append").select(
+        F.split_part(F.col("name"), F.lit("/"), F.lit(1)).alias("event_type"),
+        F.split_part(F.col("name"), F.lit("/"), F.lit(2)).cast("bigint").alias(
+            "user_id"
+        ),
+        (F.col("time") / F.lit(86400000)).cast("long").alias("day"),
+        (F.col("time") / F.lit(300000)).cast("long").alias("bucket"),
+        F.coalesce(F.col("increase"), F.lit(0.0)).alias("inc_cents"),
+    )
+    b = drained.groupBy("event_type", "user_id", "day", "bucket").agg(
+        (
+            F.floor(
+                F.sum("inc_cents").cast("double") / 100.0 / 300.0 * 1e6
+            )
+            / 1e6
+        ).alias("bucket_rate")
+    )
+    return b.groupBy("event_type", "user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_rate").alias("max_rate"),
+        F.min("bucket_rate").alias("min_rate"),
     )
 
 

@@ -16,6 +16,7 @@ def test_stream_name_required():
         main(["--sink-dir", "/tmp/x", "--drain"])
 
 
+@pytest.mark.slow  # HTTP server + streaming relay e2e (~14 s with setup)
 def test_drain_run_end_to_end(spark, tmp_path, monkeypatch):
     """--drain: post one body at the moment the server is up, relay the
     backlog with availableNow, exit. Exercises flag plumbing, server
@@ -70,6 +71,7 @@ def test_drain_run_end_to_end(spark, tmp_path, monkeypatch):
     assert keys == {"m1"}  # partition key = metric name (kinesis.go:174)
 
 
+@pytest.mark.slow  # HTTP server + prompb DataSource relay e2e (~9 s)
 def test_drain_raw_spool_end_to_end(spark, tmp_path):
     """--raw-spool --drain: the posted body lands as wire bytes, the relay
     decodes it through format("prompb") on executors, same sink output."""

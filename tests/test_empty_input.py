@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import pytest
 
+# Whole-fleet sweep (182 queries × empty tables, ~100 s): slow lane.
+# The fast lane (`pytest -m "not slow"`) keeps per-query smoke coverage
+# via test_queries.py; this robustness sweep runs in full CI passes.
+pytestmark = pytest.mark.slow
+
 from prometheus_remote_kinesis_spark.registry import all_queries
 from prometheus_remote_kinesis_spark.schema import TABLES
 

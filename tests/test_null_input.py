@@ -15,6 +15,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+# Whole-fleet NULL sweep + four NULL-corpus oracle-agreement runs
+# (~4 min with fixtures): slow lane — run in full CI passes; the fast
+# lane (`pytest -m "not slow"`) keeps the per-query smoke sweep.
+pytestmark = pytest.mark.slow
+
 from prometheus_remote_kinesis_spark.registry import all_queries
 from prometheus_remote_kinesis_spark.schema import TABLES
 
@@ -81,6 +86,22 @@ _NULL_ORACLE_FAMILIES = [
     "t17s_prefix_anomaly_stream",
     "t20_holt_winters",
     "t20s_holt_winters_stream",
+    # r7 (VERDICT r6 task #6): the r5/r6 streaming twins join the gate —
+    # each must agree with its shared batch oracle on NULL-VALUE-bearing
+    # data (complete-mode aggs see NULL samples; groupBy treats NULL as a
+    # group on both engines, and the value-independent twins must simply
+    # not flinch). t26/t26s/t28s are r7-new-or-realigned and enter
+    # directly (t26's whole family adopted the t14 staleness convention
+    # when the t26s stateful twin landed).
+    "t26_subquery_max_rate",
+    "t26s_subquery_max_rate_stream",
+    "t15s_funnel_stream",
+    "t16s_retention_cohorts_stream",
+    "t21s_promql_vector_ops_stream",
+    "t23s_instant_vector_stream",
+    "t24s_vector_matching_stream",
+    "t27s_count_values_stream",
+    "t28s_slo_burn_alert_stream",
 ]
 
 
@@ -152,6 +173,68 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     "d9_substring_dedup",
     "d12_vocab_coverage",
 ]
+
+
+@pytest.fixture(scope="module")
+def null_user_oracle_dir(spark, tmp_path_factory):
+    """NULL-USER-bearing copy of the smoke tables (r6 ADVICE): user_id —
+    a grouping/distinct key, not a metric value — goes NULL on a slice of
+    events. Spark and DuckDB agree that GROUP BY keeps a NULL-key group
+    but count(DISTINCT col)/count(col) drop NULLs; any operator that
+    reimplements a distinct (t27s's two-phase streaming form) must land
+    on exactly that split."""
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    out = tmp_path_factory.mktemp("null_user_sf")
+    for t in TABLES:
+        df = load_table(spark, SF_SMOKE, t)
+        if t == "events":
+            df = df.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 9 == 0, None).otherwise(
+                    F.col("user_id")
+                ),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+# Families whose oracles aggregate over user_id and must agree with Spark
+# when user_id is NULL on a slice of rows. t27/t27s pin the r7 fix: the
+# oracle's count(*) n_samples COUNTS NULL-user samples while its
+# count(DISTINCT user_id) n_series drops them — the streaming twin must
+# split the same way (it used to pre-filter NULL users, starving
+# n_samples). t28/t28s ride along: their GROUP BY user_id keeps the
+# NULL-user group identically on both engines.
+_NULL_USER_ORACLE_FAMILIES = [
+    "t27_count_values",
+    "t27s_count_values_stream",
+    "t28_slo_burn_alert",
+    "t28s_slo_burn_alert_stream",
+]
+
+
+def test_t27_family_null_users(spark, null_user_oracle_dir):
+    import duckdb
+
+    import tools.verify_local as vl
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '{null_user_oracle_dir}/{t}.parquet/*.parquet'"
+        )
+    qs = all_queries()
+    failures = {}
+    for name in _NULL_USER_ORACLE_FAMILIES:
+        q = qs[name]
+        problems = vl.compare(
+            name, q.fn(spark, null_user_oracle_dir), con.sql(q.oracle)
+        )
+        if problems:
+            failures[name] = problems
+    assert not failures, failures
 
 
 def test_text_families_match_oracle_on_null_text(spark, null_oracle_dir):

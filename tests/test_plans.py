@@ -328,6 +328,7 @@ def test_dynamic_partition_pruning_on_archive(spark, tmp_path):
     assert [r["name"] for r in rows] == ["click"]
 
 
+@pytest.mark.slow  # fleet-wide plan sweep (~20 s); tools/audit_plans.py covers it standalone
 def test_no_accidental_plan_antipatterns(spark):
     """Plan-hygiene guard over the ENTIRE registry (not just the driver's
     50-query window), using the fleet audit's node-sequence detection

@@ -41,6 +41,9 @@ def test_no_vacuous_oracles():
 
     result = run_audit()
     assert result["empty"] == [], result
+    # r6 ADVICE: l6b's oracle is exact only on a pure-ASCII documents
+    # corpus (char-ord sum vs utf-8 byte sum) — fail loudly on drift.
+    assert result["non_ascii_docs"] == 0, result
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

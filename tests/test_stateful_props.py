@@ -4,7 +4,13 @@ references over random series."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
+
+# Hypothesis property batteries (many Spark jobs per test, ~1 min total):
+# slow lane; deterministic example-based coverage of the same operators
+# stays in the fast lane via test_streaming.py / test_operators.py.
+pytestmark = pytest.mark.slow
 from hypothesis import strategies as st
 
 from prometheus_remote_kinesis_spark.streaming.stateful import (

@@ -11,6 +11,12 @@ import time
 
 import pytest
 
+# Streaming e2e (real queries, checkpoints, multi-batch chops — each
+# test spins up 1-3 streaming queries): slow lane per the fast-lane
+# split; the streaming-executed REGISTRY queries still run in the fast
+# lane through test_queries.py's smoke sweep.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from prometheus_remote_kinesis_spark.testing import FilePutRecords

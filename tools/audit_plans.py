@@ -61,6 +61,9 @@ WHITELIST: set[tuple[str, str]] = {
     ("t23s_instant_vector_stream", "nested_loop_join"),
     ("t25_rate_extrapolated", "nested_loop_join"),  # broadcast eval-time scalar
     ("t28_slo_burn_alert", "nested_loop_join"),  # broadcast eval-time scalar
+    # same 1-row eval-time broadcast, applied post-drain over the
+    # (user, ms, is_err) count partials (t23s's flip, r7)
+    ("t28s_slo_burn_alert_stream", "nested_loop_join"),
     # All-pairs cosine on the small embeddings table; documented baseline,
     # scale paths are l2's LSH banding and l4b/l4c.
     ("l2d_embedding_neardup", "nested_loop_join"),

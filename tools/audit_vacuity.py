@@ -48,10 +48,20 @@ def run_audit(sf_dir: str = SF_DIR) -> dict:
     for name, sql in oracles.items():
         if len(con.execute(sql).fetchall()) == 0 and name not in WHITELIST:
             empty.append(name)
-    return {"checked": len(oracles), "empty": empty}
+    # Corpus-assumption guard (r6 ADVICE): l6b's oracle sums ord(codepoint)
+    # per CHARACTER while Spark sums utf-8 BYTES of the encoded blob —
+    # equal only while documents.text is pure ASCII (bytes == chars). If
+    # the corpus ever drifts non-ASCII this fails LOUDLY here instead of
+    # surfacing as an opaque driver hash-red. DuckDB strlen() counts
+    # bytes, length() counts characters; they differ iff non-ASCII.
+    non_ascii = con.execute(
+        "SELECT count(*) FROM documents "
+        "WHERE text IS NOT NULL AND strlen(text) <> length(text)"
+    ).fetchone()[0]
+    return {"checked": len(oracles), "empty": empty, "non_ascii_docs": non_ascii}
 
 
 if __name__ == "__main__":
     result = run_audit()
     print(json.dumps(result))
-    sys.exit(1 if result["empty"] else 0)
+    sys.exit(1 if (result["empty"] or result["non_ascii_docs"]) else 0)
