@@ -799,3 +799,64 @@ def d12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_coverage"),
         )
     )
+
+
+@register(
+    "d13_incremental_dedup",
+    family="L7",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang, sha256(text) AS digest
+            FROM documents WHERE text IS NOT NULL
+        ),
+        manifest AS (
+            SELECT DISTINCT digest FROM d WHERE doc_id % 2 = 0
+        ),
+        incoming AS (
+            SELECT * FROM d WHERE doc_id % 3 = 0
+        ),
+        fresh AS (
+            SELECT * FROM incoming
+            WHERE digest NOT IN (SELECT digest FROM manifest)
+        )
+        SELECT digest,
+               CAST(min(doc_id) AS BIGINT) AS doc_id,
+               arg_min(lang, doc_id)       AS lang,
+               CAST(count(*) AS BIGINT)    AS n_in_batch
+        FROM fresh
+        GROUP BY digest
+    """,
+)
+def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL (delta) exact dedup — the recurring-crawl shape the
+    single-corpus d/l1 ops don't cover: an INCOMING batch is deduplicated
+    against the digest MANIFEST of the already-ingested corpus (left
+    anti-join on content digest), then within itself (min-id
+    representative per digest), and only the survivors proceed to the
+    expensive downstream stages. Snapshots are simulated from the one
+    documents table: the manifest holds digests of even doc_ids (the
+    prior snapshot), the incoming batch is doc_id % 3 = 0 — ids
+    divisible by 6 are genuine re-crawls and the anti-join really drops
+    them (~1/2 of the batch at every SF; texts are unique per doc_id in
+    this corpus, so digest membership ⇔ same document).
+
+    At 100 TB this is THE exact-dedup access pattern: the corpus is never
+    re-scanned — its manifest is a digest-only table (32 bytes/doc, ~3 TB
+    per 100 B docs) that the daily batch shuffle-joins on digest; the
+    batch side is small, so AQE picks a broadcast when it fits. Shuffles
+    carry digests, never text (l1's rule); NULL text is excluded on both
+    paths per the repo-wide text-op convention."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    d = docs.select(
+        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("digest")
+    )
+    manifest = d.filter(F.col("doc_id") % 2 == 0).select("digest").distinct()
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    fresh = incoming.join(manifest, "digest", "left_anti")
+    return fresh.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", F.col("doc_id")).alias("lang"),
+        F.count(F.lit(1)).alias("n_in_batch"),
+    )

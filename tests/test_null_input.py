@@ -172,6 +172,7 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     "d7_deterministic_shuffle",
     "d9_substring_dedup",
     "d12_vocab_coverage",
+    "d13_incremental_dedup",
 ]
 
 
