@@ -445,3 +445,145 @@ def l5i_gopher_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         gstop.alias("gopher_stop_pass"),
         (gwc & gmwl & gstop).alias("keep"),
     )
+
+
+# BM25 retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75). Query terms are
+# a FIXED literal set so the operator is deterministic and oracle-checkable;
+# per-term partial scores become pivoted COLUMNS summed in one fixed textual
+# order, so the float addition order is engine-identical by construction
+# (never a SUM over term rows, whose accumulation order Spark picks at
+# runtime). The final score is floor-truncated, not round()ed: it is an
+# arbitrary double quotient, the half-tie class of CLAUDE.md's f8 rule.
+BM25_QUERY_TERMS = ("spark", "query", "stream")
+_BM25_COMP = """
+        idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+"""
+L5J_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    corpus AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM d
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        WHERE term IN ('spark', 'query', 'stream')
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    comp AS (
+        SELECT tf.doc_id, tf.term, tf.dl,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (tf.dl / avgdl))))
+                   AS c
+        FROM tf JOIN df USING (term) CROSS JOIN corpus
+    ),
+    scored AS (
+        SELECT doc_id, max(dl) AS dl,
+               coalesce(max(CASE WHEN term = 'spark'  THEN c END), 0.0)
+             + coalesce(max(CASE WHEN term = 'query'  THEN c END), 0.0)
+             + coalesce(max(CASE WHEN term = 'stream' THEN c END), 0.0) AS raw
+        FROM comp GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           floor(raw * 1e6) / 1e6 AS bm25,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT doc_id, dl, raw,
+               row_number() OVER (ORDER BY raw DESC, doc_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= 20
+"""
+
+
+@register("l5j_bm25", family="L5", oracle=L5J_ORACLE)
+def l5j_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed 3-term query (k1=1.2, b=0.75) —
+    the ranking function behind the retrieval stages of pretraining-data
+    curation (targeted quality sampling, contamination lookup, topical
+    subcorpus pulls). No reference counterpart (the Go relay has no text
+    ops); the family anchor is SURVEY §2.9's text-analysis row.
+
+    Plan shape at 100 TB: the term explode is filtered to the |Q|=3 query
+    terms BEFORE the (doc, term) hash agg, so the shuffle carries only
+    query-term hits, never the corpus vocabulary; document length rides
+    along as max(dl) (constant per doc) instead of a second join against
+    the fact table; df (3 rows) and the corpus-stats scalar (n_docs,
+    avgdl as exact-int-sum / count — one double division, engine-exact)
+    are broadcast. Per-term scores pivot to columns and sum in a fixed
+    textual order; ranking orders on the raw double (bit-identical on
+    both engines because every operand order is identical) with doc_id as
+    the unique tie-break, and only the REPORTED score is truncated. The
+    top-20 head comes from TakeOrderedAndProject (d12's shape — per-
+    partition heaps, no global sort); the only window runs over those
+    20 rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    d = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.size("toks").alias("dl"), "toks"
+    )
+    corpus = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    comp = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            "dl",
+            (
+                idf
+                * (
+                    (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    pick = lambda t: F.coalesce(
+        F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
+    )
+    scored = comp.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        (pick("spark") + pick("query") + pick("stream")).alias("raw"),
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("raw"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("raw"), "doc_id")
+    return (
+        top.select(
+            "doc_id", "dl", "raw", F.row_number().over(w).alias("rank")
+        )
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            (F.floor(F.col("raw") * 1e6) / 1e6).alias("bm25"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -166,6 +166,7 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     "l5_token_stats",
     "l5d_fingerprints",
     "l5e_language_id",
+    "l5j_bm25",
     "l6c_frame_stats",
     "d3_decontamination",
     "d3b_fuzzy_decontamination",

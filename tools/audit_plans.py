@@ -53,6 +53,7 @@ WHITELIST: set[tuple[str, str]] = {
     # the projection — nested-loop in name only.
     ("d8_mixture_weights", "nested_loop_join"),
     ("d12_vocab_coverage", "nested_loop_join"),  # broadcast 1-row token total
+    ("l5j_bm25", "nested_loop_join"),  # broadcast 1-row (n_docs, avgdl) scalar
     ("t14c_deriv_predict", "nested_loop_join"),
     ("t22_downsample_retention", "nested_loop_join"),  # broadcast max(ms) cutoff
     ("t23_instant_vector", "nested_loop_join"),  # broadcast eval-time scalar
