@@ -754,3 +754,127 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         simhash64(F.col("text")).alias("simhash"),
     ).withColumn("bucket16", F.shiftrightunsigned("simhash", 48))
+
+
+# Incremental near-dup (r7): the recurring-crawl shape for NEAR-duplicates,
+# the d13 pattern one level up. The already-ingested corpus is represented
+# by a digest-only LSH manifest — its DISTINCT (band, key) pairs, ~4 short
+# strings per doc — and each incoming document probes the manifest with its
+# own 4 band keys: any collision marks it a near-dup CANDIDATE (routed to
+# pairwise verification, l2h's estimator), zero collisions let it skip the
+# expensive stages entirely. Same md5 hash family as l2h, so every stage is
+# DuckDB-checkable.
+D14_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                   CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN list_transform(
+                               range(1, len(string_split(text, ' ')) - 1),
+                               i -> string_split(text, ' ')[i] || ' ' ||
+                                    string_split(text, ' ')[i+1] || ' ' ||
+                                    string_split(text, ' ')[i+2])
+                        ELSE [text] END)) AS shingle
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    h AS (
+        SELECT doc_id, p.i AS perm,
+               min(('0x' || substring(md5(shingle || ':' || p.i), 1, 15))::BIGINT)
+                   AS mh
+        FROM sh, range(8) p(i)
+        GROUP BY doc_id, p.i
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY perm) AS sig FROM h GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.i AS band,
+               CAST(sig[b.i*2 + 1] AS VARCHAR) || '|' ||
+               CAST(sig[b.i*2 + 2] AS VARCHAR) AS key
+        FROM sig, range(4) b(i)
+    ),
+    manifest AS (
+        SELECT DISTINCT band, key FROM bands WHERE doc_id % 2 = 0
+    ),
+    inc AS (SELECT * FROM bands WHERE doc_id % 3 = 0)
+    SELECT inc.doc_id,
+           CAST(sum(CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bands_hit,
+           (sum(CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END) > 0)
+               AS is_candidate
+    FROM inc LEFT JOIN manifest m
+      ON inc.band = m.band AND inc.key = m.key
+    GROUP BY inc.doc_id
+"""
+
+
+@register("d14_incremental_neardup", family="L7", oracle=D14_ORACLE)
+def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) NEAR-dup screening — d13's recurring-crawl
+    shape applied to near-duplicates: the incoming batch (doc_id % 3 = 0)
+    probes the prior snapshot's LSH band-key manifest (DISTINCT
+    (band, key) of doc_id % 2 = 0) with its own MinHash(8)/LSH(4x2) band
+    keys; ``n_bands_hit`` counts colliding bands and any hit flags the
+    doc a near-dup candidate for pairwise verification (l2h's
+    estimator), while zero-hit docs — the common case in a healthy
+    crawl — skip every expensive downstream stage. Docs in both slices
+    (doc_id % 6 = 0) hit all 4 of their own bands: genuine re-crawls.
+
+    At 100 TB this is THE near-dedup access pattern: the corpus is never
+    re-shingled — its manifest is 4 short digest strings per doc
+    (same order as d13's 32-byte exact manifest), the incoming side is
+    the small daily batch, and the probe is one equi-join on (band, key)
+    carrying band digests, never text or signatures. Same md5 hash
+    family as l2h (`_md5_hash64`), so the whole pipeline — shingle,
+    signature fold, banding, manifest probe — is hash-compared against
+    DuckDB end to end."""
+    docs = shingled_docs(load_table(spark, sf_dir, "documents"))
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), _MD5_PERMS)
+    sig = F.aggregate(
+        "sh",
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[_md5_hash64(s, i) for i in range(_MD5_PERMS)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    banded = (
+        docs.select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                F.slice("sig", b * _MD5_RPB + 1, _MD5_RPB).cast(
+                                    "array<string>"
+                                ),
+                            ).alias("key"),
+                        )
+                        for b in range(_MD5_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    manifest = (
+        banded.filter(F.col("doc_id") % 2 == 0)
+        .select("band", "key")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    inc = banded.filter(F.col("doc_id") % 3 == 0)
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    return (
+        inc.join(manifest, ["band", "key"], "left")
+        .groupBy("doc_id")
+        .agg(n_hits.alias("n_bands_hit"))
+        .select(
+            "doc_id",
+            "n_bands_hit",
+            (F.col("n_bands_hit") > 0).alias("is_candidate"),
+        )
+    )

@@ -174,6 +174,7 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     "d9_substring_dedup",
     "d12_vocab_coverage",
     "d13_incremental_dedup",
+    "d14_incremental_neardup",
 ]
 
 
