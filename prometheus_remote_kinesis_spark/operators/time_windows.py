@@ -1354,12 +1354,21 @@ def t25_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     increase sums 2-decimal deltas as exact decimals, and every
     extrapolation term is written in the identical operand order on both
     engines so the doubles agree bit-for-bit before round(…,6)."""
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events")
     s = events.select(
         "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"
     )
+    return extrapolated_rate_1d(s)
+
+
+def extrapolated_rate_1d(s: DataFrame) -> DataFrame:
+    """t25's whole expression tree after the (event_type, user_id, ms,
+    value) projection — factored out so the streaming twin t25s applies
+    the IDENTICAL computation (same operand order, same decimal sums,
+    same floor truncation) to its drained trailing-buffer residue and
+    registers against the SAME oracle."""
+    from pyspark.sql import Window
+
     t_eval = s.agg(F.max("ms").alias("t_eval"))
     s = s.crossJoin(F.broadcast(t_eval)).filter(
         F.col("ms").between(F.col("t_eval") - 86400000, F.col("t_eval"))

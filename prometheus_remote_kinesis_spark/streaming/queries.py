@@ -42,7 +42,9 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T21_ORACLE,
     T23_ORACLE,
     T24_ORACLE,
+    T25_ORACLE,
     T26_ORACLE,
+    extrapolated_rate_1d,
     T27_ORACLE,
     T28_ORACLE,
     sliding_rollup_10min,
@@ -1061,3 +1063,39 @@ def t14s_rate_5m_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return run_to_batch(streaming_rate(records, idle_timeout_ms=None), "append")
+
+
+@register("t25s_rate_extrapolated_stream", family="T25-stream", oracle=T25_ORACLE)
+def t25s_rate_extrapolated_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t25's Prometheus boundary-extrapolated ``rate(m[1d])`` EXECUTED BY
+    the streaming engine. The window anchor (corpus max) is a drain-time
+    fact, so the stateful layer (``trailing_day_buffer``) retains each
+    series' samples within 1 day of its OWN running max — a provable
+    superset of the final global window (series_max <= global_max) with
+    the O(window) state ANY faithful 1d-range evaluation needs — and the
+    drain takes the authoritative max-seq emission per series, then runs
+    the IDENTICAL batch tree (``extrapolated_rate_1d``: same decimal
+    increase sums, same operand order, same floor truncation) over the
+    residue. Registers against the SAME oracle as batch t25."""
+    from pyspark.sql import Window
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        trailing_day_buffer,
+    )
+
+    records = stream_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+    out = trailing_day_buffer(records, window_ms=86_400_000, idle_timeout_ms=None)
+    drained = run_to_batch(out, "append")
+    w = Window.partitionBy("event_type", "user_id")
+    resid = (
+        drained.withColumn("max_seq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("max_seq"))
+        .select("event_type", "user_id", "ms", "value")
+    )
+    return extrapolated_rate_1d(resid)

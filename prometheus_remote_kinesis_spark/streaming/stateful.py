@@ -890,3 +890,114 @@ def funnel_views(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# t25s trailing-day sample buffer: per-series retained samples within 1 day
+# of the series' own running max, emitted wholesale each micro-batch under
+# a seq number (the t15s superseded-emission protocol: the drain keeps only
+# the max-seq emission per series).
+T25_BUFFER_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("ms", LongType()),
+        StructField("value", DoubleType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+_T25_STATE_SCHEMA = "ms array<long>, v array<double>, seq long"
+
+
+def _make_trailing_buffer_fn(window_ms: int, idle_timeout_ms: int | None):
+    """State-transition factory for ``trailing_day_buffer`` — module-level
+    so the chop-invariance property test can drive it with a fake
+    GroupState (the ``_make_cohort_fn`` pattern)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        if state.exists:
+            ms, vs, seq = state.get
+            ms, vs = list(ms), list(vs)
+        else:
+            ms, vs, seq = [], [], 0
+        hi = max(ms) if ms else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["time", "event_id"])
+            for _, r in pdf.iterrows():
+                t = int(r["time"])
+                v = None if pd.isna(r["value"]) else float(r["value"])
+                if hi is not None and t < hi - window_ms:
+                    continue  # below the retention horizon: unreachable
+                ms.append(t)
+                vs.append(v)
+                if hi is None or t > hi:
+                    hi = t
+                    lo = hi - window_ms
+                    # Eviction is a MEMORY bound, not a correctness gate
+                    # (the drain re-filters to the true global window), so
+                    # an O(1) head check per advance is enough — stale
+                    # out-of-order stragglers behind a fresh head get
+                    # swept the next time the head itself goes stale.
+                    if ms[0] < lo:
+                        kept = [(m, x) for m, x in zip(ms, vs) if m >= lo]
+                        ms = [m for m, _ in kept]
+                        vs = [x for _, x in kept]
+        seq += 1
+        state.update((ms, vs, seq))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "event_type": event_type,
+                "user_id": user_id,
+                "ms": pd.Series(ms, dtype="int64"),
+                "value": pd.Series(vs, dtype="float64"),
+                "seq": seq,
+            },
+            columns=[f.name for f in T25_BUFFER_SCHEMA.fields],
+        )
+
+    return fn
+
+
+def trailing_day_buffer(
+    records: DataFrame,
+    window_ms: int = 86_400_000,
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """Per-series trailing-window sample buffer — the state layer under
+    the streaming form of Prometheus's extrapolated ``rate(m[1d])``
+    (t25s). The window anchor (= the DRAIN-time corpus max) is
+    unknowable mid-stream, so the op keeps every sample within
+    ``window_ms`` of the series' OWN running max: for any series,
+    series_max <= global_max, hence series_max - window <= global_max -
+    window, hence every sample inside the final global window [g-1d, g]
+    also lies inside [series_max-1d, series_max] — the retained set is a
+    provable superset of the in-window set, and the drain applies t25's
+    exact batch tree (``extrapolated_rate_1d``) to the small residue.
+    Samples already below the retention horizon on arrival are dropped
+    immediately (t < hi-window <= g-window: outside any possible final
+    window), which also makes the buffer chop-invariant.
+
+    State is O(samples-in-1d) per series — the same memory ANY faithful
+    1d-range PromQL evaluation needs — evicted as the series' max
+    advances; NULL (staleness-marker) samples are retained because batch
+    t25's n/first_ms/last_ms count them (NaN<->NULL crossing the Arrow
+    boundary both ways). Emission is the whole buffer per micro-batch
+    under an incrementing seq — O(buffer) per trigger, the price of a
+    drain-anchored semantic; the max-seq emission is authoritative."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        _make_trailing_buffer_fn(window_ms, idle_timeout_ms),
+        outputStructType=T25_BUFFER_SCHEMA,
+        stateStructType=_T25_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

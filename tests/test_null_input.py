@@ -93,6 +93,8 @@ _NULL_ORACLE_FAMILIES = [
     # not flinch). t26/t26s/t28s are r7-new-or-realigned and enter
     # directly (t26's whole family adopted the t14 staleness convention
     # when the t26s stateful twin landed).
+    "t25_rate_extrapolated",
+    "t25s_rate_extrapolated_stream",
     "t26_subquery_max_rate",
     "t26s_subquery_max_rate_stream",
     "t15s_funnel_stream",

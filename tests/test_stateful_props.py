@@ -469,3 +469,91 @@ def test_cohort_pairs_chop_invariance_property(events, n_chops, data):
             u = r["user_id"]
             got_cohort[u] = min(got_cohort.get(u, r["wk"]), r["wk"])
     assert got_cohort == exp_cohort
+
+
+trailing_events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),          # time
+        st.one_of(st.none(), st.floats(min_value=-5, max_value=5,
+                                       allow_nan=False)),  # value (None = stale)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(
+    events=trailing_events_st,
+    n_chops=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_trailing_buffer_chop_invariance_property(events, n_chops, data):
+    """trailing_day_buffer's state transition is chop-invariant where it
+    matters: for ANY sample sequence (incl. out-of-order times and NULL
+    staleness markers) and ANY micro-batch chopping, the authoritative
+    (max-seq) emission — after the drain's own [G-W, G] re-filter — is
+    EXACTLY the naive whole-sequence in-window multiset, NULLs preserved.
+    (The raw buffer may lazily hold stale out-of-order stragglers; the
+    drain filter is part of the operator contract, so the property is
+    asserted post-filter.)"""
+    import pandas as pd
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        _make_trailing_buffer_fn,
+    )
+
+    W = 10  # small window so eviction actually triggers
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(events)),
+                min_size=n_chops - 1,
+                max_size=n_chops - 1,
+            )
+        )
+    )
+    batches = []
+    lo = 0
+    for c in [*cuts, len(events)]:
+        batches.append(events[lo:c])
+        lo = c
+
+    fn = _make_trailing_buffer_fn(W, None)
+    state = _FakeGroupState()
+    emissions = []
+    for i, batch in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "time": [t for t, _ in batch],
+                "value": [v for _, v in batch],
+                "event_id": list(range(len(batch))),
+            }
+        )
+        for out in fn(("et", 1), iter([pdf]), state):
+            emissions.append(out)
+
+    final = emissions[-1]
+    assert not final.empty and int(final["seq"].iloc[0]) == len(batches)
+    k = lambda p: (p[0], p[1] is not None, 0.0 if p[1] is None else p[1])
+    got = [
+        (int(m), None if pd.isna(v) else round(float(v), 9))
+        for m, v in zip(final["ms"], final["value"])
+    ]
+    g = max(t for t, _ in events)
+    expected = sorted(
+        (
+            (t, None if v is None else round(float(v), 9))
+            for t, v in events
+            if t >= g - W
+        ),
+        key=k,
+    )
+    got_in_window = sorted(((m, v) for m, v in got if m >= g - W), key=k)
+    assert got_in_window == expected
+    # everything retained is a subset of the input multiset
+    all_events = [
+        (t, None if v is None else round(float(v), 9)) for t, v in events
+    ]
+    for item in got:
+        all_events.remove(item)  # raises ValueError on any fabricated row

@@ -61,6 +61,9 @@ WHITELIST: set[tuple[str, str]] = {
     # per-series lasts (≤ |series| rows, not the stream)
     ("t23s_instant_vector_stream", "nested_loop_join"),
     ("t25_rate_extrapolated", "nested_loop_join"),  # broadcast eval-time scalar
+    # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
+    # post-drain over the trailing-buffer residue (~1d of samples/series)
+    ("t25s_rate_extrapolated_stream", "nested_loop_join"),
     ("t28_slo_burn_alert", "nested_loop_join"),  # broadcast eval-time scalar
     # same 1-row eval-time broadcast, applied post-drain over the
     # (user, ms, is_err) count partials (t23s's flip, r7)
