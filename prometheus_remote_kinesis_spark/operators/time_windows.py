@@ -1140,20 +1140,21 @@ def t22_downsample_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     job that turns an append-only metrics lake into bounded storage with
     full-resolution recency.
 
-    NO STREAMING TWIN, by argument rather than omission (VERDICT r6 task
-    #3): T26 and T28 got streaming twins (t26s: the inner recurrence is
-    O(1)-state per series; t28s: the drain folds O(distinct-sample)
-    COUNTS), but t22's output literally CONTAINS every raw sample younger
-    than a cutoff that is itself a function of the drain-time corpus max
-    — any sample, however old when it arrives, may end up in the raw
-    branch if no newer data follows. A streaming operator therefore
-    cannot summarize, evict, or pre-aggregate ANYTHING: its state must
-    hold every raw sample verbatim until drain, i.e. the only faithful
-    "twin" is a t9s-style identity dedup with the whole of t22 deferred
-    to the drain — a batch query wearing a streaming costume, proving
-    nothing the batch form doesn't. In production the cutoff is
-    wall-clock, which makes downsampling a periodic batch compaction job
-    over closed partitions (the Thanos compactor model), not a stream."""
+    STREAMING TWIN: ``t22s_downsample_retention_stream``
+    (streaming/queries.py), which REFUTES the impossibility argument
+    this docstring carried through r6 ("any sample may end up in the raw
+    branch, so nothing can ever be summarized"). The t25s trailing-day
+    buffer breaks it: a sample lands in the final raw branch only if it
+    lies within 1 d of the GLOBAL max, and series_max <= global_max, so
+    anything older than 1 d relative to the series' OWN running max is
+    provably in the old branch and folds into a mergeable per-bucket
+    rollup partial (count / non-NULL count / integer-cents sum / min /
+    max) at eviction time. State is O(the operator's own output) per
+    series — the trailing raw day plus hour-bucket partials — and the
+    drain reproduces this exact arithmetic against the same oracle. (In
+    production the cutoff is wall-clock and downsampling can still run
+    as the Thanos-style periodic compaction job; the twin shows the
+    at-ingest form is ALSO available, with output-bounded state.)"""
     events = load_table(spark, sf_dir, "events")
     s = events.select(
         "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"

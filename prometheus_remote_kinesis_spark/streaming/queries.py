@@ -40,6 +40,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T18_ORACLE,
     T20_ORACLE,
     T21_ORACLE,
+    T22_ORACLE,
     T23_ORACLE,
     T24_ORACLE,
     T25_ORACLE,
@@ -1099,3 +1100,123 @@ def t25s_rate_extrapolated_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_type", "user_id", "ms", "value")
     )
     return extrapolated_rate_1d(resid)
+
+
+@register(
+    "t22s_downsample_retention_stream", family="T22-stream", oracle=T22_ORACLE
+)
+def t22s_downsample_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t22's retention downsampling EXECUTED BY the streaming engine —
+    refuting t22's former no-streaming-twin argument (VERDICT r6 task #3
+    lineage). The stateful layer (``downsample_buffer``) keeps each
+    series' trailing day raw (the t25s buffer: a provable superset of
+    the drain-time raw branch, since series_max <= global_max) and folds
+    every evicted sample into mergeable per-hour rollup partials (count,
+    non-NULL count, integer-cents sum, min, max) — each sample lives in
+    exactly one of {buffer, rollup}. The drain takes the authoritative
+    max-seq emission per series, computes the true cutoff g-1d (g = max
+    over buffered samples — each series' max is never evicted, so the
+    global max is always in view), splits the buffer residue at it,
+    merges the sub-cutoff residue into the rollup partials, and emits
+    batch t22's exact arithmetic: the raw branch verbatim, the old
+    branch's avg as the oracle's DECIMAL-sum-cast-double over count(*)
+    (cents/100 in double is the identical correctly-rounded value).
+    Same oracle as batch t22; state is O(output) per series."""
+    from pyspark.sql import Window
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        downsample_buffer,
+    )
+
+    records = stream_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+    out = downsample_buffer(
+        records, window_ms=86_400_000, bucket_ms=3_600_000, idle_timeout_ms=None
+    )
+    drained = run_to_batch(out, "append")
+    w = Window.partitionBy("event_type", "user_id")
+    latest = (
+        drained.withColumn("max_seq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("max_seq"))
+        .drop("max_seq", "seq")
+    )
+    t_max = latest.filter(F.col("kind") == "raw").agg(
+        F.max("ms").alias("t_max")
+    )
+    lat = latest.crossJoin(F.broadcast(t_max))
+    cutoff = F.col("t_max") - 86400000
+    recent = (
+        lat.filter((F.col("kind") == "raw") & (F.col("ms") > cutoff))
+        .select(
+            "event_type",
+            "user_id",
+            F.col("ms").alias("bucket_ms"),
+            F.lit(1).cast("long").alias("n"),
+            F.round(F.col("value").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("v_avg"),
+            F.col("value").alias("v_min"),
+            F.col("value").alias("v_max"),
+        )
+    )
+    old_sing = lat.filter(
+        (F.col("kind") == "raw") & (F.col("ms") <= cutoff)
+    ).select(
+        "event_type",
+        "user_id",
+        ((F.col("ms") / F.lit(3600000)).cast("long") * 3600000).alias(
+            "bucket_ms"
+        ),
+        F.lit(1).cast("long").alias("n"),
+        F.col("value").isNotNull().cast("long").alias("nv"),
+        F.coalesce(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            F.lit(0),
+        ).alias("cents"),
+        F.col("value").alias("v_min"),
+        F.col("value").alias("v_max"),
+    )
+    old_part = lat.filter(F.col("kind") == "agg").select(
+        "event_type",
+        "user_id",
+        F.col("ms").alias("bucket_ms"),
+        "n",
+        "nv",
+        "cents",
+        "v_min",
+        "v_max",
+    )
+    old = (
+        old_sing.unionByName(old_part)
+        .groupBy("event_type", "user_id", "bucket_ms")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("nv").alias("nv"),
+            F.sum("cents").alias("cents"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+        )
+        .select(
+            "event_type",
+            "user_id",
+            "bucket_ms",
+            "n",
+            F.when(
+                F.col("nv") > 0,
+                F.round(
+                    F.col("cents").cast("double") / F.lit(100.0) / F.col("n"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("v_avg"),
+            "v_min",
+            "v_max",
+        )
+    )
+    return recent.unionByName(old)

@@ -1001,3 +1001,195 @@ def trailing_day_buffer(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# t22s downsample-at-ingest state: the trailing-day raw buffer (t25s's
+# protocol) PLUS per-hour-bucket rollup partials that absorb every sample
+# the buffer evicts. A sample is in EXACTLY ONE of {buffer, rollup} at all
+# times, so the drain's split at the (drain-time) global cutoff is exact.
+T22_DOWNSAMPLE_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("kind", StringType()),  # 'raw' | 'agg'
+        StructField("ms", LongType()),  # sample time | bucket_ms
+        StructField("value", DoubleType()),  # raw only
+        StructField("n", LongType()),  # agg only: all rows (NULLs counted)
+        StructField("nv", LongType()),  # agg only: non-NULL rows
+        StructField("cents", LongType()),  # agg only: sum(round(value*100))
+        StructField("v_min", DoubleType()),
+        StructField("v_max", DoubleType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+_T22_STATE_SCHEMA = (
+    "ms array<long>, v array<double>, b array<long>, n array<long>, "
+    "nv array<long>, c array<long>, mn array<double>, mx array<double>, "
+    "seq long"
+)
+
+
+def _cents(val: float) -> int:
+    """Integer hundredths of a 2-decimal-representable double, via the
+    same HALF_UP rule as Spark's ``cast(value AS DECIMAL(18,2)) * 100``
+    (exact for the corpus: values quantize to hundredths, t14g's
+    measured property)."""
+    return int(
+        (Decimal(repr(val)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+    )
+
+
+def _make_downsample_fn(window_ms: int, bucket_ms: int, idle_timeout_ms: int | None):
+    """State-transition factory for ``downsample_buffer`` — module-level
+    so the chop-invariance property test can drive it with a fake
+    GroupState (the ``_make_trailing_buffer_fn`` pattern)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        if state.exists:
+            ms, vs, b, n, nv, c, mn, mx, seq = state.get
+            ms, vs = list(ms), list(vs)
+            roll = {
+                bk: [n[i], nv[i], c[i], mn[i], mx[i]]
+                for i, bk in enumerate(b)
+            }
+        else:
+            ms, vs, roll, seq = [], [], {}, 0
+        hi = max(ms) if ms else None
+
+        def fold(t: int, v: float | None) -> None:
+            bk = (t // bucket_ms) * bucket_ms
+            r = roll.setdefault(bk, [0, 0, 0, None, None])
+            r[0] += 1
+            if v is not None:
+                r[1] += 1
+                r[2] += _cents(v)
+                r[3] = v if r[3] is None else min(r[3], v)
+                r[4] = v if r[4] is None else max(r[4], v)
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["time", "event_id"])
+            for _, r in pdf.iterrows():
+                t = int(r["time"])
+                v = None if pd.isna(r["value"]) else float(r["value"])
+                if hi is not None and t < hi - window_ms:
+                    # Below the retention horizon on arrival: provably in
+                    # the drain's OLD branch (t < hi-W <= g-W) — fold
+                    # straight into the rollup, never buffered.
+                    fold(t, v)
+                    continue
+                ms.append(t)
+                vs.append(v)
+                if hi is None or t > hi:
+                    hi = t
+                    lo = hi - window_ms
+                    # Lazy head-check eviction (t25s) — but evicted
+                    # samples are FOLDED, not dropped: ms < hi-W <= g-W
+                    # puts them in the drain's old branch with certainty.
+                    if ms[0] < lo:
+                        kept_ms, kept_vs = [], []
+                        for m, x in zip(ms, vs):
+                            if m >= lo:
+                                kept_ms.append(m)
+                                kept_vs.append(x)
+                            else:
+                                fold(m, x)
+                        ms, vs = kept_ms, kept_vs
+        seq += 1
+        bks = sorted(roll)
+        state.update(
+            (
+                ms,
+                vs,
+                bks,
+                [roll[k][0] for k in bks],
+                [roll[k][1] for k in bks],
+                [roll[k][2] for k in bks],
+                [roll[k][3] for k in bks],
+                [roll[k][4] for k in bks],
+                seq,
+            )
+        )
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        n_raw, n_agg = len(ms), len(bks)
+        yield pd.DataFrame(
+            {
+                "event_type": event_type,
+                "user_id": user_id,
+                "kind": ["raw"] * n_raw + ["agg"] * n_agg,
+                "ms": pd.Series(ms + bks, dtype="int64"),
+                "value": pd.Series(
+                    vs + [None] * n_agg, dtype="float64"
+                ),
+                "n": pd.Series(
+                    [None] * n_raw + [roll[k][0] for k in bks],
+                    dtype="Int64",
+                ),
+                "nv": pd.Series(
+                    [None] * n_raw + [roll[k][1] for k in bks],
+                    dtype="Int64",
+                ),
+                "cents": pd.Series(
+                    [None] * n_raw + [roll[k][2] for k in bks],
+                    dtype="Int64",
+                ),
+                "v_min": pd.Series(
+                    [None] * n_raw + [roll[k][3] for k in bks],
+                    dtype="float64",
+                ),
+                "v_max": pd.Series(
+                    [None] * n_raw + [roll[k][4] for k in bks],
+                    dtype="float64",
+                ),
+                "seq": seq,
+            },
+            columns=[f.name for f in T22_DOWNSAMPLE_SCHEMA.fields],
+        )
+
+    return fn
+
+
+def downsample_buffer(
+    records: DataFrame,
+    window_ms: int = 86_400_000,
+    bucket_ms: int = 3_600_000,
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """Per-series downsample-at-ingest state — the streaming form of
+    retention downsampling (t22s), REFUTING t22's former impossibility
+    note. The argument there was that any sample might land in the raw
+    branch (the cutoff is a drain-time fact), so nothing could ever be
+    summarized. The trailing-day buffer (t25s) breaks that: a sample can
+    only be in the final raw branch if it lies within ``window_ms`` of
+    the GLOBAL max, and series_max <= global_max, so anything older than
+    ``window_ms`` relative to the series' OWN running max is provably in
+    the old branch — it can be folded into its (series, bucket) rollup
+    partial (count / non-NULL count / integer-cents sum / min / max, all
+    mergeable) and FORGOTTEN as a raw sample. State is O(samples-in-1d +
+    buckets-in-horizon) per series: exactly the operator's own OUTPUT
+    size, the floor for any faithful evaluation.
+
+    Each sample lives in exactly one of {buffer, rollup}; the drain
+    (t22s) takes the max-seq emission, splits the buffer residue at the
+    true global cutoff, merges the sub-cutoff residue into the rollup
+    partials, and emits batch t22's exact arithmetic. NULL (staleness)
+    samples are buffered/counted (batch t22's count(*) counts them; its
+    sum/min/max skip them — nv tracks the split). Values are summed as
+    integer cents (HALF_UP hundredths, exact for the corpus) so the
+    drain's avg reproduces the oracle's DECIMAL sum bit-for-bit."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        _make_downsample_fn(window_ms, bucket_ms, idle_timeout_ms),
+        outputStructType=T22_DOWNSAMPLE_SCHEMA,
+        stateStructType=_T22_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

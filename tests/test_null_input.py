@@ -95,6 +95,11 @@ _NULL_ORACLE_FAMILIES = [
     # when the t26s stateful twin landed).
     "t25_rate_extrapolated",
     "t25s_rate_extrapolated_stream",
+    # t22/t22s count NULL samples in n but skip them in sum/min/max (the
+    # nv split in the stateful fold) — both paths must agree with the
+    # oracle's count(*)-vs-aggregate asymmetry on NULL-bearing data.
+    "t22_downsample_retention",
+    "t22s_downsample_retention_stream",
     "t26_subquery_max_rate",
     "t26s_subquery_max_rate_stream",
     "t15s_funnel_stream",

@@ -557,3 +557,132 @@ def test_trailing_buffer_chop_invariance_property(events, n_chops, data):
     ]
     for item in got:
         all_events.remove(item)  # raises ValueError on any fabricated row
+
+
+downsample_events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),          # time
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-500, max_value=500).map(lambda c: c / 100),
+        ),                                               # 2-decimal value
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(
+    events=downsample_events_st,
+    n_chops=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_downsample_buffer_chop_invariance_property(events, n_chops, data):
+    """downsample_buffer's state transition is chop-invariant AND
+    conservation-exact: for ANY sample sequence (out-of-order times,
+    NULL staleness markers) and ANY micro-batch chopping, the
+    authoritative (max-seq) emission reconstructs the naive whole-input
+    answer — the post-drain raw branch is EXACTLY the in-window multiset,
+    and merging the sub-cutoff buffer residue into the rollup partials
+    yields EXACTLY the per-bucket (n, nv, cents, min, max) of a direct
+    batch pass. Conservation (each sample in exactly one of
+    {buffer, rollup}) falls out of the equality on n."""
+    import pandas as pd
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        _cents,
+        _make_downsample_fn,
+    )
+
+    W, B = 10, 4  # small window/bucket so eviction + bucketing both bite
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(events)),
+                min_size=n_chops - 1,
+                max_size=n_chops - 1,
+            )
+        )
+    )
+    batches = []
+    lo = 0
+    for c in [*cuts, len(events)]:
+        batches.append(events[lo:c])
+        lo = c
+
+    fn = _make_downsample_fn(W, B, None)
+    state = _FakeGroupState()
+    emissions = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "time": [t for t, _ in batch],
+                "value": [v for _, v in batch],
+                "event_id": list(range(len(batch))),
+            }
+        )
+        for out in fn(("et", 1), iter([pdf]), state):
+            emissions.append(out)
+
+    final = emissions[-1]
+    assert int(final["seq"].iloc[0]) == len(batches)
+    raw = final[final["kind"] == "raw"]
+    agg = final[final["kind"] == "agg"]
+    g = max(t for t, _ in events)
+    assert int(raw["ms"].max()) == g  # the global max is always buffered
+
+    # drain split: raw branch must be the exact in-window multiset
+    key = lambda p: (p[0], p[1] is not None, 0.0 if p[1] is None else p[1])
+    got_raw = [
+        (int(m), None if pd.isna(v) else float(v))
+        for m, v in zip(raw["ms"], raw["value"])
+    ]
+    expected_recent = sorted(
+        ((t, v) for t, v in events if t > g - W), key=key
+    )
+    got_recent = sorted((p for p in got_raw if p[0] > g - W), key=key)
+    assert got_recent == expected_recent
+
+    # old branch: merge sub-cutoff residue into the partials, compare to
+    # a naive batch rollup of every sample with t <= g - W
+    merged: dict[int, list] = {}
+
+    def fold(bucket, n, nv, cents, mn, mx):
+        r = merged.setdefault(bucket, [0, 0, 0, None, None])
+        r[0] += n
+        r[1] += nv
+        r[2] += cents
+        if mn is not None:
+            r[3] = mn if r[3] is None else min(r[3], mn)
+        if mx is not None:
+            r[4] = mx if r[4] is None else max(r[4], mx)
+
+    for m, v in got_raw:
+        if m <= g - W:
+            if v is None:
+                fold((m // B) * B, 1, 0, 0, None, None)
+            else:
+                fold((m // B) * B, 1, 1, _cents(v), v, v)
+    for _, r in agg.iterrows():
+        fold(
+            int(r["ms"]),
+            int(r["n"]),
+            int(r["nv"]),
+            int(r["cents"]),
+            None if pd.isna(r["v_min"]) else float(r["v_min"]),
+            None if pd.isna(r["v_max"]) else float(r["v_max"]),
+        )
+
+    expected: dict[int, list] = {}
+    for t, v in events:
+        if t <= g - W:
+            b = (t // B) * B
+            r = expected.setdefault(b, [0, 0, 0, None, None])
+            r[0] += 1
+            if v is not None:
+                r[1] += 1
+                r[2] += _cents(v)
+                r[3] = v if r[3] is None else min(r[3], v)
+                r[4] = v if r[4] is None else max(r[4], v)
+    assert merged == expected

@@ -64,6 +64,8 @@ WHITELIST: set[tuple[str, str]] = {
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
+    # same 1-row cutoff broadcast, post-drain over buffer+rollup rows
+    ("t22s_downsample_retention_stream", "nested_loop_join"),
     ("t28_slo_burn_alert", "nested_loop_join"),  # broadcast eval-time scalar
     # same 1-row eval-time broadcast, applied post-drain over the
     # (user, ms, is_err) count partials (t23s's flip, r7)
