@@ -293,17 +293,16 @@ def l2h_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("est_jaccard") >= 0.25)
 
 
-@register(
-    "l1_exact_dedup",
-    family="L1",
-    oracle="""
+L1_ORACLE = """
         SELECT sha256(text)  AS doc_hash,
                count(*)      AS n_copies,
                min(doc_id)   AS rep_id
         FROM documents
         GROUP BY sha256(text)
-    """,
-)
+    """
+
+
+@register("l1_exact_dedup", family="L1", oracle=L1_ORACLE)
 def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group on a content digest, keep the min-id
     representative. The shuffle ships 32-byte digests, not text — the only

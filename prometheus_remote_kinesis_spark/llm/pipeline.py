@@ -860,3 +860,74 @@ def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("lang", F.col("doc_id")).alias("lang"),
         F.count(F.lit(1)).alias("n_in_batch"),
     )
+
+
+@register(
+    "d15_manifest_compaction",
+    family="L7",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang, sha256(text) AS digest
+            FROM documents WHERE text IS NOT NULL
+        ),
+        seen AS (
+            SELECT * FROM d WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT * FROM d WHERE doc_id % 3 = 0
+        )
+        SELECT digest,
+               CAST(count(*) AS BIGINT)    AS n_seen,
+               CAST(min(doc_id) AS BIGINT) AS rep_id,
+               arg_min(lang, doc_id)       AS rep_lang
+        FROM seen
+        GROUP BY digest
+    """,
+)
+def d15_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST COMPACTION — the third leg of the incremental-ingest
+    triad (d13 screens exact dupes against the manifest, d14 screens
+    near-dups against the band manifest, d15 folds the day's batch INTO
+    the manifest): the at-rest manifest and the day's batch are both
+    per-digest PARTIAL aggregates (occurrence count, min-id
+    representative, argmin lang), and the refreshed manifest is their
+    union re-aggregated — count partials SUM, min partials MIN, argmin
+    partials ARGMIN-of-mins, all mergeable, so the merge NEVER rescans
+    the corpus. The oracle is the merge-equals-rebuild statement itself:
+    it builds the same manifest from scratch over snapshot ∪ batch
+    (re-crawls — ids divisible by 6 — appear in both legs and must
+    combine, n_seen = 2, exercising the overlapping-key path), and the
+    hash gate proves partial-merge == full-rebuild bit-for-bit.
+
+    At 100 TB this is how the d13/d14 manifests stay fresh: each
+    ingest's per-digest partials (a few dozen bytes per NEW digest)
+    merge into the manifest with one digest-keyed shuffle over
+    |manifest| + |batch| rows — no text, no corpus scan, and the
+    manifest stays a valid input for the next day's d13 anti-join.
+    Snapshot simulation follows d13: prior corpus = even doc_ids,
+    incoming batch = doc_id % 3 = 0, NULL text excluded on both paths
+    per the repo-wide text-op convention."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    d = docs.select(
+        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("digest")
+    )
+
+    def partials(part: DataFrame) -> DataFrame:
+        return part.groupBy("digest").agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.min("doc_id").alias("rep_id"),
+            F.min_by("lang", F.col("doc_id")).alias("rep_lang"),
+        )
+
+    manifest = partials(d.filter(F.col("doc_id") % 2 == 0))
+    batch = partials(d.filter(F.col("doc_id") % 3 == 0))
+    return (
+        manifest.unionByName(batch)
+        .groupBy("digest")
+        .agg(
+            F.sum("n_seen").alias("n_seen"),
+            F.min("rep_id").alias("rep_id"),
+            F.min_by("rep_lang", F.col("rep_id")).alias("rep_lang"),
+        )
+    )

@@ -52,6 +52,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     tumbling_rollup_5min,
     user_sessions,
 )
+from prometheus_remote_kinesis_spark.llm.dedup import L1_ORACLE
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import (
     _NANOS_TS_COLUMNS,
@@ -1220,3 +1221,32 @@ def t22s_downsample_retention_stream(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return recent.unionByName(old)
+
+
+@register("l1s_exact_dedup_stream", family="L1-stream", oracle=L1_ORACLE)
+def l1s_exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l1's exact document dedup EXECUTED BY the streaming engine — the
+    training-data ingest shape where a document stream (crawl output,
+    upload queue) is deduplicated AS IT ARRIVES rather than by a nightly
+    batch job. Identical expression tree: group on the sha2-256 content
+    digest, count copies, keep the min-id representative; the shuffle
+    and the state store carry 32-byte digests, never text (l1's 100 TB
+    rule — here it is also what keeps the streaming STATE small: one
+    (digest, count, min_id) row per distinct document). Complete-mode
+    agg + availableNow drain makes the result exactly the batch answer
+    against the SAME oracle.
+
+    At scale the state is O(distinct documents) — for an unbounded
+    ingest you bound it with the d13 manifest pattern (anti-join the
+    stream against the at-rest digest manifest, keep only the recent
+    horizon in streaming state) or t9s's watermarked
+    dropDuplicatesWithinWatermark when re-crawls cluster in time; the
+    unbounded form here is what makes the drain equal batch l1 exactly.
+    NULL text digests to NULL and forms the same NULL group on both
+    engines (pinned corpus-wide by test_null_input's text families)."""
+    docs = stream_table(spark, sf_dir, "documents")
+    agg = docs.groupBy(F.sha2("text", 256).alias("doc_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("rep_id"),
+    )
+    return run_to_batch(agg, "complete")

@@ -182,6 +182,11 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     "d12_vocab_coverage",
     "d13_incremental_dedup",
     "d14_incremental_neardup",
+    # r7 late additions: the streaming l1 twin (NULL text digests to a
+    # NULL group on both engines) and the manifest merge (NULL text
+    # excluded on both paths like d13).
+    "l1s_exact_dedup_stream",
+    "d15_manifest_compaction",
 ]
 
 
