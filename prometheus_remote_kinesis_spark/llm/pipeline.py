@@ -801,10 +801,7 @@ def d12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d13_incremental_dedup",
-    family="L7",
-    oracle="""
+D13_ORACLE = """
         WITH d AS (
             SELECT doc_id, lang, sha256(text) AS digest
             FROM documents WHERE text IS NOT NULL
@@ -825,8 +822,10 @@ def d12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT)    AS n_in_batch
         FROM fresh
         GROUP BY digest
-    """,
-)
+    """
+
+
+@register("d13_incremental_dedup", family="L7", oracle=D13_ORACLE)
 def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL (delta) exact dedup — the recurring-crawl shape the
     single-corpus d/l1 ops don't cover: an INCOMING batch is deduplicated
@@ -929,5 +928,154 @@ def d15_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_seen").alias("n_seen"),
             F.min("rep_id").alias("rep_id"),
             F.min_by("rep_lang", F.col("rep_id")).alias("rep_lang"),
+        )
+    )
+
+
+@register(
+    "d16_corpus_build_e2e",
+    family="L7",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+        ),
+        dedup AS (
+            SELECT doc_id, lang, text
+            FROM (SELECT b.*, min(doc_id) OVER (PARTITION BY sha256(text))
+                             AS rep
+                  FROM base b)
+            WHERE doc_id = rep
+        ),
+        quality AS (
+            SELECT * FROM dedup
+            WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80
+              AND length(regexp_replace(text, '[^a-z]', '', 'g')) * 100
+                  >= length(text) * 82
+        ),
+        eval_g AS (
+            SELECT DISTINCT g
+            FROM (SELECT unnest(list_transform(
+                      range(1, len(t) - {DECON_NGRAM} + 2),
+                      i -> array_to_string(
+                          list_slice(t, i, i + {DECON_NGRAM} - 1), ' '))) AS g
+                  FROM (SELECT string_split(text, ' ') AS t FROM base
+                        WHERE doc_id % 97 = 0))
+        ),
+        cand AS (SELECT * FROM quality WHERE doc_id % 97 <> 0),
+        contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(list_transform(
+                      range(1, len(t) - {DECON_NGRAM} + 2),
+                      i -> array_to_string(
+                          list_slice(t, i, i + {DECON_NGRAM} - 1), ' '))) AS g
+                  FROM (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM cand)) cg
+            JOIN eval_g USING (g)
+        ),
+        clean AS (
+            SELECT * FROM cand
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        train AS (
+            SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM clean
+            WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+                  % 100 < 80
+        ),
+        packed AS (
+            SELECT lang, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM train
+        )
+        SELECT lang,
+               CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+               count(*)                     AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        FROM packed
+        GROUP BY lang, chunk_id
+    """,
+)
+def d16_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus build — the d-family stages composed into ONE
+    plan, proving the engine runs the whole training-data pipeline a
+    reference user would run, not just its pieces: exact dedup (min-id
+    rep per sha2-256 digest, digest-partitioned window — the shuffle
+    carries digests) → quality gate (integer cross-multiplied
+    thresholds: 20–80 tokens, lowercase-alpha mass >= 82% of bytes —
+    integer predicates are tie-free across engines where a float ratio
+    compare is not) → benchmark decontamination (drop any doc sharing a
+    word 4-gram with the held-out eval slice; eval grams collapse to a
+    DISTINCT broadcast set per d3, survivors anti-join on doc_id) →
+    deterministic content-hash train split (md5 bucket < 80, d1's rule)
+    → token-budget sequence packing (d2's running-sum chunking).
+    Output: one row per (lang, chunk) with doc/token counts.
+
+    Every stage measurably bites at sf0.1 (8 dup docs, ~2.9k quality
+    rejects, 727 contaminated, ~20% split holdout); at sf0.01 the corpus
+    happens to be dup-free so stage 1 passes everything through —
+    membership, not arithmetic, is SF-dependent. Catalyst pipelines the
+    stage filters into a handful of stages: dedup's window and pack's
+    window each need one shuffle, decontam reuses d3's broadcast
+    semi-join shape (no raw-gram shuffle), and everything between is a
+    projection/filter — the composed plan shuffles raw text exactly
+    twice (dedup partition, lang repartition for packing), both
+    unavoidable for the semantics. The same chain at 100 TB swaps the
+    windows for their ledgered scale forms (d7's banded rank, d2's
+    salted sub-chunks) without touching the stage logic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    dd = (
+        docs.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .drop("rep")
+    )
+    n_tokens = F.size(F.split("text", " "))
+    alpha_len = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    quality = dd.filter(
+        n_tokens.between(20, 80)
+        & (alpha_len * 100 >= F.length("text") * 82)
+    )
+    eval_g = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(_ngrams(F.split("text", " "), DECON_NGRAM)).alias("g"))
+        .distinct()
+    )
+    cand = quality.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        cand.select(
+            "doc_id",
+            F.explode(_ngrams(F.split("text", " "), DECON_NGRAM)).alias("g"),
+        )
+        .join(F.broadcast(eval_g), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = cand.join(contaminated, "doc_id", "left_anti")
+    train = clean.filter(split_bucket(F.col("text")) < 80).select(
+        "lang", "doc_id", n_tokens.alias("n_tokens")
+    )
+    w2 = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w2), F.lit(0))
+    return (
+        train.select(
+            "lang",
+            "n_tokens",
+            F.floor(cum_before / PACK_BUDGET).alias("chunk_id"),
+        )
+        .groupBy("lang", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("chunk_tokens"),
         )
     )

@@ -53,6 +53,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     user_sessions,
 )
 from prometheus_remote_kinesis_spark.llm.dedup import L1_ORACLE
+from prometheus_remote_kinesis_spark.llm.pipeline import D13_ORACLE
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import (
     _NANOS_TS_COLUMNS,
@@ -1248,5 +1249,46 @@ def l1s_exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = docs.groupBy(F.sha2("text", 256).alias("doc_hash")).agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("rep_id"),
+    )
+    return run_to_batch(agg, "complete")
+
+
+@register(
+    "d13s_incremental_dedup_stream", family="L7-stream", oracle=D13_ORACLE
+)
+def d13s_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d13's incremental crawl dedup EXECUTED BY the streaming engine —
+    the true production shape of the incremental-ingest triad: the
+    incoming crawl batch arrives AS A STREAM and is deduplicated against
+    the at-rest digest manifest via a stream-STATIC left anti-join
+    (stateless per micro-batch: the static side is the broadcast-able
+    manifest, the stream never waits on it), then self-deduped to min-id
+    representatives with a complete-mode digest agg. The manifest is the
+    batch-built digest table of the prior snapshot (even doc_ids, d13's
+    simulation); the stream is the doc_id % 3 = 0 crawl. Shuffles and
+    state carry 32-byte digests, never text; same oracle as batch d13.
+
+    At 100 TB the anti-join side is the ~3 TB digest-only manifest —
+    too big to broadcast whole, so the production join is digest-
+    bucketed (the stream micro-batch shuffles on digest against the
+    bucketed manifest); state stays O(distinct fresh digests in the
+    batch), which is exactly the op's output."""
+    docs = stream_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    static = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0))
+        .select(F.sha2(F.col("text"), 256).alias("digest"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("digest")
+    )
+    fresh = incoming.join(static, "digest", "left_anti")
+    agg = fresh.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", F.col("doc_id")).alias("lang"),
+        F.count(F.lit(1)).alias("n_in_batch"),
     )
     return run_to_batch(agg, "complete")

@@ -187,6 +187,8 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     # excluded on both paths like d13).
     "l1s_exact_dedup_stream",
     "d15_manifest_compaction",
+    "d16_corpus_build_e2e",
+    "d13s_incremental_dedup_stream",
 ]
 
 
