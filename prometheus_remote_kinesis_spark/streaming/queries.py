@@ -53,7 +53,13 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     user_sessions,
 )
 from prometheus_remote_kinesis_spark.llm.dedup import L1_ORACLE
+from prometheus_remote_kinesis_spark.llm.multimodal import (
+    L6B_ORACLE,
+    extract_features,
+    synthesize_media_mix,
+)
 from prometheus_remote_kinesis_spark.llm.pipeline import D13_ORACLE
+from prometheus_remote_kinesis_spark.llm.similarity import dot
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import (
     _NANOS_TS_COLUMNS,
@@ -1292,3 +1298,115 @@ def d13s_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_in_batch"),
     )
     return run_to_batch(agg, "complete")
+
+
+@register("l6s_media_features_stream", family="L6-stream", oracle=L6B_ORACLE)
+def l6s_media_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l6b's full multimodal pipeline EXECUTED BY the streaming engine —
+    the L6 family's first streaming representative, covering the ingest
+    shape where media documents arrive continuously (upload queue, crawl
+    firehose) and are decoded/featurized on arrival instead of by a
+    nightly batch: document stream → ``synthesize_media_mix`` (real
+    PNG/BMP/WAV blobs) → ``mapInPandas`` feature extraction through the
+    REAL ``decode_media`` mime dispatcher. Both stages are STATELESS
+    ``mapInPandas`` row transforms, so the streaming plan needs no
+    state store at all — append mode, zero watermark, per-micro-batch
+    Arrow-batched decode — and the drain equals batch l6b exactly
+    against the SAME oracle (one output row per input row regardless of
+    micro-batch chopping; every feature is an integer-sum / count
+    quotient, so chunking cannot perturb the doubles).
+
+    At 100 TB this is the preferred decode topology: decode work is
+    embarrassingly parallel and CPU-bound, so the streaming executor
+    fleet sizes on decode throughput alone — no shuffle, no state, and
+    backpressure comes from micro-batch admission (maxFilesPerTrigger)
+    rather than any operator buffer."""
+    docs = stream_table(spark, sf_dir, "documents")
+    out = extract_features(synthesize_media_mix(docs)).select(
+        "doc_id", "mime", "feature"
+    )
+    return run_to_batch(out, "append")
+
+
+L4S_ORACLE = """
+    WITH qs AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 100
+    ),
+    scored AS (
+        SELECT qs.qid, e.vec_id AS nn_id,
+               round(list_dot_product(e.embedding::DOUBLE[], qs.qe)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qs.qe, qs.qe))), 6) AS cos_sim
+        FROM embeddings e CROSS JOIN qs
+        WHERE e.vec_id <> qs.qid
+    )
+    SELECT qid, nn_id, cos_sim
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cos_sim DESC, nn_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+"""
+
+
+@register("l4s_knn_top1_stream", family="L4-stream", oracle=L4S_ORACLE)
+def l4s_knn_top1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING nearest-neighbor tracking — the similarity family's
+    first streaming representative: a set of STANDING query vectors
+    (vec_id < 100, the static side) watches the corpus STREAM past and
+    maintains each query's best cosine match incrementally — the
+    "alert me when something similar arrives" serving shape that batch
+    l4 cannot express (it recomputes the full KNN each run).
+
+    Plan: stream-static inner join against the broadcast query side
+    (stateless per micro-batch — exactly batch l4's broadcast topology,
+    with per-side norms projected BELOW the join so each corpus row's
+    |dim|-element norm fold runs once, not once per query), then a
+    complete-mode groupBy(qid) keeping max(struct(cos_sim, -nn_id)):
+    lexicographic struct max is the deterministic argmax — highest
+    similarity, ties to the LOWEST neighbor id — matching the oracle's
+    ``ORDER BY cos_sim DESC, nn_id`` rank exactly. State is ONE struct
+    per standing query — O(|Q|), independent of corpus size — so at
+    100 TB the state store holds 100 rows while the corpus streams
+    through unbounded; this is the scale-defining difference from a
+    streaming top-k via collect_list (O(corpus) state, forbidden).
+    Rounding to 6 dp happens BEFORE the max, so the comparison operates
+    on the identical IEEE doubles the oracle ranks on."""
+    emb = stream_table(spark, sf_dir, "embeddings")
+    qs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qnorm"),
+        )
+    )
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("enorm"),
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("qe")) / (F.col("enorm") * F.col("qnorm")),
+        6,
+    )
+    scored = corpus.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("nn_id"), sim.alias("cos_sim")
+    )
+    agg = scored.groupBy("qid").agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"), (-F.col("nn_id")).alias("neg_id")
+            )
+        ).alias("best")
+    )
+    return run_to_batch(
+        agg.select(
+            "qid",
+            (-F.col("best.neg_id")).alias("nn_id"),
+            F.col("best.cos_sim").alias("cos_sim"),
+        ),
+        "complete",
+    )

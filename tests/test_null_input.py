@@ -189,6 +189,10 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     "d15_manifest_compaction",
     "d16_corpus_build_e2e",
     "d13s_incremental_dedup_stream",
+    # l6s: NULL text routes to the text/plain branch where BOTH engines
+    # coalesce the empty/NULL mean-byte quotient to 0.0 (l6b's contract);
+    # the streaming execution must preserve that on a NULL-bearing corpus.
+    "l6s_media_features_stream",
 ]
 
 

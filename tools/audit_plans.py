@@ -43,6 +43,11 @@ WHITELIST: set[tuple[str, str]] = {
     # Exact KNN broadcasts the (small) query side through a nested-loop
     # join by design; the scale paths are l4b (LSH) and l4c (IVF).
     ("l4_knn_join", "nested_loop_join"),
+    # l4s streams the corpus past the SAME broadcast query side (the
+    # stream-static twin of l4's topology); the != condition plans as
+    # BroadcastNestedLoopJoin with the ≤100-row standing-query side
+    # broadcast — per-micro-batch work is O(batch × |Q|), state O(|Q|).
+    ("l4s_knn_top1_stream", "nested_loop_join"),
     ("l4b_lsh_ann", "nested_loop_join"),  # per-bucket candidate join, tiny sides
     ("l4c_ivf_ann", "nested_loop_join"),  # probe×centroid, |centroids| rows
     ("l3_cosine_topk", "nested_loop_join"),  # 1-row query vector broadcast
