@@ -64,23 +64,21 @@ def language_id(text: Column) -> Column:
     return F.when(best > 0, pred).otherwise(F.lit("und"))
 
 
-@register(
-    "l5_token_stats",
-    family="L5",
-    oracle="""
-        SELECT lang,
-               count(*) AS n_docs,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-               round(avg(len(string_split(text, ' '))), 4)       AS avg_tokens,
-               CAST(sum(n_chars) AS BIGINT)                      AS total_chars
-        FROM documents
-        GROUP BY lang
-    """,
-)
-def l5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language corpus statistics (token counting + language
-    breakdown)."""
-    docs = load_table(spark, sf_dir, "documents")
+L5_ORACLE = """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 4)       AS avg_tokens,
+           CAST(sum(n_chars) AS BIGINT)                      AS total_chars
+    FROM documents
+    GROUP BY lang
+"""
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus statistics — shared by batch l5 and the l5s
+    streaming twin (avg accumulates an EXACT integer sum before the one
+    divide, so micro-batch merge order cannot perturb the double)."""
     n = token_count(F.col("text"))
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -88,6 +86,13 @@ def l5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(n), 4).alias("avg_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register("l5_token_stats", family="L5", oracle=L5_ORACLE)
+def l5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token counting + language
+    breakdown)."""
+    return token_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(

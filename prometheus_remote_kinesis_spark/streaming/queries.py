@@ -60,6 +60,7 @@ from prometheus_remote_kinesis_spark.llm.multimodal import (
 )
 from prometheus_remote_kinesis_spark.llm.pipeline import D13_ORACLE
 from prometheus_remote_kinesis_spark.llm.similarity import dot
+from prometheus_remote_kinesis_spark.llm.text import L5_ORACLE, token_stats
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import (
     _NANOS_TS_COLUMNS,
@@ -1409,4 +1410,24 @@ def l4s_knn_top1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.cos_sim").alias("cos_sim"),
         ),
         "complete",
+    )
+
+
+@register("l5s_token_stats_stream", family="L5-stream", oracle=L5_ORACLE)
+def l5s_token_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l5's per-language corpus statistics EXECUTED BY the streaming
+    engine — the text-analysis family's first streaming representative:
+    live corpus monitoring (tokens/docs/chars per language updating as
+    the crawl streams in) instead of a nightly recount. Identical
+    expression tree via the shared ``token_stats`` (complete-mode
+    groupBy(lang)); every aggregate is an exact integer sum — avg
+    included, which divides the exact token sum once at drain — so
+    micro-batch chopping and state-merge order cannot perturb a single
+    bit vs the batch answer. State is O(|lang|) rows of four counters —
+    constant in corpus size; the shuffle carries per-batch partial
+    counts, never text. Same oracle as batch l5; NULL text contributes
+    NULL token counts that both engines' sums skip while count(*) keeps
+    the row (pinned corpus-wide by the NULL-text gate)."""
+    return run_to_batch(
+        token_stats(stream_table(spark, sf_dir, "documents")), "complete"
     )

@@ -171,6 +171,9 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     "l2e_neardup_clusters",
     "l2h_minhash_md5",
     "l5_token_stats",
+    # l5s: same expression tree streaming-executed — NULL token counts
+    # skipped by sums while count(*) keeps the row, on both engines.
+    "l5s_token_stats_stream",
     "l5d_fingerprints",
     "l5e_language_id",
     "l5j_bm25",
