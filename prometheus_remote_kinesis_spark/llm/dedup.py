@@ -805,27 +805,12 @@ D14_ORACLE = """
 """
 
 
-@register("d14_incremental_neardup", family="L7", oracle=D14_ORACLE)
-def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental (delta) NEAR-dup screening — d13's recurring-crawl
-    shape applied to near-duplicates: the incoming batch (doc_id % 3 = 0)
-    probes the prior snapshot's LSH band-key manifest (DISTINCT
-    (band, key) of doc_id % 2 = 0) with its own MinHash(8)/LSH(4x2) band
-    keys; ``n_bands_hit`` counts colliding bands and any hit flags the
-    doc a near-dup candidate for pairwise verification (l2h's
-    estimator), while zero-hit docs — the common case in a healthy
-    crawl — skip every expensive downstream stage. Docs in both slices
-    (doc_id % 6 = 0) hit all 4 of their own bands: genuine re-crawls.
-
-    At 100 TB this is THE near-dedup access pattern: the corpus is never
-    re-shingled — its manifest is 4 short digest strings per doc
-    (same order as d13's 32-byte exact manifest), the incoming side is
-    the small daily batch, and the probe is one equi-join on (band, key)
-    carrying band digests, never text or signatures. Same md5 hash
-    family as l2h (`_md5_hash64`), so the whole pipeline — shingle,
-    signature fold, banding, manifest probe — is hash-compared against
-    DuckDB end to end."""
-    docs = shingled_docs(load_table(spark, sf_dir, "documents"))
+def md5_band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band keys via the md5 MinHash family —
+    shared by batch d14 and the d14s streaming twin (every stage is a
+    stateless projection: shingle transform, signature fold, band
+    explode — so it runs identically on a streaming DataFrame)."""
+    docs = shingled_docs(docs)
     init = F.array_repeat(F.lit(2**63 - 1).cast("long"), _MD5_PERMS)
     sig = F.aggregate(
         "sh",
@@ -859,6 +844,30 @@ def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
+    return banded
+
+
+@register("d14_incremental_neardup", family="L7", oracle=D14_ORACLE)
+def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) NEAR-dup screening — d13's recurring-crawl
+    shape applied to near-duplicates: the incoming batch (doc_id % 3 = 0)
+    probes the prior snapshot's LSH band-key manifest (DISTINCT
+    (band, key) of doc_id % 2 = 0) with its own MinHash(8)/LSH(4x2) band
+    keys; ``n_bands_hit`` counts colliding bands and any hit flags the
+    doc a near-dup candidate for pairwise verification (l2h's
+    estimator), while zero-hit docs — the common case in a healthy
+    crawl — skip every expensive downstream stage. Docs in both slices
+    (doc_id % 6 = 0) hit all 4 of their own bands: genuine re-crawls.
+
+    At 100 TB this is THE near-dedup access pattern: the corpus is never
+    re-shingled — its manifest is 4 short digest strings per doc
+    (same order as d13's 32-byte exact manifest), the incoming side is
+    the small daily batch, and the probe is one equi-join on (band, key)
+    carrying band digests, never text or signatures. Same md5 hash
+    family as l2h (`_md5_hash64`), so the whole pipeline — shingle,
+    signature fold, banding, manifest probe — is hash-compared against
+    DuckDB end to end."""
+    banded = md5_band_keys(load_table(spark, sf_dir, "documents"))
     manifest = (
         banded.filter(F.col("doc_id") % 2 == 0)
         .select("band", "key")

@@ -52,7 +52,11 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     tumbling_rollup_5min,
     user_sessions,
 )
-from prometheus_remote_kinesis_spark.llm.dedup import L1_ORACLE
+from prometheus_remote_kinesis_spark.llm.dedup import (
+    D14_ORACLE,
+    L1_ORACLE,
+    md5_band_keys,
+)
 from prometheus_remote_kinesis_spark.llm.multimodal import (
     L6B_ORACLE,
     extract_features,
@@ -1430,4 +1434,53 @@ def l5s_token_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row (pinned corpus-wide by the NULL-text gate)."""
     return run_to_batch(
         token_stats(stream_table(spark, sf_dir, "documents")), "complete"
+    )
+
+
+@register(
+    "d14s_incremental_neardup_stream", family="L7-stream", oracle=D14_ORACLE
+)
+def d14s_incremental_neardup_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """d14's incremental NEAR-dup screening EXECUTED BY the streaming
+    engine — completing the incremental-ingest triad's streaming story
+    (d13s covers the exact leg): the incoming crawl batch arrives AS A
+    STREAM, is shingled/MinHashed/banded per micro-batch (every stage in
+    ``md5_band_keys`` is a stateless projection — shingle transform,
+    signature fold, band explode — so it runs unchanged on a streaming
+    DataFrame), probes the prior snapshot's static LSH band-key manifest
+    via a stream-static LEFT join (stateless: the static side is the
+    broadcast-able DISTINCT (band, key) table), and folds the 4 band
+    verdicts per doc with a complete-mode groupBy(doc_id). State is one
+    (n_bands_hit) counter per incoming doc — O(batch), the operator's
+    own output, never the corpus; a live deployment watermark-evicts
+    docs once their 4 bands have arrived. Shuffles carry band digests,
+    never text or signatures; same oracle as batch d14."""
+    banded = md5_band_keys(
+        stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 0
+        )
+    )
+    manifest = (
+        md5_band_keys(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 2 == 0
+            )
+        )
+        .select("band", "key")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    agg = (
+        banded.join(manifest, ["band", "key"], "left")
+        .groupBy("doc_id")
+        .agg(n_hits.alias("n_bands_hit"))
+    )
+    return run_to_batch(
+        agg.select(
+            "doc_id", "n_bands_hit", (F.col("n_bands_hit") > 0).alias("is_candidate")
+        ),
+        "complete",
     )
