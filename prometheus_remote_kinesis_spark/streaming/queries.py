@@ -26,7 +26,7 @@ import itertools
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1483,4 +1483,99 @@ def d14s_incremental_neardup_stream(
             "doc_id", "n_bands_hit", (F.col("n_bands_hit") > 0).alias("is_candidate")
         ),
         "complete",
+    )
+
+
+A4S_ORACLE = """
+    WITH b AS (
+        SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, bucket
+    ),
+    c AS (
+        SELECT event_type, bucket, cnt,
+               coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM b
+    ),
+    e AS (
+        SELECT event_type, q.qi,
+               CAST(bucket AS DOUBLE)
+               + (ceil((q.qi * n) / 100.0) - cb) / cnt AS est
+        FROM c, (VALUES (50), (90), (99)) q(qi)
+        WHERE cb < ceil((q.qi * n) / 100.0)
+          AND ceil((q.qi * n) / 100.0) <= cb + cnt
+    )
+    SELECT event_type,
+           max(CASE WHEN qi = 50 THEN est END) AS p50_sketch,
+           max(CASE WHEN qi = 90 THEN est END) AS p90_sketch,
+           max(CASE WHEN qi = 99 THEN est END) AS p99_sketch
+    FROM e GROUP BY event_type
+"""
+
+
+@register("a4s_quantile_sketch_stream", family="A4-stream", oracle=A4S_ORACLE)
+def a4s_quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantiles — the A4 family's first streaming
+    representative, built the only way unbounded-stream quantiles can
+    be: a MERGEABLE sketch, not the exact order statistic (Spark
+    forbids percentile on streams, and rightly — exact quantiles need
+    the full multiset). The sketch is a fixed-width histogram: bucket =
+    floor(value), one (event_type, bucket) count in complete-mode state
+    — integer partials, mergeable across micro-batches in any order, so
+    chop-invariance is free. Drain-time reconstruction (batch, over the
+    ~2 k-row sketch) ranks r = ceil(q·n), finds the bucket whose
+    cumulative range covers r, and interpolates uniformly within it:
+    est = bucket + (r − cum_before)/cnt. Every input to the estimator
+    is an integer (bucket, counts, rank), so Spark and DuckDB derive
+    the identical IEEE doubles — the ORACLE recomputes the SAME sketch
+    estimator, making a deliberately-approximate operator hash-exact
+    (a4b's GK sketch stays rows-only; this is the oracle-backed
+    streaming quantile). NULL values (staleness markers) are excluded
+    identically on both engines.
+
+    At 100 TB: state is O(types × value-range/width) — bounded by the
+    DOMAIN, not the stream; this is the classic monitoring-system
+    trade (Prometheus le-histograms, a10's shape) where accuracy is
+    the bucket width and memory never grows with volume."""
+    events = stream_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    sketch = run_to_batch(
+        events.groupBy(
+            "event_type", F.floor("value").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("cnt")),
+        "complete",
+    )
+    w_before = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = sketch.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_before), F.lit(0)).alias("cb"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    e = c.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        "cb",
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("qi"),
+        F.ceil((F.col("qi") * F.col("n")) / F.lit(100.0)).alias("r"),
+    ).filter((F.col("cb") < F.col("r")) & (F.col("r") <= F.col("cb") + F.col("cnt")))
+    est = F.col("bucket").cast("double") + (F.col("r") - F.col("cb")) / F.col("cnt")
+    return (
+        e.select("event_type", "qi", est.alias("est"))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("qi") == 50, F.col("est"))).alias("p50_sketch"),
+            F.max(F.when(F.col("qi") == 90, F.col("est"))).alias("p90_sketch"),
+            F.max(F.when(F.col("qi") == 99, F.col("est"))).alias("p99_sketch"),
+        )
     )

@@ -109,6 +109,9 @@ _NULL_ORACLE_FAMILIES = [
     "t24s_vector_matching_stream",
     "t27s_count_values_stream",
     "t28s_slo_burn_alert_stream",
+    # a4s: NULL metric values (staleness markers) are excluded from the
+    # bucket sketch identically on both engines (WHERE value IS NOT NULL).
+    "a4s_quantile_sketch_stream",
 ]
 
 
