@@ -65,6 +65,7 @@ from prometheus_remote_kinesis_spark.llm.multimodal import (
 from prometheus_remote_kinesis_spark.llm.pipeline import D13_ORACLE
 from prometheus_remote_kinesis_spark.llm.similarity import dot
 from prometheus_remote_kinesis_spark.llm.text import L5_ORACLE, token_stats
+from prometheus_remote_kinesis_spark.operators.relational import _M2_CDC
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import (
     _NANOS_TS_COLUMNS,
@@ -1577,5 +1578,62 @@ def a4s_quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("qi") == 50, F.col("est"))).alias("p50_sketch"),
             F.max(F.when(F.col("qi") == 90, F.col("est"))).alias("p90_sketch"),
             F.max(F.when(F.col("qi") == 99, F.col("est"))).alias("p99_sketch"),
+        )
+    )
+
+
+@register("m2s_cdc_apply_stream", family="ETL-stream", oracle=_M2_CDC)
+def m2s_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m2's CDC apply with the change feed arriving AS A STREAM — the
+    lakehouse streaming-upsert shape (Kafka/CDC topic → continuously
+    maintained last-writer-wins image): versioned upserts/deletes stream
+    in and a complete-mode groupBy(key) keeps
+    max(struct(version, o_orderkey, op, new_val)) — lexicographic struct
+    max IS last-writer-wins with m2's exact tie order (version DESC then
+    orderkey DESC picks the same winner as the oracle's row_number), and
+    the op/new_val fields ride along since (version, orderkey) is unique.
+    State is ONE struct per changed key — O(churned keys), independent
+    of change-stream length, and merge-order-invariant so micro-batch
+    chopping cannot flip a winner. The drained change image then applies
+    to the base snapshot exactly as batch m2: one outer join, U rewrites,
+    D drops, untouched keys pass through. Same oracle as m2; at scale
+    the drained image is ≪ the snapshot and broadcasts, so the snapshot
+    never shuffles — the same topology a foreachBatch MERGE sink runs
+    per micro-batch."""
+    changes = (
+        stream_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+        )
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("version"),
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("o_totalprice").alias("new_val"),
+        )
+    )
+    agg = changes.groupBy("k").agg(
+        F.max(F.struct("version", "o_orderkey", "op", "new_val")).alias("b")
+    )
+    last = run_to_batch(agg, "complete").select(
+        "k", F.col("b.op").alias("op"), F.col("b.new_val").alias("new_val")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(last, cust.c_custkey == last.k, "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.round(
+                F.when(F.col("op") == "U", F.col("new_val")).otherwise(
+                    F.col("c_acctbal")
+                ),
+                2,
+            ).alias("balance"),
+            F.coalesce(F.col("op"), F.lit("N")).alias("last_op"),
         )
     )
