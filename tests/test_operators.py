@@ -180,3 +180,39 @@ def test_w3b_decomposition_boundary_cases(spark, tmp_path):
     # not 299999; ms=900001's frame excludes 600000 by 1 ms
     assert direct[6] == (112.0, 3)
     assert direct[7] == (128.0, 1)
+
+
+def test_quantile_sketch_value_error_bound(spark):
+    """a4s: the streaming histogram sketch's estimate interpolates inside
+    the bucket containing the rank-⌈q·n⌉ order statistic, so its VALUE
+    error against that statistic is strictly less than one bucket width
+    (W=1.0) — the documented accuracy-vs-memory trade. The oracle pair
+    pins cross-engine equality of the estimator; this pins the estimator
+    against ground truth."""
+    import math
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    q = all_queries()
+    sketch = {
+        r.event_type: r
+        for r in q["a4s_quantile_sketch_stream"].fn(spark, SF_SMOKE).collect()
+    }
+    values: dict[str, list[float]] = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .where("value IS NOT NULL")
+        .collect()
+    ):
+        values.setdefault(r.event_type, []).append(r.value)
+
+    assert set(values) == set(sketch)
+    for t, vals in values.items():
+        vals.sort()
+        n = len(vals)
+        for qi, col in ((50, "p50_sketch"), (90, "p90_sketch"), (99, "p99_sketch")):
+            est = float(sketch[t][col])
+            exact = vals[math.ceil(qi * n / 100.0) - 1]  # rank-⌈q·n⌉ statistic
+            assert abs(est - exact) < 1.0, (t, col, est, exact, n)
