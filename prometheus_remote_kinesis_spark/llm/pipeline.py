@@ -1017,14 +1017,20 @@ def d16_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects, 727 contaminated, ~20% split holdout); at sf0.01 the corpus
     happens to be dup-free so stage 1 passes everything through —
     membership, not arithmetic, is SF-dependent. Catalyst pipelines the
-    stage filters into a handful of stages: dedup's window and pack's
-    window each need one shuffle, decontam reuses d3's broadcast
-    semi-join shape (no raw-gram shuffle), and everything between is a
-    projection/filter — the composed plan shuffles raw text exactly
-    twice (dedup partition, lang repartition for packing), both
-    unavoidable for the semantics. The same chain at 100 TB swaps the
-    windows for their ledgered scale forms (d7's banded rank, d2's
-    salted sub-chunks) without touching the stage logic."""
+    stage filters into a handful of stages, and raw text crosses the
+    wire EXACTLY ONCE (the dedup window's digest partition — pinned by
+    ``test_corpus_build_shuffles_text_once``): the contaminated-id set
+    is deliberately computed from the quality-prefiltered but PRE-dedup
+    scan, a superset whose extra ids the anti-join ignores (any doc in
+    ``cand`` is flagged by both formulations — the oracle keeps the
+    from-cand form and hashes identically), because deriving it from
+    ``cand`` would make Catalyst re-derive the whole dedup-window
+    subtree and shuffle text a second time. The gram join shuffles only
+    4-gram strings against the broadcast eval set (d3's shape), and the
+    packing window shuffles (lang, n_tokens, doc_id) — integers, text
+    already dropped. The same chain at 100 TB swaps the windows for
+    their ledgered scale forms (d7's banded rank, d2's salted
+    sub-chunks) without touching the stage logic."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -1048,8 +1054,17 @@ def d16_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cand = quality.filter(F.col("doc_id") % 97 != 0)
+    # Superset decontam probe: quality-prefiltered but PRE-dedup, so this
+    # branch is scan→filter→explode (no window, no text shuffle); extra
+    # ids (dup losers) can't survive the anti-join because they are not
+    # in cand. Equivalent to probing cand itself — see docstring.
     contaminated = (
-        cand.select(
+        docs.filter(
+            n_tokens.between(20, 80)
+            & (alpha_len * 100 >= F.length("text") * 82)
+            & (F.col("doc_id") % 97 != 0)
+        )
+        .select(
             "doc_id",
             F.explode(_ngrams(F.split("text", " "), DECON_NGRAM)).alias("g"),
         )

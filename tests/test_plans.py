@@ -375,3 +375,24 @@ def test_oracle_output_types_are_materialization_safe():
 
     bad = aot.audit()
     assert not bad, bad
+
+
+def test_corpus_build_shuffles_text_once(spark):
+    """d16: the composed corpus-build plan moves raw document text
+    across the wire exactly once — the dedup window's digest partition.
+    The decontam branch probes a pre-dedup superset precisely so
+    Catalyst does NOT re-derive the dedup-window subtree (which would
+    shuffle text a second time); gram, id, and packing exchanges carry
+    short strings or integers. At 100 TB each avoided text shuffle is
+    the corpus over the network."""
+    import re
+
+    plan = formatted_plan(Q["d16_corpus_build_e2e"].fn(spark, SF_SMOKE))
+    blocks = [b.strip() for b in plan.split("\n\n") if b.strip()]
+    text_exchanges = [
+        b.splitlines()[0]
+        for b in blocks
+        if re.match(r"\(\d+\) Exchange", b.splitlines()[0])
+        and re.search(r"\btext#\d+", b)
+    ]
+    assert len(text_exchanges) == 1, (text_exchanges, plan)
