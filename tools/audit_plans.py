@@ -95,6 +95,11 @@ WHITELIST: set[tuple[str, str]] = {
     # Banded since r4 (w1c's shape): the only global window runs over the
     # tiny band-count aggregate, never the fact table.
     ("w1b_rank_family", "global_window"),
+    # d16's dedup window partitions full rows by content digest — the ONE
+    # text-carrying key shuffle in the fleet, pinned to exactly one by
+    # test_corpus_build_shuffles_text_once (the decontam branch was
+    # restructured in r7 to avoid a second).
+    ("d16_corpus_build_e2e", "text_key_exchange"),
 }
 
 
@@ -135,6 +140,22 @@ def audit_one(name: str, plan: str) -> list[str]:
             break
     if "Scan ExistingRDD" in plan:
         flags.append("rdd_scan")
+    # Key-partitioned exchange carrying raw document text: at 100 TB a
+    # hash/range shuffle whose payload includes `text` moves the corpus
+    # over the network. Round-robin repartitions are NOT flagged — those
+    # are deliberate parallelism-creators for per-row heavy compute over
+    # the single-file driver testdata (l2*/d9/d14/d3b), with no key.
+    for b in plan.split("\n\n"):
+        s = b.strip()
+        if not s:
+            continue
+        if (
+            re.match(r"\(\d+\) Exchange", s.splitlines()[0])
+            and re.search(r"\btext#\d+", s)
+            and re.search(r"hashpartitioning|rangepartitioning", s)
+        ):
+            flags.append("text_key_exchange")
+            break
     return flags
 
 
