@@ -685,3 +685,101 @@ def l4f_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.select("qid", "nn_id", "cos_sim", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "l4g_ann_index_build_e2e",
+    family="L4",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   round(127.0 / maxabs, 6) AS scale,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs))
+                                 AS INTEGER)) AS qv
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+                FROM embeddings
+            )
+        ),
+        r AS (
+            SELECT vec_id, scale,
+                   md5(array_to_string(qv, ',')) AS digest,
+                   (CASE WHEN qv[1] >= 0 THEN 1  ELSE 0 END
+                  + CASE WHEN qv[2] >= 0 THEN 2  ELSE 0 END
+                  + CASE WHEN qv[3] >= 0 THEN 4  ELSE 0 END
+                  + CASE WHEN qv[4] >= 0 THEN 8  ELSE 0 END
+                  + CASE WHEN qv[5] >= 0 THEN 16 ELSE 0 END
+                  + CASE WHEN qv[6] >= 0 THEN 32 ELSE 0 END) AS bucket,
+                   list_sum(qv) AS qsum
+            FROM q
+        ),
+        dd AS (
+            SELECT * FROM (SELECT r.*, min(vec_id) OVER (PARTITION BY digest)
+                                  AS rep
+                           FROM r)
+            WHERE vec_id = rep
+        )
+        SELECT CAST(bucket AS INTEGER)  AS bucket,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               min(scale)               AS min_scale,
+               max(scale)               AS max_scale,
+               CAST(sum(qsum) AS BIGINT) AS qsum_total
+        FROM dd GROUP BY bucket
+    """,
+)
+def l4g_ann_index_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END ANN index build — the embedding-side sibling of d16's
+    corpus build, composing the similarity family's stages into ONE
+    plan: int8 quantization (d6's exact expressions — per-vector max-abs
+    scale, round-to-int) → exact vector dedup on the QUANTIZED
+    serialization (dedup keys on the md5 digest of the int string, not
+    the float vector, because int→string formatting is cross-engine
+    identical where float formatting is not) → deterministic sign-bucket
+    assignment (l4e's 6-coordinate partition, computed from the
+    quantized ints so both engines see the same signs) → per-bucket
+    index summary (vector count, scale range, integer checksum).
+
+    Payload discipline: bucket, digest, scale, and the integer checksum
+    are all computed ROW-LOCALLY before the dedup window, so the one
+    key shuffle carries (vec_id, digest, bucket, scale, qsum) — never
+    the float vector or the quantized array (the text_key_exchange
+    audit's rule applied to vectors). min/max/count/integer-sum
+    aggregates are order-independent, so no float-accumulation hazard
+    anywhere. At 100 TB this is the index-build topology: one compact
+    shuffle to dedup, one to aggregate per bucket; the vectors
+    themselves stay columnar at rest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scaled = emb.select("vec_id", "embedding", maxabs.alias("maxabs"))
+    scale = F.lit(127.0) / F.col("maxabs")
+    q = scaled.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
+        ).alias("qv"),
+    )
+    bucket = sum(
+        F.when(F.element_at("qv", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_SIGN_DIMS)
+    )
+    r = q.select(
+        "vec_id",
+        "scale",
+        F.md5(F.concat_ws(",", F.col("qv").cast("array<string>"))).alias("digest"),
+        bucket.alias("bucket"),
+        F.aggregate("qv", F.lit(0), lambda a, x: a + x).alias("qsum"),
+    )
+    w = Window.partitionBy("digest")
+    dd = r.withColumn("rep", F.min("vec_id").over(w)).filter(
+        F.col("vec_id") == F.col("rep")
+    )
+    return dd.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("scale").alias("min_scale"),
+        F.max("scale").alias("max_scale"),
+        F.sum("qsum").cast("long").alias("qsum_total"),
+    )

@@ -151,7 +151,7 @@ def audit_one(name: str, plan: str) -> list[str]:
             continue
         if (
             re.match(r"\(\d+\) Exchange", s.splitlines()[0])
-            and re.search(r"\btext#\d+", s)
+            and re.search(r"\b(?:text|embedding|media)#\d+", s)
             and re.search(r"hashpartitioning|rangepartitioning", s)
         ):
             flags.append("text_key_exchange")
