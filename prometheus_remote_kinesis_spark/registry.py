@@ -185,8 +185,13 @@ _PRIORITY = (
     "l5f_tfidf",
     "l6d_media_decode",
     "l6e_png_decode",
-    # D: training-data pipeline
-    "d9_substring_dedup",
+    # D: training-data pipeline. Late-r7 swap within the family: OUT
+    # d9_substring_dedup (driver-green r3–r6, stays bit-exact locally)
+    # → IN d16_corpus_build_e2e (never driver-checked; the composed
+    # dedup→quality→decontam→split→pack plan subsumes five d-stages in
+    # one hash check, and its decontam branch was just restructured to
+    # kill a text shuffle — worth confirming in the driver's env).
+    "d16_corpus_build_e2e",
 )
 
 
