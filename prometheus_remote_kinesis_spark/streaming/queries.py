@@ -1637,3 +1637,68 @@ def m2s_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("op"), F.lit("N")).alias("last_op"),
         )
     )
+
+
+L2S_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                   CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN list_transform(
+                               range(1, len(string_split(text, ' ')) - 1),
+                               i -> string_split(text, ' ')[i] || ' ' ||
+                                    string_split(text, ' ')[i+1] || ' ' ||
+                                    string_split(text, ' ')[i+2])
+                        ELSE [text] END)) AS shingle
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    h AS (
+        SELECT doc_id, p.i AS perm,
+               min(('0x' || substring(md5(shingle || ':' || p.i), 1, 15))::BIGINT)
+                   AS mh
+        FROM sh, range(8) p(i)
+        GROUP BY doc_id, p.i
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY perm) AS sig FROM h GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.i AS band,
+               CAST(sig[b.i*2 + 1] AS VARCHAR) || '|' ||
+               CAST(sig[b.i*2 + 2] AS VARCHAR) AS key
+        FROM sig, range(4) b(i)
+    )
+    SELECT band, key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id)              AS first_doc
+    FROM bands
+    GROUP BY band, key
+    HAVING count(*) >= 2
+"""
+
+
+@register("l2s_band_collision_stream", family="L2-stream", oracle=L2S_ORACLE)
+def l2s_band_collision_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream LSH band-collision monitor — the near-dup family's
+    WITHIN-stream representative (d14s covers stream-vs-manifest): as
+    documents arrive they are shingled/MinHashed/banded per micro-batch
+    (``md5_band_keys``, all stateless projections) and a complete-mode
+    groupBy(band, key) counts collisions — any band key reaching 2+
+    docs is a near-dup candidate GROUP surfaced with its first-seen
+    representative, the alerting half of l2's batch pair pipeline
+    (pairwise Jaccard verification then routes through d14's path).
+    State is one (count, min_id) row per DISTINCT band key — ~4 short
+    digest rows per distinct document, the same order as the d13/d14
+    manifests, and the shuffle carries band digests, never text or
+    signatures. For an unbounded ingest the key domain is bounded the
+    same way as l1s: age out via the at-rest manifest (d14's probe) or
+    a watermarked horizon; unbounded here so the drain equals the batch
+    banding exactly, against a DuckDB re-derivation of the whole
+    MinHash pipeline (same md5 hash family as l2h/d14)."""
+    agg = (
+        md5_band_keys(stream_table(spark, sf_dir, "documents"))
+        .groupBy("band", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+    return run_to_batch(agg, "complete").filter(F.col("n_docs") >= 2)

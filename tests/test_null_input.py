@@ -188,9 +188,10 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     "d12_vocab_coverage",
     "d13_incremental_dedup",
     "d14_incremental_neardup",
-    # d14s: same banding tree streaming-executed — NULL text excluded by
-    # shingled_docs on the stream exactly as batch d14's manifest side.
+    # d14s/l2s: same banding tree streaming-executed — NULL text excluded
+    # by shingled_docs on the stream exactly as batch d14's manifest side.
     "d14s_incremental_neardup_stream",
+    "l2s_band_collision_stream",
     # r7 late additions: the streaming l1 twin (NULL text digests to a
     # NULL group on both engines) and the manifest merge (NULL text
     # excluded on both paths like d13).
