@@ -23,6 +23,17 @@ path (``toPandas``). Rationale:
   warm passes is robust to a one-off scheduler/page-cache stall while
   keeping the same headline set and JSON shape; ``runs`` records the
   pass count.
+- CAVEAT, made explicit in r7: re-executing the SAME DataFrame lets
+  Spark reuse the previous pass's shuffle-map outputs (stage skipping),
+  so the warm number under-counts pre-shuffle compute for shuffle-heavy
+  queries. It is kept as the headline for round-over-round
+  comparability (every prior round measured the same way). The
+  ``fresh_total``/``queries_fresh`` fields added in r7 time ONE pass of
+  a freshly-built plan per query (new lineage → no stage reuse). Note
+  they INCLUDE the per-call Py4J plan construction + analysis (~0.4 s
+  client-side at sf0.1), so a prepared-plan deployment over new data
+  pays something between ``value`` (stage-reuse floor) and
+  ``fresh_total`` (rebuild ceiling).
 """
 
 from __future__ import annotations
@@ -58,6 +69,16 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    # Fresh-lineage pass (r7): one timed execution of a NEWLY-built plan
+    # per query, so Spark cannot reuse the warm passes' shuffle-map
+    # outputs — see the docstring caveat. Separate keys; the headline
+    # stays the warm median for cross-round comparability.
+    fresh: dict[str, float] = {}
+    for name, fn in sorted(bench_queries().items()):
+        t0 = time.time()
+        fn(spark, sf_dir).toPandas()
+        fresh[name] = round(time.time() - t0, 3)
+
     # Layer-A relay throughput (records/sec), directly comparable to the
     # BASELINE.md ceilings (reference ticker: 50 rec/s; AWS shard quota:
     # 1000 rec/s). Extra keys on the same single JSON line.
@@ -76,6 +97,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": RUNS,
+                # r7: fresh-lineage single pass (no shuffle-stage reuse);
+                # the honest per-trigger-with-new-data cost. Headline
+                # `value` stays the warm median for comparability.
+                "fresh_total": round(sum(fresh.values()), 3),
+                "queries_fresh": fresh,
                 "sf": sf,
                 "relay_records_per_sec": relay["value"],
                 "relay_cold_records_per_sec": relay["cold_records_per_sec"],
