@@ -1094,3 +1094,122 @@ def d16_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_tokens").cast("long")).alias("chunk_tokens"),
         )
     )
+
+
+# d17: segment width in tokens. 8 gives the CCNet "paragraph" regime on
+# this corpus: ~3.6k segments at sf0.01 of which ~175 are cross-/in-doc
+# duplicates, so the dedup branch is exercised (non-vacuous) while most
+# documents survive intact.
+SEG_W = 8
+
+
+def _segments(t: Column, n_segs: Column) -> Column:
+    """Non-overlapping SEG_W-token segment texts of token array ``t``."""
+    return F.transform(
+        F.sequence(F.lit(0), n_segs.cast("int") - 1),
+        lambda i: F.array_join(F.slice(t, i * SEG_W + 1, SEG_W), " "),
+    )
+
+
+@register(
+    "d17_segment_dedup",
+    family="L7",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        segs AS (
+            SELECT doc_id,
+                   CAST(s.i - 1 AS BIGINT) AS seg_idx,
+                   CAST(ceil(len(t) / {SEG_W}.0) AS BIGINT) AS n_total,
+                   array_to_string(
+                       list_slice(t, (s.i - 1) * {SEG_W} + 1,
+                                  (s.i - 1) * {SEG_W} + {SEG_W}), ' ')
+                       AS seg_text
+            FROM toks,
+                 LATERAL unnest(range(1,
+                     CAST(ceil(len(t) / {SEG_W}.0) AS BIGINT) + 1)) AS s(i)
+        ),
+        keep AS (
+            SELECT min(doc_id * 1000000 + seg_idx) AS kk
+            FROM segs GROUP BY seg_text
+        ),
+        kept AS (
+            SELECT CAST(kk // 1000000 AS BIGINT) AS doc_id,
+                   CAST(kk % 1000000 AS BIGINT) AS seg_idx
+            FROM keep
+        )
+        SELECT s.doc_id,
+               array_to_string(list(s.seg_text ORDER BY s.seg_idx), ' ')
+                   AS text_dedup,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               any_value(s.n_total) AS n_total
+        FROM segs s JOIN kept k USING (doc_id, seg_idx)
+        GROUP BY s.doc_id
+    """,
+)
+def d17_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly (the CCNet /
+    RedPajama-v2 pipeline stage): split every document into fixed
+    SEG_W-token segments, keep only the globally FIRST occurrence of each
+    distinct segment (first = lexicographic min (doc_id, seg_idx)), and
+    re-emit each surviving document as its kept segments re-joined in
+    original order. Complements l1 (whole-doc dedup) and d9 (substring
+    spans): this is the sub-document dedup granularity real crawl
+    pipelines run, where boilerplate paragraphs repeat across otherwise
+    distinct pages. Documents whose every segment first occurred
+    elsewhere drop out entirely (inner join, identical on both engines).
+
+    Scale shape (100 TB): segmentation is the d11 mechanism — pure
+    column expressions, explode stays inside WholeStageCodegen, zero
+    shuffle. The keeper election groupBy's a sha2 DIGEST of the segment
+    and its exchange carries only (digest, packed bigint) — never text.
+    Keeper positions re-aggregate to one int-array row per doc (integer
+    payload). Raw text crosses the wire AT MOST ONCE: at broadcastable
+    keeper-side sizes Catalyst plans the reassembly join as
+    BroadcastHashJoin over the scanned docs (ZERO text exchanges — the
+    measured sf plan); past the broadcast threshold it degrades to one
+    doc_id-keyed SMJ exchange, document-granular, each byte moving once
+    (pinned ≤1 by tests/test_plans.py::test_segment_dedup_text_shuffle_
+    discipline), and a production deployment that buckets `documents`
+    by doc_id makes even that exchange-free.
+    Reassembly itself is a projection (re-split + index filter), NOT a
+    groupBy of segment rows, so no segment-granular text ever shuffles.
+    The (doc_id*1e6+seg_idx) packing is exact for docs under 1e6
+    segments (8M tokens); beyond that use a struct min — same plan.
+
+    NULL text is excluded on BOTH engines (WHERE text IS NOT NULL — the
+    CLAUDE.md convention; Spark would otherwise segment NULL as ['']).
+    All counters are BIGINT; segment text equality is exact string
+    equality, so the hash check is engine-deterministic end to end."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.split("text", " ")
+    n_segs = F.ceil(F.size(t) / float(SEG_W))
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(_segments(t, n_segs)).alias("seg_idx", "seg_text"),
+    )
+    keep = segs.groupBy(F.sha2("seg_text", 256).alias("dg")).agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("seg_idx")).alias("kk")
+    )
+    kept_per_doc = (
+        keep.select(
+            F.expr("kk DIV 1000000").alias("doc_id"),
+            F.expr("CAST(kk % 1000000 AS INT)").alias("seg_idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("seg_idx")).alias("kept"))
+    )
+    return docs.join(kept_per_doc, "doc_id").select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("kept"),
+                lambda i: F.array_join(F.slice(t, i * SEG_W + 1, SEG_W), " "),
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        n_segs.cast("bigint").alias("n_total"),
+    )

@@ -557,3 +557,49 @@ def test_knn_pq_recall_and_determinism(spark):
     assert len(exact & pq) / len(exact) > 0.7
     again = {(r["qid"], r["nn_id"]) for r in l4f_pq_ann(spark, SF_SMOKE).collect()}
     assert pq == again
+
+
+def test_segment_dedup_first_occurrence_semantics(spark):
+    """d17: recompute the keeper election in plain Python and check the
+    Spark result against it — every kept segment is the globally FIRST
+    occurrence of its text (lexicographic (doc_id, seg_idx) min), kept
+    segments are an order-preserving subsequence of the doc's original
+    segments, and the corpus actually contains duplicate segments at
+    this SF (the dedup branch is exercised, not vacuous)."""
+    from prometheus_remote_kinesis_spark.llm.pipeline import SEG_W
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .where(F.col("text").isNotNull())
+        .collect()
+    }
+    segments = {}  # (doc_id, seg_idx) -> seg_text
+    first = {}  # seg_text -> (doc_id, seg_idx)
+    for doc_id in sorted(docs):
+        t = docs[doc_id]
+        for i in range(0, (len(t) + SEG_W - 1) // SEG_W):
+            s = " ".join(t[i * SEG_W : i * SEG_W + SEG_W])
+            segments[(doc_id, i)] = s
+            first.setdefault(s, (doc_id, i))
+    expect = {}  # doc_id -> (text_dedup, n_kept, n_total)
+    for doc_id in sorted(docs):
+        n_total = (len(docs[doc_id]) + SEG_W - 1) // SEG_W
+        kept = [
+            segments[(doc_id, i)]
+            for i in range(n_total)
+            if first[segments[(doc_id, i)]] == (doc_id, i)
+        ]
+        if kept:
+            expect[doc_id] = (" ".join(kept), len(kept), n_total)
+
+    n_dups = len(segments) - len(first)
+    assert n_dups > 0, "corpus has no duplicate segments; d17 is vacuous"
+
+    got = {
+        r.doc_id: (r.text_dedup, r.n_kept, r.n_total)
+        for r in all_queries()["d17_segment_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -203,6 +203,10 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     # coalesce the empty/NULL mean-byte quotient to 0.0 (l6b's contract);
     # the streaming execution must preserve that on a NULL-bearing corpus.
     "l6s_media_features_stream",
+    # d17: NULL-text docs are excluded BEFORE segmentation on both
+    # engines (Spark would otherwise segment NULL as [''] and a NULL doc
+    # would steal keeper slots from every real empty-ish segment).
+    "d17_segment_dedup",
 ]
 
 

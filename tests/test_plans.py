@@ -396,3 +396,34 @@ def test_corpus_build_shuffles_text_once(spark):
         and re.search(r"\btext#\d+", b)
     ]
     assert len(text_exchanges) == 1, (text_exchanges, plan)
+
+
+def test_segment_dedup_text_shuffle_discipline(spark):
+    """d17: raw document text crosses the wire AT MOST once. At
+    broadcastable keeper-side sizes the reassembly join plans as
+    BroadcastHashJoin over the scanned docs (zero text exchanges); past
+    the broadcast threshold it degrades to exactly one doc_id-keyed
+    exchange. The keeper-election and keeper-position exchanges must
+    carry only digests/integers — segment-granular text NEVER shuffles
+    (the reassembly is a projection re-split, not a groupBy of segment
+    rows)."""
+    import re
+
+    plan = formatted_plan(Q["d17_segment_dedup"].fn(spark, SF_SMOKE))
+    blocks = [b.strip() for b in plan.split("\n\n") if b.strip()]
+    text_exchanges = [
+        b.splitlines()[0]
+        for b in blocks
+        if re.match(r"\(\d+\) Exchange", b.splitlines()[0])
+        and re.search(r"\btext#\d+", b)
+    ]
+    assert len(text_exchanges) <= 1, (text_exchanges, plan)
+    # seg_text must never appear in ANY exchange payload (digest-only
+    # keeper election): the aggregate consumes it map-side.
+    seg_text_exchanges = [
+        b.splitlines()[0]
+        for b in blocks
+        if re.match(r"\(\d+\) (?:Broadcast)?Exchange", b.splitlines()[0])
+        and "seg_text" in b
+    ]
+    assert not seg_text_exchanges, (seg_text_exchanges, plan)
