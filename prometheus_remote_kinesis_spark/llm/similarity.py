@@ -783,3 +783,160 @@ def l4g_ann_index_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("scale").alias("max_scale"),
         F.sum("qsum").cast("long").alias("qsum_total"),
     )
+
+
+# l4h: quantized-Lloyd parameters. SCALE=1000 keeps every per-dim value
+# an exact small integer (|v| ≲ 400); K=8 over the 500-vector corpus
+# leaves every seed cluster non-empty at all verification SFs; 2
+# iterations exercise the assign→update→re-assign→re-update cycle while
+# staying SQL-unrollable.
+KMQ_K = 8
+KMQ_SCALE = 1000
+KMQ_ITERS = 2
+
+_L4H_DIST = "sum((p.qv - c.cv) * (p.qv - c.cv))"
+_L4H_ORACLE = f"""
+    WITH pts AS (
+        SELECT vec_id, s.i AS dim,
+               CAST(floor(CAST(embedding[s.i] AS DOUBLE) * {KMQ_SCALE})
+                    AS BIGINT) AS qv
+        FROM embeddings,
+             LATERAL unnest(range(1, len(embedding) + 1)) AS s(i)
+        WHERE embedding IS NOT NULL
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT {KMQ_K})
+    ),
+    c0 AS (SELECT s.cid, p.dim, p.qv AS cv
+           FROM seeds s JOIN pts p USING (vec_id)),
+    d1 AS (SELECT p.vec_id, c.cid, {_L4H_DIST} AS dist
+           FROM pts p JOIN c0 c USING (dim) GROUP BY p.vec_id, c.cid),
+    a1 AS (SELECT vec_id, cid FROM
+             (SELECT vec_id, cid, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+           WHERE rn = 1),
+    c1 AS (SELECT a.cid, p.dim,
+                  CAST(floor(CAST(sum(p.qv) AS DOUBLE) / count(*))
+                       AS BIGINT) AS cv
+           FROM a1 a JOIN pts p USING (vec_id) GROUP BY a.cid, p.dim),
+    d2 AS (SELECT p.vec_id, c.cid, {_L4H_DIST} AS dist
+           FROM pts p JOIN c1 c USING (dim) GROUP BY p.vec_id, c.cid),
+    a2 AS (SELECT vec_id, cid FROM
+             (SELECT vec_id, cid, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+           WHERE rn = 1),
+    c2 AS (SELECT a.cid, p.dim,
+                  CAST(floor(CAST(sum(p.qv) AS DOUBLE) / count(*))
+                       AS BIGINT) AS cv
+           FROM a2 a JOIN pts p USING (vec_id) GROUP BY a.cid, p.dim),
+    ck AS (SELECT cid, CAST(sum(cv) AS BIGINT) AS checksum
+           FROM c2 GROUP BY cid)
+    SELECT a.cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(a.vec_id) AS BIGINT) AS sum_vec_ids,
+           any_value(ck.checksum) AS centroid_checksum
+    FROM a2 a JOIN ck USING (cid)
+    GROUP BY a.cid
+"""
+
+
+@register("l4h_kmeans_quantized", family="L4", oracle=_L4H_ORACLE)
+def l4h_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed distributed k-means — the iterative-algorithm family's
+    first HASH-VERIFIED member. l4d's float Lloyd's is rows-only by design
+    (cross-engine float accumulation can flip near-tie assignments); this
+    twin removes the float from the loop instead of the check: every
+    embedding dim quantizes to ``floor(double(x)·1000)`` (an exact BIGINT
+    on both engines — the double product of an exactly-converted float is
+    the identical IEEE value), distances become exact integer sums, ties
+    break on the lower centroid id, and the centroid update is
+    ``floor(double(Σqv)/n)`` — one correctly-rounded division per cell,
+    identical across engines because Σqv < 2⁵³. Two full Lloyd iterations
+    (assign→update→re-assign→re-update) run distributed in Spark and
+    UNROLLED as CTEs in the DuckDB oracle (long (vec_id, dim, qv) form,
+    N·k·d join rows — fine at oracle scale); the hash compares per-cluster
+    membership count, Σ vec_id (assignment-sensitive), and the final
+    centroid checksum Σ dims — a wrong assignment ANYWHERE flips a cell.
+
+    Scale shape = l4d's: per iteration one k×d integer centroid matrix
+    broadcasts (closure literal), assignment is one Arrow-batched
+    map-only pandas_udf pass, and the update is posexplode →
+    groupBy(cluster, dim) whose exchange carries pre-combined (Σ, n)
+    integer partials — the corpus never moves, only k·d cells reach the
+    driver per round (the documented bounded collect, like l4d/l4f's
+    codebook training). Empty clusters drop out identically on both
+    engines (inner joins / absent groups)."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * KMQ_SCALE)
+        ).alias("q"),
+    )
+    seed_rows = q.sort("vec_id").limit(KMQ_K).select("q").collect()
+    cids = list(range(len(seed_rows)))
+    cents = [list(r.q) for r in seed_rows]
+
+    def make_nearest(cent_list: list[list[int]], cid_list: list[int]):
+        cent_arr = np.array(cent_list, dtype=np.int64)
+        cid_arr = np.array(cid_list, dtype=np.int64)
+
+        @pandas_udf("long")
+        def nearest(vs: pd.Series) -> pd.Series:
+            mat = np.array(list(vs), dtype=np.int64)
+            if mat.size == 0 or cent_arr.size == 0:  # empty batch/corpus
+                return pd.Series([0] * len(vs), dtype="int64")
+            d = ((mat[:, None, :] - cent_arr[None, :, :]) ** 2).sum(axis=2)
+            # argmin takes the FIRST minimum: cid_arr is ascending, so
+            # ties break on the lower cid — the oracle's ORDER BY dist, cid.
+            return pd.Series(cid_arr[d.argmin(axis=1)])
+
+        return nearest
+
+    assigned = None
+    for _ in range(KMQ_ITERS):
+        nearest = make_nearest(cents, cids)
+        assigned = q.select("vec_id", "q", nearest("q").alias("cluster"))
+        cells = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # ≤ k×d cells — bounded by k·d, never corpus size
+        )
+        bycid: dict[int, dict[int, int]] = {}
+        for r in cells:
+            # floor over the DOUBLE quotient (not int //): DuckDB's
+            # floor(CAST(s AS DOUBLE)/n) and Python's floor(s/n) are the
+            # same correctly-rounded IEEE division for |s| < 2^53.
+            bycid.setdefault(r.cluster, {})[r.dim] = math.floor(r.s / r.n)
+        cids = sorted(bycid)
+        cents = [[bycid[c][d] for d in sorted(bycid[c])] for c in cids]
+
+    checksums = {c: sum(v) for c, v in zip(cids, cents)}
+    ck = (
+        F.create_map(*[F.lit(x) for pair in checksums.items() for x in pair])
+        if checksums
+        else F.lit(None).cast("map<bigint,bigint>")  # empty corpus
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_ids"),
+        )
+        .select(
+            "cluster",
+            "n_points",
+            "sum_vec_ids",
+            F.element_at(ck, F.col("cluster")).cast("bigint").alias(
+                "centroid_checksum"
+            ),
+        )
+    )
