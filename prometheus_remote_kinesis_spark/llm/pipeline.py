@@ -1111,10 +1111,7 @@ def _segments(t: Column, n_segs: Column) -> Column:
     )
 
 
-@register(
-    "d17_segment_dedup",
-    family="L7",
-    oracle=f"""
+D17_ORACLE = f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t
             FROM documents WHERE text IS NOT NULL
@@ -1147,8 +1144,10 @@ def _segments(t: Column, n_segs: Column) -> Column:
                any_value(s.n_total) AS n_total
         FROM segs s JOIN kept k USING (doc_id, seg_idx)
         GROUP BY s.doc_id
-    """,
-)
+"""
+
+
+@register("d17_segment_dedup", family="L7", oracle=D17_ORACLE)
 def d17_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level exact dedup with document reassembly (the CCNet /
     RedPajama-v2 pipeline stage): split every document into fixed
@@ -1184,15 +1183,37 @@ def d17_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     All counters are BIGINT; segment text equality is exact string
     equality, so the hash check is engine-deterministic end to end."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    keep = segment_keepers(explode_segments(docs))
+    return reassemble_from_keepers(docs, keep)
+
+
+def explode_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, seg_text) rows — stateless projection+explode,
+    shared by batch d17 and the streaming twin d17s."""
     t = F.split("text", " ")
     n_segs = F.ceil(F.size(t) / float(SEG_W))
-    segs = docs.select(
+    return docs.select(
         "doc_id",
         F.posexplode(_segments(t, n_segs)).alias("seg_idx", "seg_text"),
     )
-    keep = segs.groupBy(F.sha2("seg_text", 256).alias("dg")).agg(
+
+
+def segment_keepers(segs: DataFrame) -> DataFrame:
+    """Global first-occurrence keeper election: one (digest, packed
+    min(doc_id·1e6+seg_idx)) row per distinct segment. min() is
+    mergeable, so the SAME expression runs as a batch agg (d17) or a
+    complete-mode streaming agg (d17s) with chop-invariant results."""
+    return segs.groupBy(F.sha2("seg_text", 256).alias("dg")).agg(
         F.min(F.col("doc_id") * 1000000 + F.col("seg_idx")).alias("kk")
     )
+
+
+def reassemble_from_keepers(docs: DataFrame, keep: DataFrame) -> DataFrame:
+    """Rebuild surviving documents from the keeper table: keeper
+    positions fold to one int-array row per doc, then a doc_id join +
+    projection RE-SPLIT — never a groupBy of segment-text rows."""
+    t = F.split("text", " ")
+    n_segs = F.ceil(F.size(t) / float(SEG_W))
     kept_per_doc = (
         keep.select(
             F.expr("kk DIV 1000000").alias("doc_id"),

@@ -62,7 +62,13 @@ from prometheus_remote_kinesis_spark.llm.multimodal import (
     extract_features,
     synthesize_media_mix,
 )
-from prometheus_remote_kinesis_spark.llm.pipeline import D13_ORACLE
+from prometheus_remote_kinesis_spark.llm.pipeline import (
+    D13_ORACLE,
+    D17_ORACLE,
+    explode_segments,
+    reassemble_from_keepers,
+    segment_keepers,
+)
 from prometheus_remote_kinesis_spark.llm.similarity import dot
 from prometheus_remote_kinesis_spark.llm.text import L5_ORACLE, token_stats
 from prometheus_remote_kinesis_spark.operators.relational import _M2_CDC
@@ -1702,3 +1708,35 @@ def l2s_band_collision_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_batch(agg, "complete").filter(F.col("n_docs") >= 2)
+
+
+@register("d17s_segment_dedup_stream", family="L7-stream", oracle=D17_ORACLE)
+def d17s_segment_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d17's paragraph-level dedup EXECUTED BY the streaming engine — the
+    crawl-ingest shape where sub-document boilerplate is deduplicated AS
+    DOCUMENTS ARRIVE: each micro-batch segments its documents statelessly
+    (``explode_segments``, the d11 projection mechanism), and the keeper
+    election runs as a complete-mode agg over segment DIGESTS
+    (``segment_keepers`` — min of the packed (doc_id, seg_idx) key, a
+    mergeable aggregate, so the drained result is chop-invariant and
+    exactly the batch election). Reassembly is post-drain work over the
+    keeper table and the STATIC documents corpus (the t23s/t25s drain-
+    projection pattern): keeper positions fold to one int-array row per
+    doc and the text re-splits in a projection — identical code path and
+    identical oracle as batch d17.
+
+    State and shuffle carry (32-byte digest, packed BIGINT) rows — one
+    per DISTINCT segment, never segment text (l1s's discipline, one
+    granularity finer). For an unbounded ingest, bound the state with
+    the d13 manifest pattern (anti-join arriving segment digests against
+    the at-rest keeper manifest) — unbounded here so drain == batch.
+    NULL text is excluded BEFORE segmentation on both engines (d17's
+    convention, pinned by the NULL-text corpus gate)."""
+    docs = stream_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    keep = run_to_batch(segment_keepers(explode_segments(docs)), "complete")
+    static_docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return reassemble_from_keepers(static_docs, keep)

@@ -207,6 +207,9 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     # engines (Spark would otherwise segment NULL as [''] and a NULL doc
     # would steal keeper slots from every real empty-ish segment).
     "d17_segment_dedup",
+    # d17s: same exclusion applied ON THE STREAM side before the
+    # complete-mode keeper election AND on the static reassembly side.
+    "d17s_segment_dedup_stream",
 ]
 
 
