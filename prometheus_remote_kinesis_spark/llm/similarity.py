@@ -795,7 +795,10 @@ KMQ_SCALE = 1000
 KMQ_ITERS = 2
 
 _L4H_DIST = "sum((p.qv - c.cv) * (p.qv - c.cv))"
-_L4H_ORACLE = f"""
+# Shared CTE prefix: quantized points -> seeds -> two unrolled Lloyd
+# iterations ending at the final assignment a2 (and update c2). Reused by
+# the l9b quantized-SemDeDup oracle, which dedups WITHIN a2's clusters.
+_L4H_CTES = f"""
     WITH pts AS (
         SELECT vec_id, s.i AS dim,
                CAST(floor(CAST(embedding[s.i] AS DOUBLE) * {KMQ_SCALE})
@@ -832,6 +835,11 @@ _L4H_ORACLE = f"""
            FROM a2 a JOIN pts p USING (vec_id) GROUP BY a.cid, p.dim),
     ck AS (SELECT cid, CAST(sum(cv) AS BIGINT) AS checksum
            FROM c2 GROUP BY cid)
+"""
+
+_L4H_ORACLE = (
+    _L4H_CTES
+    + """
     SELECT a.cid AS cluster,
            CAST(count(*) AS BIGINT) AS n_points,
            CAST(sum(a.vec_id) AS BIGINT) AS sum_vec_ids,
@@ -839,6 +847,7 @@ _L4H_ORACLE = f"""
     FROM a2 a JOIN ck USING (cid)
     GROUP BY a.cid
 """
+)
 
 
 @register("l4h_kmeans_quantized", family="L4", oracle=_L4H_ORACLE)
@@ -867,6 +876,36 @@ def l4h_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver per round (the documented bounded collect, like l4d/l4f's
     codebook training). Empty clusters drop out identically on both
     engines (inner joins / absent groups)."""
+    assigned, cids, cents = _quantized_lloyd(spark, sf_dir)
+    checksums = {c: sum(v) for c, v in zip(cids, cents)}
+    ck = (
+        F.create_map(*[F.lit(x) for pair in checksums.items() for x in pair])
+        if checksums
+        else F.lit(None).cast("map<bigint,bigint>")  # empty corpus
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_ids"),
+        )
+        .select(
+            "cluster",
+            "n_points",
+            "sum_vec_ids",
+            F.element_at(ck, F.col("cluster")).cast("bigint").alias(
+                "centroid_checksum"
+            ),
+        )
+    )
+
+
+def _quantized_lloyd(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int], list[list[int]]]:
+    """l4h's integer-exact Lloyd core, shared with the quantized SemDeDup
+    (l2i): returns the final assignment (vec_id, q, cluster) plus the
+    surviving cluster ids and their post-update integer centroids."""
     import math
 
     from pyspark.sql.functions import pandas_udf
@@ -919,24 +958,95 @@ def l4h_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         cids = sorted(bycid)
         cents = [[bycid[c][d] for d in sorted(bycid[c])] for c in cids]
 
-    checksums = {c: sum(v) for c, v in zip(cids, cents)}
-    ck = (
-        F.create_map(*[F.lit(x) for pair in checksums.items() for x in pair])
-        if checksums
-        else F.lit(None).cast("map<bigint,bigint>")  # empty corpus
+    return assigned, cids, cents
+
+
+# l2i: SemDeDup threshold τ = 0.4 (l2d/l2g's semantic threshold). On
+# quantized integer vectors the test cos(a,b) ≥ τ becomes EXACT integer
+# arithmetic: dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖² (τ² = 4/25) — no sqrt,
+# no float, no cross-engine rounding surface.
+_L2I_ORACLE = (
+    _L4H_CTES
+    + """
+    , n2 AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n2
+             FROM pts GROUP BY vec_id),
+    dots AS (
+        SELECT ai.vec_id AS i_id, aj.vec_id AS j_id,
+               CAST(sum(pi.qv * pj.qv) AS BIGINT) AS d
+        FROM a2 ai JOIN a2 aj ON ai.cid = aj.cid AND ai.vec_id < aj.vec_id
+        JOIN pts pi ON pi.vec_id = ai.vec_id
+        JOIN pts pj ON pj.vec_id = aj.vec_id AND pj.dim = pi.dim
+        GROUP BY ai.vec_id, aj.vec_id
+    ),
+    dup AS (
+        SELECT DISTINCT d.j_id AS vec_id
+        FROM dots d JOIN n2 ni ON ni.vec_id = d.i_id
+                    JOIN n2 nj ON nj.vec_id = d.j_id
+        WHERE d.d > 0 AND 25 * d.d * d.d >= 4 * ni.n2 * nj.n2
     )
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_points"),
-            F.sum("vec_id").cast("bigint").alias("sum_vec_ids"),
-        )
-        .select(
-            "cluster",
-            "n_points",
-            "sum_vec_ids",
-            F.element_at(ck, F.col("cluster")).cast("bigint").alias(
-                "centroid_checksum"
-            ),
-        )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+           (dup.vec_id IS NULL) AS kept
+    FROM a2 a LEFT JOIN dup ON dup.vec_id = a.vec_id
+"""
+)
+
+
+@register("l2i_semdedup_quantized", family="L9", oracle=_L2I_ORACLE)
+def l2i_semdedup_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed SemDeDup — the semantic-dedup family's first
+    HASH-VERIFIED member (l2g's float form is rows-only by design). Same
+    shape as Abbas et al. 2023: k-means bounds the pair search to within-
+    cluster candidates, every vector whose cluster holds an EARLIER
+    (lower-id) vector with cosine ≥ τ is marked a duplicate. The float
+    surfaces are removed the l4h way: clusters come from the shared
+    integer-exact Lloyd core (`_quantized_lloyd`), and the cosine
+    threshold evaluates as pure BIGINT arithmetic — cos(a,b) ≥ 0.4 iff
+    dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖² (exact: |dot| ≤ 6.6e8 at this
+    scale/dim, so 25·dot² < 2⁶³). Emits every vector with its cluster
+    and kept verdict; both engines run the identical election, so the
+    hash check covers clustering AND dedup end to end.
+
+    Scale shape (the SemDeDup bound): the self-join keys on CLUSTER —
+    pair work is O(Σ|cluster|²), never O(N²), and k grows with the
+    corpus (l2g scales k to hold |cluster| ≈ constant, turning the
+    quadratic into a linear scan; same story here). The join exchange
+    carries quantized INT arrays (one row per vector per side), the
+    dot-product fold runs JVM-side inside codegen (zip_with+aggregate,
+    no UDF), and the duplicate set re-joins the assignment by vec_id —
+    integers only. Empty corpus degrades to an empty result (left join
+    over an empty assignment)."""
+    assigned, _, _ = _quantized_lloyd(spark, sf_dir)
+    n2 = F.aggregate(
+        "q", F.lit(0).cast("bigint"), lambda a, x: a + x * x
+    ).alias("n2")
+    pts = assigned.select("vec_id", "q", "cluster", n2)
+    left = pts.select(
+        F.col("vec_id").alias("i_id"),
+        F.col("q").alias("qi"),
+        "cluster",
+        F.col("n2").alias("ni"),
+    )
+    right = pts.select(
+        F.col("vec_id").alias("j_id"),
+        F.col("q").alias("qj"),
+        "cluster",
+        F.col("n2").alias("nj"),
+    )
+    d = F.aggregate(
+        F.zip_with("qi", "qj", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    dup = (
+        left.join(right, "cluster")
+        .where(F.col("i_id") < F.col("j_id"))
+        .where((d > 0) & (F.lit(25) * d * d >= F.lit(4) * F.col("ni") * F.col("nj")))
+        .select(F.col("j_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return pts.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("is_dup").isNull().alias("kept"),
     )

@@ -603,3 +603,46 @@ def test_segment_dedup_first_occurrence_semantics(spark):
         for r in all_queries()["d17_segment_dedup"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_semdedup_quantized_bites_and_agrees_with_float_cosine(spark):
+    """l2i: the integer threshold test (dot>0 AND 25·dot² ≥ 4·‖a‖²·‖b‖²)
+    must (a) actually drop vectors at this SF — the dedup branch is
+    exercised, not vacuous — and (b) agree with the plain float-cosine
+    τ=0.4 election recomputed in numpy over the same quantized vectors
+    (the integer form is algebraically identical, so any disagreement is
+    an implementation bug, not rounding)."""
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.llm.similarity import (
+        KMQ_SCALE,
+        _quantized_lloyd,
+    )
+
+    out = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in all_queries()["l2i_semdedup_quantized"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert any(not kept for _, kept in out.values()), "dedup never bites"
+
+    assigned, _, _ = _quantized_lloyd(spark, SF_SMOKE)
+    rows = assigned.collect()
+    by_cluster: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r.vec_id):
+        by_cluster.setdefault(r.cluster, []).append(
+            (r.vec_id, np.array(r.q, dtype=np.int64))
+        )
+    expect = {}
+    for cid, members in by_cluster.items():
+        for j, (jid, qj) in enumerate(members):
+            dup = False
+            for iid, qi in members[:j]:
+                d = int(qi @ qj)
+                if d > 0 and 25 * d * d >= 4 * int(qi @ qi) * int(qj @ qj):
+                    dup = True
+                    break
+            expect[jid] = (cid, not dup)
+    assert out == expect
