@@ -721,3 +721,112 @@ def a2c_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("bucket_users").alias("n_users")
     )
+
+
+# a3c: KMV parameters. K=64 < the ~140 distinct users per type at
+# sf0.01 (estimate branch exercised) while small smoke corpora fall
+# below K (exact-fallback branch exercised); 14 hex chars = 56 bits
+# keeps (K-1)·2^56 = 4.5e18 inside BIGINT.
+KMV_K = 64
+KMV_BITS = 56
+KMV_BANDS = 32
+
+
+@register(
+    "a3c_kmv_distinct",
+    family="A3",
+    oracle=f"""
+        WITH dh AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, {KMV_BITS // 4})) AS BIGINT) AS h
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM dh
+        ),
+        kth AS (
+            SELECT event_type, max(h) AS h_k,
+                   CAST(count(*) AS BIGINT) AS k_actual
+            FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+        ),
+        ex AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct
+            FROM dh GROUP BY event_type
+        )
+        SELECT e.event_type, e.n_distinct, k.k_actual, k.h_k,
+               CASE WHEN k.k_actual < {KMV_K} THEN e.n_distinct
+                    ELSE CAST(({KMV_K - 1} * {2**KMV_BITS}) // k.h_k AS BIGINT)
+               END AS kmv_estimate
+        FROM ex e JOIN kth k USING (event_type)
+    """,
+)
+def a3c_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed approximate distinct — the A3 sketch family's first
+    HASH-VERIFIED member. a3/a3b use HLL, whose register layout is
+    engine-private (rows-only by design); KMV (k-minimum-values, the
+    bottom-k sketch of Bar-Yossef et al. 2002) is DETERMINISTIC given the
+    hash function, and with md5 both engines compute the identical
+    sketch: per event_type, keep the K smallest distinct 56-bit hash
+    values of user_id and estimate distinct-count as (K−1)·2⁵⁶ ÷ h_K
+    (integer division of exact BIGINTs — positive, so Spark's DIV
+    truncation and DuckDB's // floor agree). Below K distinct values the
+    sketch IS the exact set and the estimate falls back to the exact
+    count — both branches exercised across verification SFs (~140
+    distinct users/type at sf0.01 vs K=64; smoke corpora sit below K).
+    The estimate lands within KMV's 1/√K ≈ 12.5% envelope (sanity-pinned
+    in tests); correctness is the sketch itself, hash-checked cell by
+    cell (h_k, k_actual, estimate, exact).
+
+    Scale shape: one digest-only distinct shuffle on (type, h) — user_id
+    never re-shuffles raw — then the w1c BANDED top-K: row_number inside
+    (type, h mod {KMV_BANDS}) bands (parallelism = types×bands, each
+    band sorts |distinct|/bands rows), and the final per-type window
+    sees only bands×K ≈ {KMV_BANDS * KMV_K} candidate rows — the
+    K smallest of a union are among each band's K smallest, so the
+    two-phase top-K is exact by construction. KMV partials are also
+    MERGEABLE (union two sketches = K smallest of the concatenation),
+    the property that lets a 1000-executor rollup combine per-partition
+    sketches without a raw rescan — a3b's pattern, here with a
+    cross-engine-checkable sketch."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, KMV_BITS // 4),
+        16,
+        10,
+    ).cast("long")
+    dh = events.select("event_type", h.alias("h")).distinct()
+    banded = dh.withColumn("band", F.pmod(F.col("h"), F.lit(KMV_BANDS)))
+    w_band = Window.partitionBy("event_type", "band").orderBy("h")
+    cand = (
+        banded.withColumn("rn", F.row_number().over(w_band))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn", "band")
+    )
+    w_type = Window.partitionBy("event_type").orderBy("h")
+    top = cand.withColumn("rn", F.row_number().over(w_type)).where(
+        F.col("rn") <= KMV_K
+    )
+    kth = top.groupBy("event_type").agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).cast("bigint").alias("k_actual"),
+    )
+    ex = dh.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    est = F.when(F.col("k_actual") < KMV_K, F.col("n_distinct")).otherwise(
+        F.expr(f"CAST(({KMV_K - 1} * {2**KMV_BITS}) DIV h_k AS BIGINT)")
+    )
+    return ex.join(kth, "event_type").select(
+        "event_type",
+        "n_distinct",
+        "k_actual",
+        "h_k",
+        est.alias("kmv_estimate"),
+    )

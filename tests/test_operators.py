@@ -216,3 +216,24 @@ def test_quantile_sketch_value_error_bound(spark):
             est = float(sketch[t][col])
             exact = vals[math.ceil(qi * n / 100.0) - 1]  # rank-⌈q·n⌉ statistic
             assert abs(est - exact) < 1.0, (t, col, est, exact, n)
+
+
+def test_kmv_estimate_within_envelope(spark):
+    """a3c: correctness is the hash-checked sketch itself; this pins the
+    STATISTICAL claim — whenever the estimate branch is taken (k_actual
+    == K), the KMV estimate lands within the 3/√K ≈ 37% hard envelope of
+    the exact distinct count (1/√K is one σ; 3σ gives a deterministic
+    bound for the fixed md5 hash on this corpus — measured 4% at
+    sf0.01), and whenever k_actual < K the estimate IS exact."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import KMV_K
+    from prometheus_remote_kinesis_spark.registry import all_queries
+
+    rows = all_queries()["a3c_kmv_distinct"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.k_actual < KMV_K:
+            assert r.kmv_estimate == r.n_distinct, r
+        else:
+            assert abs(r.kmv_estimate - r.n_distinct) <= 3 * r.n_distinct / (
+                KMV_K**0.5
+            ), r
