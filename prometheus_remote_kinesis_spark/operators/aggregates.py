@@ -732,10 +732,7 @@ KMV_BITS = 56
 KMV_BANDS = 32
 
 
-@register(
-    "a3c_kmv_distinct",
-    family="A3",
-    oracle=f"""
+A3C_ORACLE = f"""
         WITH dh AS (
             SELECT DISTINCT event_type,
                    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
@@ -761,8 +758,61 @@ KMV_BANDS = 32
                     ELSE CAST(({KMV_K - 1} * {2**KMV_BITS}) // k.h_k AS BIGINT)
                END AS kmv_estimate
         FROM ex e JOIN kth k USING (event_type)
-    """,
-)
+"""
+
+
+def kmv_hash(col: Column) -> Column:
+    """56-bit positive BIGINT from the md5 of a column's string form —
+    the deterministic KMV hash both engines compute identically."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, KMV_BITS // 4), 16, 10
+    ).cast("long")
+
+
+def kmv_summary(dh: DataFrame) -> DataFrame:
+    """a3c's sketch tail over a DISTINCT (event_type, h) relation —
+    shared by batch a3c and the streaming twin a3cs (which drains the
+    distinct set from a complete-mode agg first). Banded two-phase
+    top-K, then the exact-BIGINT estimate with exact-count fallback."""
+    from pyspark.sql import Window
+
+    banded = dh.withColumn("band", F.pmod(F.col("h"), F.lit(KMV_BANDS)))
+    w_band = Window.partitionBy("event_type", "band").orderBy("h")
+    cand = (
+        banded.withColumn("rn", F.row_number().over(w_band))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn", "band")
+    )
+    w_type = Window.partitionBy("event_type").orderBy("h")
+    top = cand.withColumn("rn", F.row_number().over(w_type)).where(
+        F.col("rn") <= KMV_K
+    )
+    # The key is RENAMED (fresh exprId) on the kth side: both aggregates
+    # descend from the same `dh`, and when dh is a drained memory-sink
+    # table (a3cs) the analyzer cannot dedup the conflicting references
+    # a plain self-join would carry.
+    kth = top.groupBy(F.col("event_type").alias("kth_type")).agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).cast("bigint").alias("k_actual"),
+    )
+    ex = dh.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    est = F.when(F.col("k_actual") < KMV_K, F.col("n_distinct")).otherwise(
+        F.expr(f"CAST(({KMV_K - 1} * {2**KMV_BITS}) DIV h_k AS BIGINT)")
+    )
+    return ex.join(
+        kth, F.col("event_type") == F.col("kth_type")
+    ).select(
+        "event_type",
+        "n_distinct",
+        "k_actual",
+        "h_k",
+        est.alias("kmv_estimate"),
+    )
+
+
+@register("a3c_kmv_distinct", family="A3", oracle=A3C_ORACLE)
 def a3c_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-backed approximate distinct — the A3 sketch family's first
     HASH-VERIFIED member. a3/a3b use HLL, whose register layout is
@@ -791,42 +841,10 @@ def a3c_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property that lets a 1000-executor rollup combine per-partition
     sketches without a raw rescan — a3b's pattern, here with a
     cross-engine-checkable sketch."""
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, KMV_BITS // 4),
-        16,
-        10,
-    ).cast("long")
-    dh = events.select("event_type", h.alias("h")).distinct()
-    banded = dh.withColumn("band", F.pmod(F.col("h"), F.lit(KMV_BANDS)))
-    w_band = Window.partitionBy("event_type", "band").orderBy("h")
-    cand = (
-        banded.withColumn("rn", F.row_number().over(w_band))
-        .where(F.col("rn") <= KMV_K)
-        .drop("rn", "band")
-    )
-    w_type = Window.partitionBy("event_type").orderBy("h")
-    top = cand.withColumn("rn", F.row_number().over(w_type)).where(
-        F.col("rn") <= KMV_K
-    )
-    kth = top.groupBy("event_type").agg(
-        F.max("h").alias("h_k"),
-        F.count(F.lit(1)).cast("bigint").alias("k_actual"),
-    )
-    ex = dh.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
-    )
-    est = F.when(F.col("k_actual") < KMV_K, F.col("n_distinct")).otherwise(
-        F.expr(f"CAST(({KMV_K - 1} * {2**KMV_BITS}) DIV h_k AS BIGINT)")
-    )
-    return ex.join(kth, "event_type").select(
-        "event_type",
-        "n_distinct",
-        "k_actual",
-        "h_k",
-        est.alias("kmv_estimate"),
-    )
+    dh = events.select(
+        "event_type", kmv_hash(F.col("user_id")).alias("h")
+    ).distinct()
+    return kmv_summary(dh)

@@ -71,6 +71,7 @@ from prometheus_remote_kinesis_spark.llm.pipeline import (
 )
 from prometheus_remote_kinesis_spark.llm.similarity import dot
 from prometheus_remote_kinesis_spark.llm.text import L5_ORACLE, token_stats
+from prometheus_remote_kinesis_spark.operators.aggregates import A3C_ORACLE
 from prometheus_remote_kinesis_spark.operators.relational import _M2_CDC
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import (
@@ -1740,3 +1741,38 @@ def d17s_segment_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     return reassemble_from_keepers(static_docs, keep)
+
+
+@register("a3cs_kmv_distinct_stream", family="A3-stream", oracle=A3C_ORACLE)
+def a3cs_kmv_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a3c's KMV cardinality sketch EXECUTED BY the streaming engine —
+    the live-dashboard shape where per-type distinct-user estimates
+    update as events arrive. The stream runs ONE complete-mode stateful
+    agg: groupBy(event_type, kmv_hash(user_id)) — the two-phase
+    streaming-distinct form (t27s's pattern), whose state is one integer
+    row per DISTINCT (type, 56-bit hash), i.e. the t9s/l1s streaming-
+    distinct envelope, digests only. The sketch tail (banded top-K,
+    exact-BIGINT estimate, exact fallback) runs POST-DRAIN over the
+    drained distinct set through the SAME ``kmv_summary`` code path as
+    batch a3c — same oracle, chop-invariant because set union is.
+
+    The honest scale note: this twin carries the exact-distinct state
+    because the shared oracle also reports the exact count. A production
+    KMV stream that needs ONLY the estimate keeps just the K-smallest
+    array per type (O(K) state — the whole point of the sketch): on
+    every micro-batch, merge-sort the batch's candidate hashes into the
+    K-array. That variant's output is a strict subset of this one's
+    (drop n_distinct), so this twin is the stronger check."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        kmv_hash,
+        kmv_summary,
+    )
+
+    events = stream_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    dh_agg = events.groupBy(
+        "event_type", kmv_hash(F.col("user_id")).alias("h")
+    ).count()
+    dh = run_to_batch(dh_agg, "complete").select("event_type", "h")
+    return kmv_summary(dh)
