@@ -398,3 +398,172 @@ def j5b_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# j8: bloom geometry. m=2048 bits (64 words x 32 bits — bit 63 never
+# used, so 1<<bit stays positive BIGINT on both engines), k=4 probes via
+# md5 double hashing. At sf0.01 the 302 BUILDING keys set ~44% of the
+# bits -> ~4% false-positive rate: the lossy branch is exercised while
+# the zero-false-NEGATIVE guarantee stays structural. Production sizes m
+# to the key count; the mechanism is m-agnostic.
+BLOOM_M = 2048
+BLOOM_K = 4
+BLOOM_WORD = 32
+
+_J8_POS = (
+    "pmod(h1 + {i} * (2 * h2 + 1), " + str(BLOOM_M) + ")"
+)  # double hashing: pos_i = (h1 + i*(2h2+1)) mod m, h2 forced odd
+
+_J8_ORACLE = f"""
+    WITH bk AS (
+        SELECT c_custkey,
+               CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h1,
+               CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 9, 8))
+                    AS BIGINT) AS h2
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bpos AS (
+        SELECT ((h1 + s.i * (2 * h2 + 1)) % {BLOOM_M}) AS pos
+        FROM bk, LATERAL unnest(range(0, {BLOOM_K})) AS s(i)
+    ),
+    words AS (
+        SELECT CAST(pos // {BLOOM_WORD} AS BIGINT) AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD} AS INT))
+                   AS mask
+        FROM bpos GROUP BY 1
+    ),
+    op AS (
+        SELECT o_orderkey, o_custkey,
+               ((h1 + s.i * (2 * h2 + 1)) % {BLOOM_M}) AS pos
+        FROM (
+            SELECT o_orderkey, o_custkey,
+                   CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                                           1, 8)) AS BIGINT) AS h1,
+                   CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                                           9, 8)) AS BIGINT) AS h2
+            FROM orders
+        ), LATERAL unnest(range(0, {BLOOM_K})) AS s(i)
+    ),
+    overdict AS (
+        SELECT o_orderkey, any_value(o_custkey) AS ck,
+               (sum(CASE WHEN (w.mask & (CAST(1 AS BIGINT)
+                                << CAST(op.pos % {BLOOM_WORD} AS INT))) <> 0
+                         THEN 1 ELSE 0 END) = {BLOOM_K}) AS hit
+        FROM op LEFT JOIN words w ON w.w = op.pos // {BLOOM_WORD}
+        GROUP BY o_orderkey
+    ),
+    flagged AS (
+        SELECT v.hit,
+               (v.ck IN (SELECT c_custkey FROM bk)) AS exact
+        FROM overdict v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(CASE WHEN hit AND exact THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_hits,
+           CAST(sum(CASE WHEN hit AND NOT exact THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_positives,
+           CAST(sum(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           (SELECT CAST(sum(bit_count(mask)) AS BIGINT) FROM words)
+               AS n_bits_set
+    FROM flagged
+"""
+
+
+@register("j8_bloom_semi_prefilter", family="J4", oracle=_J8_ORACLE)
+def j8_bloom_semi_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter — the 100 TB shape where the
+    fact side is NOT shuffled and NOT joined to test membership: the dim
+    key set (BUILDING customers) compresses into an m={BLOOM_M}-bit
+    filter (64 BIGINT words), the filter broadcasts as a LITERAL map
+    folded into the fact scan's projection, and only bloom-hit rows
+    would proceed to the real join — this is what engines' runtime
+    bloom-pushdown does, here as an explicit, ORACLE-CHECKED operator
+    (md5 double hashing pos_i = (h1 + i·(2h2+1)) mod m makes every bit
+    engine-deterministic; HLL-style private layouts are why a3/a3b are
+    rows-only, md5 is why this is not). The output hash covers the
+    filter content bit-exactly (n_bits_set = Σ bit_count(word)) plus the
+    confusion-matrix counts against the exact semi-join: every true
+    member hits (n_true_hits == n_exact — the zero-false-negative
+    guarantee, structural to bloom), and n_false_positives counts the
+    lossy branch (~4% of non-members at sf0.01; the filter saturates at
+    sf0.1's 3k keys — still hash-correct, production just sizes m up).
+
+    Scale shape: the build side aggregates dim-key probe positions to 64
+    (word, mask) rows via map-side-combined bit_or — bounded collect,
+    the l4h/l4f codebook pattern — and the probe side is a PURE
+    PROJECTION over the fact scan (no shuffle, no join, stays inside
+    WholeStageCodegen); the exact-flag comparison join exists only to
+    measure the filter and broadcasts the small dim. The final ungrouped
+    agg moves six integers per partition."""
+    cust = load_table(spark, sf_dir, "customer")
+    bk = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def hashed(df: DataFrame, key: str) -> DataFrame:
+        md5 = F.md5(F.col(key).cast("string"))
+        return df.withColumn(
+            "h1", F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        ).withColumn("h2", F.conv(F.substring(md5, 9, 8), 16, 10).cast("long"))
+
+    bpos = (
+        hashed(bk, "c_custkey")
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_J8_POS.format(i=i)).alias(f"p{i}")
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+    )
+    words = (
+        bpos.groupBy(F.expr(f"pos DIV {BLOOM_WORD}").alias("w"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(pos, {BLOOM_WORD}) AS INT)))"
+            ).alias("mask")
+        )
+        .collect()  # <= 64 (word, mask) rows — bounded by m, never by keys
+    )
+    masks = {int(r.w): int(r.mask) for r in words}
+    n_bits_set = sum(bin(m & 0xFFFFFFFFFFFFFFFF).count("1") for m in masks.values())
+    mask_map = (
+        F.create_map(*[F.lit(x) for pair in masks.items() for x in pair])
+        if masks
+        else F.lit(None).cast("map<bigint,bigint>")
+    )
+
+    orders = hashed(load_table(spark, sf_dir, "orders"), "o_custkey")
+    hit = F.lit(True)
+    for i in range(BLOOM_K):
+        pos = F.expr(_J8_POS.format(i=i))
+        probe_mask = F.coalesce(
+            F.element_at(mask_map, F.expr(f"CAST(({_J8_POS.format(i=i)}) "
+                                          f"DIV {BLOOM_WORD} AS BIGINT)")),
+            F.lit(0).cast("bigint"),
+        )
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod({_J8_POS.format(i=i)}, {BLOOM_WORD}) AS INT))"
+        )
+        hit = hit & (probe_mask.bitwiseAND(bit) != 0)
+
+    exact_marker = bk.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(True).alias("exact_m")
+    )
+    flagged = orders.join(F.broadcast(exact_marker), "o_custkey", "left").select(
+        hit.alias("hit"), F.coalesce("exact_m", F.lit(False)).alias("exact")
+    )
+    b2l = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        b2l(F.col("hit")).alias("n_bloom_hits"),
+        b2l(F.col("hit") & F.col("exact")).alias("n_true_hits"),
+        b2l(F.col("hit") & ~F.col("exact")).alias("n_false_positives"),
+        b2l(F.col("exact")).alias("n_exact"),
+        F.lit(n_bits_set).cast("bigint").alias("n_bits_set"),
+    )
