@@ -11,7 +11,7 @@ divisor-of-a-day widths (5 m / 10 m) the grids coincide exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prometheus_remote_kinesis_spark.registry import register
@@ -1663,4 +1663,121 @@ def t14g_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_ot"),
         F.round(stdvar, 6).alias("stdvar_ot"),
         F.round(F.sqrt(stdvar), 6).alias("stddev_ot"),
+    )
+
+
+T30_ORACLE = """
+    WITH d AS (
+        SELECT event_type, epoch_us(ts) // 1000 AS ms,
+               CAST(round(value * 100) AS BIGINT) AS v100, event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+        SELECT event_type, ms, v100,
+               row_number() OVER w AS rn,
+               ms   - lag(ms)   OVER w AS dt,
+               v100 - lag(v100) OVER w AS dv,
+               (ms - lag(ms) OVER w)
+                   - (lag(ms) OVER w - lag(ms, 2) OVER w) AS dod,
+               (v100 - lag(v100) OVER w)
+                   - (lag(v100) OVER w - lag(v100, 2) OVER w) AS dvv
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY ms, event_id)
+    ),
+    costed AS (
+        SELECT event_type,
+               CASE WHEN rn = 1 THEN 128
+                    WHEN rn = 2 THEN
+                        length(bin(CASE WHEN dt >= 0 THEN 2 * dt
+                                        ELSE -2 * dt - 1 END)) + 1
+                      + length(bin(CASE WHEN dv >= 0 THEN 2 * dv
+                                        ELSE -2 * dv - 1 END)) + 1
+                    ELSE
+                        length(bin(CASE WHEN dod >= 0 THEN 2 * dod
+                                        ELSE -2 * dod - 1 END)) + 1
+                      + length(bin(CASE WHEN dvv >= 0 THEN 2 * dvv
+                                        ELSE -2 * dvv - 1 END)) + 1
+               END AS bits
+        FROM lagged
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(*) * 128 AS BIGINT) AS raw_bits,
+           CAST(sum(bits) AS BIGINT) AS dod_bits,
+           CAST((count(*) * 128 * 1000000) // sum(bits) AS BIGINT)
+               AS ratio_ppm
+    FROM costed
+    GROUP BY event_type
+"""
+
+
+@register("t30_dod_storage_sizing", family="S9", oracle=T30_ORACLE)
+def t30_dod_storage_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-style (Pelkonen et al. 2015, public paper) delta-of-delta
+    storage sizing for the metrics archive: per series, estimate the
+    compressed footprint of (timestamp, value) under second-order delta
+    encoding vs the raw 128-bit row — the capacity-planning query a TSDB
+    runs before choosing chunk encodings (S9's archival sink is the
+    consumer). The estimator is EXACT integer accounting shared verbatim
+    by both engines: per sample, zigzag(x) = 2x / −2x−1, cost =
+    bitlength(zigzag) + 1 tag bit for each of the time and value deltas
+    (headers: 128 bits for the first sample, first-order deltas for the
+    second) — bitlength computed as ``length(bin(z))``, a STRING length,
+    because floor(log2) floats can land on power-of-two boundaries where
+    the two engines' log rounding could differ, while both engines print
+    the identical minimal binary string for a positive BIGINT. Values
+    quantize to integer cents (t14's convention, exact on this 2-decimal
+    corpus); NULL staleness markers are excluded on both engines; the
+    compression ratio ships as truncated PPM via integer division (the
+    f8 tie-free rule).
+
+    Scale shape: the three lag() frames and row_number share ONE
+    Sort+Exchange — all windows use the identical (event_type; ms,
+    event_id) partition+order (the t14 single-shuffle discipline), then
+    one pre-aggregated rollup per series. Per-key data growth is the
+    hard direction (more samples per series, same key space) and this
+    plan is linear in it; the series key grows with the corpus."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = events.select(
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    lagged = d.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        (F.col("ms") - F.lag("ms").over(w)).alias("dt"),
+        (F.col("v100") - F.lag("v100").over(w)).alias("dv"),
+        (
+            (F.col("ms") - F.lag("ms").over(w))
+            - (F.lag("ms").over(w) - F.lag("ms", 2).over(w))
+        ).alias("dod"),
+        (
+            (F.col("v100") - F.lag("v100").over(w))
+            - (F.lag("v100").over(w) - F.lag("v100", 2).over(w))
+        ).alias("dvv"),
+    )
+
+    def zz_bits(c: Column) -> Column:
+        z = F.when(c >= 0, 2 * c).otherwise(-2 * c - 1)
+        return F.length(F.bin(z)) + 1
+
+    bits = (
+        F.when(F.col("rn") == 1, F.lit(128))
+        .when(F.col("rn") == 2, zz_bits(F.col("dt")) + zz_bits(F.col("dv")))
+        .otherwise(zz_bits(F.col("dod")) + zz_bits(F.col("dvv")))
+    )
+    return (
+        lagged.select("event_type", bits.alias("bits"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            (F.count(F.lit(1)) * 128).cast("bigint").alias("raw_bits"),
+            F.sum("bits").cast("bigint").alias("dod_bits"),
+            F.expr(
+                "CAST((count(1) * 128 * 1000000) DIV sum(bits) AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
     )
