@@ -48,6 +48,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     extrapolated_rate_1d,
     T27_ORACLE,
     T28_ORACLE,
+    T30_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -1776,3 +1777,37 @@ def a3cs_kmv_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     dh = run_to_batch(dh_agg, "complete").select("event_type", "h")
     return kmv_summary(dh)
+
+
+@register("t30s_dod_sizing_stream", family="S9-stream", oracle=T30_ORACLE)
+def t30s_dod_sizing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t30's Gorilla-style chunk sizing EXECUTED BY the streaming engine —
+    the ingest-time form where the archive writer accounts compressed
+    bits as samples arrive instead of re-scanning the archive. The
+    sequential per-series fold runs as an O(1) stateful op
+    (``stateful.dod_sizing``: five integers per series; each micro-batch
+    emits one (series, n, bits) increment computed from the carried
+    boundary, so the drained sum is chop-invariant for in-order
+    arrival). The drain projection re-derives t30's exact output —
+    n_samples, raw_bits, dod_bits, truncated-PPM ratio — via one tiny
+    groupBy over the per-batch increments; same oracle as batch t30."""
+    from prometheus_remote_kinesis_spark.streaming.stateful import dod_sizing
+
+    events = stream_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    d = events.select(
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        "event_id",
+    )
+    drained = run_to_batch(dod_sizing(d), "append")
+    return drained.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_samples"),
+        (F.sum("n") * 128).cast("bigint").alias("raw_bits"),
+        F.sum("bits").cast("bigint").alias("dod_bits"),
+        F.expr("CAST((sum(n) * 128 * 1000000) DIV sum(bits) AS BIGINT)").alias(
+            "ratio_ppm"
+        ),
+    )

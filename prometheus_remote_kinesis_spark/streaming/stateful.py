@@ -1193,3 +1193,79 @@ def downsample_buffer(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+DOD_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("bits", LongType()),
+    ]
+)
+
+_DOD_STATE_SCHEMA = "rn long, last_ms long, last_dt long, last_v long, last_dv long"
+
+
+def dod_sizing(records: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Streaming delta-of-delta bit accounting (t30's per-series fold as
+    an O(1) stateful op): state = five integers per series (sample rank,
+    last timestamp, last time-delta, last value, last value-delta); each
+    micro-batch emits ONE (series, n, bits) increment computed from the
+    carried boundary, so a post-drain sum equals the batch total for ANY
+    chop of the stream into in-order batches. Bit costs use Python
+    ``int.bit_length`` with a floor of 1 — identical to the engines'
+    ``length(bin(z))`` string length including z=0 ('0', length 1)."""
+
+    return records.groupBy("event_type").applyInPandasWithState(
+        _make_dod_fn(idle_timeout_ms),
+        outputStructType=DOD_SCHEMA,
+        stateStructType=_DOD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+
+
+def _dod_bits(x: int) -> int:
+    z = 2 * x if x >= 0 else -2 * x - 1
+    return max(z.bit_length(), 1) + 1
+
+
+def _make_dod_fn(idle_timeout_ms: int | None):
+    _bits = _dod_bits
+
+    def fn(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        rn, last_ms, last_dt, last_v, last_dv = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        n = bits = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ms", "event_id"])
+            for ms, v in zip(pdf["ms"].astype(int), pdf["v100"].astype(int)):
+                rn += 1
+                if rn == 1:
+                    bits += 128
+                elif rn == 2:
+                    last_dt, last_dv = ms - last_ms, v - last_v
+                    bits += _bits(last_dt) + _bits(last_dv)
+                else:
+                    dt, dv = ms - last_ms, v - last_v
+                    bits += _bits(dt - last_dt) + _bits(dv - last_dv)
+                    last_dt, last_dv = dt, dv
+                last_ms, last_v = ms, v
+                n += 1
+        state.update((rn, last_ms, last_dt, last_v, last_dv))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"event_type": etype, "n": n, "bits": bits}],
+            columns=[f.name for f in DOD_SCHEMA.fields],
+        )
+
+    return fn

@@ -686,3 +686,72 @@ def test_downsample_buffer_chop_invariance_property(events, n_chops, data):
                 r[3] = v if r[3] is None else min(r[3], v)
                 r[4] = v if r[4] is None else max(r[4], v)
     assert merged == expected
+
+
+dod_samples_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),   # ms offset
+        st.integers(min_value=-500, max_value=500),   # v100
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(
+    samples=dod_samples_st,
+    n_chops=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dod_sizing_chop_invariance_property(samples, n_chops, data):
+    """t30s's state transition is chop-invariant for in-order arrival:
+    sort the sample sequence once, chop it into ANY consecutive
+    micro-batches, and the summed (n, bits) increments equal the naive
+    whole-sequence delta-of-delta fold (128-bit header, first-order
+    deltas for the second sample, zigzag(dod)+tag from the third)."""
+    import pandas as pd
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        _dod_bits,
+        _make_dod_fn,
+    )
+
+    ordered = sorted([(ms, i, v) for i, (ms, v) in enumerate(samples)])
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(ordered)),
+                min_size=n_chops - 1,
+                max_size=n_chops - 1,
+            )
+        )
+    )
+    batches, lo = [], 0
+    for c in [*cuts, len(ordered)]:
+        batches.append(ordered[lo:c])
+        lo = c
+
+    fn = _make_dod_fn(None)
+    state = _FakeGroupState()
+    tot_n = tot_bits = 0
+    for batch in batches:
+        pdf = pd.DataFrame(batch, columns=["ms", "event_id", "v100"])
+        for out in fn(("t",), iter([pdf]), state):
+            tot_n += int(out["n"].sum())
+            tot_bits += int(out["bits"].sum())
+
+    exp_bits, last = 0, None
+    for rn, (ms, _i, v) in enumerate(ordered, start=1):
+        if rn == 1:
+            exp_bits += 128
+        elif rn == 2:
+            dt, dv = ms - last[0], v - last[1]
+            exp_bits += _dod_bits(dt) + _dod_bits(dv)
+            last_d = (dt, dv)
+        else:
+            dt, dv = ms - last[0], v - last[1]
+            exp_bits += _dod_bits(dt - last_d[0]) + _dod_bits(dv - last_d[1])
+            last_d = (dt, dv)
+        last = (ms, v)
+    assert (tot_n, tot_bits) == (len(ordered), exp_bits)
