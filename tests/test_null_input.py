@@ -112,6 +112,11 @@ _NULL_ORACLE_FAMILIES = [
     # a4s: NULL metric values (staleness markers) are excluded from the
     # bucket sketch identically on both engines (WHERE value IS NOT NULL).
     "a4s_quantile_sketch_stream",
+    # t30/t30s: NULL samples are excluded BEFORE the delta chain on both
+    # engines — a NULL slipping through would poison every downstream
+    # delta-of-delta, not just its own row.
+    "t30_dod_storage_sizing",
+    "t30s_dod_sizing_stream",
 ]
 
 
@@ -249,6 +254,12 @@ _NULL_USER_ORACLE_FAMILIES = [
     "t27s_count_values_stream",
     "t28_slo_burn_alert",
     "t28s_slo_burn_alert_stream",
+    # a3c/a3cs: NULL user_ids are excluded from the KMV hash domain on
+    # both engines (WHERE user_id IS NOT NULL) — Spark would otherwise
+    # hash the string "null"-less NULL to a NULL h (dropped by groupBy
+    # min on one path, kept as a NULL group on another).
+    "a3c_kmv_distinct",
+    "a3cs_kmv_distinct_stream",
 ]
 
 
