@@ -955,22 +955,21 @@ def l2j_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = post.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("doc_id").orderBy("f", "g")
     n_col = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    # prefix length = n − ⌈τ·n⌉ + 1, with ⌈n/2⌉ = (n+1) DIV 2 exactly
-    pref_len = n_col - F.expr(f"CAST((cnt + {L2J_TAU_DEN - 1}) DIV {L2J_TAU_DEN} AS INT)") + 1
     ranked = (
         post.join(freq, "g")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("cnt", n_col)
     )
-    prefixes = ranked.where(
-        F.col("rn")
-        <= F.col("cnt")
+    # prefix length = n − ⌈τ·n⌉ + 1, with ⌈τ·n⌉ = (NUM·n + DEN−1) DIV DEN exactly
+    pref_len = (
+        F.col("cnt")
         - F.expr(
             f"CAST(({L2J_TAU_NUM} * cnt + {L2J_TAU_DEN - 1}) "
             f"DIV {L2J_TAU_DEN} AS BIGINT)"
         )
         + 1
-    ).select("doc_id", "g")
+    )
+    prefixes = ranked.where(F.col("rn") <= pref_len).select("doc_id", "g")
     cand = (
         prefixes.select(F.col("doc_id").alias("id_a"), "g")
         .join(prefixes.select(F.col("doc_id").alias("id_b"), "g"), "g")

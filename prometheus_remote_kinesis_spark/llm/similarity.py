@@ -1001,8 +1001,13 @@ def l2i_semdedup_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces are removed the l4h way: clusters come from the shared
     integer-exact Lloyd core (`_quantized_lloyd`), and the cosine
     threshold evaluates as pure BIGINT arithmetic — cos(a,b) ≥ 0.4 iff
-    dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖² (exact: |dot| ≤ 6.6e8 at this
-    scale/dim, so 25·dot² < 2⁶³). Emits every vector with its cluster
+    dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖². BIGINT-safe iff
+    |dot| ≤ ⌊√(2⁶³/25)⌋ ≈ 6.07e8; here components are |x| < 1 so
+    |q| ≤ KMQ_SCALE and |dot| ≤ dim·KMQ_SCALE² = 64·10⁶ — two orders of
+    magnitude of headroom, asserted on data by
+    tests/test_llm_similarity.py::test_l2i_bigint_headroom so embedding
+    growth toward the boundary fails the suite, not ANSI mode at
+    runtime. Emits every vector with its cluster
     and kept verdict; both engines run the identical election, so the
     hash check covers clustering AND dedup end to end.
 

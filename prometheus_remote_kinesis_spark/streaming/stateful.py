@@ -1203,7 +1203,9 @@ DOD_SCHEMA = StructType(
     ]
 )
 
-_DOD_STATE_SCHEMA = "rn long, last_ms long, last_dt long, last_v long, last_dv long"
+_DOD_STATE_SCHEMA = (
+    "rn long, last_ms long, last_dt long, last_v long, last_dv long, last_eid long"
+)
 
 
 def dod_sizing(records: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
@@ -1214,7 +1216,13 @@ def dod_sizing(records: DataFrame, idle_timeout_ms: int | None = None) -> DataFr
     carried boundary, so a post-drain sum equals the batch total for ANY
     chop of the stream into in-order batches. Bit costs use Python
     ``int.bit_length`` with a floor of 1 — identical to the engines'
-    ``length(bin(z))`` string length including z=0 ('0', length 1)."""
+    ``length(bin(z))`` string length including z=0 ('0', length 1).
+
+    The in-order assumption is ENFORCED, not assumed (r7 ADVICE): state
+    carries the max (ms, event_id) consumed per series, and a batch whose
+    minimum key precedes that boundary raises ``ValueError`` — a
+    misordered source surfaces as a loud query failure instead of a
+    silent hash mismatch against the shared batch oracle."""
 
     return records.groupBy("event_type").applyInPandasWithState(
         _make_dod_fn(idle_timeout_ms),
@@ -1241,13 +1249,26 @@ def _make_dod_fn(idle_timeout_ms: int | None):
         key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (etype,) = key
-        rn, last_ms, last_dt, last_v, last_dv = (
-            state.get if state.exists else (0, 0, 0, 0, 0)
+        rn, last_ms, last_dt, last_v, last_dv, last_eid = (
+            state.get if state.exists else (0, 0, 0, 0, 0, -1)
         )
         n = bits = 0
         for pdf in pdfs:
             pdf = pdf.sort_values(["ms", "event_id"])
-            for ms, v in zip(pdf["ms"].astype(int), pdf["v100"].astype(int)):
+            if rn > 0 and len(pdf):
+                first = (int(pdf["ms"].iloc[0]), int(pdf["event_id"].iloc[0]))
+                if first < (last_ms, last_eid):
+                    raise ValueError(
+                        f"dod_sizing: misordered source for series {etype!r}: "
+                        f"batch min key {first} precedes consumed boundary "
+                        f"({last_ms}, {last_eid}) — the per-series fold "
+                        "requires in-order (ms, event_id) micro-batches"
+                    )
+            for ms, eid, v in zip(
+                pdf["ms"].astype(int),
+                pdf["event_id"].astype(int),
+                pdf["v100"].astype(int),
+            ):
                 rn += 1
                 if rn == 1:
                     bits += 128
@@ -1258,9 +1279,9 @@ def _make_dod_fn(idle_timeout_ms: int | None):
                     dt, dv = ms - last_ms, v - last_v
                     bits += _bits(dt - last_dt) + _bits(dv - last_dv)
                     last_dt, last_dv = dt, dv
-                last_ms, last_v = ms, v
+                last_ms, last_v, last_eid = ms, v, eid
                 n += 1
-        state.update((rn, last_ms, last_dt, last_v, last_dv))
+        state.update((rn, last_ms, last_dt, last_v, last_dv, last_eid))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(

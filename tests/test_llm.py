@@ -646,3 +646,31 @@ def test_semdedup_quantized_bites_and_agrees_with_float_cosine(spark):
                     break
             expect[jid] = (cid, not dup)
     assert out == expect
+
+
+def test_l2i_bigint_headroom(spark):
+    """l2i's 25·dot² BIGINT arithmetic is overflow-safe iff
+    |dot| ≤ ⌊√(2⁶³/25)⌋ ≈ 6.07e8. Assert the bound ON DATA (max|q|·dim
+    from the actual quantized corpus) plus the static worst case
+    (dim·KMQ_SCALE², components |x| < 1), so embedding growth toward the
+    boundary fails here instead of as an ANSI overflow at runtime
+    (r7 ADVICE: the old docstring claimed safety at |dot| ≤ 6.6e8,
+    which is already past the true boundary)."""
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.llm.similarity import (
+        KMQ_SCALE,
+        _quantized_lloyd,
+    )
+
+    dot_cap = int((2**63 / 25) ** 0.5)  # ≈ 6.07e8
+    assigned, _, _ = _quantized_lloyd(spark, SF_SMOKE)
+    row = assigned.select(
+        F.max(F.array_max(F.transform("q", F.abs))).alias("maxq"),
+        F.max(F.size("q")).alias("dim"),
+    ).collect()[0]
+    assert row.dim * row.maxq * row.maxq <= dot_cap // 4, (
+        f"data headroom gone: dim·max|q|² = {row.dim * row.maxq**2:.3g} "
+        f"exceeds a quarter of the |dot| cap {dot_cap:.3g}"
+    )
+    assert row.dim * KMQ_SCALE * KMQ_SCALE <= dot_cap // 4

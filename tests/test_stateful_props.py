@@ -755,3 +755,27 @@ def test_dod_sizing_chop_invariance_property(samples, n_chops, data):
             last_d = (dt, dv)
         last = (ms, v)
     assert (tot_n, tot_bits) == (len(ordered), exp_bits)
+
+
+def test_dod_sizing_rejects_misordered_source():
+    """t30s's in-order assumption is enforced at runtime (r7 ADVICE):
+    a batch whose minimum (ms, event_id) key precedes the consumed
+    per-series boundary raises loudly instead of silently diverging
+    from the shared batch oracle. In-order continuation (including an
+    equal-ms row with a later event_id) still passes."""
+    import pandas as pd
+    import pytest
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import _make_dod_fn
+
+    fn = _make_dod_fn(None)
+    state = _FakeGroupState()
+    b1 = pd.DataFrame({"ms": [100, 200], "event_id": [1, 2], "v100": [10, 20]})
+    list(fn(("t",), iter([b1]), state))
+
+    ok = pd.DataFrame({"ms": [200, 300], "event_id": [3, 4], "v100": [30, 40]})
+    list(fn(("t",), iter([ok]), state))
+
+    bad = pd.DataFrame({"ms": [150], "event_id": [9], "v100": [50]})
+    with pytest.raises(ValueError, match="misordered source"):
+        list(fn(("t",), iter([bad]), state))
