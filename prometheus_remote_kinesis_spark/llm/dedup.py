@@ -940,8 +940,9 @@ def l2j_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the (distinct) shingle arrays, keep 2i ≥ (na + nb − i) (τ = 1/2
     cross-multiplied — no float), Jaccard shipped as truncated PPM by
     integer division. The ORACLE is the unfiltered all-pairs join: the
-    driver hash compare IS the prefix-filter completeness theorem
-    executed on data (a single missed pair hash-mismatches).
+    oracle hash compare IS the prefix-filter completeness theorem
+    executed on data — a single missed pair hash-mismatches (local
+    verify gate today; a driver slot is in the rotation queue).
 
     Scale shape: shingle postings shuffle once to rank by global
     frequency (short-string keys, the l2b envelope), the candidate join

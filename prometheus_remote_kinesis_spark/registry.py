@@ -67,6 +67,20 @@ _LOADED = False
 # remaining queries follow in registration order and are still all present,
 # locally verified by tools/verify_local.py.
 _PRIORITY = (
+    # Round-8 rotation (VERDICT r7 task #1, queue at OPERATORS.md): OUT
+    # j5b_bucketed_range_join / o4_nation_intersect / a5c_grouping_sets /
+    # u3_median_udaf (single-mechanism family reps, driver-green >=4
+    # rounds each; J5 stays covered by the local gate + j5/j8 siblings,
+    # O4 by o2b, A5 by a1/a2c, U by l4h's pandas_udf Lloyd core and the
+    # stateful-map twins already in the window) and l6e_png_decode
+    # (driver-green r6/r7; l6b's mime-dispatch oracle SUBSUMES the
+    # per-format decode paths l6d/l6e cover — l6d keeps the family's
+    # decode slot) → IN l6b_media_features (r6 ADVICE, two rounds
+    # queued), m2s_cdc_apply_stream (complete-mode struct-max CDC apply),
+    # l4h_kmeans_quantized (first driver check of a hash-verified
+    # ITERATIVE algorithm), d17_segment_dedup (paragraph dedup +
+    # document reassembly, text-shuffle discipline plan-pinned), and
+    # a3c_kmv_distinct (first hash-verified cardinality sketch).
     # Round-7 rotation (VERDICT r6 tasks #1/#7): OUT t15_funnel_conversion
     # (T15's slot is held by the driver-green t15s streaming twin, SAME
     # oracle — the t5/t14 precedent) + f3_math_ops and f2_datetime_ops
@@ -108,7 +122,6 @@ _PRIORITY = (
     "j1_order_revenue",
     "j2_customer_region",
     "j4_semi_active_customers",
-    "j5b_bucketed_range_join",
     "j6_asof_last_order",
     # SQL: decorrelated-subquery family (first slot r6; Q2 shape added r7)
     "sql18_last_shipper",
@@ -116,8 +129,9 @@ _PRIORITY = (
     # A: hash agg, distinct, quantiles, grouping sets, collect, histogram, z-score
     "a1_pricing_summary",
     "a2c_bitmap_distinct",
+    # A3: KMV distinct-count sketch — the first hash-verified sketch (r8 IN)
+    "a3c_kmv_distinct",
     "a4_value_quantiles",
-    "a5c_grouping_sets",
     "a7_event_type_sets",
     "a10b_histogram_quantile",
     # A12: two-phase Misra-Gries exact heavy hitters
@@ -127,9 +141,8 @@ _PRIORITY = (
     "w2b_first_last_nth",
     "w3b_trailing_5min_scalable",
     "w4_top_parts_per_brand",
-    # O: pagination, intersect (o1/o3 verified outside the window)
+    # O: pagination (o1/o3/o4 verified outside the window)
     "o2b_pagination",
-    "o4_nation_intersect",
     # T20: sequential Holt-Winters recurrence — driver slot holds the
     # STREAMING twin (same recursive-CTE oracle; stream==batch is pinned
     # by test_holt_winters_stream_matches_batch, and the batch fold t20
@@ -142,8 +155,12 @@ _PRIORITY = (
     # T16 cohort family (and a 7th streaming-executed entry) in the gate)
     "f1_string_ops",
     "t16s_retention_cohorts_stream",
-    # U: custom-UDF surface
-    "u3_median_udaf",
+    # U: custom-UDF surface — r8 swap: u3_median_udaf (grouped-agg UDAF,
+    # driver-green r1–r7) → l4h_kmeans_quantized, whose broadcast-centroid
+    # pandas_udf Lloyd core keeps the Python-UDF mechanism in the window
+    # WHILE giving the first driver slot to a hash-verified iterative
+    # algorithm (2 Lloyd iterations vs an unrolled-CTE DuckDB oracle).
+    "l4h_kmeans_quantized",
     # T: event-time windows, PromQL, funnels, cohorts (t5 batch rotated
     # out r6 — T5's slot is the streaming-executed t5s, same oracle)
     "t7_user_sessions",
@@ -163,6 +180,8 @@ _PRIORITY = (
     "t9s_stream_dedup",
     "t12s_stream_stream_join",
     "t27s_count_values_stream",
+    # M2: streaming CDC apply (complete-mode struct-max upsert fold) — r8 IN
+    "m2s_cdc_apply_stream",
     # (The remaining late-r5 streaming twins — t21s, t23s, t24s —
     # stay OUTSIDE the window by the same choice: none of their families
     # has ever held a slot, their mechanisms (complete-mode agg or
@@ -184,7 +203,12 @@ _PRIORITY = (
     "l4e_sign_bucket_ann",
     "l5f_tfidf",
     "l6d_media_decode",
-    "l6e_png_decode",
+    # r8 swap: l6e_png_decode (driver-green r6/r7) → l6b_media_features,
+    # whose per-mime feature oracle subsumes the dispatch path (r6 ADVICE).
+    "l6b_media_features",
+    # D17: paragraph-level dedup + document reassembly (one text shuffle,
+    # plan-pinned) — r8 IN alongside the d16 composite.
+    "d17_segment_dedup",
     # D: training-data pipeline. Late-r7 swap within the family: OUT
     # d9_substring_dedup (driver-green r3–r6, stays bit-exact locally)
     # → IN d16_corpus_build_e2e (never driver-checked; the composed

@@ -674,3 +674,37 @@ def test_l2i_bigint_headroom(spark):
         f"exceeds a quarter of the |dot| cap {dot_cap:.3g}"
     )
     assert row.dim * KMQ_SCALE * KMQ_SCALE <= dot_cap // 4
+
+
+def test_prefix_jaccard_join_matches_brute_force(spark):
+    """l2j: the prefix-filtered join must return EXACTLY the pairs the
+    brute-force all-pairs τ=1/2 Jaccard scan finds over the same shingle
+    sets — completeness (prefix filtering provably loses nothing) AND
+    soundness (verification keeps nothing extra), with the truncated-PPM
+    similarity recomputed independently in Python."""
+    from prometheus_remote_kinesis_spark.llm.dedup import (
+        L2J_TAU_DEN,
+        L2J_TAU_NUM,
+        shingled_docs,
+    )
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    sets = {
+        r.doc_id: set(r.sh)
+        for r in shingled_docs(load_table(spark, SF_SMOKE, "documents")).collect()
+    }
+    expect = {}
+    ids = sorted(sets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            i = len(sets[a] & sets[b])
+            na, nb = len(sets[a]), len(sets[b])
+            if L2J_TAU_DEN * i >= L2J_TAU_NUM * (na + nb - i):
+                expect[(a, b)] = (i, na, nb, i * 1_000_000 // (na + nb - i))
+    got = {
+        (r.id_a, r.id_b): (r.i, r.na, r.nb, r.jaccard_ppm)
+        for r in all_queries()["l2j_prefix_jaccard_join"].fn(spark, SF_SMOKE).collect()
+    }
+    assert expect, "corpus has no qualifying pair — test is vacuous"
+    assert got == expect

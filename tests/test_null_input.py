@@ -215,6 +215,10 @@ _NULL_TEXT_ORACLE_FAMILIES = [
     # d17s: same exclusion applied ON THE STREAM side before the
     # complete-mode keeper election AND on the static reassembly side.
     "d17s_segment_dedup_stream",
+    # l2j (added r8, VERDICT r7 task #3): shingled_docs excludes NULL
+    # text before prefix ranking; the all-pairs oracle carries the
+    # matching WHERE text IS NOT NULL on BOTH sides of its self-join.
+    "l2j_prefix_jaccard_join",
 ]
 
 
