@@ -798,3 +798,98 @@ def test_interp_fill_all_null_first_batch(spark, tmp_path):
     out = run_to_batch(interp_fill(stream, step_ms=1000, idle_timeout_ms=None), "append")
     got = {r["time"]: r["value"] for r in out.collect()}
     assert got == {2000: 6.0}, got  # midpoint of (1500, 4.0) → (2500, 8.0)
+
+
+def test_relay_rollup_e2e_chop_invariant(spark, tmp_path):
+    """s1e's single-query wire→dedup→rollup plan must produce the batch t5
+    answer when the spool arrives as event-time-ordered WAVES across
+    micro-batches (the relay's real arrival pattern: POST bodies landing
+    over time), each wave double-sent — not just in the registered
+    query's one-shot spool. Waits for the engine's no-data flush batch
+    between waves so every chop boundary crosses a watermark advance."""
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.schema import RECORD_SCHEMA
+    from prometheus_remote_kinesis_spark.sources.prompb_datasource import (
+        register_prompb_source,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from prometheus_remote_kinesis_spark.streaming.queries import relay_rollup_plan
+
+    sf = "/root/testdata/sf0.001"
+    register_prompb_source(spark)
+    events = load_table(spark, sf, "events")
+    wire = events.select(
+        F.col("event_type").alias("name"),
+        F.unix_millis("ts").alias("time"),
+        F.col("value").cast("double").alias("value"),
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("user")),
+            F.array(F.col("event_type"), F.col("user_id").cast("string")),
+        ).alias("labels"),
+    )
+    lo, hi = wire.agg(F.min("time"), F.max("time")).first()
+    cuts = [lo + (hi - lo) * i // 3 for i in (1, 2)]
+    waves = [
+        wire.where(F.col("time") <= cuts[0]),
+        wire.where((F.col("time") > cuts[0]) & (F.col("time") <= cuts[1])),
+        wire.where(F.col("time") > cuts[1]),
+    ]
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    plan = relay_rollup_plan(spark, spool)
+    query = (
+        plan.writeStream.format("memory")
+        .queryName("s1e_chop")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    expected_rows = 0
+
+    def await_drained(deadline_s: float = 60.0) -> None:
+        # drained = every spooled row has been consumed (cumulative input
+        # accounting, immune to a stale pre-write empty batch) AND the
+        # most recent micro-batch consumed nothing (the watermark flush
+        # batch has run since)
+        end = time.time() + deadline_s
+        while time.time() < end:
+            progresses = [json.loads(p.json) for p in query.recentProgress]
+            consumed = sum(p["numInputRows"] for p in progresses)
+            if (
+                consumed >= expected_rows
+                and progresses
+                and progresses[-1]["numInputRows"] == 0
+            ):
+                return
+            time.sleep(0.2)
+        raise TimeoutError("stream never drained the wave")
+
+    try:
+        for wave in waves:
+            wave.write.format("prompb").mode("append").save(spool)
+            wave.write.format("prompb").mode("append").save(spool)  # double send
+            expected_rows += 2 * wave.count()
+            await_drained()
+        sentinel = spark.createDataFrame(
+            [("__wm_sentinel__", hi + 86_400_000, 0.0, {"__name__": "x"})],
+            RECORD_SCHEMA,
+        )
+        sentinel.coalesce(1).write.format("prompb").mode("append").save(spool)
+        expected_rows += 1
+        await_drained()
+    finally:
+        query.stop()
+        query.awaitTermination()
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value, r.avg_value)
+        for r in spark.table("s1e_chop").collect()
+    }
+    expect = {
+        (r.window_start, r.event_type): (r.n, r.sum_value, r.avg_value)
+        for r in all_queries()["t5_tumbling_5min"].fn(spark, sf).collect()
+    }
+    assert got == expect
