@@ -1253,9 +1253,20 @@ def _make_dod_fn(idle_timeout_ms: int | None):
             state.get if state.exists else (0, 0, 0, 0, 0, -1)
         )
         n = bits = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ms", "event_id"])
-            if rn > 0 and len(pdf):
+        # Concatenate the group's Arrow chunks BEFORE sorting: a large
+        # group spans multiple ~10k-row chunks within one micro-batch and
+        # arrives in arbitrary shuffle order across them, so a per-chunk
+        # sort (the pre-r8 form) folds a different sequence than the
+        # batch oracle whenever chunk boundaries interleave timestamps —
+        # exposed by the 4x replication probe the moment the order guard
+        # landed. One batch = one sorted sequence; the in-order contract
+        # applies BETWEEN micro-batches only.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ms", "event_id"]
+            )
+            if rn > 0:
                 first = (int(pdf["ms"].iloc[0]), int(pdf["event_id"].iloc[0]))
                 if first < (last_ms, last_eid):
                     raise ValueError(

@@ -893,3 +893,100 @@ def test_relay_rollup_e2e_chop_invariant(spark, tmp_path):
         for r in all_queries()["t5_tumbling_5min"].fn(spark, sf).collect()
     }
     assert got == expect
+
+
+def test_slo_burn_watermark_eviction(spark, tmp_path):
+    """t28s's production-bounded sibling (VERDICT r7 task #6): the
+    watermark-EVICTED 5-minute bucket form must (a) hold only the open
+    windows in state while hours of data stream past — bounded rows
+    under a moving watermark, unlike the registered drain-time form's
+    O(distinct samples) — and (b) reproduce t28's exact burn-rate
+    arithmetic at a bucket-boundary eval point from the emitted buckets
+    alone."""
+    import datetime as dt
+
+    from prometheus_remote_kinesis_spark.streaming.pipeline import slo_burn_buckets
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 30)
+    rows = [
+        (base + dt.timedelta(minutes=i), u, "error" if (i + u) % 3 == 0 else "view")
+        for i in range(360)  # 6 hours, 1 sample/min/user
+        for u in (1, 2)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for h in range(6):
+        chunk = [r for r in rows if r[0].hour == h]
+        pdf = spark.createDataFrame(chunk, "ts timestamp, user_id long, event_type string")
+        pdf.coalesce(1).write.parquet(str(src / f"h{h}.parquet"))
+        # one file per hour, mtime-ordered so micro-batches replay in
+        # event-time order (FileStreamSource picks oldest-first)
+        for root, _dirs, files in os.walk(src / f"h{h}.parquet"):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + h, 1_700_000_000 + h))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "h*.parquet"))
+    )
+    q = (
+        slo_burn_buckets(stream)
+        .writeStream.format("memory")
+        .queryName("burn_buckets")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    state_rows = [
+        so["numRowsTotal"] for p in progresses for so in p.get("stateOperators", [])
+    ]
+
+    # (a) bounded state: peak ≈ one hour of open windows (the batch
+    # granularity) per user — never the 144 total windows of the run —
+    # and the post-flush tail holds only the watermark horizon.
+    assert max(state_rows) <= 2 * 16, state_rows
+    assert state_rows[-1] <= 2 * 8, state_rows
+    total_windows = 2 * 72
+    assert max(state_rows) < total_windows / 4
+
+    buckets = {
+        (r.bucket_start, r.user_id): (r.n, r.err)
+        for r in spark.table("burn_buckets").collect()
+    }
+    # every emitted bucket carries the exact batch counts
+    expect_buckets = {}
+    for ts, u, et in rows:
+        b = ts.replace(minute=ts.minute - ts.minute % 5, second=0)
+        n, err = expect_buckets.get((b, u), (0, 0))
+        expect_buckets[(b, u)] = (n + 1, err + (et == "error"))
+    for k, v in buckets.items():
+        assert expect_buckets[k] == v
+    assert len(buckets) > total_windows / 2  # most windows were finalized
+
+    # (b) t28's arithmetic at T = the last finalized bucket boundary,
+    # derived from buckets alone vs the naive per-sample fold
+    t_end = max(b for (b, _u) in buckets)
+    T = t_end + dt.timedelta(minutes=5)
+    for u in (1, 2):
+        n_5m = sum(n for (b, uu), (n, _e) in buckets.items() if uu == u and b == t_end)
+        err_5m = sum(e for (b, uu), (_n, e) in buckets.items() if uu == u and b == t_end)
+        n_1h = sum(
+            n
+            for (b, uu), (n, _e) in buckets.items()
+            if uu == u and T - dt.timedelta(hours=1) <= b < T
+        )
+        err_1h = sum(
+            e
+            for (b, uu), (_n, e) in buckets.items()
+            if uu == u and T - dt.timedelta(hours=1) <= b < T
+        )
+        naive = [r for r in rows if r[1] == u and T - dt.timedelta(hours=1) <= r[0] <= T]
+        assert n_1h == len(naive)
+        assert err_1h == sum(1 for r in naive if r[2] == "error")
+        naive_5m = [r for r in naive if r[0] >= T - dt.timedelta(minutes=5)]
+        assert n_5m == len(naive_5m)
+        assert err_5m == sum(1 for r in naive_5m if r[2] == "error")

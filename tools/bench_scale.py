@@ -11,9 +11,15 @@ corpus (more samples per series, not more series).
 
 Usage: python tools/bench_scale.py [multipliers...]   (default: 1 4 16)
        python tools/bench_scale.py --queries t25_rate_extrapolated,t28_slo_burn_alert 1 16
+       python tools/bench_scale.py --fresh 16 64
 Prints ONE JSON line per multiplier. --queries probes an arbitrary
 registered subset instead of the bench set (how SCALE.md's per-family
-scaling rows are measured).
+scaling rows are measured). --fresh times ONE pass of a NEWLY-built plan
+per query (no warm-up, no shuffle-stage reuse — bench.py's
+``queries_fresh`` convention): stage reuse can hide pre-shuffle
+superlinearity, so SCALE.md's "no new superlinear entry" conclusion is
+confirmed on fresh lineage (VERDICT r7 task #4). Fresh timings include
+~0.4 s/query Py4J plan construction; compare fresh-to-fresh only.
 """
 
 from __future__ import annotations
@@ -107,6 +113,9 @@ def main() -> None:
         del argv[i : i + 2]
         qs = all_queries()
         subset = {n: qs[n].fn for n in names}
+    fresh = "--fresh" in argv
+    if fresh:
+        argv.remove("--fresh")
     multipliers = [int(a) for a in argv] or [1, 4, 16]
     spark = get_spark("bench_scale")
     # events.parquet is TIMESTAMP(NANOS); the rewrite (via nanosAsLong set
@@ -117,16 +126,20 @@ def main() -> None:
     try:
         for m in multipliers:
             sf_dir = build_scaled_dir(spark, m, workdir)
-            plans = {
-                name: fn(spark, sf_dir)
-                for name, fn in sorted((subset or bench_queries()).items())
-            }
+            fns = sorted((subset or bench_queries()).items())
             timings = {}
-            for name, df in plans.items():
-                df.toPandas()  # warm-up
-                t0 = time.time()
-                df.toPandas()
-                timings[name] = round(time.time() - t0, 3)
+            if fresh:
+                for name, fn in fns:
+                    t0 = time.time()
+                    fn(spark, sf_dir).toPandas()  # new lineage, single pass
+                    timings[name] = round(time.time() - t0, 3)
+            else:
+                plans = {name: fn(spark, sf_dir) for name, fn in fns}
+                for name, df in plans.items():
+                    df.toPandas()  # warm-up
+                    t0 = time.time()
+                    df.toPandas()
+                    timings[name] = round(time.time() - t0, 3)
             print(
                 json.dumps(
                     {
@@ -135,6 +148,7 @@ def main() -> None:
                         "value": round(sum(timings.values()), 3),
                         "unit": "sec",
                         "queries": timings,
+                        "mode": "fresh" if fresh else "warm",
                         "base_sf_dir": BASE_SF_DIR,
                     }
                 ),
