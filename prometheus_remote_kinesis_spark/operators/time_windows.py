@@ -1781,3 +1781,92 @@ def t30_dod_storage_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio_ppm"),
         )
     )
+
+
+T31_ORACLE = """
+    WITH t AS (SELECT max(epoch_us(ts) // 1000) AS tmax FROM events),
+    s AS (
+        SELECT event_type, user_id,
+               (epoch_us(ts) // 1000 - (t.tmax - 86400000)) // 1000 AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events, t
+        WHERE value IS NOT NULL
+          AND epoch_us(ts) // 1000 >= t.tmax - 86400000
+    ),
+    a AS (
+        SELECT event_type, user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM s GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, n,
+           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6) / 1e6
+               AS slope_cents_per_s,
+           floor(((CAST(sy AS DOUBLE)
+                   - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                  + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 90000) * 1e3)
+               / 1e3 AS pred_cents
+    FROM a
+    WHERE n * sxx - sx * sx > 0
+"""
+
+
+@register("t31_predict_linear", family="T14", oracle=T31_ORACLE)
+def t31_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``predict_linear(v[1d], 3600)`` — least-squares trend per
+    series over the trailing day at T = corpus max, predicting one hour
+    ahead (the capacity-planning alert: "disk full in N hours"). The
+    PromQL function family's regression member, next to rate/deriv
+    (t14b–g); the reference relays these series so downstream Prometheus
+    can run exactly this.
+
+    Hash-match strategy (the t14/f8 conventions combined): the FIVE
+    regression sums accumulate as exact BIGINTs — x is window-relative
+    whole SECONDS (≤ 86 400, non-negative so `div` == floor-div on both
+    engines), y is exact integer cents — so n·Σxy − Σx·Σy and
+    n·Σx² − (Σx)² are identical int64 on both engines (bounded ~1e13 at
+    the 64× probe scale, inside the 2⁵³ exact-double window), the
+    slope/intercept doubles divide in the IDENTICAL expression order,
+    and the outputs truncate via tie-free floor (both engines hold the
+    same IEEE quotient; round() could split a half-way tie, CLAUDE.md's
+    f8 rule). Series with a singular design matrix (n < 2 or all samples
+    in one second) are excluded by den > 0 on both sides.
+
+    Scale shape: one broadcast 1-row scalar (tmax) prunes the scan to
+    the window, then a single map-side-combined hash agg keyed on
+    (event_type, user_id) — the key space grows with the corpus, sums
+    are 5 integers per series, and no window function or sort appears
+    anywhere. The same plan at 100 TB shards by series exactly like a1."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    tmax = events.agg(F.max(F.unix_millis("ts")).alias("tmax"))
+    s = (
+        events.crossJoin(F.broadcast(tmax))
+        .where(F.unix_millis("ts") >= F.col("tmax") - 86400000)
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("(unix_millis(ts) - (tmax - 86400000)) div 1000").alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+    )
+    a = s.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    pred = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n") + slope * F.lit(90000)
+    return a.where(den > 0).select(
+        "event_type",
+        "user_id",
+        "n",
+        (F.floor(slope * 1e6) / 1e6).alias("slope_cents_per_s"),
+        (F.floor(pred * 1e3) / 1e3).alias("pred_cents"),
+    )

@@ -237,3 +237,53 @@ def test_kmv_estimate_within_envelope(spark):
             assert abs(r.kmv_estimate - r.n_distinct) <= 3 * r.n_distinct / (
                 KMV_K**0.5
             ), r
+
+
+def test_predict_linear_matches_numpy_lstsq(spark):
+    """t31: the integer-sum regression must BE ordinary least squares —
+    slope/prediction recomputed per series with numpy's lstsq from the
+    same (window-relative seconds, cents) points, truncated the same
+    way. The cross-engine oracle proves Spark==DuckDB; this proves both
+    equal the textbook estimator."""
+    import math
+
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.event_type, r.user_id): (r.n, r.slope_cents_per_s, r.pred_cents)
+        for r in all_queries()["t31_predict_linear"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got, "no series with >=2 distinct-second samples — vacuous"
+
+    events = load_table(spark, SF_SMOKE, "events").where(F.col("value").isNotNull())
+    tmax = events.agg(F.max(F.unix_millis("ts"))).first()[0]
+    pts: dict[tuple, list] = {}
+    for r in (
+        events.select("event_type", "user_id", F.unix_millis("ts").alias("ms"), "value")
+        .where(F.col("ms") >= tmax - 86400000)
+        .collect()
+    ):
+        x = (r.ms - (tmax - 86400000)) // 1000
+        pts.setdefault((r.event_type, r.user_id), []).append(
+            (x, round(r.value * 100))
+        )
+    expect = {}
+    for k, xy in pts.items():
+        xs = np.array([p[0] for p in xy], dtype=float)
+        ys = np.array([p[1] for p in xy], dtype=float)
+        if len(xy) < 2 or np.all(xs == xs[0]):
+            continue
+        slope, intercept = np.polyfit(xs, ys, 1)
+        expect[k] = (len(xy), slope, intercept + slope * 90000)
+    assert set(got) == set(expect)
+    for k, (n, slope_t, pred_t) in got.items():
+        en, eslope, epred = expect[k]
+        assert n == en
+        # numpy's QR-based fit differs from the exact integer-sum fold
+        # only by float noise; the truncated outputs must agree to ~1e-6
+        assert math.isclose(slope_t, math.floor(eslope * 1e6) / 1e6, abs_tol=2e-6), k
+        assert math.isclose(pred_t, math.floor(epred * 1e3) / 1e3, abs_tol=2e-3), k
