@@ -848,3 +848,101 @@ def a3c_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", kmv_hash(F.col("user_id")).alias("h")
     ).distinct()
     return kmv_summary(dh)
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+A13_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    cells AS (
+        SELECT d.i,
+               ('0x' || substring(
+                    md5(user_id::VARCHAR || ':' || d.i::VARCHAR), 1, 15
+                ))::BIGINT % {CMS_WIDTH} AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ev, LATERAL unnest(range(0, {CMS_DEPTH})) AS d(i)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        FROM ev GROUP BY 1
+    ),
+    probes AS (
+        SELECT e.user_id, e.n_exact, d.i,
+               ('0x' || substring(
+                    md5(e.user_id::VARCHAR || ':' || d.i::VARCHAR), 1, 15
+                ))::BIGINT % {CMS_WIDTH} AS bucket
+        FROM exact e, LATERAL unnest(range(0, {CMS_DEPTH})) AS d(i)
+    )
+    SELECT p.user_id, p.n_exact,
+           CAST(min(c.c) AS BIGINT) AS cms_est,
+           CAST(min(c.c) - p.n_exact AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY 1, 2
+"""
+
+
+@register("a14_count_min_sketch", family="A12", oracle=A13_ORACLE)
+def a14_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over user_id
+    frequencies, HASH-VERIFIED end to end — the frequency-sketch sibling
+    of a12's exact Misra-Gries and a3c's KMV cardinality sketch. Depth
+    4 × width 64 counters build with the l2h
+    cross-engine md5 hash family (Spark ``conv(substring(md5(...)))`` ≡
+    DuckDB ``('0x'||substring(md5(...)))::BIGINT``, probed bit-equal;
+    both inputs non-negative so ``%`` agrees), then every distinct user
+    probes its 4 cells and takes the min — emitted next to the
+    exact count so the CMS ε-overcount guarantee (est ≥ exact, always)
+    is itself part of the hashed result.
+
+    Scale shape — the "sketch small enough to broadcast" pattern: the
+    cell build is ONE map-side-combined hash agg onto d×w = 4×64
+    cells (mergeable partials, the definition of CMS mergeability), the
+    probe side joins user aggregates to the {CMS_DEPTH}·{CMS_WIDTH}-row cell relation
+    via an explicit broadcast (no shuffle of the big side beyond its own
+    count agg), and nothing anywhere is proportional to stream length —
+    at 100 TB the sketch is still 256 integers per executor partial.
+
+    No reference counterpart (the relay holds no aggregates); Layer-B
+    addition in the a3/a12 sketch family."""
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    depth = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("i")
+
+    def bucket(user: Column, i: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(user.cast("string"), F.lit(":"), i.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % CMS_WIDTH
+
+    cells = (
+        events.select(F.col("user_id"), depth)
+        .select("i", bucket(F.col("user_id"), F.col("i")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    probes = exact.select("user_id", "n_exact", depth).select(
+        "user_id",
+        "n_exact",
+        "i",
+        bucket(F.col("user_id"), F.col("i")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(
+            F.min("c").cast("bigint").alias("cms_est"),
+            (F.min("c") - F.col("n_exact")).cast("bigint").alias("overcount"),
+        )
+    )

@@ -287,3 +287,23 @@ def test_predict_linear_matches_numpy_lstsq(spark):
         # only by float noise; the truncated outputs must agree to ~1e-6
         assert math.isclose(slope_t, math.floor(eslope * 1e6) / 1e6, abs_tol=2e-6), k
         assert math.isclose(pred_t, math.floor(epred * 1e3) / 1e3, abs_tol=2e-3), k
+
+
+def test_count_min_sketch_invariants(spark):
+    """a13: CMS estimates must dominate the exact counts (est ≥ exact,
+    the one-sided CMS guarantee), at least one user must actually
+    collide (the sketch is lossy, not vacuously exact — needs sf0.01's
+    ~1,500 users against 4×64 cells; the ~15 users of sf0.001 rarely
+    share a bucket in all four rows), and the user-mass total must equal
+    the stream length."""
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = all_queries()["a14_count_min_sketch"].fn(spark, sf).collect()
+    assert rows
+    assert all(r.cms_est >= r.n_exact for r in rows)
+    assert all(r.overcount == r.cms_est - r.n_exact for r in rows)
+    assert any(r.overcount > 0 for r in rows), "no collision — width too wide to test"
+    n_events = load_table(spark, sf, "events").count()
+    assert sum(r.n_exact for r in rows) == n_events
