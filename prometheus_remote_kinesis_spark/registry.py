@@ -33,6 +33,7 @@ _QUERY_MODULES = [
     "prometheus_remote_kinesis_spark.operators.aggregates",
     "prometheus_remote_kinesis_spark.operators.windows",
     "prometheus_remote_kinesis_spark.operators.setops",
+    "prometheus_remote_kinesis_spark.operators.graph",
     "prometheus_remote_kinesis_spark.functions.scalar",
     "prometheus_remote_kinesis_spark.functions.pandas_udfs",
     "prometheus_remote_kinesis_spark.operators.time_windows",

@@ -307,3 +307,45 @@ def test_count_min_sketch_invariants(spark):
     assert any(r.overcount > 0 for r in rows), "no collision — width too wide to test"
     n_events = load_table(spark, sf, "events").count()
     assert sum(r.n_exact for r in rows) == n_events
+
+
+def test_pagerank_quantized_tracks_float_power_iteration(spark):
+    """g1: the integer fixed-point recurrence must track the textbook
+    float power iteration (same graph, same 2 supersteps from uniform
+    1.0) within the accumulated quantization bound — per superstep each
+    in-edge contribution floors away < 1e-6 and the damping floors once,
+    so after 2 iterations the drift is well under 1e-3 per unit rank.
+    The cross-engine oracle proves Spark==DuckDB; this proves both are
+    PageRank."""
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    got = {
+        r.node: r.pagerank_fp / 1e6
+        for r in all_queries()["g1_pagerank_quantized"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = {
+        (f"c{r.o_custkey}", f"s{r.l_suppkey}")
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey).collect()
+    }
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    outdeg: dict[str, int] = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {n: 1.0 for n in outdeg}
+    for _ in range(2):
+        nxt: dict[str, float] = {}
+        for s, d in edges:
+            nxt[d] = nxt.get(d, 0.0) + pr[s] / outdeg[s]
+        pr = {n: 0.15 + 0.85 * v for n, v in nxt.items()}
+
+    assert set(got) == set(pr)
+    assert all(abs(got[n] - pr[n]) < 1e-3 for n in pr), max(
+        abs(got[n] - pr[n]) for n in pr
+    )
+    # rank mass sanity: damped total = 0.15*N + 0.85*(previous mass)
+    assert abs(sum(got.values()) - sum(pr.values())) < 1e-3 * len(pr)
