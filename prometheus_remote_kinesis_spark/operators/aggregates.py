@@ -853,7 +853,7 @@ def a3c_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_DEPTH = 4
 CMS_WIDTH = 64
 
-A13_ORACLE = f"""
+A14_ORACLE = f"""
     WITH ev AS (
         SELECT user_id FROM events WHERE user_id IS NOT NULL
     ),
@@ -885,7 +885,7 @@ A13_ORACLE = f"""
 """
 
 
-@register("a14_count_min_sketch", family="A12", oracle=A13_ORACLE)
+@register("a14_count_min_sketch", family="A12", oracle=A14_ORACLE)
 def a14_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) over user_id
     frequencies, HASH-VERIFIED end to end — the frequency-sketch sibling

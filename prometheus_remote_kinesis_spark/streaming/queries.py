@@ -72,7 +72,7 @@ from prometheus_remote_kinesis_spark.llm.pipeline import (
 )
 from prometheus_remote_kinesis_spark.llm.similarity import dot
 from prometheus_remote_kinesis_spark.llm.text import L5_ORACLE, token_stats
-from prometheus_remote_kinesis_spark.operators.aggregates import A3C_ORACLE
+from prometheus_remote_kinesis_spark.operators.aggregates import A3C_ORACLE, A14_ORACLE
 from prometheus_remote_kinesis_spark.operators.relational import _M2_CDC
 from prometheus_remote_kinesis_spark.registry import register
 from prometheus_remote_kinesis_spark.sources.tables import (
@@ -1952,3 +1952,64 @@ def relay_rollup_plan(spark: SparkSession, spool: str) -> DataFrame:
     deduped = recs.dropDuplicatesWithinWatermark(["event_type", "user", "time"])
     clean = deduped.where(F.col("event_type") != "__wm_sentinel__")
     return tumbling_rollup_5min(clean)
+
+
+@register("a14s_count_min_stream", family="A12-stream", oracle=A14_ORACLE)
+def a14s_count_min_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a14's Count-Min sketch with the cells aggregated IN-STREAM — and
+    the best state bound in the streaming fleet: the complete-mode agg
+    keys on (row, bucket), so state is EXACTLY the d×w = 256 sketch
+    cells no matter how long the stream runs (not O(users) like the
+    two-phase distinct twins, not O(samples) — the sketch IS the state,
+    which is the entire point of CMS at ingest). The probe/compare tail
+    (exact per-user counts, min-cell estimate) runs post-drain against
+    the static table through the same expressions as batch a14.
+
+    Registers a14's oracle (the t5s/t14s shared-oracle convention), so
+    the streaming cell aggregation itself sits inside the hash gate;
+    `test_count_min_stream_matches_batch` additionally pins stream ==
+    batch row-for-row."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    def bucket(user, i):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(user.cast("string"), F.lit(":"), i.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % CMS_WIDTH
+
+    depth = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("i")
+    events = stream_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cells_agg = (
+        events.select(F.col("user_id"), depth)
+        .select("i", bucket(F.col("user_id"), F.col("i")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cells = run_to_batch(cells_agg, "complete")
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    probes = exact.select("user_id", "n_exact", depth).select(
+        "user_id", "n_exact", "i", bucket(F.col("user_id"), F.col("i")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(
+            F.min("c").cast("bigint").alias("cms_est"),
+            (F.min("c") - F.col("n_exact")).cast("bigint").alias("overcount"),
+        )
+    )

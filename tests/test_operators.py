@@ -349,3 +349,30 @@ def test_pagerank_quantized_tracks_float_power_iteration(spark):
     )
     # rank mass sanity: damped total = 0.15*N + 0.85*(previous mass)
     assert abs(sum(got.values()) - sum(pr.values())) < 1e-3 * len(pr)
+
+
+def test_count_min_stream_matches_batch(spark):
+    """a14s: the in-stream CMS (state = exactly the 256 sketch cells)
+    must reproduce batch a14 row-for-row — cell counts are mergeable
+    partial sums, so any micro-batch chop union-folds to the same
+    sketch. Also pins the state bound: the drained state-store metric
+    must equal the number of OCCUPIED cells (≤ d×w), independent of
+    stream length."""
+    import prometheus_remote_kinesis_spark.streaming.queries as sq
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+    from prometheus_remote_kinesis_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    qs = all_queries()
+    stream = {tuple(r) for r in qs["a14s_count_min_stream"].fn(spark, sf).collect()}
+    state_rows = [
+        so["numRowsTotal"]
+        for p in sq.last_run_progress
+        for so in p.get("stateOperators", [])
+    ]
+    batch = {tuple(r) for r in qs["a14_count_min_sketch"].fn(spark, sf).collect()}
+    assert stream == batch
+    assert state_rows and max(state_rows) <= CMS_DEPTH * CMS_WIDTH
