@@ -1870,3 +1870,94 @@ def t31_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(slope * 1e6) / 1e6).alias("slope_cents_per_s"),
         (F.floor(pred * 1e3) / 1e3).alias("pred_cents"),
     )
+
+
+T32_ORACLE = """
+    WITH s AS (
+        SELECT event_type, user_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY epoch_us(ts), event_id
+               ) AS rn,
+               lag(user_id) OVER (
+                   PARTITION BY event_type
+                   ORDER BY epoch_us(ts), event_id
+               ) AS prev_user
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN prev_user IS NULL
+                             OR prev_user <> user_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM s GROUP BY 1
+    )
+    SELECT event_type, n, d, runs,
+           CAST(n * 64 AS BIGINT) AS raw_bits,
+           CAST(d * 64 + n * length(bin(d - 1)) AS BIGINT) AS dict_bits,
+           CAST(runs * 96 AS BIGINT) AS rle_bits,
+           CAST((n * 64 * 1000000)
+                // (d * 64 + n * length(bin(d - 1))) AS BIGINT)
+               AS dict_ratio_ppm,
+           CAST((n * 64 * 1000000) // (runs * 96) AS BIGINT)
+               AS rle_ratio_ppm
+    FROM agg
+"""
+
+
+@register("t32_dict_rle_sizing", family="S9", oracle=T32_ORACLE)
+def t32_dict_rle_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary- and RLE-encoding capacity planning for the archive's
+    ID columns — t30's sibling for the non-numeric axis (t30 sizes the
+    (timestamp, value) Gorilla chunks; this sizes the user_id column
+    under the two parquet encodings the archival sink's (name, time)
+    clustering enables). Per event_type partition, exact integer bit
+    accounting: dictionary = 64 bits per distinct id + ⌈log₂ d⌉ index
+    bits per row (index width via ``length(bin(d−1))`` — string length,
+    the t30 trick, because floor(log2) floats can split on power-of-2
+    boundaries); RLE = one (value, run-length) pair per run of the
+    time-ordered column, runs counted with a lag flag over the archive's
+    exact sort order (ts, event_id — the tie-break makes run counts
+    deterministic). Ratios ship as truncated PPM by integer division
+    (non-negative, so Spark DIV ≡ DuckDB //).
+
+    Scale shape: ONE Sort+Exchange keyed on the series partition feeds
+    both window passes (lag + row_number share the frame), then a
+    map-side-combined hash agg; distinct-d rides the same agg as
+    count(DISTINCT) over the already-partitioned key. Key count grows
+    with the corpus. No floats anywhere."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    s = events.select(
+        "event_type",
+        "user_id",
+        F.lag("user_id").over(w).alias("prev_user"),
+    )
+    run_flag = F.when(
+        F.col("prev_user").isNull() | (F.col("prev_user") != F.col("user_id")), 1
+    ).otherwise(0)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("d"),
+        F.sum(run_flag).cast("bigint").alias("runs"),
+    )
+    idx_bits = F.length(F.bin(F.col("d") - 1))
+    return agg.select(
+        "event_type",
+        "n",
+        "d",
+        "runs",
+        (F.col("n") * 64).cast("bigint").alias("raw_bits"),
+        (F.col("d") * 64 + F.col("n") * idx_bits).cast("bigint").alias("dict_bits"),
+        (F.col("runs") * 96).cast("bigint").alias("rle_bits"),
+        F.expr(
+            "CAST((n * 64 * 1000000) DIV (d * 64 + n * length(bin(d - 1))) AS BIGINT)"
+        ).alias("dict_ratio_ppm"),
+        F.expr("CAST((n * 64 * 1000000) DIV (runs * 96) AS BIGINT)").alias(
+            "rle_ratio_ppm"
+        ),
+    )
