@@ -1055,3 +1055,235 @@ def l2i_semdedup_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("bigint").alias("cluster"),
         F.col("is_dup").isNull().alias("kept"),
     )
+
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # dims per subspace (4 × 16 = the corpus's 64)
+PQ_K = 8  # centroids per subspace → 3 bits/code, 12 bits/vector
+PQ_ITERS = 2
+
+_L4J_STEP_DIST = "sum((p.qv - c.cv) * (p.qv - c.cv))"
+
+_L4J_ORACLE = f"""
+    WITH pts AS (
+        SELECT vec_id,
+               CAST((s.i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+               CAST((s.i - 1) % {PQ_SUBDIM} AS BIGINT) AS sdim,
+               CAST(floor(CAST(embedding[s.i] AS DOUBLE) * {KMQ_SCALE})
+                    AS BIGINT) AS qv
+        FROM embeddings,
+             LATERAL unnest(range(1, len(embedding) + 1)) AS s(i)
+        WHERE embedding IS NOT NULL
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    c0 AS (SELECT s.cid, p.sub, p.sdim, p.qv AS cv
+           FROM seeds s JOIN pts p USING (vec_id)),
+    d1 AS (SELECT p.vec_id, p.sub, c.cid, {_L4J_STEP_DIST} AS dist
+           FROM pts p JOIN c0 c ON c.sub = p.sub AND c.sdim = p.sdim
+           GROUP BY 1, 2, 3),
+    a1 AS (SELECT vec_id, sub, cid FROM
+             (SELECT vec_id, sub, cid, row_number() OVER
+                  (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d1)
+           WHERE rn = 1),
+    c1 AS (SELECT a.cid, p.sub, p.sdim,
+                  CAST(floor(CAST(sum(p.qv) AS DOUBLE) / count(*))
+                       AS BIGINT) AS cv
+           FROM a1 a JOIN pts p ON p.vec_id = a.vec_id AND p.sub = a.sub
+           GROUP BY 1, 2, 3),
+    d2 AS (SELECT p.vec_id, p.sub, c.cid, {_L4J_STEP_DIST} AS dist
+           FROM pts p JOIN c1 c ON c.sub = p.sub AND c.sdim = p.sdim
+           GROUP BY 1, 2, 3),
+    a2 AS (SELECT vec_id, sub, cid FROM
+             (SELECT vec_id, sub, cid, row_number() OVER
+                  (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d2)
+           WHERE rn = 1),
+    c2 AS (SELECT a.cid, p.sub, p.sdim,
+                  CAST(floor(CAST(sum(p.qv) AS DOUBLE) / count(*))
+                       AS BIGINT) AS cv
+           FROM a2 a JOIN pts p ON p.vec_id = a.vec_id AND p.sub = a.sub
+           GROUP BY 1, 2, 3),
+    codes AS (
+        SELECT vec_id,
+               CAST(sum(cid * (CASE sub WHEN 0 THEN 1 WHEN 1 THEN {PQ_K}
+                               WHEN 2 THEN {PQ_K * PQ_K}
+                               ELSE {PQ_K * PQ_K * PQ_K} END))
+                    AS BIGINT) AS code
+        FROM a2 GROUP BY 1
+    ),
+    qv0 AS (SELECT sub, sdim, qv FROM pts
+            WHERE vec_id = (SELECT min(vec_id) FROM pts)),
+    dtab AS (SELECT c.sub, c.cid,
+                    CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d
+             FROM c2 c JOIN qv0 q ON q.sub = c.sub AND q.sdim = c.sdim
+             GROUP BY 1, 2),
+    adc AS (SELECT a.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+            FROM a2 a JOIN dtab t ON t.sub = a.sub AND t.cid = a.cid
+            GROUP BY 1)
+    SELECT a.vec_id, c.code, a.adc_dist
+    FROM adc a JOIN codes c USING (vec_id)
+    ORDER BY a.adc_dist, a.vec_id
+    LIMIT 10
+"""
+
+
+@register("l4j_pq_quantized", family="L4", oracle=_L4J_ORACLE)
+def l4j_pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed PRODUCT QUANTIZATION (Jégou et al. 2011) — codebook
+    training AND the ADC scan, both inside the hash gate (l4f's float PQ
+    is rows-only by design; this twin removes the float the l4h way).
+    Each vector splits into 4 subspaces of 16 dims; per subspace an
+    integer-exact Lloyd (2 iterations, quantized at floor(x·1000), ties
+    to the lower cid, centroid update floor(Σ/n)) trains an 8-entry
+    codebook — the oracle unrolls all of it as CTEs in long
+    (vec_id, sub, sdim, qv) form. Every vector's code packs as
+    Σ cid·8^sub (a 12-bit integer), the query (min vec_id) precomputes
+    its 4×8 integer distance table against the trained codebooks, and
+    Asymmetric Distance Computation is a per-vector sum of 4 table
+    lookups — the hash compare covers training, code assignment, table
+    construction, and the top-10 ADC ranking (ordered by (dist, vec_id),
+    the unique tie-break).
+
+    Scale shape: per iteration ONE Arrow-batched map-only pandas_udf
+    assigns all subspaces at once (the m×k×subdim = 512-int codebook
+    rides the closure; the corpus never moves), the update exchange
+    carries (sub, cluster, sdim, Σ, n) integer partials, and the
+    bounded collects are the codebook cells (≤ 512) and the 1-row query
+    vector — the documented l4d/l4f/l4h codebook envelope. The ADC scan
+    is a map-only projection (the 32-entry distance table is a literal
+    map), then one global top-10 — TakeOrderedAndProject, no full sort.
+    At 100 TB: codes are 12 bits/vector (85× smaller than the float
+    vectors), the scan reads codes only, and training cost is bounded by
+    k·m·subdim cells per round regardless of corpus size."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * KMQ_SCALE)
+        ).alias("qv"),
+    )
+    subs = q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("sub"),
+                        F.slice("qv", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sq"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.sub", "x.sq")
+
+    seed_rows = q.sort("vec_id").limit(PQ_K).select("qv").collect()  # ≤ k rows
+    # cents[sub] = (ascending cid array, k×subdim int matrix)
+    cents: dict[int, tuple[list[int], list[list[int]]]] = {
+        s: (
+            list(range(len(seed_rows))),
+            [list(r.qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]) for r in seed_rows],
+        )
+        for s in range(PQ_M)
+    }
+
+    def make_nearest(cent_state: dict[int, tuple[list[int], list[list[int]]]]):
+        arrs = {
+            s: (np.array(cids, dtype=np.int64), np.array(cv, dtype=np.int64))
+            for s, (cids, cv) in cent_state.items()
+        }
+
+        @pandas_udf("long")
+        def nearest(sub: pd.Series, sq: pd.Series) -> pd.Series:
+            out = np.zeros(len(sub), dtype=np.int64)
+            if len(sub) == 0:
+                return pd.Series(out)
+            sub_np = sub.to_numpy()
+            mat = np.array(list(sq), dtype=np.int64)
+            for s, (cid_arr, cent) in arrs.items():
+                mask = sub_np == s
+                if mask.any() and cent.size:
+                    d = ((mat[mask][:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                    # argmin takes the FIRST min; cids ascend → lower-cid tie
+                    out[mask] = cid_arr[d.argmin(axis=1)]
+            return pd.Series(out)
+
+        return nearest
+
+    assigned = None
+    for _ in range(PQ_ITERS):
+        nearest = make_nearest(cents)
+        assigned = subs.select(
+            "vec_id", "sub", "sq", nearest("sub", "sq").alias("cluster")
+        )
+        cells = (
+            assigned.select("sub", "cluster", F.posexplode("sq").alias("sdim", "v"))
+            .groupBy("sub", "cluster", "sdim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # ≤ m×k×subdim = 512 cells, corpus-size-independent
+        )
+        by_sub: dict[int, dict[int, dict[int, int]]] = {}
+        for r in cells:
+            by_sub.setdefault(r.sub, {}).setdefault(r.cluster, {})[r.sdim] = (
+                math.floor(r.s / r.n)
+            )
+        cents = {
+            s: (
+                sorted(by_sub.get(s, {})),
+                [
+                    [by_sub[s][c][d] for d in sorted(by_sub[s][c])]
+                    for c in sorted(by_sub.get(s, {}))
+                ],
+            )
+            for s in range(PQ_M)
+        }
+
+    qrow = q.sort("vec_id").limit(1).collect()  # the 1-row query vector
+    if not qrow:
+        return assigned.select(
+            "vec_id",
+            F.lit(None).cast("bigint").alias("code"),
+            F.lit(None).cast("bigint").alias("adc_dist"),
+        ).limit(0)
+    qv = list(qrow[0].qv)
+    dtab: dict[tuple[int, int], int] = {}
+    for s, (cids, cvs) in cents.items():
+        qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        for cid, cv in zip(cids, cvs):
+            dtab[(s, cid)] = sum((a - b) * (a - b) for a, b in zip(qs, cv))
+    d_col = F.create_map(
+        *[
+            x
+            for (s, cid), d in sorted(dtab.items())
+            for x in (F.lit(s * 1000 + cid), F.lit(d))
+        ]
+    )
+    per_vec = assigned.select(
+        "vec_id",
+        "sub",
+        "cluster",
+        F.element_at(d_col, (F.col("sub") * 1000 + F.col("cluster")).cast("int"))
+        .cast("bigint")
+        .alias("d"),
+        (F.col("cluster") * F.pow(F.lit(PQ_K), F.col("sub")).cast("long"))
+        .cast("bigint")
+        .alias("code_part"),
+    )
+    return (
+        per_vec.groupBy("vec_id")
+        .agg(
+            F.sum("code_part").cast("bigint").alias("code"),
+            F.sum("d").cast("bigint").alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+        .select("vec_id", "code", "adc_dist")
+    )
