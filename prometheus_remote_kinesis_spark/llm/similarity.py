@@ -1287,3 +1287,92 @@ def l4j_pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "code", "adc_dist")
     )
+
+
+L4K_NPROBE = 2
+
+_L4K_ORACLE = (
+    _L4H_CTES
+    + f""",
+    qv0 AS (SELECT dim, qv FROM pts
+            WHERE vec_id = (SELECT min(vec_id) FROM pts)),
+    cdist AS (SELECT c.cid, sum((q.qv - c.cv) * (q.qv - c.cv)) AS d
+              FROM c2 c JOIN qv0 q USING (dim) GROUP BY 1),
+    probed AS (SELECT cid FROM cdist ORDER BY d, cid LIMIT {L4K_NPROBE}),
+    members AS (SELECT a.vec_id, a.cid FROM a2 a JOIN probed USING (cid)),
+    vdist AS (SELECT m.vec_id, CAST(any_value(m.cid) AS BIGINT) AS cluster,
+                     CAST(sum((p.qv - q.qv) * (p.qv - q.qv)) AS BIGINT)
+                         AS l2_dist
+              FROM members m JOIN pts p ON p.vec_id = m.vec_id
+              JOIN qv0 q ON q.dim = p.dim
+              GROUP BY m.vec_id)
+    SELECT vec_id, cluster, l2_dist FROM vdist
+    ORDER BY l2_dist, vec_id LIMIT 10
+"""
+)
+
+
+@register("l4k_ivf_quantized", family="L4", oracle=_L4K_ORACLE)
+def l4k_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed IVF (inverted-file) ANN — the IVF family's
+    hash-verified member (l4c's float form stays rows-only by design),
+    completing the quantized-upgrade set: l4h (k-means), l2i (SemDeDup),
+    l4j (PQ), now IVF. The coarse quantizer IS l4h's shared
+    integer-exact Lloyd (`_quantized_lloyd`, 2 iterations) — the oracle
+    literally reuses the same unrolled CTE prefix — then the query
+    (min vec_id) picks its {L4K_NPROBE} nearest centroids by exact
+    integer L2 (ties to the lower cid) and scans ONLY those inverted
+    lists exactly, top-10 by (distance, vec_id). Training, list
+    assignment, probe selection, and the final ranking are all inside
+    the cross-engine hash.
+
+    Scale shape — the IVF promise: the probe selection is k driver-side
+    integer ops (centroids already bounded-collected by the shared
+    Lloyd), and the scan touches |nprobe|/k of the corpus — a
+    cluster-pruned map-only filter + zip_with integer fold + global
+    top-10 (TakeOrderedAndProject). The list scan carries quantized INT
+    arrays; nothing shuffles but top-k partials. At 100 TB the lists
+    are partition-pruned files keyed by cluster id (the archive layout's
+    S9 story applied to vectors)."""
+    assigned, cids, cents = _quantized_lloyd(spark, sf_dir)
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * KMQ_SCALE)
+            ).alias("qv"),
+        )
+        .sort("vec_id")
+        .limit(1)
+        .collect()
+    )
+    if not qrow:  # empty corpus
+        return assigned.select(
+            "vec_id",
+            F.lit(None).cast("bigint").alias("cluster"),
+            F.lit(None).cast("bigint").alias("l2_dist"),
+        ).limit(0)
+    qv = [int(x) for x in qrow[0].qv]
+    cdist = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+        for cid, cv in zip(cids, cents)
+    )
+    probed = [cid for _d, cid in cdist[:L4K_NPROBE]]
+    q_lit = F.array(*[F.lit(x).cast("long") for x in qv])
+    l2 = F.aggregate(
+        F.zip_with("q", q_lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assigned.where(F.col("cluster").isin(probed))
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            l2.cast("bigint").alias("l2_dist"),
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )

@@ -745,3 +745,46 @@ def test_pq_quantized_adc_ranking_properties(spark):
     exact = sorted(emb, key=lambda v: (int(((emb[v] - qv) ** 2).sum()), v))[:10]
     recall = len({r.vec_id for r in rows} & set(exact)) / 10
     assert recall >= 0.2, recall
+
+
+def test_ivf_quantized_probe_properties(spark):
+    """l4k: result rows come only from the query's nprobe=2 nearest
+    inverted lists, the query ranks first at distance 0 (it is its own
+    nearest vector), distances are non-decreasing, and recall@10 vs the
+    exact quantized-L2 scan clears the IVF floor (the probed lists hold
+    a bounded fraction of the corpus; misses are vectors whose cluster
+    the probe skipped — the documented IVF trade)."""
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.llm.similarity import _quantized_lloyd
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = all_queries()["l4k_ivf_quantized"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    dists = [r.l2_dist for r in rows]
+    assert dists == sorted(dists)
+    assert len({r.cluster for r in rows}) <= 2  # nprobe lists only
+
+    emb = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .collect()
+    }
+    qid = min(emb)
+    assert rows[0].vec_id == qid and rows[0].l2_dist == 0
+    qv = emb[qid]
+    exact = sorted(emb, key=lambda v: (int(((emb[v] - qv) ** 2).sum()), v))[:10]
+    recall = len({r.vec_id for r in rows} & set(exact)) / 10
+    assert recall >= 0.3, recall
+
+    # membership sanity: every returned vector belongs to a probed list
+    assigned, _, _ = _quantized_lloyd(spark, SF_SMOKE)
+    by_vec = {r.vec_id: r.cluster for r in assigned.collect()}
+    clusters = {r.cluster for r in rows}
+    assert all(by_vec[r.vec_id] == r.cluster for r in rows)
+    assert by_vec[qid] in clusters
