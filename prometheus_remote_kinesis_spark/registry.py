@@ -172,8 +172,16 @@ _PRIORITY = (
     "r1_event_records",
     "r2_ndjson_roundtrip",
     "r4_prompb_datasource",
-    # Streaming-executed (real Structured Streaming path, same oracle)
-    "t5s_tumbling_5min_stream",
+    # Streaming-executed (real Structured Streaming path, same oracle).
+    # Late-r8 within-family upgrade: OUT t5s_tumbling_5min_stream →
+    # IN s1e_relay_rollup_stream_e2e, which registers the SAME T5 oracle
+    # but runs the ENTIRE reference production topology in one plan —
+    # prompb wire decode → dropDuplicatesWithinWatermark double-send
+    # dedup → the identical tumbling_rollup_5min expression tree as a
+    # CHAINED stateful op in append mode (only watermark-finalized
+    # windows emit). Strictly-stronger check, the t5→t5s precedent
+    # applied once more; t5s stays bit-exact under the local gate.
+    "s1e_relay_rollup_stream_e2e",
     "t19s_stream_static_join",
     "t13s_resample_linear_stream",
     "t15s_funnel_stream",

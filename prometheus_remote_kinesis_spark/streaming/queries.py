@@ -2013,3 +2013,50 @@ def a14s_count_min_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("n_exact")).cast("bigint").alias("overcount"),
         )
     )
+
+
+_S2E_ORACLE = """
+    WITH reps AS (
+        SELECT min(doc_id) AS rep_id
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY sha256(text)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 4)       AS avg_tokens,
+           CAST(sum(n_chars) AS BIGINT)                      AS total_chars
+    FROM documents d JOIN reps r ON d.doc_id = r.rep_id
+    GROUP BY lang
+"""
+
+
+@register("s2e_dedup_corpus_stats_stream", family="E2E-stream", oracle=_S2E_ORACLE)
+def s2e_dedup_corpus_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOCUMENTS-side streaming composite (s1e's sibling for the
+    training-data pipeline): a document stream is exact-deduplicated AS
+    IT ARRIVES (l1s's complete-mode keeper election — state carries
+    32-byte digests + the min doc_id, never text), and the drained
+    keeper set drives per-language corpus statistics over the at-rest
+    corpus (l5's exact-integer-sum token stats) — the ingest→dedup→
+    report chain a corpus build runs nightly, here as ONE hash check
+    instead of two individually-green stages. NULL-text docs are
+    excluded BEFORE digesting on both engines (the d17 convention).
+
+    Scale shape: the streaming stage's exchange and state carry digests
+    only (O(distinct documents) — bounded live by the d13 manifest
+    anti-join); the stats stage semi-joins the corpus on doc_id (no
+    text in the join exchange' build side — rep ids only) and
+    aggregates with exact integer sums, one divide per group."""
+    docs = stream_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    election = docs.groupBy(F.sha2("text", 256).alias("doc_hash")).agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    reps = run_to_batch(election, "complete").select("rep_id")
+    corpus = load_table(spark, sf_dir, "documents")
+    deduped = corpus.join(
+        reps, corpus.doc_id == reps.rep_id, "leftsemi"
+    )
+    return token_stats(deduped)
