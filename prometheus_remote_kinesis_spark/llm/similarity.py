@@ -1057,18 +1057,18 @@ def l2i_semdedup_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_M = 4  # subspaces
-PQ_SUBDIM = 16  # dims per subspace (4 × 16 = the corpus's 64)
-PQ_K = 8  # centroids per subspace → 3 bits/code, 12 bits/vector
-PQ_ITERS = 2
+L4J_M = 4  # subspaces
+L4J_SUBDIM = 16  # dims per subspace (4 × 16 = the corpus's 64)
+L4J_K = 8  # centroids per subspace → 3 bits/code, 12 bits/vector
+L4J_ITERS = 2
 
 _L4J_STEP_DIST = "sum((p.qv - c.cv) * (p.qv - c.cv))"
 
 _L4J_ORACLE = f"""
     WITH pts AS (
         SELECT vec_id,
-               CAST((s.i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
-               CAST((s.i - 1) % {PQ_SUBDIM} AS BIGINT) AS sdim,
+               CAST((s.i - 1) // {L4J_SUBDIM} AS BIGINT) AS sub,
+               CAST((s.i - 1) % {L4J_SUBDIM} AS BIGINT) AS sdim,
                CAST(floor(CAST(embedding[s.i] AS DOUBLE) * {KMQ_SCALE})
                     AS BIGINT) AS qv
         FROM embeddings,
@@ -1077,7 +1077,7 @@ _L4J_ORACLE = f"""
     ),
     seeds AS (
         SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-        FROM (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT {PQ_K})
+        FROM (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT {L4J_K})
     ),
     c0 AS (SELECT s.cid, p.sub, p.sdim, p.qv AS cv
            FROM seeds s JOIN pts p USING (vec_id)),
@@ -1107,9 +1107,9 @@ _L4J_ORACLE = f"""
            GROUP BY 1, 2, 3),
     codes AS (
         SELECT vec_id,
-               CAST(sum(cid * (CASE sub WHEN 0 THEN 1 WHEN 1 THEN {PQ_K}
-                               WHEN 2 THEN {PQ_K * PQ_K}
-                               ELSE {PQ_K * PQ_K * PQ_K} END))
+               CAST(sum(cid * (CASE sub WHEN 0 THEN 1 WHEN 1 THEN {L4J_K}
+                               WHEN 2 THEN {L4J_K * L4J_K}
+                               ELSE {L4J_K * L4J_K * L4J_K} END))
                     AS BIGINT) AS code
         FROM a2 GROUP BY 1
     ),
@@ -1177,22 +1177,22 @@ def l4j_pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(s).cast("long").alias("sub"),
-                        F.slice("qv", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sq"),
+                        F.slice("qv", s * L4J_SUBDIM + 1, L4J_SUBDIM).alias("sq"),
                     )
-                    for s in range(PQ_M)
+                    for s in range(L4J_M)
                 ]
             )
         ).alias("x"),
     ).select("vec_id", "x.sub", "x.sq")
 
-    seed_rows = q.sort("vec_id").limit(PQ_K).select("qv").collect()  # ≤ k rows
+    seed_rows = q.sort("vec_id").limit(L4J_K).select("qv").collect()  # ≤ k rows
     # cents[sub] = (ascending cid array, k×subdim int matrix)
     cents: dict[int, tuple[list[int], list[list[int]]]] = {
         s: (
             list(range(len(seed_rows))),
-            [list(r.qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]) for r in seed_rows],
+            [list(r.qv[s * L4J_SUBDIM : (s + 1) * L4J_SUBDIM]) for r in seed_rows],
         )
-        for s in range(PQ_M)
+        for s in range(L4J_M)
     }
 
     def make_nearest(cent_state: dict[int, tuple[list[int], list[list[int]]]]):
@@ -1219,7 +1219,7 @@ def l4j_pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         return nearest
 
     assigned = None
-    for _ in range(PQ_ITERS):
+    for _ in range(L4J_ITERS):
         nearest = make_nearest(cents)
         assigned = subs.select(
             "vec_id", "sub", "sq", nearest("sub", "sq").alias("cluster")
@@ -1243,7 +1243,7 @@ def l4j_pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for c in sorted(by_sub.get(s, {}))
                 ],
             )
-            for s in range(PQ_M)
+            for s in range(L4J_M)
         }
 
     qrow = q.sort("vec_id").limit(1).collect()  # the 1-row query vector
@@ -1256,7 +1256,7 @@ def l4j_pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = list(qrow[0].qv)
     dtab: dict[tuple[int, int], int] = {}
     for s, (cids, cvs) in cents.items():
-        qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        qs = qv[s * L4J_SUBDIM : (s + 1) * L4J_SUBDIM]
         for cid, cv in zip(cids, cvs):
             dtab[(s, cid)] = sum((a - b) * (a - b) for a, b in zip(qs, cv))
     d_col = F.create_map(
@@ -1273,7 +1273,7 @@ def l4j_pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(d_col, (F.col("sub") * 1000 + F.col("cluster")).cast("int"))
         .cast("bigint")
         .alias("d"),
-        (F.col("cluster") * F.pow(F.lit(PQ_K), F.col("sub")).cast("long"))
+        (F.col("cluster") * F.pow(F.lit(L4J_K), F.col("sub")).cast("long"))
         .cast("bigint")
         .alias("code_part"),
     )
