@@ -376,3 +376,56 @@ def test_count_min_stream_matches_batch(spark):
     batch = {tuple(r) for r in qs["a14_count_min_sketch"].fn(spark, sf).collect()}
     assert stream == batch
     assert state_rows and max(state_rows) <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_dict_rle_bucket_boundary_merges(spark, tmp_path):
+    """t32's bucket decomposition on ENGINEERED hour-boundary edges the
+    corpus may not contain: the same user straddling a bucket boundary
+    (one run — the boundary merge must subtract), different users at the
+    boundary (two runs), a user alone in a bucket between two buckets of
+    itself (one run across three buckets — two merges), and a run broken
+    INSIDE a bucket. Expected counts computed by the naive single-pass
+    fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+
+    H = 3_600_000_000  # one bucket, in µs
+    rows = [
+        # series "a": user 1 straddles buckets 0→1→2 (runs: 1), then
+        # user 2 (run 2), user 1 again inside the same bucket (run 3)
+        ("a", 1, H - 2_000_000, 0),
+        ("a", 1, H - 1_000_000, 1),
+        ("a", 1, H + 1_000_000, 2),   # boundary merge 0→1
+        ("a", 1, 2 * H + 1_000_000, 3),  # boundary merge 1→2
+        ("a", 2, 2 * H + 2_000_000, 4),  # new run inside bucket 2
+        ("a", 1, 2 * H + 3_000_000, 5),  # back to 1 — new run (3)
+        # series "b": DIFFERENT users at the boundary — no merge (2 runs)
+        ("b", 7, H - 1_000_000, 6),
+        ("b", 8, H + 1_000_000, 7),
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, u, t, et, 1.0, "{}")
+            for (et, u, t, eid) in rows
+        ],
+        "event_id long, user_id long, us long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "t32edge")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        r.event_type: (r.n, r.d, r.runs)
+        for r in all_queries()["t32_dict_rle_sizing"].fn(spark, sf).collect()
+    }
+    assert got == {"a": (6, 2, 3), "b": (2, 2, 2)}
