@@ -2060,3 +2060,70 @@ def s2e_dedup_corpus_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         reps, corpus.doc_id == reps.rep_id, "leftsemi"
     )
     return token_stats(deduped)
+
+
+_T31S_ORACLE = """
+    WITH a AS (
+        SELECT event_type, user_id,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(epoch_us(ts) // 1000 AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(epoch_us(ts) // 1000 AS HUGEINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(epoch_us(ts) // 1000 AS HUGEINT)
+                        * CAST(epoch_us(ts) // 1000 AS BIGINT)) AS HUGEINT) AS sxx
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+           floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000 * 1e6) / 1e6
+               AS slope_cents_per_s
+    FROM a
+    WHERE n * sxx - sx * sx > 0
+"""
+
+
+@register("t31s_trend_stream", family="T14-stream", oracle=_T31S_ORACLE)
+def t31s_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares TREND computed BY the streaming engine —
+    the live capacity-planning dashboard (t31's sibling over the FULL
+    series history; t31's trailing-day window needs T = corpus max,
+    unknowable mid-stream). The enabling algebra: the five regression
+    sums are MERGEABLE PARTIALS (one complete-mode agg; micro-batch
+    order cannot matter because addition is the only fold), and the
+    slope num = n·Σxy − Σx·Σy / den = n·Σx² − (Σx)² is SHIFT-INVARIANT
+    in x — so raw epoch-ms x needs no rebasing: the drained exact sums
+    give the identical slope the rebased batch fold would.
+
+    Exactness across engines: x·y per-term fits int64, x² does NOT
+    (ms² ≈ 3e24), so per-term products and the sums run as
+    decimal(38,0) in Spark and HUGEINT in DuckDB — both exact integer
+    arithmetic; num and den convert to double ONCE (same
+    round-to-nearest of the same integer on both engines) and divide in
+    identical order; output truncates via tie-free floor (the f8 rule).
+    Streaming state: five numbers per series — O(1), the t17 envelope."""
+    events = stream_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = F.unix_millis("ts").cast("decimal(38,0)")
+    y = F.round(F.col("value") * 100).cast("long")
+    agg = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y.cast("decimal(38,0)")).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * F.unix_millis("ts")).alias("sxx"),
+    )
+    drained = run_to_batch(agg, "complete")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        drained.where(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+        )
+        .select(
+            "event_type",
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            (F.floor((num / den) * 1000 * 1e6) / 1e6).alias("slope_cents_per_s"),
+        )
+    )
