@@ -408,3 +408,103 @@ def w2b_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(w).alias("second_v"),
         F.round(F.col("value") - first_v, 6).alias("delta_from_start"),
     )
+
+
+W5_ORACLE = """
+    WITH s AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000 AS ms,
+               epoch_us(ts) // 1000 + 300000 AS iv_end,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ms, iv_end,
+               CASE WHEN ms > max(iv_end) OVER (
+                        PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR max(iv_end) OVER (
+                        PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM s
+    ),
+    islands AS (
+        SELECT user_id, ms, iv_end,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY ms, iv_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           CAST(min(ms) AS BIGINT) AS island_start,
+           CAST(max(iv_end) AS BIGINT) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY 1, 2
+"""
+
+
+@register("w5_gaps_islands", family="W3", oracle=W5_ORACLE)
+def w5_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing — the classic merge-
+    overlapping-intervals pattern the W-family lacked: each event opens
+    a 5-minute activity interval [ms, ms+300 s); per user, overlapping
+    or touching-by-containment intervals merge into islands (busy
+    periods), emitted as (island, start, end, n_events). The standard
+    two-window construction: a row starts a new island iff its start
+    exceeds the RUNNING MAX of all previous interval ends (running max —
+    not lag(end) — so an early long interval swallowing later short
+    ones is handled), then a running sum of the new-island flags is the
+    island id, then one hash agg per (user, island).
+
+    Ordering discipline: the island-id running sum orders by
+    (ms, iv_end) — iv_end is ms+300000, so ties resolve identically —
+    while the new-island flag's frame orders by (ms, event_id); the two
+    windows SHARE the (user_id) partitioning so Catalyst plans one
+    Exchange. All arithmetic is integer ms; no floats.
+
+    Scale shape: both windows partition by user_id (key count grows with
+    the corpus; ~13 rows per key here, bounded per-key sort), and the
+    final agg is map-side combinable. The t7 session-window operator is
+    the event-time streaming cousin; this is the batch lakehouse form
+    (billing periods, incident windows, utilization stitching)."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        (F.unix_millis("ts") + 300000).alias("iv_end"),
+        "event_id",
+    )
+    w_flag = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max("iv_end").over(w_flag)
+    flagged = s.select(
+        "user_id",
+        "ms",
+        "iv_end",
+        F.when(
+            (F.col("ms") > prev_max_end) | prev_max_end.isNull(), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "iv_end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "ms",
+        "iv_end",
+        F.sum("new_island").over(w_sum).alias("island"),
+    )
+    return islands.groupBy("user_id", F.col("island").cast("bigint").alias("island")).agg(
+        F.min("ms").cast("bigint").alias("island_start"),
+        F.max("iv_end").cast("bigint").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -429,3 +429,54 @@ def test_dict_rle_bucket_boundary_merges(spark, tmp_path):
         for r in all_queries()["t32_dict_rle_sizing"].fn(spark, sf).collect()
     }
     assert got == {"a": (6, 2, 3), "b": (2, 2, 2)}
+
+
+def test_gaps_islands_touch_and_split_edges(spark, tmp_path):
+    """w5 on ENGINEERED interval edges: an event starting EXACTLY at the
+    previous interval's end merges (touching intervals coalesce — the
+    `>` not `>=` choice), one starting 1 ms later splits, ms ties within
+    a user stay in one island, and island ids restart per user. Expected
+    values hand-computed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+
+    W = 300_000  # the interval width, ms
+    rows = [
+        # user 1: e0 at 0 (end 300k); e1 at 300k — TOUCHES end → same
+        # island (end 600k); e2 at 600_001 — 1 ms past → NEW island;
+        # e3/e4 tie at 700k → both in island 2
+        (0, 1, 0),
+        (1, 1, W),
+        (2, 1, 2 * W + 1),
+        (3, 1, 2 * W + 100_000),
+        (4, 1, 2 * W + 100_000),
+        # user 2: a single event → its own island
+        (5, 2, 50),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, "click", 1.0, "{}") for (e, u, t) in rows],
+        "event_id long, user_id long, ms long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ms") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "w5edge")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        (r.user_id, r.island): (r.island_start, r.island_end, r.n_events)
+        for r in all_queries()["w5_gaps_islands"].fn(spark, sf).collect()
+    }
+    assert got == {
+        (1, 1): (0, 2 * W, 2),                         # touch merged
+        (1, 2): (2 * W + 1, 3 * W + 100_000, 3),       # split by 1 ms; tie kept
+        (2, 1): (50, W + 50, 1),
+    }
