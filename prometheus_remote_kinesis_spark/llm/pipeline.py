@@ -1234,3 +1234,97 @@ def reassemble_from_keepers(docs: DataFrame, keep: DataFrame) -> DataFrame:
         F.size("kept").cast("bigint").alias("n_kept"),
         n_segs.cast("bigint").alias("n_total"),
     )
+
+
+D18_ORACLE = """
+    WITH b AS (
+        SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_ref,
+               CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_cand
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type,
+               CAST(sum(c_ref) AS BIGINT) AS n_ref,
+               CAST(sum(c_cand) AS BIGINT) AS n_cand,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM b GROUP BY 1
+    ),
+    d AS (
+        SELECT b.event_type,
+               abs((b.c_ref + 1) * (t.n_cand + t.n_buckets)
+                   - (b.c_cand + 1) * (t.n_ref + t.n_buckets)) AS num,
+               (t.n_ref + t.n_buckets) * (t.n_cand + t.n_buckets) AS den,
+               t.n_ref, t.n_cand, t.n_buckets
+        FROM b JOIN t USING (event_type)
+    )
+    SELECT event_type,
+           any_value(n_ref) AS n_ref,
+           any_value(n_cand) AS n_cand,
+           any_value(n_buckets) AS n_buckets,
+           CAST((CAST(sum(num) AS HUGEINT) * 1000000)
+                // (2 * any_value(den)) AS BIGINT) AS tv_ppm
+    FROM d GROUP BY 1
+"""
+
+
+@register("d18_distribution_drift", family="L7", oracle=D18_ORACLE)
+def d18_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus splits — the
+    data-quality gate a training pipeline runs before admitting a new
+    batch ("does the candidate slice's value distribution match the
+    reference's?"). Metric: TOTAL-VARIATION distance between the
+    Laplace-smoothed per-bucket histograms, TV = ½·Σ|p_b − q_b| with
+    p_b = (c_ref+1)/(n_ref+B) — chosen over KL divergence DELIBERATELY:
+    KL needs ln(), which is not correctly-rounded-guaranteed across
+    libm implementations (f3 pins ln parity only at 6 rounded
+    decimals), while TV over smoothed counts is RATIONAL — each bucket's
+    |p−q| has the exact integer numerator |(c_ref+1)(n_cand+B) −
+    (c_cand+1)(n_ref+B)| over a common denominator, so Σ is one exact
+    BIGINT sum and the result ships as truncated PPM via a single
+    decimal(38)÷ (HUGEINT ÷ in DuckDB). No float enters at any point.
+
+    Scale shape: one hash agg to (type, bucket) conditional counts (the
+    t27s two-phase shape — map-side combine carries two longs/bucket),
+    one 5-row totals agg broadcast back, then a map-side-combined final
+    sum. Keys grow with value domain × types. The splits here are the
+    deterministic event_id parity halves so the oracle is closed-form;
+    production swaps in yesterday's manifest vs today's batch."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = events.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("bucket")
+    ).agg(
+        F.sum((F.col("event_id") % 2 == 0).cast("long")).cast("bigint").alias("c_ref"),
+        F.sum((F.col("event_id") % 2 == 1).cast("long")).cast("bigint").alias("c_cand"),
+    )
+    t = b.groupBy("event_type").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cand").cast("bigint").alias("n_cand"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    d = b.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "n_ref",
+        "n_cand",
+        "n_buckets",
+        F.abs(
+            (F.col("c_ref") + 1) * (F.col("n_cand") + F.col("n_buckets"))
+            - (F.col("c_cand") + 1) * (F.col("n_ref") + F.col("n_buckets"))
+        ).alias("num"),
+        (
+            (F.col("n_ref") + F.col("n_buckets"))
+            * (F.col("n_cand") + F.col("n_buckets"))
+        ).alias("den"),
+    )
+    return d.groupBy("event_type").agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cand").alias("n_cand"),
+        F.first("n_buckets").alias("n_buckets"),
+        F.expr(
+            "CAST((CAST(sum(num) AS DECIMAL(38,0)) * 1000000)"
+            " DIV CAST(2 * first(den) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("tv_ppm"),
+    )

