@@ -886,3 +886,82 @@ def m2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_M2_CDC)
+
+
+_DQ1_PAIRS = [
+    # (check name, child table, fk column, parent table, pk column)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+DQ1_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS fk_check,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM {child} WHERE {fk} IS NULL)
+                AS BIGINT) AS n_null_fk,
+           CAST((SELECT count(*) FROM {child} c
+                 WHERE c.{fk} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{fk}))
+                AS BIGINT) AS n_orphan,
+           CAST((SELECT count(*) FROM
+                    (SELECT {pk} FROM {parent} GROUP BY {pk}
+                     HAVING count(*) > 1)) AS BIGINT) AS n_dup_pk
+    """
+    for (name, child, fk, parent, pk) in _DQ1_PAIRS
+)
+
+
+@register("dq1_referential_audit", family="P6", oracle=DQ1_ORACLE)
+def dq1_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass referential-integrity audit across the star schema — the
+    data-quality report a lakehouse runs after every load (and the
+    check the reference's schemaless NDJSON output can never give its
+    consumers): for every FK edge, the child row count, NULL foreign
+    keys, ORPHANED children (anti-join against the parent key set), and
+    duplicated parent primary keys. A healthy TPC-H-shaped corpus scores
+    all zeros in the last three columns — and the hash check pins that
+    the audit MEASURES zero, not that it skipped the work (row counts
+    anchor each check against vacuity).
+
+    Scale shape: each check is one anti-join (small parents broadcast;
+    the lineitem→orders edge shuffles on orderkey, whose cardinality
+    grows with the corpus) plus a parent-side dup hash agg, unioned as
+    5 single-row aggregates — every branch map-side combinable, no
+    window, no sort, no text movement."""
+    out = None
+    for name, child_t, fk, parent_t, pk in _DQ1_PAIRS:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t)
+        orphans = (
+            child.where(F.col(fk).isNotNull())
+            .join(parent, child[fk] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan"))
+        )
+        dups = (
+            parent.groupBy(pk)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pk"))
+        )
+        base = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.col(fk).isNull().cast("long")).cast("bigint").alias("n_null_fk"),
+        )
+        row = (
+            base.crossJoin(orphans)
+            .crossJoin(dups)
+            .select(
+                F.lit(name).alias("fk_check"),
+                "n_child",
+                "n_null_fk",
+                "n_orphan",
+                "n_dup_pk",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
