@@ -2003,3 +2003,127 @@ def t32_dict_rle_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rle_ratio_ppm"
         ),
     )
+
+
+T33_K_CENTS = 50  # CUSUM allowance k: 0.5 value-units, in cents
+T33_H_CENTS = 500  # alert threshold h: 5 value-units, in cents
+
+T33_ORACLE = f"""
+    WITH RECURSIVE s AS (
+        SELECT event_type, user_id,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               row_number() OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts, event_id) AS i,
+               CAST(count(*) OVER (PARTITION BY event_type, user_id)
+                    AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY event_type, user_id) AS BIGINT) AS tot
+        FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type, user_id, i, n, tot,
+               greatest(CAST(0 AS BIGINT),
+                        n * x - tot - n * {T33_K_CENTS}) AS cs,
+               greatest(CAST(0 AS BIGINT),
+                        n * x - tot - n * {T33_K_CENTS}) AS smax,
+               CASE WHEN greatest(CAST(0 AS BIGINT),
+                                  n * x - tot - n * {T33_K_CENTS})
+                         > n * {T33_H_CENTS}
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS alerts
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.user_id, s.i, s.n, s.tot,
+               greatest(CAST(0 AS BIGINT),
+                        c.cs + s.n * s.x - s.tot - s.n * {T33_K_CENTS}),
+               greatest(c.smax,
+                        greatest(CAST(0 AS BIGINT),
+                                 c.cs + s.n * s.x - s.tot
+                                 - s.n * {T33_K_CENTS})),
+               c.alerts + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                   c.cs + s.n * s.x - s.tot
+                                   - s.n * {T33_K_CENTS})
+                              > s.n * {T33_H_CENTS}
+                          THEN 1 ELSE 0 END
+        FROM c JOIN s ON s.event_type = c.event_type
+                     AND s.user_id = c.user_id AND s.i = c.i + 1
+    )
+    SELECT event_type, user_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(cs // n AS BIGINT) AS cusum_cents,
+           CAST(smax // n AS BIGINT) AS max_drift_cents,
+           CAST(alerts AS BIGINT) AS n_alerts
+    FROM c WHERE i = n
+"""
+
+
+@register("t33_cusum_drift", family="T17", oracle=T33_ORACLE)
+def t33_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection per series (Page 1954 — the classic
+    upward-drift control chart, next to t17's z-score anomalies): the
+    sequential recurrence s_i = max(0, s_{i-1} + (x_i − μ − k)) with the
+    series' own mean μ as reference, alerting when s exceeds h. Made
+    HASH-VERIFIABLE the t20 way (sequential fold vs a recursive-CTE
+    oracle) and integer-EXACT the l4h way: μ = Σx/n is rational, so the
+    whole recurrence multiplies through by n —
+    s'_i = max(0, s'_{i-1} + (n·x_i − Σx − n·k)), alert iff s' > n·h —
+    pure BIGINT, no float ever (bounded: |n·x| ≤ 8.5e7 per step, s' ≤
+    n·max ≈ 7e10 at the 64× probe scale). Emits final and max drift as
+    per-sample cents (s' DIV n, non-negative so DIV ≡ //) plus the
+    alert count.
+
+    Spark side: ONE groupBy per series collects (n, Σx, the time-sorted
+    sample array) and the fold runs JVM-side via ``aggregate`` over a
+    struct accumulator — built fresh each step, so Spark has no
+    DuckDB-list_reduce-style sequential-field hazard (CLAUDE.md's t20
+    rule; the oracle uses the recursive CTE for exactly that reason).
+    Scale: the exchange carries per-series partials keyed by
+    (type, user) — keys grow with the corpus — and each series' array is
+    bounded by its own sample count (the t20/t25 per-series envelope)."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = F.round(F.col("value") * 100).cast("long")
+    g = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("tot"),
+        F.sort_array(
+            F.collect_list(F.struct(F.unix_micros("ts").alias("us"),
+                                    F.col("event_id").alias("eid"),
+                                    x.alias("x")))
+        ).alias("arr"),
+    )
+    zero = F.lit(0).cast("bigint")
+    acc0 = F.struct(
+        zero.alias("cs"), zero.alias("smax"), zero.alias("alerts")
+    )
+
+    def step(a, e):
+        ns = F.greatest(
+            zero,
+            a["cs"] + F.col("n") * e["x"] - F.col("tot")
+            - F.col("n") * F.lit(T33_K_CENTS),
+        )
+        return F.struct(
+            ns.alias("cs"),
+            F.greatest(a["smax"], ns).alias("smax"),
+            (
+                a["alerts"]
+                + F.when(ns > F.col("n") * F.lit(T33_H_CENTS), 1).otherwise(0)
+            ).cast("bigint").alias("alerts"),
+        )
+
+    fold = F.aggregate(F.col("arr"), acc0, step)
+    return g.select(
+        "event_type",
+        "user_id",
+        F.col("n").alias("n_samples"),
+        fold.getField("cs").alias("_cs"),
+        fold.getField("smax").alias("_smax"),
+        fold.getField("alerts").cast("bigint").alias("n_alerts"),
+    ).select(
+        "event_type",
+        "user_id",
+        "n_samples",
+        F.expr("CAST(_cs DIV n_samples AS BIGINT)").alias("cusum_cents"),
+        F.expr("CAST(_smax DIV n_samples AS BIGINT)").alias("max_drift_cents"),
+        "n_alerts",
+    )

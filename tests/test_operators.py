@@ -480,3 +480,66 @@ def test_gaps_islands_touch_and_split_edges(spark, tmp_path):
         (1, 2): (2 * W + 1, 3 * W + 100_000, 3),       # split by 1 ms; tie kept
         (2, 1): (50, W + 50, 1),
     }
+
+
+def test_cusum_detects_engineered_drift(spark, tmp_path):
+    """t33 on engineered series: a mean shift of +10 units mid-series
+    must raise the CUSUM past h and alert; a flat series must stay at 0
+    with no alerts; and the scaled integer recurrence must equal the
+    textbook rational CUSUM recomputed with Fractions."""
+    import os
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.operators.time_windows import (
+        T33_H_CENTS,
+        T33_K_CENTS,
+    )
+    from prometheus_remote_kinesis_spark.registry import all_queries
+
+    rows = []
+    eid = 0
+    # series "drift": 20 samples at 10.0, then 20 at 20.0 (a +10 shift)
+    for i in range(40):
+        rows.append((eid, 1, i * 60_000, "drift", 10.0 if i < 20 else 20.0))
+        eid += 1
+    # series "flat": constant 10.0 — cusum stays pinned at 0
+    for i in range(40):
+        rows.append((eid, 2, i * 60_000, "flat", 10.0))
+        eid += 1
+    df = spark.createDataFrame(
+        [(e, u, t, et, v, "{}") for (e, u, t, et, v) in rows],
+        "event_id long, user_id long, ms long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ms") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "t33edge")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["t33_cusum_drift"].fn(spark, sf).collect()
+    }
+    assert got["flat"].max_drift_cents == 0 and got["flat"].n_alerts == 0
+    assert got["drift"].n_alerts > 0
+    assert got["drift"].max_drift_cents > T33_H_CENTS
+
+    # textbook rational CUSUM over the drift series
+    xs = [1000] * 20 + [2000] * 20  # cents
+    mu = Fraction(sum(xs), len(xs))
+    s = smax = Fraction(0)
+    alerts = 0
+    for x in xs:
+        s = max(Fraction(0), s + (x - mu - T33_K_CENTS))
+        smax = max(smax, s)
+        alerts += s > T33_H_CENTS
+    assert got["drift"].n_alerts == alerts
+    assert got["drift"].cusum_cents == int(s)  # DIV n == Fraction floor here
+    assert got["drift"].max_drift_cents == int(smax)
