@@ -2127,3 +2127,100 @@ def t33_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(_smax DIV n_samples AS BIGINT)").alias("max_drift_cents"),
         "n_alerts",
     )
+
+
+T34_ORACLE = """
+    WITH t AS (SELECT max(epoch_us(ts) // 1000) AS tmax FROM events),
+    s AS (
+        SELECT event_type,
+               ((epoch_us(ts) // 1000) % 86400000) // 3600000 AS hod,
+               CASE WHEN epoch_us(ts) // 1000 >  t.tmax - 86400000
+                    THEN 1 ELSE 0 END AS in_cur,
+               CASE WHEN epoch_us(ts) // 1000 <= t.tmax - 604800000
+                     AND epoch_us(ts) // 1000 >  t.tmax - 691200000
+                    THEN 1 ELSE 0 END AS in_off,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events, t WHERE value IS NOT NULL
+    ),
+    a AS (
+        SELECT event_type, hod,
+               CAST(sum(in_cur) AS BIGINT) AS n_cur,
+               CAST(sum(in_off) AS BIGINT) AS n_off,
+               CAST(sum(in_cur * y) AS BIGINT) AS s_cur,
+               CAST(sum(in_off * y) AS BIGINT) AS s_off
+        FROM s GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(hod AS BIGINT) AS hour_of_day, n_cur, n_off,
+           floor((CAST(s_cur AS DOUBLE) / n_cur) * 1e4) / 1e4 AS avg_cur_cents,
+           floor((CAST(s_off AS DOUBLE) / n_off) * 1e4) / 1e4 AS avg_off_cents,
+           CAST(CASE WHEN s_cur * n_off - s_off * n_cur >= 0
+                THEN ((s_cur * n_off - s_off * n_cur) * 1000000)
+                     // (s_off * n_cur)
+                ELSE -((-(s_cur * n_off - s_off * n_cur)) * 1000000
+                       // (s_off * n_cur)) END AS BIGINT) AS delta_ppm
+    FROM a
+    WHERE n_cur > 0 AND n_off > 0 AND s_off > 0
+"""
+
+
+@register("t34_offset_compare", family="T14", oracle=T34_ORACLE)
+def t34_offset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL's ``offset`` modifier — week-over-week seasonal comparison
+    (``avg_over_time(m[1d])`` vs ``avg_over_time(m[1d] offset 7d)``),
+    the is-today-different-from-last-week dashboard query the T-family
+    lacked. Both windows anchor at T = corpus max and bucket by hour of
+    day; the comparison runs in ONE pass over the scan: both window
+    memberships become conditional flags inside a single hash agg (the
+    t24s one-pass trick — no self-join, no second scan), so the
+    exchange carries four integer partials per (series, hour).
+
+    Exactness: integer-cents sums; the per-window averages divide once
+    as doubles in identical order and truncate tie-free (f8 rule); the
+    relative delta is EXACT rational arithmetic — (s_cur·n_off −
+    s_off·n_cur)·1e6 over s_off·n_cur, integer DIV with the
+    sign-splitting treatment because the numerator can be negative
+    (Spark DIV truncates toward zero, DuckDB // floors — they agree
+    only on non-negatives). Hours with either window empty are
+    excluded on both sides.
+
+    Scale: one broadcast 1-row scalar (tmax), one map-side-combined
+    agg, keys = series × 24. At 100 TB the scan prunes to the two
+    1-day bands via partition/row-group stats (the S9 layout)."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    tmax = events.agg(F.max(F.unix_millis("ts")).alias("tmax"))
+    ms = F.unix_millis("ts")
+    s = events.crossJoin(F.broadcast(tmax)).select(
+        "event_type",
+        ((ms % 86400000) / 3600000).cast("long").alias("hod"),
+        (ms > F.col("tmax") - 86400000).cast("long").alias("in_cur"),
+        (
+            (ms <= F.col("tmax") - 604800000)
+            & (ms > F.col("tmax") - 691200000)
+        ).cast("long").alias("in_off"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    a = s.groupBy("event_type", "hod").agg(
+        F.sum("in_cur").cast("bigint").alias("n_cur"),
+        F.sum("in_off").cast("bigint").alias("n_off"),
+        F.sum(F.col("in_cur") * F.col("y")).cast("bigint").alias("s_cur"),
+        F.sum(F.col("in_off") * F.col("y")).cast("bigint").alias("s_off"),
+    )
+    num = F.col("s_cur") * F.col("n_off") - F.col("s_off") * F.col("n_cur")
+    den = F.col("s_off") * F.col("n_cur")
+    delta = F.when(
+        num >= 0, F.expr("(s_cur * n_off - s_off * n_cur) * 1000000 div (s_off * n_cur)")
+    ).otherwise(
+        -F.expr("(-(s_cur * n_off - s_off * n_cur)) * 1000000 div (s_off * n_cur)")
+    )
+    return (
+        a.where((F.col("n_cur") > 0) & (F.col("n_off") > 0) & (F.col("s_off") > 0))
+        .select(
+            "event_type",
+            F.col("hod").cast("bigint").alias("hour_of_day"),
+            "n_cur",
+            "n_off",
+            (F.floor((F.col("s_cur").cast("double") / F.col("n_cur")) * 1e4) / 1e4).alias("avg_cur_cents"),
+            (F.floor((F.col("s_off").cast("double") / F.col("n_off")) * 1e4) / 1e4).alias("avg_off_cents"),
+            delta.cast("bigint").alias("delta_ppm"),
+        )
+    )

@@ -74,6 +74,7 @@ WHITELIST: set[tuple[str, str]] = {
     ("t28_slo_burn_alert", "nested_loop_join"),  # broadcast eval-time scalar
     ("t31_predict_linear", "nested_loop_join"),  # broadcast eval-time scalar (tmax, 1 row)
     ("dq1_referential_audit", "nested_loop_join"),  # 1-row agg × 1-row agg assembly crosses
+    ("t34_offset_compare", "nested_loop_join"),  # broadcast eval-time scalar (tmax, 1 row)
     # same 1-row eval-time broadcast, applied post-drain over the
     # (user, ms, is_err) count partials (t23s's flip, r7)
     ("t28s_slo_burn_alert_stream", "nested_loop_join"),
