@@ -419,7 +419,7 @@ W5_ORACLE = """
         FROM events
     ),
     flagged AS (
-        SELECT user_id, ms, iv_end,
+        SELECT user_id, ms, iv_end, event_id,
                CASE WHEN ms > max(iv_end) OVER (
                         PARTITION BY user_id ORDER BY ms, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -433,7 +433,7 @@ W5_ORACLE = """
     islands AS (
         SELECT user_id, ms, iv_end,
                sum(new_island) OVER (
-                   PARTITION BY user_id ORDER BY ms, iv_end
+                   PARTITION BY user_id ORDER BY ms, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS island
         FROM flagged
@@ -460,11 +460,13 @@ def w5_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones is handled), then a running sum of the new-island flags is the
     island id, then one hash agg per (user, island).
 
-    Ordering discipline: the island-id running sum orders by
-    (ms, iv_end) — iv_end is ms+300000, so ties resolve identically —
-    while the new-island flag's frame orders by (ms, event_id); the two
-    windows SHARE the (user_id) partitioning so Catalyst plans one
-    Exchange. All arithmetic is integer ms; no floats.
+    Ordering discipline: BOTH windows (the new-island flag frame and the
+    island-id running sum) order by (ms, event_id) — event_id is the
+    unique tie-break key, so rows with identical (user_id, ms) assign to
+    islands deterministically on either engine (iv_end = ms+300000 would
+    NOT break such ties — r8 ADVICE). The two windows share the
+    (user_id) partitioning AND ordering so Catalyst plans one Exchange
+    and one Sort. All arithmetic is integer ms; no floats.
 
     Scale shape: both windows partition by user_id (key count grows with
     the corpus; ~13 rows per key here, bounded per-key sort), and the
@@ -488,13 +490,14 @@ def w5_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ms",
         "iv_end",
+        "event_id",
         F.when(
             (F.col("ms") > prev_max_end) | prev_max_end.isNull(), 1
         ).otherwise(0).alias("new_island"),
     )
     w_sum = (
         Window.partitionBy("user_id")
-        .orderBy("ms", "iv_end")
+        .orderBy("ms", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(

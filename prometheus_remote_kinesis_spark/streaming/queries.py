@@ -1825,7 +1825,10 @@ def run_flush_to_batch(
     standard no-data micro-batch once the watermark advances
     (``spark.sql.streaming.noDataMicroBatches.enabled``, default true) —
     the same continuous-trigger shape the reference relay runs in
-    production (main.go:75). We stop at the first observed empty batch:
+    production (main.go:75). We stop at the first empty batch observed
+    AFTER at least one data-bearing batch (r8 ADVICE: an initial idle
+    batch — slow listing, offset race — must not end the drain with a
+    partial table and a silent hash mismatch; vacuity is a loud error):
     by then every window the watermark finalized has been committed to
     the sink."""
     import json as _json
@@ -1843,15 +1846,28 @@ def run_flush_to_batch(
     )
     try:
         deadline = _time.time() + timeout_s
+        saw_data = False
         while _time.time() < deadline:
+            # Scan ALL progress events so a data batch sandwiched between
+            # two polls is never missed (recentProgress keeps ~100).
+            if not saw_data:
+                saw_data = any(
+                    _json.loads(p.json)["numInputRows"] > 0
+                    for p in query.recentProgress
+                )
             lp = query.lastProgress
-            if lp is not None and _json.loads(lp.json)["numInputRows"] == 0:
+            if (
+                saw_data
+                and lp is not None
+                and _json.loads(lp.json)["numInputRows"] == 0
+            ):
                 break
             _time.sleep(0.25)
         else:
             raise TimeoutError(
                 f"streaming query {name} never reached an empty micro-batch "
-                f"within {timeout_s}s"
+                f"after a data-bearing batch within {timeout_s}s "
+                f"(saw_data={saw_data})"
             )
     finally:
         query.stop()
