@@ -68,6 +68,24 @@ _LOADED = False
 # remaining queries follow in registration order and are still all present,
 # locally verified by tools/verify_local.py.
 _PRIORITY = (
+    # Round-9 rotation (VERDICT r8 task #1, queue at OPERATORS.md): OUT
+    # f1_string_ops (driver-green EIGHT rounds — the longest-tenured
+    # single-mechanism rep; the scalar-expression surface stays in the
+    # window via p6/r1/r2's expression trees and bit-exact under the
+    # local gate), o2b_pagination (O stays covered by the local gate +
+    # w4-class WindowGroupLimit history), a7_event_type_sets (collect_set
+    # mechanism, driver-green since r1), w4_top_parts_per_brand
+    # (WindowGroupLimit plan-pinned in tests; driver-green since r1),
+    # and l2e_neardup_clusters (L2 keeps l2h — the MinHash→LSH band-join
+    # pipeline itself — in the window; l2e's CC clustering stays
+    # bit-exact locally) → IN the five r8 mechanisms the window has
+    # never seen: l4j_pq_quantized (PQ ADC ranking vs an exact
+    # integer-arithmetic oracle), g1_pagerank_quantized (distributed
+    # Pregel-style iteration, fixed-point micro-units),
+    # a14s_count_min_stream (constant 256-cell mergeable sketch state in
+    # a real streaming agg), t31s_trend_stream (decimal(38,0) ≡ HUGEINT
+    # mergeable regression partials through a streaming plan), and
+    # d18_distribution_drift (exact-rational total-variation gate).
     # Round-8 rotation (VERDICT r7 task #1, queue at OPERATORS.md): OUT
     # j5b_bucketed_range_join / o4_nation_intersect / a5c_grouping_sets /
     # u3_median_udaf (single-mechanism family reps, driver-green >=4
@@ -133,28 +151,34 @@ _PRIORITY = (
     # A3: KMV distinct-count sketch — the first hash-verified sketch (r8 IN)
     "a3c_kmv_distinct",
     "a4_value_quantiles",
-    "a7_event_type_sets",
     "a10b_histogram_quantile",
-    # A12: two-phase Misra-Gries exact heavy hitters
+    # A12: two-phase Misra-Gries exact heavy hitters, plus the r9-IN
+    # streaming Count-Min sketch (constant 256-cell mergeable state).
     "a12_heavy_hitters_mg",
+    "a14s_count_min_stream",
     # W: rank family, analytics, scalable range frame, top-k
     "w1b_rank_family",
     "w2b_first_last_nth",
     "w3b_trailing_5min_scalable",
-    "w4_top_parts_per_brand",
-    # O: pagination (o1/o3/o4 verified outside the window)
-    "o2b_pagination",
+    # (w4/o2b rotated out r9 — driver-green since r1, WindowGroupLimit
+    # plan-pinned in tests; O and W's top-k mechanisms stay bit-exact
+    # under the local gate.)
+    # G: distributed Pregel-style PageRank, integer fixed-point (r9 IN)
+    "g1_pagerank_quantized",
     # T20: sequential Holt-Winters recurrence — driver slot holds the
     # STREAMING twin (same recursive-CTE oracle; stream==batch is pinned
     # by test_holt_winters_stream_matches_batch, and the batch fold t20
     # stays oracle-verified locally), making a 4th streaming-executed
     # entry inside the driver window.
     "t20s_holt_winters_stream",
-    # F: scalar-function family reps (f4/f5/f7 rotated out r5, local-pass;
-    # f6 swapped out mid-r5 — same from_json/get_json_object mechanism the
-    # p6 rep also exercises — for t16s, putting the never-driver-checked
-    # T16 cohort family (and a 7th streaming-executed entry) in the gate)
-    "f1_string_ops",
+    # (f1_string_ops rotated out r9 after EIGHT consecutive greens — the
+    # last F-family slot-holder; every F rep stays bit-exact locally and
+    # the scalar-expression mechanism remains driver-exercised through
+    # p6/r1/r2's expression trees.)
+    # T31: instant-query predict_linear's streaming twin — mergeable
+    # decimal(38,0) regression partials (HUGEINT-class intermediate
+    # math) through a real streaming aggregation (r9 IN).
+    "t31s_trend_stream",
     "t16s_retention_cohorts_stream",
     # U: custom-UDF surface — r8 swap: u3_median_udaf (grouped-agg UDAF,
     # driver-green r1–r7) → l4h_kmeans_quantized, whose broadcast-centroid
@@ -206,10 +230,13 @@ _PRIORITY = (
     # md5 hash family; l2b stays bit-exact under the local gate).
     "l1_exact_dedup",
     "l2h_minhash_md5",
-    "l2e_neardup_clusters",
+    # (l2e_neardup_clusters rotated out r9 — L2 keeps the band-join
+    # pipeline rep l2h; the CC-clustering layer stays bit-exact locally.)
     "l3_cosine_topk",
     "l4_knn_join",
     "l4e_sign_bucket_ann",
+    # L4 r9 IN: PQ asymmetric-distance ranking vs an exact integer oracle
+    "l4j_pq_quantized",
     "l5f_tfidf",
     "l6d_media_decode",
     # r8 swap: l6e_png_decode (driver-green r6/r7) → l6b_media_features,
@@ -218,6 +245,8 @@ _PRIORITY = (
     # D17: paragraph-level dedup + document reassembly (one text shuffle,
     # plan-pinned) — r8 IN alongside the d16 composite.
     "d17_segment_dedup",
+    # D18: exact-rational total-variation distribution-drift gate (r9 IN)
+    "d18_distribution_drift",
     # D: training-data pipeline. Late-r7 swap within the family: OUT
     # d9_substring_dedup (driver-green r3–r6, stays bit-exact locally)
     # → IN d16_corpus_build_e2e (never driver-checked; the composed
