@@ -34,6 +34,15 @@ path (``toPandas``). Rationale:
   client-side at sf0.1), so a prepared-plan deployment over new data
   pays something between ``value`` (stage-reuse floor) and
   ``fresh_total`` (rebuild ceiling).
+- HEADLINE-SET DISCONTINUITY, r9 (one-time, VERDICT r8 task #2): the
+  15-query set had been stable since r4; in r9 ``w3_trailing_5min_sum``
+  (the deliberately-naive low-cardinality RANGE window, kept registered
+  as w3b's correctness twin) left the ``bench=True`` set and
+  ``w5_gaps_islands`` (user_id-partitioned gaps-and-islands — a plan
+  that survives 100×) took its slot, so every benched plan is also the
+  plan you'd run at scale. Cross-round comparison: drop both w3* keys
+  and compare the remaining 13 queries, or compare w3b (unchanged) for
+  the W3 family; ``headline_set_change`` in the JSON marks the round.
 """
 
 from __future__ import annotations
@@ -85,7 +94,7 @@ def main() -> None:
     from tools.bench_relay import measure as measure_relay
     from tools.bench_relay import measure_prompb
 
-    relay = measure_relay(spark, sf_dir)
+    relay = measure_relay(spark, sf_dir, runs=3)
     relay_pb = measure_prompb(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -102,8 +111,20 @@ def main() -> None:
                 # `value` stays the warm median for comparability.
                 "fresh_total": round(sum(fresh.values()), 3),
                 "queries_fresh": fresh,
+                # r9 one-time headline-set change marker (see docstring):
+                # w3_trailing_5min_sum OUT, w5_gaps_islands IN.
+                "headline_set_change": "r9:w3_out_w5_in",
                 "sf": sf,
                 "relay_records_per_sec": relay["value"],
+                # r9 (VERDICT r8 task #4): warm rate is now MEDIAN-of-3
+                # drains with the min/max band and the engine's
+                # durationMs decomposition — r4-r8's single-shot warm
+                # numbers ranged 100.9-154k with stable cold numbers,
+                # and the band + breakdown make an outlier attributable
+                # (box load vs a real regression).
+                "relay_records_per_sec_min": relay.get("records_per_sec_min"),
+                "relay_records_per_sec_max": relay.get("records_per_sec_max"),
+                "relay_duration_breakdown_ms": relay.get("duration_breakdown_ms"),
                 "relay_cold_records_per_sec": relay["cold_records_per_sec"],
                 "relay_mb_per_sec": relay["mb_per_sec"],
                 "relay_speedup_vs_reference_ticker": relay[

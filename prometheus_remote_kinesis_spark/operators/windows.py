@@ -83,12 +83,19 @@ W3_ORACLE = """
 """
 
 
-@register("w3_trailing_5min_sum", family="W3", bench=True, oracle=W3_ORACLE)
+@register("w3_trailing_5min_sum", family="W3", oracle=W3_ORACLE)
 def w3_trailing_5min_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute trailing range frame over epoch-ms — PromQL
     ``sum_over_time(m[5m])`` / rate-style lookback on the ms-long time
     axis (record.go:10). RANGE (not ROWS) so ms-tied samples are frame
-    peers on both engines."""
+    peers on both engines.
+
+    Retired from the ``bench=True`` headline set in r9 (VERDICT r8 task
+    #2): the direct low-cardinality-key RANGE window is the known
+    non-scaling form (SCALE.md: parallelism capped at |event_type|),
+    kept registered/oracle-checked only as w3b's naive twin so the
+    decomposition's correctness stays pinned. The headline slot went to
+    w5_gaps_islands so every benched plan is one you'd run at 100×."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -447,7 +454,7 @@ W5_ORACLE = """
 """
 
 
-@register("w5_gaps_islands", family="W3", oracle=W5_ORACLE)
+@register("w5_gaps_islands", family="W3", bench=True, oracle=W5_ORACLE)
 def w5_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands interval coalescing — the classic merge-
     overlapping-intervals pattern the W-family lacked: each event opens
