@@ -1731,55 +1731,143 @@ def t30_dod_storage_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression ratio ships as truncated PPM via integer division (the
     f8 tie-free rule).
 
-    Scale shape: the three lag() frames and row_number share ONE
-    Sort+Exchange — all windows use the identical (event_type; ms,
-    event_id) partition+order (the t14 single-shuffle discipline), then
-    one pre-aggregated rollup per series. Per-key data growth is the
-    hard direction (more samples per series, same key space) and this
-    plan is linear in it; the series key grows with the corpus."""
+    Scale shape — BUCKET-DECOMPOSED (r9, VERDICT r8 task #3: the naive
+    per-series lag window measured 4.8× time at 16× — parallelism
+    capped at |event_type|, per-task sort growing with the whole series
+    — the same disease t32's decomposition cured 127×). Delta-of-delta
+    costs are computed WITHIN (series, 1 h bucket) — key count grows
+    with the data — and the ≤2 boundary rows per bucket are re-costed
+    from a tiny per-bucket relation: a row with bucket-rank ≥ 3 has both
+    predecessors in its own bucket, so only each bucket's FIRST TWO rows
+    carry bucket-local costs (128-bit header / first-order delta) that
+    differ from the global sequence's (dod against the previous
+    bucket's tail). The correction window runs over |buckets| rows per
+    series, not |samples|, and the two-sample lookback is BOUNDED:
+    prev-1 is always the previous bucket's last sample, prev-2 is the
+    previous bucket's second-to-last when it has ≥2 rows, else the last
+    sample of the bucket before it (every bucket row is non-empty, so
+    lag(…, 2) suffices — no recurrence). Series-first buckets keep
+    their local header costs, exactly matching the oracle's direct lag
+    form. Boundary semantics pinned on engineered single-sample-bucket
+    edges by test_operators.py::test_dod_bucket_boundary_recost."""
     events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     d = events.select(
         "event_type",
         F.unix_millis("ts").alias("ms"),
         F.round(F.col("value") * 100).cast("long").alias("v100"),
         "event_id",
-    )
-    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
-    lagged = d.select(
-        "event_type",
-        F.row_number().over(w).alias("rn"),
-        (F.col("ms") - F.lag("ms").over(w)).alias("dt"),
-        (F.col("v100") - F.lag("v100").over(w)).alias("dv"),
-        (
-            (F.col("ms") - F.lag("ms").over(w))
-            - (F.lag("ms").over(w) - F.lag("ms", 2).over(w))
-        ).alias("dod"),
-        (
-            (F.col("v100") - F.lag("v100").over(w))
-            - (F.lag("v100").over(w) - F.lag("v100", 2).over(w))
-        ).alias("dvv"),
+        F.expr("unix_millis(ts) div 3600000").alias("b"),  # 1 h buckets
     )
 
     def zz_bits(c: Column) -> Column:
         z = F.when(c >= 0, 2 * c).otherwise(-2 * c - 1)
         return F.length(F.bin(z)) + 1
 
-    bits = (
-        F.when(F.col("rn") == 1, F.lit(128))
-        .when(F.col("rn") == 2, zz_bits(F.col("dt")) + zz_bits(F.col("dv")))
+    w_in = Window.partitionBy("event_type", "b").orderBy("ms", "event_id")
+    # last / second-to-last flags via lead() on the SAME window node as
+    # the lags (an unbounded-following count frame would add a second
+    # Window node buffering every bucket — measured 2× at sf0.1).
+    in_bucket = d.select(
+        "event_type",
+        "b",
+        "ms",
+        "v100",
+        F.row_number().over(w_in).alias("rn_in"),
+        F.lead("ms").over(w_in).isNull().alias("is_last"),
+        (
+            F.lead("ms", 2).over(w_in).isNull()
+            & F.lead("ms").over(w_in).isNotNull()
+        ).alias("is_2nd_last"),
+        (F.col("ms") - F.lag("ms").over(w_in)).alias("dt"),
+        (F.col("v100") - F.lag("v100").over(w_in)).alias("dv"),
+        (
+            (F.col("ms") - F.lag("ms").over(w_in))
+            - (F.lag("ms").over(w_in) - F.lag("ms", 2).over(w_in))
+        ).alias("dod"),
+        (
+            (F.col("v100") - F.lag("v100").over(w_in))
+            - (F.lag("v100").over(w_in) - F.lag("v100", 2).over(w_in))
+        ).alias("dvv"),
+    )
+    # Bucket-LOCAL cost (first row = header, second = first-order delta,
+    # rest = dod — the naive formula applied inside the bucket).
+    local_bits = (
+        F.when(F.col("rn_in") == 1, F.lit(128))
+        .when(F.col("rn_in") == 2, zz_bits(F.col("dt")) + zz_bits(F.col("dv")))
         .otherwise(zz_bits(F.col("dod")) + zz_bits(F.col("dvv")))
     )
-    return (
-        lagged.select("event_type", bits.alias("bits"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
-            (F.count(F.lit(1)) * 128).cast("bigint").alias("raw_bits"),
-            F.sum("bits").cast("bigint").alias("dod_bits"),
-            F.expr(
-                "CAST((count(1) * 128 * 1000000) DIV sum(bits) AS BIGINT)"
-            ).alias("ratio_ppm"),
-        )
+    # Boundary samples as PLAIN long conditional aggregates (a struct
+    # max would kick the agg out of hash aggregation / codegen); each
+    # condition selects exactly one row per bucket, so max == that row.
+    per_bucket = in_bucket.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.sum(local_bits).cast("bigint").alias("bits_in"),
+        F.max(F.when(F.col("rn_in") == 1, F.col("ms"))).alias("f1ms"),
+        F.max(F.when(F.col("rn_in") == 1, F.col("v100"))).alias("f1v"),
+        F.max(F.when(F.col("rn_in") == 2, F.col("ms"))).alias("f2ms"),
+        F.max(F.when(F.col("rn_in") == 2, F.col("v100"))).alias("f2v"),
+        F.max(F.when(F.col("is_last"), F.col("ms"))).alias("l1ms"),
+        F.max(F.when(F.col("is_last"), F.col("v100"))).alias("l1v"),
+        F.max(F.when(F.col("is_2nd_last"), F.col("ms"))).alias("l2ms"),
+        F.max(F.when(F.col("is_2nd_last"), F.col("v100"))).alias("l2v"),
+    )
+    w_b = Window.partitionBy("event_type").orderBy("b")
+    prev_has_two = F.lag("n_in").over(w_b) >= 2
+    ctx = per_bucket.select(
+        "event_type",
+        "n_in",
+        "bits_in",
+        "f1ms",
+        "f1v",
+        "f2ms",
+        "f2v",
+        F.lag("l1ms").over(w_b).alias("p1ms"),
+        F.lag("l1v").over(w_b).alias("p1v"),
+        # prev-2 sample of the global sequence: previous bucket's
+        # second-to-last when it has >=2 rows, else the bucket before
+        # it contributes its last sample (bounded 2-bucket lookback).
+        F.when(prev_has_two, F.lag("l2ms").over(w_b))
+        .otherwise(F.lag("l1ms", 2).over(w_b))
+        .alias("p2ms"),
+        F.when(prev_has_two, F.lag("l2v").over(w_b))
+        .otherwise(F.lag("l1v", 2).over(w_b))
+        .alias("p2v"),
+    )
+    f1ms, f1v = F.col("f1ms"), F.col("f1v")
+    f2ms, f2v = F.col("f2ms"), F.col("f2v")
+    p1ms, p1v = F.col("p1ms"), F.col("p1v")
+    p2ms, p2v = F.col("p2ms"), F.col("p2v")
+    # True global cost of the bucket's first row: dod vs (p1, p2) when
+    # both exist, first-order delta when it is the series' 2nd sample.
+    true1 = F.when(
+        p2ms.isNotNull(),
+        zz_bits((f1ms - p1ms) - (p1ms - p2ms)) + zz_bits((f1v - p1v) - (p1v - p2v)),
+    ).otherwise(zz_bits(f1ms - p1ms) + zz_bits(f1v - p1v))
+    # True global cost of the bucket's second row (global rank >= 3
+    # whenever a previous bucket exists): dod vs (f1, p1).
+    true2 = zz_bits((f2ms - f1ms) - (f1ms - p1ms)) + zz_bits(
+        (f2v - f1v) - (f1v - p1v)
+    )
+    local2 = zz_bits(f2ms - f1ms) + zz_bits(f2v - f1v)
+    delta = F.when(
+        p1ms.isNotNull(),
+        (true1 - F.lit(128))
+        + F.when(f2ms.isNotNull(), true2 - local2).otherwise(F.lit(0)),
+    ).otherwise(F.lit(0))
+    agg = ctx.groupBy("event_type").agg(
+        F.sum("n_in").cast("bigint").alias("n_samples"),
+        (F.sum("n_in") * 128).cast("bigint").alias("raw_bits"),
+        (F.sum("bits_in") + F.sum(delta)).cast("bigint").alias("dod_bits"),
+    )
+    return agg.select(
+        "event_type",
+        "n_samples",
+        "raw_bits",
+        "dod_bits",
+        # non-negative operands, so Spark DIV == DuckDB // (truncation)
+        F.expr("CAST((n_samples * 128 * 1000000) DIV dod_bits AS BIGINT)").alias(
+            "ratio_ppm"
+        ),
     )
 
 

@@ -1301,3 +1301,87 @@ def _make_dod_fn(idle_timeout_ms: int | None):
         )
 
     return fn
+
+
+L4KS_K = 3  # matches batch l4_knn_join's top-3 (and its oracle's rn <= 3)
+
+L4KS_TOPK_SCHEMA = StructType(
+    [
+        StructField("qid", LongType()),
+        StructField("rn", IntegerType()),
+        StructField("nn_id", LongType()),
+        StructField("cos_sim", DoubleType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+_L4KS_STATE_SCHEMA = "sims array<double>, ids array<long>, seq long"
+
+
+def _make_knn_topk_fn(k: int, idle_timeout_ms: int | None):
+    """State-transition factory for ``knn_topk_buffer`` — module-level so
+    the chop-invariance property test can drive it with a fake GroupState
+    (the ``_make_cohort_fn`` pattern). State per standing query is the
+    CURRENT top-k only: a k-length descending (cos_sim, nn_id) list,
+    merged with each micro-batch's scored candidates and re-truncated —
+    O(k) per key forever, however much corpus streams past."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (qid,) = key
+        if state.exists:
+            sims, ids, seq = state.get
+            top = list(zip(list(sims), list(ids)))
+        else:
+            top, seq = [], 0
+        for pdf in pdfs:
+            for sim, nid in zip(pdf["cos_sim"], pdf["nn_id"]):
+                top.append((float(sim), int(nid)))
+        # l4's exact ordering convention: cos_sim DESC, nn_id ASC —
+        # sims are already rounded to 6 dp upstream, so sorting the
+        # identical IEEE doubles ranks exactly like the oracle.
+        top.sort(key=lambda t: (-t[0], t[1]))
+        del top[k:]
+        seq += 1
+        state.update(([s for s, _ in top], [i for _, i in top], seq))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "qid": qid,
+                "rn": pd.Series(range(1, len(top) + 1), dtype="int32"),
+                "nn_id": pd.Series([i for _, i in top], dtype="int64"),
+                "cos_sim": pd.Series([s for s, _ in top], dtype="float64"),
+                "seq": seq,
+            },
+            columns=[f.name for f in L4KS_TOPK_SCHEMA.fields],
+        )
+
+    return fn
+
+
+def knn_topk_buffer(
+    scored: DataFrame, k: int = L4KS_K, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming top-k nearest-neighbor tracking per standing query
+    (VERDICT r8 task #5 — l4s's bounded-state multi-k upgrade): input is
+    the scored (qid, nn_id, cos_sim) stream (stream-static broadcast
+    join, norms below the join — batch l4's exact topology), state is
+    each query's current top-k sorted struct list — O(|Q|·k) total,
+    independent of corpus size — and every micro-batch emits the
+    current top-k under an incrementing seq; the max-seq emission is
+    authoritative (the t25s protocol), giving exactly batch
+    l4_knn_join's rows."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return scored.groupBy("qid").applyInPandasWithState(
+        _make_knn_topk_fn(k, idle_timeout_ms),
+        outputStructType=L4KS_TOPK_SCHEMA,
+        stateStructType=_L4KS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

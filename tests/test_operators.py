@@ -431,6 +431,82 @@ def test_dict_rle_bucket_boundary_merges(spark, tmp_path):
     assert got == {"a": (6, 2, 3), "b": (2, 2, 2)}
 
 
+def test_dod_bucket_boundary_recost(spark, tmp_path):
+    """t30's r9 bucket decomposition on ENGINEERED hour-boundary edges:
+    a SINGLE-sample bucket between two multi-sample buckets (the next
+    bucket's first row must find its second predecessor via the bounded
+    lag-2 fallback, not the previous bucket's absent second-to-last), a
+    series whose first bucket has one row (the next bucket's first row
+    is the GLOBAL second sample → first-order-delta cost, p2 NULL), and
+    a single-bucket series (no correction at all). Expected bits come
+    from an independent Python fold of the naive global formula — the
+    exact semantics the unchanged oracle checks."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+
+    H = 3_600_000  # one bucket, in ms
+    # (event_type, ms, cents)
+    series = {
+        # bucket0: 2 rows; bucket1: 1 row; bucket2: 2 rows
+        "a": [(1_000, 1000), (2_000, 1010), (H + 5_000, 990),
+              (2 * H + 1_000, 1020), (2 * H + 9_000, 1020)],
+        # bucket0: 1 row; bucket1: 2 rows (global sample 2 at boundary)
+        "b": [(10_000, 500), (H + 1_000, 480), (H + 2_000, 530)],
+        # one bucket, 4 rows — pure bucket-local path
+        "c": [(100, 7), (200, 7), (350, 8), (400, 6)],
+    }
+
+    def zz_bits(x: int) -> int:
+        z = 2 * x if x >= 0 else -2 * x - 1
+        return (len(bin(z)) - 2) + 1
+
+    expected = {}
+    for et, samples in series.items():
+        bits = 0
+        for i, (ms, v) in enumerate(samples):
+            if i == 0:
+                bits += 128
+            elif i == 1:
+                bits += zz_bits(ms - samples[0][0]) + zz_bits(v - samples[0][1])
+            else:
+                dod = (ms - samples[i - 1][0]) - (samples[i - 1][0] - samples[i - 2][0])
+                dvv = (v - samples[i - 1][1]) - (samples[i - 1][1] - samples[i - 2][1])
+                bits += zz_bits(dod) + zz_bits(dvv)
+        n = len(samples)
+        expected[et] = (n, n * 128, bits, (n * 128 * 1_000_000) // bits)
+
+    rows = [
+        (eid, ms * 1000, 1, et, cents / 100.0, "{}")
+        for eid, (et, (ms, cents)) in enumerate(
+            (et, s) for et, samples in series.items() for s in samples
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "t30edge")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        r.event_type: (r.n_samples, r.raw_bits, r.dod_bits, r.ratio_ppm)
+        for r in all_queries()["t30_dod_storage_sizing"].fn(spark, sf).collect()
+    }
+    assert got == expected
+
+
 def test_gaps_islands_touch_and_split_edges(spark, tmp_path):
     """w5 on ENGINEERED interval edges: an event starting EXACTLY at the
     previous interval's end merges (touching intervals coalesce — the

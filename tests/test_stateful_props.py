@@ -779,3 +779,68 @@ def test_dod_sizing_rejects_misordered_source():
     bad = pd.DataFrame({"ms": [150], "event_id": [9], "v100": [50]})
     with pytest.raises(ValueError, match="misordered source"):
         list(fn(("t",), iter([bad]), state))
+
+
+knn_cands_st = st.lists(
+    st.tuples(
+        st.integers(min_value=100, max_value=10_000),  # nn_id
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(
+    cands=knn_cands_st,
+    n_chops=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_knn_topk_chop_invariance_property(cands, n_chops, data):
+    """l4ks's state transition is chop-invariant: chop the scored
+    candidate stream into ANY consecutive micro-batches (including ones
+    that interleave high/low similarities) and the max-seq (final)
+    emission equals the whole-corpus exact top-3 under the l4 ordering
+    (cos_sim DESC, nn_id ASC) — the top-k-of-union associativity the
+    O(|Q|·k) state bound rests on. Similarities are pre-rounded to 6 dp
+    exactly like the query, so ties (equal rounded sims) are exercised
+    and must break by nn_id on every path."""
+    import pandas as pd
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        _make_knn_topk_fn,
+    )
+
+    cands = [(nid, round(sim, 6)) for nid, sim in cands]
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(cands)),
+                min_size=n_chops - 1,
+                max_size=n_chops - 1,
+            )
+        )
+    )
+    batches, lo = [], 0
+    for c in [*cuts, len(cands)]:
+        batches.append(cands[lo:c])
+        lo = c
+
+    fn = _make_knn_topk_fn(3, None)
+    state = _FakeGroupState()
+    last = None
+    for batch in batches:
+        pdf = pd.DataFrame(batch, columns=["nn_id", "cos_sim"])
+        for out in fn((7,), iter([pdf]), state):
+            last = out
+    got = [
+        (int(r["rn"]), int(r["nn_id"]), float(r["cos_sim"]))
+        for _, r in last.iterrows()
+    ]
+    exp = sorted(cands, key=lambda t: (-t[1], t[0]))[:3]
+    assert got == [(i + 1, nid, sim) for i, (nid, sim) in enumerate(exp)]
+    # state bound: never more than k entries survive an update
+    sims, ids, seq = state.get
+    assert len(sims) <= 3 and len(ids) <= 3 and seq == len(batches)

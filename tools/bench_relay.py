@@ -42,10 +42,45 @@ def noop_put(batch: PutBatch) -> list[int]:
     return []
 
 
-def measure(spark, sf_dir: str) -> dict:
-    """Run the relay end-to-end once; return the metrics dict (also used
+def _progress_breakdown(query) -> dict[str, int]:
+    """Sum the engine's per-batch ``durationMs`` decomposition over a
+    drained query's recentProgress — where a drain's wall-clock went
+    (triggerExecution ≈ total; addBatch = sink+plan execution;
+    latestOffset/getBatch = source listing; walCommit/commitOffsets =
+    checkpoint I/O). The r6 cold-start decomposition precedent
+    (SCALE.md), now attached to every timed run so a warm-rate outlier
+    is attributable instead of mysterious."""
+    import json as _json
+
+    total: dict[str, int] = {}
+    for p in query.recentProgress:
+        for k, v in (_json.loads(p.json).get("durationMs") or {}).items():
+            total[k] = total.get(k, 0) + int(v)
+    return total
+
+
+def wait_quiet_box(threshold_per_cpu: float = 0.5, timeout_s: float = 120.0) -> float:
+    """Block until the 1-minute loadavg drops below threshold_per_cpu ×
+    n_cpus (or the timeout passes); returns the loadavg measurements'
+    final value. The r4–r8 relay-warm band (100.9–154 k rec/s with
+    stable cold numbers) tracked box load, not code — measuring on a
+    quiet box separates the two."""
+    n = os.cpu_count() or 1
+    deadline = time.time() + timeout_s
+    load = os.getloadavg()[0]
+    while load > threshold_per_cpu * n and time.time() < deadline:
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    return load
+
+
+def measure(spark, sf_dir: str, runs: int = 1) -> dict:
+    """Run the relay end-to-end; return the metrics dict (also used
     by bench.py so the driver-recorded JSON carries the BASELINE.md-
-    comparable throughput numbers)."""
+    comparable throughput numbers). With runs > 1, the warm drain is
+    repeated and ``value`` is the MEDIAN-of-runs rate, with the min/max
+    band and the engine's durationMs decomposition reported alongside
+    (VERDICT r8 task #4: pin the warm-variance noise band)."""
     workdir = tempfile.mkdtemp(prefix="relay_bench_")
     src = os.path.join(workdir, "src")
     ckpt = os.path.join(workdir, "ckpt")
@@ -80,18 +115,25 @@ def measure(spark, sf_dir: str) -> dict:
         q.awaitTermination()
         cold_elapsed = time.time() - t0
 
-        t0 = time.time()
-        q = relay(
-            read_record_stream(spark, src),
-            put_records_fn=noop_put,
-            checkpoint_dir=ckpt,
-            available_now=True,
-        )
-        q.awaitTermination()
-        elapsed = time.time() - t0
+        elapsed_all: list[float] = []
+        breakdowns: list[dict[str, int]] = []
+        for i in range(max(1, runs)):
+            t0 = time.time()
+            q = relay(
+                read_record_stream(spark, src),
+                put_records_fn=noop_put,
+                checkpoint_dir=f"{ckpt}_run{i}",
+                available_now=True,
+            )
+            q.awaitTermination()
+            elapsed_all.append(time.time() - t0)
+            breakdowns.append(_progress_breakdown(q))
 
+        import statistics as _stats
+
+        elapsed = _stats.median(elapsed_all)
         rps = n_records / elapsed
-        return {
+        out = {
             "metric": "relay_throughput",
             "value": round(rps, 1),
             "unit": "records/sec",
@@ -108,14 +150,33 @@ def measure(spark, sf_dir: str) -> dict:
             ),
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         }
+        if runs > 1:
+            out["runs"] = runs
+            out["elapsed_all_sec"] = [round(e, 3) for e in elapsed_all]
+            out["records_per_sec_min"] = round(n_records / max(elapsed_all), 1)
+            out["records_per_sec_max"] = round(n_records / min(elapsed_all), 1)
+            # median per-phase ms across runs (keys the engine reports)
+            keys = {k for b in breakdowns for k in b}
+            out["duration_breakdown_ms"] = {
+                k: int(_stats.median([b.get(k, 0) for b in breakdowns]))
+                for k in sorted(keys)
+            }
+        return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    runs = 1
+    if "--runs" in args:
+        runs = int(args[args.index("--runs") + 1])
+    if "--quiet-box" in args:
+        load = wait_quiet_box()
+        print(f"# loadavg at start: {load:.2f}", file=sys.stderr)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench_relay")
-    print(json.dumps(measure(spark, sf_dir)))
+    print(json.dumps(measure(spark, sf_dir, runs=runs)))
 
 
 if __name__ == "__main__":
