@@ -1385,3 +1385,115 @@ def knn_topk_buffer(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+A3CP_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("k_actual", LongType()),
+        StructField("h_k", LongType()),
+        StructField("kmv_estimate", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+_A3CP_STATE_SCHEMA = "hs array<long>, seq long"
+
+
+def _make_kmv_topk_fn(k: int, bits: int, idle_timeout_ms: int | None):
+    """State-transition factory for ``kmv_topk_sketch`` — module-level so
+    tests can drive it with a fake GroupState. State per type is ONLY
+    the K smallest DISTINCT hashes (sorted ascending) — the O(K) bound
+    that is the sketch's whole point; when fewer than K distinct hashes
+    have been seen the array IS the exact distinct set, so the exact-
+    count fallback stays exact."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            hs_raw, seq = state.get
+            hs = list(hs_raw)
+        else:
+            hs, seq = [], 0
+        seen = set(hs)
+        # Admission threshold frozen at batch start (hs is sorted from
+        # the previous update): once k distinct hashes <= thr exist, no
+        # h >= thr can ever re-enter the bottom-k, so rejecting against
+        # the stale bound is safe and keeps the transient list small.
+        thr = hs[-1] if len(hs) >= k else None
+        for pdf in pdfs:
+            for h in pdf["h"]:
+                h = int(h)
+                if h in seen or (thr is not None and h >= thr):
+                    continue
+                seen.add(h)
+                hs.append(h)
+        hs.sort()
+        if len(hs) > k:
+            for dead in hs[k:]:
+                seen.discard(dead)
+            del hs[k:]
+        seq += 1
+        state.update((hs, seq))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        k_actual = len(hs)
+        h_k = hs[-1] if hs else None
+        est = k_actual if k_actual < k else ((k - 1) * (2**bits)) // h_k
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": etype,
+                    "k_actual": k_actual,
+                    "h_k": h_k,
+                    "kmv_estimate": est,
+                    "seq": seq,
+                }
+            ],
+            columns=[f.name for f in A3CP_SCHEMA.fields],
+        )
+
+    return fn
+
+
+def kmv_topk_sketch(
+    hashed: DataFrame,
+    k: int | None = None,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """The PRODUCTION-BOUNDED form of a3cs's KMV cardinality stream
+    (VERDICT r8 task #6): a3cs keeps one state row per DISTINCT (type,
+    hash) — O(distinct keys), carried deliberately because its shared
+    oracle also reports the exact count — while a deployment that needs
+    ONLY the estimate keeps just the K-smallest-distinct-hash array per
+    type: **O(K) state, PERIOD**, however many distinct keys stream
+    past. Input is the (event_type, h) stream (``kmv_hash`` upstream);
+    each micro-batch merges its candidates into the per-type K-array
+    (set union is associative/idempotent → chop- and duplicate-
+    invariant); every batch emits the current (k_actual, h_k,
+    kmv_estimate) under an incrementing seq, max-seq authoritative.
+    The estimate expression is bit-identical to batch a3c's:
+    (K−1)·2⁵⁶ // h_K in exact integer arithmetic, exact count below K.
+    The a3cs registered form stays as-is for oracle-checkability; this
+    twin is pytest-verified against batch a3c's output
+    (tests/test_streaming.py::test_kmv_topk_sketch_production_state)."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        KMV_BITS,
+        KMV_K,
+    )
+
+    kk = KMV_K if k is None else k
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _make_kmv_topk_fn(kk, KMV_BITS, idle_timeout_ms),
+        outputStructType=A3CP_SCHEMA,
+        stateStructType=_A3CP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -990,3 +990,187 @@ def test_slo_burn_watermark_eviction(spark, tmp_path):
         naive_5m = [r for r in naive if r[0] >= T - dt.timedelta(minutes=5)]
         assert n_5m == len(naive_5m)
         assert err_5m == sum(1 for r in naive_5m if r[2] == "error")
+
+
+def test_kmv_topk_sketch_production_state(spark, tmp_path):
+    """a3cs's production-bounded sibling (VERDICT r8 task #6): the
+    O(K)-state KMV form must (a) hold exactly one state row per type —
+    never one per distinct key — while hundreds of distinct users stream
+    past in multiple micro-batches, and (b) drain to the IDENTICAL
+    (k_actual, h_k, kmv_estimate) as batch a3c's sketch tail over the
+    same rows, on both the saturated (>K distinct) and exact-fallback
+    (<K distinct) paths."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        KMV_K,
+        kmv_hash,
+        kmv_summary,
+    )
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        kmv_topk_sketch,
+    )
+
+    # type "hot": 500 distinct users (sketch path, > K=64);
+    # type "cold": 20 distinct users (exact-count fallback path);
+    # every user appears twice (duplicate arrivals must not perturb).
+    rows = [("hot", u) for u in range(500) for _ in (0, 1)] + [
+        ("cold", u) for u in range(20) for _ in (0, 1)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for w in range(3):  # three event-waves -> three micro-batches
+        chunk = [r for i, r in enumerate(rows) if i % 3 == w]
+        spark.createDataFrame(
+            chunk, "event_type string, user_id long"
+        ).coalesce(1).write.parquet(str(src / f"w{w}.parquet"))
+        for root, _dirs, files in os.walk(src / f"w{w}.parquet"):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + w, 1_700_000_000 + w),
+                )
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "w*.parquet"))
+    )
+    hashed = stream.select(
+        "event_type", kmv_hash(F.col("user_id")).alias("h")
+    )
+    q = (
+        kmv_topk_sketch(hashed)
+        .writeStream.format("memory")
+        .queryName("kmv_prod")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    state_rows = [
+        so["numRowsTotal"]
+        for p in progresses
+        for so in p.get("stateOperators", [])
+    ]
+    # (a) O(K) bound: one state row per TYPE (the K-array lives inside
+    # it), never one per distinct user (520) like registered a3cs.
+    assert max(state_rows) <= 2, state_rows
+
+    out = spark.table("kmv_prod").toPandas()
+    final = (
+        out.sort_values("seq").groupby("event_type").last().reset_index()
+    )
+    got = {
+        r.event_type: (int(r.k_actual), int(r.h_k), int(r.kmv_estimate))
+        for r in final.itertuples()
+    }
+
+    batch = spark.createDataFrame(rows, "event_type string, user_id long")
+    dh = batch.select(
+        "event_type", kmv_hash(F.col("user_id")).alias("h")
+    ).distinct()
+    exp = {
+        r.event_type: (int(r.k_actual), int(r.h_k), int(r.kmv_estimate))
+        for r in kmv_summary(dh).collect()
+    }
+    assert got == exp
+    assert got["hot"][0] == KMV_K  # saturated: sketch path exercised
+    assert got["cold"][0] == 20 and got["cold"][2] == 20  # exact fallback
+
+
+def test_exact_dedup_manifest_sink(spark, tmp_path):
+    """l1s's production-bounded sibling (VERDICT r8 task #6): the
+    manifest anti-join form must (a) keep ZERO rows in the streaming
+    state store (the distinct set lives at rest), (b) admit exactly one
+    representative per distinct document across waves — first-arriving
+    wave wins, min doc_id within a wave — including across a RESTART
+    (new query, same manifest), and (c) match batch l1's digest set."""
+    from prometheus_remote_kinesis_spark.streaming.pipeline import (
+        exact_dedup_manifest_sink,
+    )
+
+    waves = [
+        # wave 0: docs 10, 11 (+ an in-wave duplicate of 10's text at 12)
+        [(10, "alpha"), (11, "beta"), (12, "alpha")],
+        # wave 1: re-crawl of alpha (id 1 < 10 — must NOT displace 10),
+        # plus new gamma
+        [(1, "alpha"), (13, "gamma")],
+        # wave 2: NULL text (excluded), re-crawl of beta, new delta
+        [(14, None), (15, "beta"), (16, "delta")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for w, chunk in enumerate(waves):
+        spark.createDataFrame(
+            chunk, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / f"w{w}.parquet"))
+        for root, _dirs, files in os.walk(src / f"w{w}.parquet"):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + w, 1_700_000_000 + w),
+                )
+
+    manifest = str(tmp_path / "manifest")
+    out = str(tmp_path / "accepted")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "w*.parquet"))
+    )
+    q = exact_dedup_manifest_sink(
+        stream, manifest, out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    # (a) zero streaming state: the foreachBatch plan has no stateful op
+    assert all(
+        so["numRowsTotal"] == 0
+        for p in progresses
+        for so in p.get("stateOperators", [])
+    )
+
+    got = {
+        r.digest: r.rep_id for r in spark.read.parquet(out).collect()
+    }
+    # (b) one rep per distinct text; alpha kept its wave-0 min id 10
+    # (in-wave dup 12 lost to 10; later re-crawl id 1 did not displace)
+    import hashlib
+
+    def d(t):
+        return hashlib.sha256(t.encode()).hexdigest()
+
+    assert got == {
+        d("alpha"): 10,
+        d("beta"): 11,
+        d("gamma"): 13,
+        d("delta"): 16,
+    }
+
+    # (c) restart with a 4th wave: manifest persists across queries
+    spark.createDataFrame(
+        [(2, "alpha"), (17, "epsilon")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "w3.parquet"))
+    for root, _dirs, files in os.walk(src / "w3.parquet"):
+        for f in files:
+            os.utime(os.path.join(root, f), (1_700_000_004, 1_700_000_004))
+    q2 = exact_dedup_manifest_sink(
+        (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "w*.parquet"))
+        ),
+        manifest,
+        out,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    got2 = {
+        r.digest: r.rep_id for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {**got, d("epsilon"): 17}  # alpha STILL id 10
+    # batch-l1 digest-set equality over all non-NULL docs
+    all_docs = [r for w in waves for r in w] + [(2, "alpha"), (17, "epsilon")]
+    assert set(got2) == {d(t) for _i, t in all_docs if t is not None}
