@@ -946,3 +946,162 @@ def a14_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("n_exact")).cast("bigint").alias("overcount"),
         )
     )
+
+
+A3D_ORACLE = f"""
+    WITH dh AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                       1, {KMV_BITS // 4})) AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    tps AS (SELECT DISTINCT event_type FROM dh),
+    prs AS (
+        SELECT t1.event_type AS ta, t2.event_type AS tb
+        FROM tps t1 JOIN tps t2 ON t1.event_type < t2.event_type
+    ),
+    ph AS (
+        SELECT p.ta, p.tb, d.h,
+               max(CASE WHEN d.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN d.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+        FROM prs p JOIN dh d ON d.event_type IN (p.ta, p.tb)
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT ta, tb, h, in_a, in_b,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM ph
+    ),
+    topk AS (
+        SELECT ta, tb, max(h) AS h_k,
+               CAST(count(*) AS BIGINT) AS k_actual,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS shared_topk
+        FROM ranked WHERE rn <= {KMV_K} GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_union,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inter
+        FROM ph GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT e.ta, e.tb, e.n_union, e.n_inter, t.k_actual, t.h_k,
+               t.shared_topk,
+               CASE WHEN t.k_actual < {KMV_K} THEN e.n_union
+                    ELSE CAST(({KMV_K - 1} * {2**KMV_BITS}) // t.h_k AS BIGINT)
+               END AS union_est
+        FROM ex e JOIN topk t ON t.ta = e.ta AND t.tb = e.tb
+    )
+    SELECT ta, tb, n_union, n_inter, k_actual, h_k, union_est,
+           CASE WHEN k_actual < {KMV_K} THEN n_inter
+                ELSE CAST((shared_topk * union_est) // {KMV_K} AS BIGINT)
+           END AS inter_est
+    FROM est
+"""
+
+
+@register("a3d_kmv_set_ops", family="A3", oracle=A3D_ORACLE)
+def a3d_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — union and intersection cardinality
+    estimates for every event_type pair from their bottom-k hash
+    sketches (Beyer et al., SIGMOD 2007: "On synopses for distinct-value
+    estimation under multiset operations", public paper) — the audience-
+    overlap / segment-intersection question ("how many users do types X
+    and Y share?") that exact distinct-counting answers only with a full
+    re-scan per pair, but the ALREADY-BUILT per-type sketches answer in
+    O(K) per pair: union sketch = bottom-k of the merged hash sets,
+    D_∪ = (K−1)·2⁵⁶ ÷ h_K; intersection via the Jaccard fraction of the
+    union's bottom-k that lands in both sets, D_∩ = (shared·D_∪) ÷ K.
+    Exact fallback below K distinct keys; both exact counts ship
+    alongside so the driver hash also pins the estimates' ground truth.
+
+    Everything is deterministic integer arithmetic on the shared md5
+    56-bit hash (a3c's convention) — both engines compute the identical
+    sketch, estimates included, so the sketch MATH (not just the
+    plumbing) is hash-verified: k_actual, h_k, the floor divisions, and
+    the shared-membership count all participate.
+
+    Scale shape: per-pair distinct hashes come from ONE hash agg keyed
+    on (pair, h) — key count grows with the corpus — after an equi-join
+    against the broadcast 2|pairs|-row membership relation (the OR-join
+    / IN-join alternative would be a nested loop; the oracle can afford
+    it at sf0.01, the Spark plan cannot at 100 TB). The bottom-k is the
+    a3c banded two-phase top-K: per (pair, h mod 32) band first, so the
+    final per-pair window sees at most 32·K = 2048 candidate rows —
+    bounded by the sketch, never the data. |pairs| is |types|²/2 — for
+    wide type spaces you'd cap to the pairs a dashboard actually
+    queries; every shuffle carries digests only."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    dh = events.select(
+        "event_type", kmv_hash(F.col("user_id")).alias("h")
+    ).distinct()
+    tps = dh.select("event_type").distinct()
+    t1 = tps.select(F.col("event_type").alias("ta"))
+    t2 = tps.select(F.col("event_type").alias("tb"))
+    prs = t1.join(t2, F.col("ta") < F.col("tb"))
+    members = prs.select("ta", "tb", F.col("ta").alias("mtype")).unionAll(
+        prs.select("ta", "tb", F.col("tb").alias("mtype"))
+    )
+    ph = (
+        dh.join(F.broadcast(members), dh.event_type == members.mtype)
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max((F.col("event_type") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+    )
+    banded = ph.withColumn("band", F.pmod(F.col("h"), F.lit(KMV_BANDS)))
+    w_band = Window.partitionBy("ta", "tb", "band").orderBy("h")
+    cand = (
+        banded.withColumn("rn", F.row_number().over(w_band))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn", "band")
+    )
+    w_pair = Window.partitionBy("ta", "tb").orderBy("h")
+    top = cand.withColumn("rn", F.row_number().over(w_pair)).where(
+        F.col("rn") <= KMV_K
+    )
+    topk = top.groupBy(F.col("ta").alias("ka"), F.col("tb").alias("kb")).agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).cast("bigint").alias("k_actual"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("shared_topk"),
+    )
+    ex = ph.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_inter"),
+    )
+    est = ex.join(
+        topk, (F.col("ta") == F.col("ka")) & (F.col("tb") == F.col("kb"))
+    ).select(
+        "ta",
+        "tb",
+        "n_union",
+        "n_inter",
+        "k_actual",
+        "h_k",
+        "shared_topk",
+        F.when(F.col("k_actual") < KMV_K, F.col("n_union"))
+        .otherwise(
+            F.expr(f"CAST(({KMV_K - 1} * {2**KMV_BITS}) DIV h_k AS BIGINT)")
+        )
+        .alias("union_est"),
+    )
+    return est.select(
+        "ta",
+        "tb",
+        "n_union",
+        "n_inter",
+        "k_actual",
+        "h_k",
+        "union_est",
+        F.when(F.col("k_actual") < KMV_K, F.col("n_inter"))
+        .otherwise(
+            F.expr(f"CAST((shared_topk * union_est) DIV {KMV_K} AS BIGINT)")
+        )
+        .alias("inter_est"),
+    )

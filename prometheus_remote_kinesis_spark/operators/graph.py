@@ -115,3 +115,210 @@ def g1_pagerank_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "pr")
         )
     return pr.select("node", F.col("pr").alias("pagerank_fp"))
+
+
+G2_ORACLE = """
+    WITH s AS (
+        SELECT event_type, user_id,
+               lag(user_id) OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts), event_id) AS prev_u
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    edges AS (
+        SELECT DISTINCT event_type,
+               least(user_id, prev_u) AS a,
+               greatest(user_id, prev_u) AS b
+        FROM s WHERE prev_u IS NOT NULL AND prev_u <> user_id
+    ),
+    nodes AS (
+        SELECT event_type, CAST(count(DISTINCT u) AS BIGINT) AS n_nodes
+        FROM (SELECT event_type, a AS u FROM edges
+              UNION ALL SELECT event_type, b AS u FROM edges)
+        GROUP BY 1
+    ),
+    ecnt AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_edges
+        FROM edges GROUP BY 1
+    ),
+    tri AS (
+        SELECT e1.event_type, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.event_type = e1.event_type
+                     AND e2.a = e1.a AND e2.b > e1.b
+        JOIN edges e3 ON e3.event_type = e1.event_type
+                     AND e3.a = e1.b AND e3.b = e2.b
+        GROUP BY 1
+    )
+    SELECT n.event_type, n.n_nodes, c.n_edges,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM nodes n
+    JOIN ecnt c ON c.event_type = n.event_type
+    LEFT JOIN tri t ON t.event_type = n.event_type
+"""
+
+
+@register("g2_triangle_count", family="G1", oracle=G2_ORACLE)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting with DEGREE-ORDERED edge orientation —
+    the G family's second mechanism (g1 is iterative message passing;
+    this is the multi-way self-join shape): per event_type, the user
+    interaction graph's clustering signal (n_nodes, n_edges,
+    n_triangles), the community-density statistic under any
+    friend-of-friend / collusion / bot-ring analysis.
+
+    Graph: an edge connects CONSECUTIVE users in the type's event-time
+    order (ts, event_id) — the interaction-chain graph, linear in rows
+    by construction (a co-occurrence pair join would be quadratic per
+    cell and is the non-scaling alternative). Edge generation is
+    bucket-decomposed (the t32 treatment, without even needing a count
+    correction: lag runs within (type, 1 h) buckets — keys grow with
+    the corpus — and each bucket boundary contributes its one
+    (last-of-prev, first-of-next) pair from a per-bucket relation;
+    DISTINCT-union of the two pair sets equals the direct lag's pair
+    set exactly, since edges dedup anyway).
+
+    Counting follows Suri & Vassilvitskii 2011 (WWW, public — "the
+    curse of the last reducer"): orient every edge from its
+    lexicographically-smaller (degree, id) endpoint to the larger, so
+    each triangle {a ≺ b ≺ c} is counted EXACTLY once as the wedge
+    (b, c) at its lowest-ranked vertex a closed by the oriented edge
+    b→c. Orientation caps every node's out-degree at O(√|E|), so the
+    wedge self-join produces Σ outdeg² = O(|E|^1.5) candidates instead
+    of the hub-quadratic blowup a naive neighbor join hits — the
+    last-reducer skew is what the degree ordering kills at 100 TB. All
+    joins are equi-joins on (type, node) keys whose cardinality grows
+    with the corpus; everything is exact integer arithmetic.
+
+    The oracle counts the SAME triangles orientation-free (id-ordered
+    three-way join) — triangle count is orientation-invariant, so the
+    hash check proves the degree-ordered plan equals the textbook
+    definition. Engineered-graph edges (two shared wedges, K4 = 4
+    triangles, degree ties) pinned by
+    tests/test_operators.py::test_triangle_count_engineered_graphs."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    s = events.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("bk"),
+    )
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("event_type", "bk").orderBy("us", "event_id")
+    in_pairs = (
+        s.select(
+            "event_type",
+            "user_id",
+            F.lag("user_id").over(w_in).alias("prev_u"),
+        )
+        .where(F.col("prev_u").isNotNull() & (F.col("prev_u") != F.col("user_id")))
+        .select("event_type", F.col("user_id").alias("u"), F.col("prev_u").alias("v"))
+    )
+    ord_ = F.struct("us", "event_id")
+    per_bucket = s.groupBy("event_type", "bk").agg(
+        F.min_by("user_id", ord_).alias("first_u"),
+        F.max_by("user_id", ord_).alias("last_u"),
+    )
+    w_b = Window.partitionBy("event_type").orderBy("bk")
+    boundary = (
+        per_bucket.select(
+            "event_type",
+            "first_u",
+            F.lag("last_u").over(w_b).alias("prev_last"),
+        )
+        .where(
+            F.col("prev_last").isNotNull()
+            & (F.col("prev_last") != F.col("first_u"))
+        )
+        .select("event_type", F.col("first_u").alias("u"), F.col("prev_last").alias("v"))
+    )
+    edges = (
+        in_pairs.unionAll(boundary)
+        .select(
+            "event_type",
+            F.least("u", "v").alias("a"),
+            F.greatest("u", "v").alias("b"),
+        )
+        .distinct()
+    )
+
+    both_dirs = edges.select("event_type", F.col("a").alias("node")).unionAll(
+        edges.select("event_type", F.col("b").alias("node"))
+    )
+    deg = both_dirs.groupBy("event_type", "node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    nodes = deg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    ecnt = edges.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+
+    da = deg.select(
+        F.col("event_type").alias("et_a"),
+        F.col("node").alias("a"),
+        F.col("deg").alias("deg_a"),
+    )
+    db = deg.select(
+        F.col("event_type").alias("et_b"),
+        F.col("node").alias("b"),
+        F.col("deg").alias("deg_b"),
+    )
+    ed = edges.join(
+        da, (edges.event_type == da.et_a) & (edges.a == da.a)
+    ).join(db, (edges.event_type == db.et_b) & (edges.b == db.b))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (edges.a < edges.b)
+    )
+    oriented = ed.select(
+        edges.event_type.alias("et"),
+        F.when(a_first, edges.a).otherwise(edges.b).alias("src"),
+        F.when(a_first, edges.b).otherwise(edges.a).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    )
+    o1 = oriented.select(
+        F.col("et").alias("w_et"),
+        F.col("src").alias("w_src"),
+        F.col("dst").alias("x"),
+        F.col("dst_deg").alias("deg_x"),
+    )
+    o2 = oriented.select(
+        F.col("et").alias("w_et2"),
+        F.col("src").alias("w_src2"),
+        F.col("dst").alias("y"),
+        F.col("dst_deg").alias("deg_y"),
+    )
+    wedges = o1.join(
+        o2,
+        (F.col("w_et") == F.col("w_et2"))
+        & (F.col("w_src") == F.col("w_src2"))
+        & (
+            (F.col("deg_x") < F.col("deg_y"))
+            | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
+        ),
+    ).select("w_et", "x", "y")
+    closed = wedges.join(
+        oriented,
+        (F.col("w_et") == F.col("et"))
+        & (F.col("x") == F.col("src"))
+        & (F.col("y") == F.col("dst")),
+    )
+    tri = closed.groupBy(F.col("w_et").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    return (
+        nodes.join(ecnt, "event_type")
+        .join(tri, "event_type", "left")
+        .select(
+            "event_type",
+            "n_nodes",
+            "n_edges",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+        )
+    )

@@ -619,3 +619,71 @@ def test_cusum_detects_engineered_drift(spark, tmp_path):
     assert got["drift"].n_alerts == alerts
     assert got["drift"].cusum_cents == int(s)  # DIV n == Fraction floor here
     assert got["drift"].max_drift_cents == int(smax)
+
+
+def test_triangle_count_engineered_graphs(spark, tmp_path):
+    """g2 on ENGINEERED interaction walks: K4 (4 triangles, built by a
+    walk whose consecutive pairs cover all 6 edges), a pure wedge (0
+    triangles), and a degree-tied triangle (orientation must fall back
+    to the id tie-break). The K4 walk's timestamps straddle hour-bucket
+    boundaries — including a single-event bucket — so the boundary-pair
+    path of the bucket-decomposed edge generation is exercised, and a
+    repeated consecutive pair plus a self-pair (same user twice in a
+    row) must dedup/vanish."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+
+    H = 3_600_000  # 1 h in ms
+    walks = {
+        # K4 walk: pairs 12,23,31,14,42,24(dup),43 → 6 distinct edges.
+        # Timestamps: two in bucket 0, ONE alone in bucket 1 (single-
+        # event bucket → the lag-over-buckets boundary path), rest
+        # spread over buckets 2-3; one self-pair (3,3) injected.
+        "k4": [
+            (1, 1_000),
+            (2, 2_000),
+            (3, H - 1_000),
+            (3, H + 1_000),      # self-pair 3→3: no edge
+            (1, 2 * H + 1_000),
+            (4, 2 * H + 2_000),
+            (2, 2 * H + 3_000),
+            (4, 3 * H + 1_000),
+            (3, 3 * H + 2_000),
+        ],
+        "wedge": [(1, 1_000), (2, 2_000), (3, 3_000)],
+        "tri_tie": [(1, 1_000), (2, 2_000), (3, 3_000), (1, 4_000)],
+    }
+    rows = []
+    eid = 0
+    for et, walk in walks.items():
+        for u, ms in walk:
+            rows.append((eid, ms * 1000, u, et, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "g2edge")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        r.event_type: (r.n_nodes, r.n_edges, r.n_triangles)
+        for r in all_queries()["g2_triangle_count"].fn(spark, sf).collect()
+    }
+    assert got == {
+        "k4": (4, 6, 4),
+        "wedge": (3, 2, 0),
+        "tri_tie": (3, 3, 1),
+    }
