@@ -243,6 +243,15 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("u", "v").alias("b"),
         )
         .distinct()
+        # edges is referenced ~6 times downstream (degrees, node/edge
+        # counts, both orientation joins, the closing join); without
+        # materialization Catalyst INLINES the whole
+        # scan→window→union→distinct pipeline at every reference
+        # (measured: 91 Exchanges / 111 Sorts in the executed plan, 8 s
+        # fresh at sf0.1 → 7 Exchanges / 2.2 s with the checkpoint).
+        # localCheckpoint is the l2e/l2f iterative-core pattern, already
+        # whitelisted by the plan audit.
+        .localCheckpoint(eager=True)
     )
 
     both_dirs = edges.select("event_type", F.col("a").alias("node")).unionAll(
@@ -279,7 +288,7 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, edges.a).otherwise(edges.b).alias("src"),
         F.when(a_first, edges.b).otherwise(edges.a).alias("dst"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
-    )
+    ).localCheckpoint(eager=True)  # referenced 3× (both wedge sides + closing)
     o1 = oriented.select(
         F.col("et").alias("w_et"),
         F.col("src").alias("w_src"),

@@ -74,6 +74,10 @@ WHITELIST: set[tuple[str, str]] = {
     ("t28_slo_burn_alert", "nested_loop_join"),  # broadcast eval-time scalar
     ("t31_predict_linear", "nested_loop_join"),  # broadcast eval-time scalar (tmax, 1 row)
     ("dq1_referential_audit", "nested_loop_join"),  # 1-row agg × 1-row agg assembly crosses
+    # a3d's type-PAIR construction: |types| × |types| inequality self-
+    # join of the distinct-type list (5 rows at any SF — the fact-table
+    # work all flows through the broadcast equi-join on mtype).
+    ("a3d_kmv_set_ops", "nested_loop_join"),
     ("t34_offset_compare", "nested_loop_join"),  # broadcast eval-time scalar (tmax, 1 row)
     # same 1-row eval-time broadcast, applied post-drain over the
     # (user, ms, is_err) count partials (t23s's flip, r7)
@@ -91,6 +95,10 @@ WHITELIST: set[tuple[str, str]] = {
     # loops) surfaces as Scan ExistingRDD — that IS the design.
     ("l2e_neardup_clusters", "rdd_scan"),
     ("l2f_neardup_clusters_star", "rdd_scan"),
+    # g2 checkpoints its edge set (referenced ~6×) and oriented edges
+    # (3×): without it Catalyst inlines the scan→window→distinct edge
+    # pipeline at every reference (measured 91 Exchanges → 7).
+    ("g2_triangle_count", "rdd_scan"),
     # Banded two-phase global ranks: the only global window runs over the
     # ~100-256-row band-count aggregate, never the fact table.
     ("w1c_global_rank_scalable", "global_window"),
