@@ -518,3 +518,83 @@ def w5_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("iv_end").cast("bigint").alias("island_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+W6_WITHIN_MS = 86_400_000  # MATCH_RECOGNIZE's WITHIN clause: 1 day
+
+W6_ORACLE = f"""
+    WITH s AS (
+        SELECT user_id,
+               event_type,
+               epoch_us(ts) // 1000 AS ms,
+               lead(event_type, 1) OVER w AS et1,
+               lead(event_type, 2) OVER w AS et2,
+               lead(epoch_us(ts) // 1000, 2) OVER w AS ms2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+        SELECT user_id, ms, ms2 - ms AS span
+        FROM s
+        WHERE event_type = 'view' AND et1 = 'click' AND et2 = 'purchase'
+          AND ms2 - ms <= {W6_WITHIN_MS}
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(ms) AS BIGINT) AS first_match_ms,
+           CAST(min(span) AS BIGINT) AS min_span_ms
+    FROM m GROUP BY 1
+"""
+
+
+@register("w6_event_pattern", family="W2", oracle=W6_ORACLE)
+def w6_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequential pattern detection — the SQL:2016
+    row-pattern-matching shape Spark has no native operator for,
+    re-expressed as a lead() chain: per user, a match is THREE
+    CONSECUTIVE rows (view, click, purchase) in (ts, event_id) order
+    whose total span fits WITHIN 1 day — the strict-adjacency semantic
+    that distinguishes it from t15's funnel (t15's EXISTS tolerates any
+    intervening events; PATTERN (V C P) does not: an interleaved
+    ``error`` row breaks the match). The lead chain IS the compiled
+    NFA for a fixed-length pattern: state = the next k-1 rows, which a
+    window delivers without any self-join (the naive 3-way self-join on
+    adjacent row numbers would shuffle the fact table three times; this
+    shuffles once).
+
+    At sf0.01 the 1-day WITHIN clause excludes 22 of 76 structural
+    matches, so the time-bound branch is exercised in both directions
+    by the hash gate. Output: per converting user, the match count, the
+    first match's opening timestamp, and the tightest span — all exact
+    BIGINT ms.
+
+    Scale shape: ONE window over (user_id; ms, event_id) — key count
+    grows with the corpus, the two leads and the pattern predicate ride
+    the same Sort+Exchange, then a map-side-combinable hash agg. Same
+    envelope as w2; no joins, no second shuffle of fact rows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = events.select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+    ).select(
+        "user_id",
+        "event_type",
+        "ms",
+        F.lead("event_type", 1).over(w).alias("et1"),
+        F.lead("event_type", 2).over(w).alias("et2"),
+        F.lead("ms", 2).over(w).alias("ms2"),
+    )
+    m = s.where(
+        (F.col("event_type") == "view")
+        & (F.col("et1") == "click")
+        & (F.col("et2") == "purchase")
+        & (F.col("ms2") - F.col("ms") <= W6_WITHIN_MS)
+    ).select("user_id", "ms", (F.col("ms2") - F.col("ms")).alias("span"))
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("ms").cast("bigint").alias("first_match_ms"),
+        F.min("span").cast("bigint").alias("min_span_ms"),
+    )

@@ -2228,3 +2228,54 @@ def t31s_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor((num / den) * 1000 * 1e6) / 1e6).alias("slope_cents_per_s"),
         )
     )
+
+
+def _w6s_oracle() -> str:
+    from prometheus_remote_kinesis_spark.operators.windows import W6_ORACLE
+
+    return W6_ORACLE
+
+
+@register(
+    "w6s_event_pattern_stream",
+    family="W2-stream",
+    oracle=_w6s_oracle(),
+)
+def w6s_event_pattern_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w6's MATCH_RECOGNIZE-lite pattern EXECUTED BY the streaming engine
+    — the CEP alerting shape (detect view→click→purchase the moment the
+    purchase lands, not in a nightly batch): per-user state is ONLY the
+    trailing two (event_type, ms) rows plus the order-guard boundary —
+    O(1) per user forever, the fixed-length-pattern NFA's whole memory —
+    and each match row emits with its closing micro-batch
+    (``stateful.event_pattern_stream``, the dod_sizing order-guard +
+    chunk-concat discipline). The drain folds match rows through the
+    IDENTICAL hash agg as batch w6 (count / min open-ms / min span, all
+    exact BIGINT), registering against the SAME oracle; carrying the
+    k−1-row tail across batches is exactly what makes emission
+    chop-invariant for in-order arrival (hypothesis-pinned by
+    tests/test_stateful_props.py::test_event_pattern_chop_invariance_property).
+
+    At 100 TB this is the operator you deploy instead of w6: state is
+    2 tuples × |active users|, matches stream out as they close, and
+    re-running the batch query nightly only re-derives what the stream
+    already emitted."""
+    from prometheus_remote_kinesis_spark.operators.windows import W6_WITHIN_MS
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        event_pattern_stream,
+    )
+
+    events = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+    )
+    matches = run_to_batch(
+        event_pattern_stream(events, within_ms=W6_WITHIN_MS), "append"
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("ms").cast("bigint").alias("first_match_ms"),
+        F.min("span").cast("bigint").alias("min_span_ms"),
+    )

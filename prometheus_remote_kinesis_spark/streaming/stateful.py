@@ -1497,3 +1497,102 @@ def kmv_topk_sketch(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+W6S_MATCH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ms", LongType()),
+        StructField("span", LongType()),
+    ]
+)
+
+_W6S_STATE_SCHEMA = (
+    "cnt long, p2_et string, p2_ms long, p1_et string, p1_ms long, "
+    "last_ms long, last_eid long"
+)
+
+
+def _make_pattern_fn(within_ms: int, idle_timeout_ms: int | None):
+    """State-transition factory for ``event_pattern_stream`` — the CEP
+    (complex-event-processing) form of w6's fixed-length row pattern:
+    state per user is ONLY the trailing two rows (event_type, ms) plus
+    the order-guard boundary — O(1) forever — and a match row
+    (user, opening ms, span) is emitted the moment its closing row
+    arrives. Carrying the k−1-row tail across micro-batches is exactly
+    what makes the emission chop-invariant for in-order arrival."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cnt, p2_et, p2_ms, p1_et, p1_ms, last_ms, last_eid = (
+            state.get if state.exists else (0, None, 0, None, 0, 0, -1)
+        )
+        out_ms: list[int] = []
+        out_span: list[int] = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ms", "event_id"]
+            )
+            if cnt > 0:
+                first = (int(pdf["ms"].iloc[0]), int(pdf["event_id"].iloc[0]))
+                if first < (last_ms, last_eid):
+                    raise ValueError(
+                        f"event_pattern_stream: misordered source for user "
+                        f"{user_id!r}: batch min key {first} precedes the "
+                        f"consumed boundary ({last_ms}, {last_eid})"
+                    )
+            for et, ms, eid in zip(
+                pdf["event_type"], pdf["ms"].astype(int), pdf["event_id"].astype(int)
+            ):
+                if (
+                    cnt >= 2
+                    and p2_et == "view"
+                    and p1_et == "click"
+                    and et == "purchase"
+                    and ms - p2_ms <= within_ms
+                ):
+                    out_ms.append(p2_ms)
+                    out_span.append(ms - p2_ms)
+                cnt += 1
+                p2_et, p2_ms = p1_et, p1_ms
+                p1_et, p1_ms = et, ms
+                last_ms, last_eid = ms, eid
+        state.update((cnt, p2_et, p2_ms, p1_et, p1_ms, last_ms, last_eid))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "ms": pd.Series(out_ms, dtype="int64"),
+                "span": pd.Series(out_span, dtype="int64"),
+            },
+            columns=[f.name for f in W6S_MATCH_SCHEMA.fields],
+        )
+
+    return fn
+
+
+def event_pattern_stream(
+    records: DataFrame, within_ms: int, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """w6's MATCH_RECOGNIZE-lite pattern as a STREAMING CEP operator:
+    matches emit as their closing row arrives (the alerting shape —
+    Flink's CEP bread-and-butter, here as ``applyInPandasWithState``),
+    state = the trailing 2 rows per user (O(1), independent of history
+    length), in-order arrival ENFORCED by the dod_sizing order guard.
+    Input columns: user_id, event_type, ms, event_id."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("user_id").applyInPandasWithState(
+        _make_pattern_fn(within_ms, idle_timeout_ms),
+        outputStructType=W6S_MATCH_SCHEMA,
+        stateStructType=_W6S_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -844,3 +844,76 @@ def test_knn_topk_chop_invariance_property(cands, n_chops, data):
     # state bound: never more than k entries survive an update
     sims, ids, seq = state.get
     assert len(sims) <= 3 and len(ids) <= 3 and seq == len(batches)
+
+
+pattern_events_st = st.lists(
+    st.tuples(
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=100_000),  # ms
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(
+    events=pattern_events_st,
+    n_chops=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_event_pattern_chop_invariance_property(events, n_chops, data):
+    """w6s's CEP state transition is chop-invariant for in-order arrival:
+    chop the per-user event sequence into ANY consecutive micro-batches
+    (including chops that split a match across 2 or 3 batches — the
+    carried 2-row tail must bridge them) and the emitted match rows
+    equal the whole-sequence scan's. The WITHIN bound (here 10 000 ms
+    against gaps up to 100 000) is exercised in both directions."""
+    import pandas as pd
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        _make_pattern_fn,
+    )
+
+    within = 10_000
+    ordered = sorted(
+        [(ms, i, et) for i, (et, ms) in enumerate(events)]
+    )
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(ordered)),
+                min_size=n_chops - 1,
+                max_size=n_chops - 1,
+            )
+        )
+    )
+    batches, lo = [], 0
+    for c in [*cuts, len(ordered)]:
+        batches.append(ordered[lo:c])
+        lo = c
+
+    fn = _make_pattern_fn(within, None)
+    state = _FakeGroupState()
+    got = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            [(ms, eid, et) for ms, eid, et in batch],
+            columns=["ms", "event_id", "event_type"],
+        )
+        for out in fn((9,), iter([pdf]), state):
+            got.extend(
+                (int(r["ms"]), int(r["span"])) for _, r in out.iterrows()
+            )
+
+    exp = []
+    seq = [(et, ms) for ms, _i, et in ordered]
+    for i in range(len(seq) - 2):
+        if (
+            seq[i][0] == "view"
+            and seq[i + 1][0] == "click"
+            and seq[i + 2][0] == "purchase"
+            and seq[i + 2][1] - seq[i][1] <= within
+        ):
+            exp.append((seq[i][1], seq[i + 2][1] - seq[i][1]))
+    assert got == exp
