@@ -440,3 +440,78 @@ def test_segment_dedup_text_shuffle_discipline(spark):
         and "seg_text" in b
     ]
     assert not seg_text_exchanges, (seg_text_exchanges, plan)
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """The 100 TB co-located-join lever the DataFrame-on-parquet fleet
+    cannot show (bucketing needs the table catalog): two tables written
+    ``bucketBy`` the SAME key and bucket count join WITHOUT any Exchange
+    — both sides' bucket layout satisfies the join's distribution
+    requirement at plan time, so a nightly orders⋈customer at 100 TB
+    pays ZERO shuffle if the lake writes both bucketed on custkey (the
+    SCALE.md design-ledger rule: pre-partition what you repeatedly join
+    on). Results must equal the plain shuffle join bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    try:
+        (
+            orders.write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .format("parquet")
+            .saveAsTable("b_orders")
+        )
+        (
+            cust.write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .format("parquet")
+            .saveAsTable("b_customer")
+        )
+        bo, bc = spark.table("b_orders"), spark.table("b_customer")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy(
+            "c_custkey"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+        # Read the static plan with AQE off (it rewrites exchanges) and
+        # auto-broadcast off (the 150-row customer side otherwise turns
+        # into a BroadcastHashJoin, which proves nothing about bucket
+        # co-location — at 100 TB neither side broadcasts).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # the join and the agg must both be SHUFFLE-free: the bucket
+        # layout satisfies the SortMergeJoin's distribution requirement,
+        # and the agg on the join key reuses it
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        got = {r["c_custkey"]: (r["n"], r["rev"]) for r in joined.collect()}
+        exp = {
+            r["c_custkey"]: (r["n"], r["rev"])
+            for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("rev"),
+            )
+            .collect()
+        }
+        assert got == exp
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
