@@ -1913,13 +1913,23 @@ def run_flush_to_batch(
     production (main.go:75). We stop at the first empty batch observed
     AFTER at least one data-bearing batch (r8 ADVICE: an initial idle
     batch — slow listing, offset race — must not end the drain with a
-    partial table and a silent hash mismatch; vacuity is a loud error):
-    by then every window the watermark finalized has been committed to
-    the sink."""
+    partial table and a silent hash mismatch; vacuity is a loud error).
+    A source with NO data at all (empty corpus — the empty-input sweep's
+    legitimate case) never produces a data batch, so once
+    ``empty_grace_s`` of wall-clock passes with at least one (empty)
+    micro-batch committed and still zero input rows anywhere in the
+    progress history, the drain concludes empty-source and returns the
+    empty table instead of timing out. (Progress-event counting can't
+    be the signal: idle triggers throttle their events to one per ~10 s,
+    so "N consecutive idle events" takes N×10 s.) 15 s is far past any
+    local listing/offset race while a real data batch arriving inside
+    the grace window still flips ``saw_data`` via the full-history
+    scan."""
     import json as _json
     import time as _time
 
     global last_run_progress
+    empty_grace_s = 15.0
     name = f"stream_result_{next(_qname_counter)}"
     query = (
         streaming_df.writeStream.format("memory")
@@ -1930,23 +1940,21 @@ def run_flush_to_batch(
         .start()
     )
     try:
-        deadline = _time.time() + timeout_s
+        start = _time.time()
+        deadline = start + timeout_s
         saw_data = False
         while _time.time() < deadline:
+            progresses = [_json.loads(p.json) for p in query.recentProgress]
             # Scan ALL progress events so a data batch sandwiched between
             # two polls is never missed (recentProgress keeps ~100).
             if not saw_data:
-                saw_data = any(
-                    _json.loads(p.json)["numInputRows"] > 0
-                    for p in query.recentProgress
-                )
-            lp = query.lastProgress
-            if (
-                saw_data
-                and lp is not None
-                and _json.loads(lp.json)["numInputRows"] == 0
-            ):
-                break
+                saw_data = any(p["numInputRows"] > 0 for p in progresses)
+            if saw_data:
+                lp = query.lastProgress
+                if lp is not None and _json.loads(lp.json)["numInputRows"] == 0:
+                    break
+            elif progresses and _time.time() - start > empty_grace_s:
+                break  # genuinely empty source: all-idle since start
             _time.sleep(0.25)
         else:
             raise TimeoutError(
