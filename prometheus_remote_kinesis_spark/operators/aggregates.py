@@ -1105,3 +1105,91 @@ def a3d_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("inter_est"),
     )
+
+
+A10C_RANGES = ((0.5, 250.0), (5.0, 50.0), (10.0, 100.0))
+
+
+def _hf_est_sql(x: float) -> str:
+    """Closed-form SQL for Prometheus's interpolated rank-at-value
+    est_le(x) over the c0..c8 cumulative columns — the bucket containing
+    the LITERAL x is resolved at build time (bisect over _HIST_BOUNDS),
+    so no runtime array search exists on either engine."""
+    import bisect
+
+    i = bisect.bisect_left(_HIST_BOUNDS, x)
+    if i >= len(_HIST_BOUNDS):
+        return "CAST(n AS DOUBLE)"
+    lo_b = 0.0 if i == 0 else _HIST_BOUNDS[i - 1]
+    lo_c = "0" if i == 0 else f"c{i - 1}"
+    return (
+        f"({lo_c} + (c{i} - {lo_c}) * ({x!r} - {lo_b!r})"
+        f" / ({_HIST_BOUNDS[i]!r} - {lo_b!r}))"
+    )
+
+
+def _hf_frac_sql(lo: float, hi: float) -> str:
+    # floor-truncation (the f8 tie-free rule): the quotient is an
+    # arbitrary double, round() could split a half-way tie
+    return (
+        f"floor((({_hf_est_sql(hi)}) - ({_hf_est_sql(lo)})) / n * 1e6) / 1e6"
+    )
+
+
+def _hf_alias(lo: float, hi: float) -> str:
+    return f"frac_{str(lo).replace('.', 'p')}_{str(hi).replace('.', 'p')}"
+
+
+A10C_ORACLE = f"""
+    WITH w AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               {", ".join(f"sum(CASE WHEN value <= {b} THEN 1 ELSE 0 END)::BIGINT AS c{i}" for i, b in enumerate(_HIST_BOUNDS))}
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {", ".join(f"{_hf_frac_sql(lo, hi)} AS {_hf_alias(lo, hi)}" for lo, hi in A10C_RANGES)}
+    FROM w
+"""
+
+
+@register("a10c_histogram_fraction", family="A10", oracle=A10C_ORACLE)
+def a10c_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_fraction(lower, upper, h)`` over a10's
+    le-bucket cumulative counts — the SLO question histogram_quantile
+    can't answer directly ("what fraction of requests landed in
+    (5, 50]?"): estimate rank-at-value by linear interpolation inside
+    the bucket containing each LITERAL endpoint (first bucket
+    interpolates from 0, Prometheus's classic-histogram rule; an
+    endpoint past the last bound saturates at n), then
+    fraction = (est_le(upper) − est_le(lower)) / n.
+
+    Because the endpoints are literals, the containing bucket is
+    resolved at BUILD time (a Python bisect emits the closed-form
+    expression) — no runtime array search on either engine, and an
+    endpoint landing exactly ON a bound folds to the bare cumulative
+    count (est_le(5) ≡ c2), which the (5, 50] range exercises; the
+    (0.5, 250] range exercises both the first-bucket-from-0 branch and
+    a mid-bucket interpolation. Fractions are floor-truncated at 1e-6
+    (the f8 tie-free rule: both engines hold the identical IEEE
+    quotient; round() could split a half-way tie).
+
+    Scale shape: the SAME one-hash-aggregation plan as a10/a10b — the
+    shuffle carries |types| rows of 9 integer partials + n, every
+    fraction is a scalar expression on the wide row; no explode, no
+    second shuffle, no UDF."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum((F.col("value") <= b).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(_HIST_BOUNDS)
+        ],
+    )
+    return per_type.select(
+        "event_type",
+        "n",
+        *[
+            F.expr(_hf_frac_sql(lo, hi)).alias(_hf_alias(lo, hi))
+            for lo, hi in A10C_RANGES
+        ],
+    )
