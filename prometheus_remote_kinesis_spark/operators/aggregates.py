@@ -1032,14 +1032,21 @@ def a3d_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the sketch, never the data. |pairs| is |types|²/2 — for
     wide type spaces you'd cap to the pairs a dashboard actually
     queries; every shuffle carries digests only."""
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )
     dh = events.select(
         "event_type", kmv_hash(F.col("user_id")).alias("h")
     ).distinct()
+    return kmv_pair_summary(dh)
+
+
+def kmv_pair_summary(dh: DataFrame) -> DataFrame:
+    """a3d's set-algebra tail over a DISTINCT (event_type, h) relation —
+    shared by batch a3d and the streaming twin a3ds (which drains the
+    distinct set from a complete-mode agg first, the a3c/a3cs split)."""
+    from pyspark.sql import Window
+
     tps = dh.select("event_type").distinct()
     t1 = tps.select(F.col("event_type").alias("ta"))
     t2 = tps.select(F.col("event_type").alias("tb"))

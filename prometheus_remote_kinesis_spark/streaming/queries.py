@@ -2287,3 +2287,50 @@ def w6s_event_pattern_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ms").cast("bigint").alias("first_match_ms"),
         F.min("span").cast("bigint").alias("min_span_ms"),
     )
+
+
+def _a3ds_oracle() -> str:
+    from prometheus_remote_kinesis_spark.operators.aggregates import A3D_ORACLE
+
+    return A3D_ORACLE
+
+
+@register(
+    "a3ds_kmv_set_ops_stream",
+    family="A3-stream",
+    oracle=_a3ds_oracle(),
+)
+def a3ds_kmv_set_ops_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a3d's KMV set algebra EXECUTED BY the streaming engine — the
+    live audience-overlap dashboard (per type pair: union/intersection
+    user-count estimates updating as events arrive). The a3c→a3cs split
+    applied to set operations: the stream runs ONE complete-mode
+    stateful agg on (event_type, kmv_hash(user_id)) — the two-phase
+    streaming-distinct form, digest-only state, one integer row per
+    distinct (type, hash) — and the ENTIRE pair algebra (pair
+    construction, broadcast membership join, banded bottom-K, exact
+    counts, both Beyer estimates) runs POST-DRAIN through the SAME
+    ``kmv_pair_summary`` code path as batch a3d. Same oracle;
+    chop-invariant because set union is associative/idempotent, and the
+    estimates are pure functions of the drained distinct set.
+
+    At 100 TB the estimate-only deployment composes with r9's
+    ``kmv_topk_sketch`` (O(K)-state per type): union/intersection need
+    only each type's K-array + pairwise shared counts — O(K·|types|)
+    state total — since the union's bottom-k is computable from the two
+    per-set bottom-k arrays (Beyer et al.'s closure property); this
+    registered form keeps the exact-distinct state because the shared
+    oracle also reports exact n_union/n_inter."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        kmv_hash,
+        kmv_pair_summary,
+    )
+
+    events = stream_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    dh_agg = events.groupBy(
+        "event_type", kmv_hash(F.col("user_id")).alias("h")
+    ).count()
+    dh = run_to_batch(dh_agg, "complete").select("event_type", "h")
+    return kmv_pair_summary(dh)

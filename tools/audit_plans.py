@@ -78,6 +78,7 @@ WHITELIST: set[tuple[str, str]] = {
     # join of the distinct-type list (5 rows at any SF — the fact-table
     # work all flows through the broadcast equi-join on mtype).
     ("a3d_kmv_set_ops", "nested_loop_join"),
+    ("a3ds_kmv_set_ops_stream", "nested_loop_join"),  # same pair construction post-drain
     ("t34_offset_compare", "nested_loop_join"),  # broadcast eval-time scalar (tmax, 1 row)
     # same 1-row eval-time broadcast, applied post-drain over the
     # (user, ms, is_err) count partials (t23s's flip, r7)
