@@ -687,3 +687,68 @@ def test_triangle_count_engineered_graphs(spark, tmp_path):
         "wedge": (3, 2, 0),
         "tri_tie": (3, 3, 1),
     }
+
+
+def test_kmv_pair_from_topk_arrays(spark, tmp_path):
+    """Beyer's closure property, end-to-end with the O(K)-state op
+    (a3ds's scale note): the pair union/intersection estimates are
+    computable from the two per-type bottom-K arrays ALONE — union
+    bottom-K = bottom-K of the two arrays' union, and membership of a
+    union-bottom-K hash in set A is decidable from A's array (union h_K
+    <= A's h_K, so any union-bottom-K hash in A is in A's bottom-K).
+    The array-derived numbers must equal kmv_pair_summary's over the
+    full distinct sets, bit for bit, on an overlapping-sets corpus that
+    SATURATES both sketches (400/400 users, 150 shared)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        KMV_BITS,
+        KMV_K,
+        kmv_hash,
+        kmv_pair_summary,
+    )
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        _make_kmv_topk_fn,
+    )
+
+    users_a = list(range(0, 400))            # type "x"
+    users_b = list(range(250, 650))          # type "y": 150 shared
+    rows = [("x", u) for u in users_a] + [("y", u) for u in users_b]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    dh = df.select("event_type", kmv_hash(F.col("user_id")).alias("h")).distinct()
+    exp = {
+        (r.ta, r.tb): (r.k_actual, r.h_k, r.union_est, r.inter_est)
+        for r in kmv_pair_summary(dh).collect()
+    }
+    assert list(exp) == [("x", "y")]
+
+    # the production O(K) arrays, via the streaming op's own transition fn
+    import pandas as pd
+
+    from tests.test_stateful_props import _FakeGroupState
+
+    arrays = {}
+    for et in ("x", "y"):
+        hs = [
+            r.h for r in dh.where(F.col("event_type") == et).collect()
+        ]
+        fn = _make_kmv_topk_fn(KMV_K, KMV_BITS, None)
+        state = _FakeGroupState()
+        list(fn((et,), iter([pd.DataFrame({"h": hs})]), state))
+        arrays[et] = state.get[0]  # sorted K-array
+    a, b = set(arrays["x"]), set(arrays["y"])
+    union_topk = sorted(a | b)[:KMV_K]
+    k_actual = len(union_topk)
+    h_k = union_topk[-1]
+    union_est = (
+        k_actual if k_actual < KMV_K else ((KMV_K - 1) * 2**KMV_BITS) // h_k
+    )
+    shared = sum(1 for h in union_topk if h in a and h in b)
+    inter_est = (
+        None if k_actual < KMV_K else (shared * union_est) // KMV_K
+    )
+    got = (k_actual, h_k, union_est, inter_est)
+    e = exp[("x", "y")]
+    assert got == (e[0], e[1], e[2], e[3])
