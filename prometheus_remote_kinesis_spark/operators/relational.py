@@ -965,3 +965,77 @@ def dq1_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+DQ2_ORACLE = """
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_idx,
+               epoch_us(ts) // 3600000000 AS hour_idx,
+               event_type, value
+        FROM events
+    ),
+    per_day AS (
+        SELECT day_idx,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT hour_idx) AS BIGINT) AS n_hours,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_values
+        FROM d GROUP BY 1
+    )
+    SELECT CAST(day_idx AS BIGINT) AS day_idx, n_rows, n_hours, n_types,
+           n_null_values,
+           CAST(day_idx - lag(day_idx) OVER (ORDER BY day_idx)
+                AS BIGINT) AS gap_days
+    FROM per_day
+"""
+
+
+@register("dq2_freshness_volume_audit", family="P6", oracle=DQ2_ORACLE)
+def dq2_freshness_volume_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day completeness / freshness audit over the relay's event
+    stream — dq1's temporal sibling (dq1 audits the star schema's FK
+    edges; this audits the TIME axis a monitoring pipeline actually
+    pages on): for every active day, row volume, hour coverage (24 =
+    full ingest day), series-type coverage, NULL-value (staleness-
+    marker) counts, and the gap to the previous active day (gap_days
+    > 1 = a silent ingest outage — t18's absent-data shape lifted to
+    table granularity). Day/hour indices are integer epoch divisions
+    (non-negative `div` ≡ `//`), never engine date types — no
+    timezone/calendar drama in the hash.
+
+    Scale shape: ONE hash aggregation keyed on epoch-day (key count
+    grows with retention; distinct-hour/type are two-phase inside it),
+    then the gap lag runs over the per-DAY aggregate — |days| rows
+    (30 here, ~36 k for a century), never fact rows, the w1c
+    band-aggregate argument; the audit-window whitelist entry documents
+    it. A 100 TB deployment partitions the archive by day already, so
+    the agg reads pre-clustered row groups (S9's layout)."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+        "event_type",
+        "value",
+    )
+    per_day = d.groupBy("day_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("hour_idx").cast("bigint").alias("n_hours"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.sum(F.col("value").isNull().cast("long")).cast("bigint").alias(
+            "n_null_values"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_idx")
+    return per_day.select(
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        "n_rows",
+        "n_hours",
+        "n_types",
+        "n_null_values",
+        (F.col("day_idx") - F.lag("day_idx").over(w)).cast("bigint").alias(
+            "gap_days"
+        ),
+    )

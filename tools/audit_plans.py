@@ -107,6 +107,9 @@ WHITELIST: set[tuple[str, str]] = {
     # Banded since r4 (w1c's shape): the only global window runs over the
     # tiny band-count aggregate, never the fact table.
     ("w1b_rank_family", "global_window"),
+    # dq2's gap-to-previous-day lag runs over the per-DAY aggregate —
+    # |days| rows (~36 k/century), never fact rows (the w1c argument).
+    ("dq2_freshness_volume_audit", "global_window"),
     # d16's dedup window partitions full rows by content digest — the ONE
     # text-carrying key shuffle in the fleet, pinned to exactly one by
     # test_corpus_build_shuffles_text_once (the decontam branch was
