@@ -1376,3 +1376,105 @@ def l4k_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "vec_id")
         .limit(10)
     )
+
+
+L4M_SCALE = 1000  # fixed-point: component 1.0 ≡ 1000
+L4M_ITERS = 2
+
+_L4M_STEP = """
+    SELECT xe.j, CAST(sum(xe.xq * d.dot) AS BIGINT) AS u
+    FROM xe JOIN (
+        SELECT xe.vec_id, CAST(sum(xe.xq * v.v) AS BIGINT) AS dot
+        FROM xe JOIN {prev} v USING (j) GROUP BY 1
+    ) d USING (vec_id)
+    GROUP BY 1
+"""
+
+_L4M_NORM = """
+    SELECT j,
+           CAST(CASE WHEN u >= 0
+                     THEN (u * {scale}) // m
+                     ELSE -((-u * {scale}) // m) END AS BIGINT) AS v
+    FROM {u}, (SELECT max(abs(u)) AS m FROM {u})
+"""
+
+L4M_ORACLE = f"""
+    WITH xe AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+               CAST(round(unnest(embedding) * {L4M_SCALE}) AS BIGINT) AS xq
+        FROM embeddings
+    ),
+    v0 AS (SELECT DISTINCT j, CAST({L4M_SCALE} AS BIGINT) AS v FROM xe),
+    u1 AS ({_L4M_STEP.format(prev="v0")}),
+    v1 AS ({_L4M_NORM.format(u="u1", scale=L4M_SCALE)}),
+    u2 AS ({_L4M_STEP.format(prev="v1")}),
+    v2 AS ({_L4M_NORM.format(u="u2", scale=L4M_SCALE)})
+    SELECT CAST(j AS BIGINT) AS dim_idx, v AS pc1_fp FROM v2
+"""
+
+
+@register("l4m_power_iteration_quantized", family="L4", oracle=L4M_ORACLE)
+def l4m_power_iteration_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed POWER ITERATION over the embedding corpus — the PCA
+    core (top principal direction of XᵀX), the fourth hash-verified
+    iterative algorithm (after l4h k-means, l2i SemDeDup, g1 PageRank)
+    and the first distributed LINEAR ALGEBRA one: two steps of
+    v ← normalize(Xᵀ(Xv)), integer fixed-point throughout so both
+    engines produce identical BIGINTs. PCA whitening/projection is the
+    standard preprocessing for embedding dedup (SemDeDup) and ANN index
+    training (OPQ's rotation starts here) — at 100 TB you compute it
+    exactly like this: never materialize the d×d Gram matrix, just two
+    corpus passes per step.
+
+    Exactness: components quantize to integer thousandths (|xq| ≤ ~530
+    here); v is fixed-point with |v| ≤ 1000, so dot = Σ_j xq·v ≤ 3.4e7,
+    per-dimension u = Σ_i xq·dot ≤ 9e13 at the 64× probe scale and
+    u·1000 ≤ 9e16 — inside int64 on both engines (Spark sum(long) under
+    ANSI would raise on overflow rather than wrap, so the bound is
+    enforced, not hoped). Normalization divides by max|u| with the
+    sign-split DIV (u can be negative; Spark `div` and DuckDB `//`
+    agree only on non-negative operands — CLAUDE.md's t31 rule). Sign
+    of the result is deterministic because v₀ = +1000 is fixed.
+
+    Scale shape: Xv is one hash agg keyed on vec_id (keys grow with the
+    corpus); Xᵀ(Xv) is one hash agg keyed on dimension (64 groups —
+    low-cardinality is FINE for aggregation: partial aggregation
+    combines map-side, unlike the low-cardinality WINDOW disease); the
+    v-vector joins broadcast (64 rows) and max|u| is a 1-row broadcast.
+    Two corpus passes per iteration, zero driver-side collect, plan
+    depth O(iters) like g1. Convergence-to-PC1 on an engineered
+    anisotropic corpus plus step-for-step equality vs an integer numpy
+    reference are pinned by test_llm.py::test_power_iteration_quantized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xe = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "x")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("j"),
+        F.round(F.col("x") * L4M_SCALE).cast("long").alias("xq"),
+    )
+    v = xe.select("j").distinct().select(
+        "j", F.lit(L4M_SCALE).cast("bigint").alias("v")
+    )
+    for _ in range(L4M_ITERS):
+        d = (
+            xe.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xq") * F.col("v")).cast("bigint").alias("dot"))
+        )
+        u = (
+            xe.join(d, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("xq") * F.col("dot")).cast("bigint").alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "j",
+            F.when(
+                F.col("u") >= 0, F.expr(f"(u * {L4M_SCALE}) div m")
+            )
+            .otherwise(-F.expr(f"((-u) * {L4M_SCALE}) div m"))
+            .cast("bigint")
+            .alias("v"),
+        )
+    return v.select(F.col("j").cast("bigint").alias("dim_idx"), F.col("v").alias("pc1_fp"))

@@ -832,3 +832,75 @@ def test_distribution_drift_tv_properties(spark):
         assert 0 <= tv <= 1
         expect_ppm = int(tv * 1_000_000)  # truncation, same as DIV
         assert got[et] == (n_ref, n_cand, nb, expect_ppm), et
+
+
+def test_power_iteration_quantized(spark, tmp_path):
+    """l4m vs two ground truths: (a) STEP-FOR-STEP equality with an
+    integer numpy re-implementation of the identical quantized
+    recurrence on the real corpus (catches any operand-order or DIV-sign
+    divergence the oracle pair might share), and (b) CONVERGENCE — on an
+    engineered anisotropic corpus (one dominant direction, spectral gap
+    ~20×) the two-step fixed-point vector must align with numpy's exact
+    top eigenvector of XᵀX (|cosine| > 0.99)."""
+    import os
+
+    import numpy as np
+
+    from prometheus_remote_kinesis_spark.llm.similarity import (
+        L4M_ITERS,
+        L4M_SCALE,
+        l4m_power_iteration_quantized,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    def int_reference(xq: np.ndarray) -> np.ndarray:
+        # xq: (n, d) int64; the EXACT integer recurrence
+        v = np.full(xq.shape[1], L4M_SCALE, dtype=np.int64)
+        for _ in range(L4M_ITERS):
+            dot = xq @ v                      # (n,)
+            u = xq.T @ dot                    # (d,)
+            m = np.abs(u).max()
+            v = np.where(u >= 0, (u * L4M_SCALE) // m, -((-u * L4M_SCALE) // m))
+        return v
+
+    # (a) real corpus, step-for-step
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    xq = np.round(emb * L4M_SCALE).astype(np.int64)
+    exp = int_reference(xq)
+    got = {
+        r.dim_idx: r.pc1_fp
+        for r in l4m_power_iteration_quantized(spark, SF_SMOKE).collect()
+    }
+    assert [got[j + 1] for j in range(xq.shape[1])] == exp.tolist()
+
+    # (b) engineered anisotropic corpus: x_i = a_i * w + small noise
+    rng = np.random.RandomState(7)
+    d, n = 16, 300
+    w = rng.randn(d)
+    w /= np.linalg.norm(w)
+    X = np.outer(rng.randn(n) * 5.0, w) + rng.randn(n, d) * 0.25
+    X = np.clip(X, -30, 30) / 60.0  # keep |x| small like the corpus
+    sf = str(tmp_path / "l4m_aniso")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    got2 = l4m_power_iteration_quantized(spark, sf).orderBy("dim_idx").collect()
+    v2 = np.array([r.pc1_fp for r in got2], dtype=np.float64)
+    # exact top eigenvector of the QUANTIZED Gram (the operator's input)
+    Xq = np.round(np.array(
+        [[float(np.float32(x)) for x in row] for row in X]
+    ) * L4M_SCALE)
+    evals, evecs = np.linalg.eigh(Xq.T @ Xq)
+    top = evecs[:, -1]
+    cos = abs(v2 @ top) / (np.linalg.norm(v2) * np.linalg.norm(top))
+    assert cos > 0.99, cos

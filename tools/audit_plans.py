@@ -79,6 +79,9 @@ WHITELIST: set[tuple[str, str]] = {
     # work all flows through the broadcast equi-join on mtype).
     ("a3d_kmv_set_ops", "nested_loop_join"),
     ("a3ds_kmv_set_ops_stream", "nested_loop_join"),  # same pair construction post-drain
+    # l4m's per-iteration normalize divides by the 1-row broadcast
+    # max|u| scalar (the t31/t22 eval-time-scalar pattern, twice).
+    ("l4m_power_iteration_quantized", "nested_loop_join"),
     ("t34_offset_compare", "nested_loop_join"),  # broadcast eval-time scalar (tmax, 1 row)
     # same 1-row eval-time broadcast, applied post-drain over the
     # (user, ms, is_err) count partials (t23s's flip, r7)
