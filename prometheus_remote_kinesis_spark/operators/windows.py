@@ -598,3 +598,107 @@ def w6_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ms").cast("bigint").alias("first_match_ms"),
         F.min("span").cast("bigint").alias("min_span_ms"),
     )
+
+
+W7_ORACLE = f"""
+    WITH s AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) // 1000 AS ms,
+               sum(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS grp,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_et
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, grp,
+               CAST(count(*) AS BIGINT) AS n_views,
+               min(ms) AS first_ms
+        FROM s WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    matches AS (
+        SELECT p.user_id, r.n_views, r.first_ms,
+               p.ms - r.first_ms AS span
+        FROM s p JOIN runs r
+          ON r.user_id = p.user_id AND r.grp = p.grp - 1
+        WHERE p.event_type = 'purchase' AND p.prev_et = 'view'
+          AND p.ms - r.first_ms <= {W6_WITHIN_MS}
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(max(n_views) AS BIGINT) AS max_run_views,
+           CAST(min(first_ms) AS BIGINT) AS first_match_ms,
+           CAST(min(span) AS BIGINT) AS min_span_ms
+    FROM matches GROUP BY 1
+"""
+
+
+@register("w7_pattern_quantified", family="W2", oracle=W7_ORACLE)
+def w7_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a QUANTIFIER — ``PATTERN (view+ purchase)``
+    WITHIN 1 day of the run's FIRST view: w6 handles fixed-length
+    patterns with a lead() chain; a one-or-more quantifier has no fixed
+    lookahead, so the maximal view-run becomes a GROUP: grp = running
+    count of non-view rows (every consecutive view shares the grp of
+    the non-view row before it — the gaps-and-islands trick pointed at
+    pattern runs), per-(user, grp) run aggregates (n_views, first_ms),
+    and a purchase row closes the run at grp−1 when its immediate
+    predecessor is a view (strict adjacency — any interleaved row
+    breaks the run, exactly MATCH_RECOGNIZE semantics) and the span
+    from the run's first view fits the WITHIN bound. The quantifier
+    branch is hash-exercised: 44 of 329 sf0.01 matches close runs of
+    ≥2 views (max 3), and the per-match MEASURES (run length, span)
+    ride into the output — the SQL:2016 MEASURES clause shape.
+
+    Scale: one (user_id; ms, event_id) window pass for grp/prev_et
+    (same Sort+Exchange), one hash agg keyed (user, grp) — keys grow
+    with the data — and one equi-join of purchases to runs on the same
+    growing key. No self-join of fact rows on inequality, no quadratic
+    pair expansion; the run groups are what an NFA's accumulating state
+    would hold, materialized relationally."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = events.select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+    ).select(
+        "user_id",
+        "event_type",
+        "ms",
+        F.sum((F.col("event_type") != "view").cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("grp"),
+        F.lag("event_type").over(w).alias("prev_et"),
+    )
+    runs = (
+        s.where(F.col("event_type") == "view")
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.min("ms").alias("first_ms"),
+        )
+        .select("user_id", "grp", "n_views", "first_ms")
+    )
+    p = s.where(
+        (F.col("event_type") == "purchase") & (F.col("prev_et") == "view")
+    ).select("user_id", "grp", F.col("ms").alias("p_ms"))
+    r = runs.select(
+        F.col("user_id").alias("r_user"),
+        F.col("grp").alias("r_grp"),
+        "n_views",
+        "first_ms",
+    )
+    matches = p.join(
+        r,
+        (F.col("user_id") == F.col("r_user")) & (F.col("r_grp") == F.col("grp") - 1),
+    ).where(F.col("p_ms") - F.col("first_ms") <= W6_WITHIN_MS)
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.max("n_views").cast("bigint").alias("max_run_views"),
+        F.min("first_ms").cast("bigint").alias("first_match_ms"),
+        F.min(F.col("p_ms") - F.col("first_ms")).cast("bigint").alias("min_span_ms"),
+    )

@@ -2334,3 +2334,47 @@ def a3ds_kmv_set_ops_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     dh = run_to_batch(dh_agg, "complete").select("event_type", "h")
     return kmv_pair_summary(dh)
+
+
+def _w7s_oracle() -> str:
+    from prometheus_remote_kinesis_spark.operators.windows import W7_ORACLE
+
+    return W7_ORACLE
+
+
+@register(
+    "w7s_pattern_quantified_stream",
+    family="W2-stream",
+    oracle=_w7s_oracle(),
+)
+def w7s_pattern_quantified_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w7's quantified pattern EXECUTED BY the streaming engine — w6s's
+    sibling for the one-or-more quantifier, closing the CEP pair: per
+    user the OPEN view-run (count + first ms) plus the previous event
+    type is the ENTIRE state — O(1) however long the run, because a V+
+    quantifier's NFA only accumulates — and each (run, purchase) match
+    emits with its closing micro-batch carrying the SQL:2016 MEASURES
+    (run length, span). Drain folds matches through batch w7's identical
+    hash agg against the SAME oracle; chop-invariance (a run split
+    across micro-batches must bridge) is hypothesis-pinned by
+    tests/test_stateful_props.py::test_quantified_pattern_chop_invariance_property."""
+    from prometheus_remote_kinesis_spark.operators.windows import W6_WITHIN_MS
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        quantified_pattern_stream,
+    )
+
+    events = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+    )
+    matches = run_to_batch(
+        quantified_pattern_stream(events, within_ms=W6_WITHIN_MS), "append"
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.max("n_views").cast("bigint").alias("max_run_views"),
+        F.min("first_ms").cast("bigint").alias("first_match_ms"),
+        F.min("span").cast("bigint").alias("min_span_ms"),
+    )

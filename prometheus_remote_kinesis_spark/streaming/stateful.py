@@ -1596,3 +1596,103 @@ def event_pattern_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+W7S_MATCH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_views", LongType()),
+        StructField("first_ms", LongType()),
+        StructField("span", LongType()),
+    ]
+)
+
+_W7S_STATE_SCHEMA = (
+    "run_n long, run_first_ms long, prev_et string, last_ms long, last_eid long"
+)
+
+
+def _make_quantified_pattern_fn(within_ms: int, idle_timeout_ms: int | None):
+    """State-transition factory for ``quantified_pattern_stream`` — the
+    CEP form of w7's ``PATTERN (view+ purchase)``: state per user is the
+    OPEN view-run (count + first timestamp) plus the previous event type
+    and the order-guard boundary — O(1) however long the run grows,
+    because a one-or-more quantifier's NFA only accumulates, never
+    back-tracks. view extends the run; purchase with a view predecessor
+    closes it (emit when the span fits); anything else resets it."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        run_n, run_first_ms, prev_et, last_ms, last_eid = (
+            state.get if state.exists else (0, 0, None, 0, -1)
+        )
+        out: list[tuple[int, int, int]] = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ms", "event_id"]
+            )
+            if prev_et is not None or last_eid >= 0:
+                first = (int(pdf["ms"].iloc[0]), int(pdf["event_id"].iloc[0]))
+                if last_eid >= 0 and first < (last_ms, last_eid):
+                    raise ValueError(
+                        f"quantified_pattern_stream: misordered source for "
+                        f"user {user_id!r}: batch min key {first} precedes "
+                        f"the consumed boundary ({last_ms}, {last_eid})"
+                    )
+            for et, ms, eid in zip(
+                pdf["event_type"], pdf["ms"].astype(int), pdf["event_id"].astype(int)
+            ):
+                if et == "view":
+                    if run_n == 0:
+                        run_first_ms = ms
+                    run_n += 1
+                else:
+                    if (
+                        et == "purchase"
+                        and prev_et == "view"
+                        and run_n > 0
+                        and ms - run_first_ms <= within_ms
+                    ):
+                        out.append((run_n, run_first_ms, ms - run_first_ms))
+                    run_n, run_first_ms = 0, 0
+                prev_et = et
+                last_ms, last_eid = ms, eid
+        state.update((run_n, run_first_ms, prev_et, last_ms, last_eid))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "n_views": pd.Series([n for n, _f, _s in out], dtype="int64"),
+                "first_ms": pd.Series([f for _n, f, _s in out], dtype="int64"),
+                "span": pd.Series([s for _n, _f, s in out], dtype="int64"),
+            },
+            columns=[f.name for f in W7S_MATCH_SCHEMA.fields],
+        )
+
+    return fn
+
+
+def quantified_pattern_stream(
+    records: DataFrame, within_ms: int, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """w7's quantified pattern as a STREAMING CEP operator (w6s's sibling
+    for one-or-more quantifiers): matches emit as their closing purchase
+    arrives; state = the open view-run + previous event type per user —
+    O(1) regardless of run length. Input: user_id, event_type, ms,
+    event_id; in-order arrival enforced by the dod_sizing order guard."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("user_id").applyInPandasWithState(
+        _make_quantified_pattern_fn(within_ms, idle_timeout_ms),
+        outputStructType=W7S_MATCH_SCHEMA,
+        stateStructType=_W7S_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -917,3 +917,70 @@ def test_event_pattern_chop_invariance_property(events, n_chops, data):
         ):
             exp.append((seq[i][1], seq[i + 2][1] - seq[i][1]))
     assert got == exp
+
+
+@given(
+    events=pattern_events_st,
+    n_chops=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_quantified_pattern_chop_invariance_property(events, n_chops, data):
+    """w7s's V+ CEP transition is chop-invariant: chop the sequence
+    anywhere (including inside a view-run — the carried open-run state
+    must bridge) and the emitted (n_views, first_ms, span) matches equal
+    the whole-sequence scan's under the same WITHIN bound."""
+    import pandas as pd
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        _make_quantified_pattern_fn,
+    )
+
+    within = 10_000
+    ordered = sorted([(ms, i, et) for i, (et, ms) in enumerate(events)])
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(ordered)),
+                min_size=n_chops - 1,
+                max_size=n_chops - 1,
+            )
+        )
+    )
+    batches, lo = [], 0
+    for c in [*cuts, len(ordered)]:
+        batches.append(ordered[lo:c])
+        lo = c
+
+    fn = _make_quantified_pattern_fn(within, None)
+    state = _FakeGroupState()
+    got = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            [(ms, eid, et) for ms, eid, et in batch],
+            columns=["ms", "event_id", "event_type"],
+        )
+        for out in fn((3,), iter([pdf]), state):
+            got.extend(
+                (int(r["n_views"]), int(r["first_ms"]), int(r["span"]))
+                for _, r in out.iterrows()
+            )
+
+    exp = []
+    run_n, run_first, prev = 0, 0, None
+    for ms, _i, et in ordered:
+        if et == "view":
+            if run_n == 0:
+                run_first = ms
+            run_n += 1
+        else:
+            if (
+                et == "purchase"
+                and prev == "view"
+                and run_n > 0
+                and ms - run_first <= within
+            ):
+                exp.append((run_n, run_first, ms - run_first))
+            run_n, run_first = 0, 0
+        prev = et
+    assert got == exp
