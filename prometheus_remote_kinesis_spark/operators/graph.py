@@ -331,3 +331,93 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+G3_MAX_HOPS = 4
+
+G3_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT 'c' || c::VARCHAR AS src, 's' || s::VARCHAR AS dst FROM pairs
+        UNION ALL
+        SELECT 's' || s::VARCHAR, 'c' || c::VARCHAR FROM pairs
+    ),
+    seed AS (SELECT 'c' || min(c)::VARCHAR AS node FROM pairs),
+    bfs(node, hops) AS (
+        SELECT node, 0 FROM seed
+        UNION
+        SELECT e.dst, b.hops + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.hops < {G3_MAX_HOPS}
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM bfs GROUP BY 1
+"""
+
+
+@register("g3_bfs_hops", family="G1", oracle=G3_ORACLE)
+def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search over the customer↔supplier trade
+    graph — the G family's third mechanism (g1 iterates a VALUE to a
+    fixpoint, g2 self-joins a static edge set; this grows a FRONTIER):
+    min-hop distance from the smallest trading customer to every node
+    within {G3_MAX_HOPS} hops — the blast-radius / relationship-depth
+    query behind supply-chain exposure and fraud-ring reach analyses.
+
+    Frontier iteration, K fixed supersteps: frontier_k = (edges ⋈
+    frontier_{{k-1}} on src) anti-joined against everything already
+    visited, labeled hops = k — each node therefore carries its MINIMUM
+    hop count, exactly the recursive-CTE oracle's min(hops) per reached
+    node (the oracle's UNION-dedup BFS enumerates all ≤K-hop walks; the
+    GROUP BY collapses them to the same min). Both the edge set and the
+    accumulating visited set are eagerly localCheckpointed per
+    superstep (the l2e/g2 discipline): edges are referenced K times and
+    visited references would otherwise re-inline every prior union —
+    plan depth and analysis time stay O(1) per superstep.
+
+    Scale shape: each superstep is one equi-join keyed on node (keys
+    grow with the corpus), one distinct, one anti-join — all
+    hash-partitioned on the same key so the exchanges line up; frontier
+    size is bounded by the graph, never the iteration count; no
+    driver-side materialization (the seed is a broadcast 1-row min).
+    K is fixed at plan time (the hash-checkable form — a run-to-fixpoint
+    BFS terminates data-dependently, the same reason g1 fixes its
+    superstep count)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    seed = pairs.agg(
+        F.concat(F.lit("c"), F.min(F.expr("CAST(substring(c, 2) AS BIGINT)")).cast("string")).alias("node")
+    ).select("node", F.lit(0).cast("bigint").alias("hops"))
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, G3_MAX_HOPS + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).cast("bigint").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", "hops")

@@ -103,6 +103,9 @@ WHITELIST: set[tuple[str, str]] = {
     # (3×): without it Catalyst inlines the scan→window→distinct edge
     # pipeline at every reference (measured 91 Exchanges → 7).
     ("g2_triangle_count", "rdd_scan"),
+    # g3's per-superstep frontier/visited checkpoints (the l2e loop
+    # discipline: plan depth and analysis time O(1) per superstep).
+    ("g3_bfs_hops", "rdd_scan"),
     # Banded two-phase global ranks: the only global window runs over the
     # ~100-256-row band-count aggregate, never the fact table.
     ("w1c_global_rank_scalable", "global_window"),
