@@ -1328,3 +1328,135 @@ def d18_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV CAST(2 * first(den) AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("tv_ppm"),
     )
+
+
+_D19_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_D19_PHONE = r"\d{3}-\d{3}-\d{4}"
+_D19_IP = r"(\d{1,3}\.){3}\d{1,3}"
+
+D19_ORACLE = rf"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               text || CASE
+                 WHEN doc_id % 7 = 0
+                   THEN ' email u' || doc_id || '@ex.com ok'
+                 WHEN doc_id % 7 = 1
+                   THEN ' phone 415-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' ok'
+                 WHEN doc_id % 7 = 2
+                   THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                        || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ok'
+                 ELSE ''
+               END AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    scrub AS (
+        SELECT lang,
+            len(regexp_extract_all(t, '{_D19_EMAIL}')) AS n_email,
+            len(regexp_extract_all(t, '{_D19_PHONE}')) AS n_phone,
+            len(regexp_extract_all(t, '{_D19_IP}')) AS n_ip,
+            regexp_replace(regexp_replace(regexp_replace(t,
+                '{_D19_EMAIL}', '<EMAIL>', 'g'),
+                '{_D19_PHONE}', '<PHONE>', 'g'),
+                '{_D19_IP}', '<IP>', 'g') AS red
+        FROM base
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum(n_ip) AS BIGINT) AS n_ips,
+           CAST(sum(len(red)) AS BIGINT) AS redacted_chars,
+           CAST(sum(CASE WHEN len(regexp_extract_all(red, '{_D19_EMAIL}'))
+                            + len(regexp_extract_all(red, '{_D19_PHONE}'))
+                            + len(regexp_extract_all(red, '{_D19_IP}')) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_after
+    FROM scrub GROUP BY 1
+"""
+
+
+@register("d19_pii_scrub", family="L7", oracle=D19_ORACLE)
+def d19_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the training-data compliance stage
+    the d-pipeline lacked (emails / phone numbers / IPv4 addresses →
+    typed placeholders before anything reaches a tokenizer). The
+    synthetic corpus carries no PII, so the operator INJECTS a
+    deterministic PII layer first (doc_id-derived emails, NANP-style
+    phones, dotted-quad IPs on doc_id % 7 branches — the
+    ``synthesize_media_mix`` precedent: build the fixture inside the
+    query, identically on both engines, so detection, redaction, and
+    the post-scrub re-scan are ALL inside the hash). Patterns stay in
+    the Java-regex ∩ RE2 common subset (classes, bounded braces, \\d)
+    so both engines match identically; DuckDB's regexp_replace needs
+    the 'g' flag to match Spark's replace-all default. Verified output:
+    per lang, hit counts per PII class, total redacted length (pins the
+    replacement bytes without shuffling text — lengths only), and
+    n_clean_after == n_docs (the re-scan of the redacted text finds
+    zero residual hits — the property a compliance gate actually
+    certifies).
+
+    Scale shape: pure per-row string expressions (JVM regex inside
+    codegen, no UDF) feeding one hash agg keyed on lang — the same
+    embarrassingly-parallel envelope as the l5 quality battery; text
+    never enters a shuffle (the aggregate carries counts and lengths)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" email u"), F.col("doc_id").cast("string"), F.lit("@ex.com ok")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(
+                F.lit(" phone 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" ok"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                F.lit(" ip 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+                F.lit(" ok"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _D19_EMAIL, "<EMAIL>"),
+            _D19_PHONE,
+            "<PHONE>",
+        ),
+        _D19_IP,
+        "<IP>",
+    )
+    residual = (
+        F.regexp_count(red, F.lit(_D19_EMAIL))
+        + F.regexp_count(red, F.lit(_D19_PHONE))
+        + F.regexp_count(red, F.lit(_D19_IP))
+    )
+    return (
+        docs.select(
+            "lang",
+            F.regexp_count(t, F.lit(_D19_EMAIL)).alias("n_email"),
+            F.regexp_count(t, F.lit(_D19_PHONE)).alias("n_phone"),
+            F.regexp_count(t, F.lit(_D19_IP)).alias("n_ip"),
+            F.length(red).alias("red_len"),
+            (residual == 0).cast("long").alias("clean"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum("n_ip").cast("bigint").alias("n_ips"),
+            F.sum("red_len").cast("bigint").alias("redacted_chars"),
+            F.sum("clean").cast("bigint").alias("n_clean_after"),
+        )
+    )
