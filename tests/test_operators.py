@@ -752,3 +752,38 @@ def test_kmv_pair_from_topk_arrays(spark, tmp_path):
     got = (k_actual, h_k, union_est, inter_est)
     e = exp[("x", "y")]
     assert got == (e[0], e[1], e[2], e[3])
+
+
+def test_skyline_matches_textbook_definition(spark):
+    """o5's banded sort+running-min plan vs the TEXTBOOK skyline
+    definition — a row survives iff NO other row is <= on both axes and
+    strictly better on one (quadratic NOT-EXISTS, affordable at
+    sf0.001): exact set equality, including the duplicate-point rule
+    (identical (price, date) twins dominate neither way)."""
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.okey, r.price, r.order_day)
+        for r in all_queries()["o5_skyline_pareto"].fn(spark, SF_SMOKE).collect()
+    }
+    rows = [
+        (r.o_orderkey, r.o_totalprice, r.d)
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .selectExpr(
+            "o_orderkey",
+            "o_totalprice",
+            "unix_micros(CAST(o_orderdate AS timestamp)) div 86400000000 AS d",
+        )
+        .collect()
+    ]
+    exp = {
+        (k, p, d)
+        for (k, p, d) in rows
+        if not any(
+            p2 <= p and d2 <= d and (p2 < p or d2 < d)
+            for (_k2, p2, d2) in rows
+        )
+    }
+    assert got == exp and len(exp) >= 1

@@ -116,6 +116,9 @@ WHITELIST: set[tuple[str, str]] = {
     # dq2's gap-to-previous-day lag runs over the per-DAY aggregate —
     # |days| rows (~36 k/century), never fact rows (the w1c argument).
     ("dq2_freshness_volume_audit", "global_window"),
+    # o5's cross-band prefix minimum runs over the ~112-row band
+    # aggregate (the w1c argument); fact rows only see banded windows.
+    ("o5_skyline_pareto", "global_window"),
     # d16's dedup window partitions full rows by content digest — the ONE
     # text-carrying key shuffle in the fleet, pinned to exactly one by
     # test_corpus_build_shuffles_text_once (the decontam branch was
