@@ -2378,3 +2378,104 @@ def w7s_pattern_quantified_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("first_ms").cast("bigint").alias("first_match_ms"),
         F.min("span").cast("bigint").alias("min_span_ms"),
     )
+
+
+def _a10cs_oracle() -> str:
+    from prometheus_remote_kinesis_spark.operators.aggregates import A10C_ORACLE
+
+    return A10C_ORACLE
+
+
+@register(
+    "a10cs_histogram_fraction_stream",
+    family="A10-stream",
+    oracle=_a10cs_oracle(),
+)
+def a10cs_histogram_fraction_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a10c's ``histogram_fraction`` with the le-bucket counters
+    maintained BY the streaming engine — the live SLO panel ("what
+    fraction of requests landed in (5, 50] right now?"): ONE
+    complete-mode groupBy(event_type) holding n + the nine cumulative
+    bucket counters — conditional integer sums, mergeable across
+    micro-batches in any order, **state = |types| rows of ten integers,
+    PERIOD** (the a14s constant-state class; a streaming
+    histogram_quantile/fraction never needs the samples, only the
+    counters). The drain applies a10c's identical build-time-resolved
+    interpolation expressions to the drained wide row — same oracle,
+    chop-invariant because integer sums are."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        _HIST_BOUNDS,
+        _hf_alias,
+        _hf_frac_sql,
+        A10C_RANGES,
+    )
+
+    events = stream_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum((F.col("value") <= b).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(_HIST_BOUNDS)
+        ],
+    )
+    drained = run_to_batch(agg, "complete")
+    return drained.select(
+        "event_type",
+        "n",
+        *[
+            F.expr(_hf_frac_sql(lo, hi)).alias(_hf_alias(lo, hi))
+            for lo, hi in A10C_RANGES
+        ],
+    )
+
+
+def _dq2s_oracle() -> str:
+    from prometheus_remote_kinesis_spark.operators.relational import DQ2_ORACLE
+
+    return DQ2_ORACLE
+
+
+@register(
+    "dq2s_freshness_audit_stream",
+    family="P6-stream",
+    oracle=_dq2s_oracle(),
+)
+def dq2s_freshness_audit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq2's per-day completeness audit maintained BY the streaming
+    engine — the live ingest-health panel. Distinct aggregates raise on
+    streaming DataFrames (CLAUDE.md), so the two-phase streaming-
+    distinct form (t27s's pattern) keys the ONE complete-mode agg on
+    (day, hour, type) — the finest granularity any output column needs;
+    state is bounded by the CALENDAR × type space (24·|types| rows per
+    day, ~3.6 k here), never by event volume. The drain re-derives
+    every dq2 column exactly: n_rows/NULL counts sum the cell partials,
+    hour/type coverage are two-phase distincts over the cell keys, and
+    the day-gap lag runs over the |days|-row drained aggregate — same
+    oracle."""
+    events = stream_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).cast("bigint").alias("n_null"),
+    )
+    drained = run_to_batch(cells, "complete")
+    per_day = drained.groupBy("day_idx").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.countDistinct("hour_idx").cast("bigint").alias("n_hours"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.sum("n_null").cast("bigint").alias("n_null_values"),
+    )
+    w = Window.orderBy("day_idx")
+    return per_day.select(
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        "n_rows",
+        "n_hours",
+        "n_types",
+        "n_null_values",
+        (F.col("day_idx") - F.lag("day_idx").over(w)).cast("bigint").alias(
+            "gap_days"
+        ),
+    )
