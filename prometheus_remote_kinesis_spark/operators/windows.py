@@ -531,7 +531,7 @@ W6_ORACLE = f"""
                lead(event_type, 2) OVER w AS et2,
                lead(epoch_us(ts) // 1000, 2) OVER w AS ms2
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000, event_id)
     ),
     m AS (
         SELECT user_id, ms, ms2 - ms AS span
@@ -571,7 +571,12 @@ def w6_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE window over (user_id; ms, event_id) — key count
     grows with the corpus, the two leads and the pattern predicate ride
     the same Sort+Exchange, then a map-side-combinable hash agg. Same
-    envelope as w2; no joins, no second shuffle of fact rows."""
+    envelope as w2; no joins, no second shuffle of fact rows.
+
+    Ordering convention: BOTH engines order by (epoch-ms, event_id) —
+    the t30/w5 ms convention — because the Spark side and the CEP order
+    guards work in unix_millis. (An oracle ordered by full-microsecond
+    ts would silently diverge on any same-user same-ms collision.)"""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     s = events.select(
@@ -605,11 +610,13 @@ W7_ORACLE = f"""
         SELECT user_id, event_type,
                epoch_us(ts) // 1000 AS ms,
                sum(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts) // 1000, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS grp,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_et
+                                     ORDER BY epoch_us(ts) // 1000,
+                                              event_id) AS prev_et
         FROM events
     ),
     runs AS (
@@ -657,7 +664,10 @@ def w7_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the data — and one equi-join of purchases to runs on the same
     growing key. No self-join of fact rows on inequality, no quadratic
     pair expansion; the run groups are what an NFA's accumulating state
-    would hold, materialized relationally."""
+    would hold, materialized relationally.
+
+    Ordering convention: BOTH engines order by (epoch-ms, event_id) —
+    see w6_event_pattern's docstring."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     s = events.select(

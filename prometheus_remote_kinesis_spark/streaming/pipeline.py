@@ -292,42 +292,53 @@ def exact_dedup_manifest_sink(
     per micro-batch (foreachBatch): (1) digest the batch's documents
     (sha2-256 — 32-byte digests are all that ever shuffles or persists,
     l1's 100 TB rule), (2) self-dedup the batch to its min-doc_id
-    representative per digest, (3) anti-join against the manifest
-    parquet, (4) append the surviving (digest, rep_id) rows to BOTH the
-    manifest and the accepted-docs output. First arrival wins across
-    batches (the incremental semantic: a re-crawled duplicate never
-    displaces the archived original); within a batch the min doc_id
-    wins, matching batch l1's representative choice when arrival order
-    follows doc_id. At 100 TB the manifest is a digest-bucketed table
-    the batch anti-join shuffles against — never broadcast whole — and
-    a retention horizon ages out digests with the corpus snapshot.
-    Exactly-once across foreachBatch replays comes from the same
-    batch-id marker discipline as the relay sink; here the manifest
-    append is idempotent at the row level (re-appending an already-
-    present digest would only create a duplicate manifest row, which
-    the anti-join semantics tolerate — dedup decisions never flip).
-    Verified (state rows == 0, manifest-vs-batch-l1 equality, wave
-    chopping) by tests/test_streaming.py::test_exact_dedup_manifest_sink.
+    representative per digest, (3) anti-join against the ACCEPTED-DOCS
+    output itself, (4) append the surviving (digest, rep_id) rows to
+    the accepted-docs output, then mirror them into the manifest.
+    First arrival wins across batches (the incremental semantic: a
+    re-crawled duplicate never displaces the archived original); within
+    a batch the min doc_id wins, matching batch l1's representative
+    choice when arrival order follows doc_id. At 100 TB the accepted
+    table is a digest-bucketed table the batch anti-join shuffles
+    against — never broadcast whole — and a retention horizon ages out
+    digests with the corpus snapshot.
+
+    Crash-safety guarantee (the actual one, not a marker protocol):
+    ``out_dir`` is the single source of truth — the replay anti-join
+    reads the same table the batch appends to, so a foreachBatch replay
+    after a committed append recomputes ``fresh`` as EMPTY and the
+    replayed appends are no-ops: ``out_dir`` is effectively
+    exactly-once with no batch-id marker needed. ``manifest_dir`` is a
+    DERIVED mirror (same rows, appended after ``out_dir``): a crash
+    between the two appends leaves it missing that batch's digests
+    permanently, which never flips a dedup decision (nothing reads it
+    on the accept path) and is rebuildable as a copy of ``out_dir``'s
+    (digest, rep_id) columns. Verified (state rows == 0,
+    manifest-vs-batch-l1 equality, wave chopping, full-replay
+    idempotence) by tests/test_streaming.py::test_exact_dedup_manifest_sink
+    and ::test_exact_dedup_manifest_sink_replay_idempotent.
     """
     digested = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.sha2(F.col("text"), 256).alias("digest")
     )
 
+    def _has_parts(d: str) -> bool:
+        return os.path.isdir(d) and any(f.startswith("part-") for f in os.listdir(d))
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         reps = batch_df.groupBy("digest").agg(F.min("doc_id").alias("rep_id"))
-        if os.path.isdir(manifest_dir) and any(
-            f.startswith("part-") for f in os.listdir(manifest_dir)
-        ):
-            manifest = spark.read.parquet(manifest_dir).select("digest")
-            fresh = reps.join(manifest, "digest", "left_anti")
+        if _has_parts(out_dir):
+            accepted = spark.read.parquet(out_dir).select("digest")
+            fresh = reps.join(accepted, "digest", "left_anti")
         else:
             fresh = reps
         # localCheckpoint: materialize the anti-join BEFORE appending to
-        # the manifest it reads from (self-referential read-then-append)
+        # the accepted table it reads from (self-referential
+        # read-then-append)
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.write.mode("append").parquet(manifest_dir)
         fresh.write.mode("append").parquet(out_dir)
+        fresh.write.mode("append").parquet(manifest_dir)
 
     writer = (
         digested.writeStream.foreachBatch(apply_batch)

@@ -1899,7 +1899,10 @@ def t30s_dod_sizing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_flush_to_batch(
-    streaming_df: DataFrame, output_mode: str, timeout_s: float = 180.0
+    streaming_df: DataFrame,
+    output_mode: str,
+    timeout_s: float = 180.0,
+    empty_grace_s: float | None = None,
 ) -> DataFrame:
     """``run_to_batch`` for queries that need the engine's NO-DATA FLUSH
     micro-batch: Python streaming sources fall back to single-batch
@@ -1916,20 +1919,26 @@ def run_flush_to_batch(
     partial table and a silent hash mismatch; vacuity is a loud error).
     A source with NO data at all (empty corpus — the empty-input sweep's
     legitimate case) never produces a data batch, so once
-    ``empty_grace_s`` of wall-clock passes with at least one (empty)
-    micro-batch committed and still zero input rows anywhere in the
-    progress history, the drain concludes empty-source and returns the
-    empty table instead of timing out. (Progress-event counting can't
-    be the signal: idle triggers throttle their events to one per ~10 s,
-    so "N consecutive idle events" takes N×10 s.) 15 s is far past any
-    local listing/offset race while a real data batch arriving inside
-    the grace window still flips ``saw_data`` via the full-history
-    scan."""
+    ``empty_grace_s`` of wall-clock passes with at least TWO (empty)
+    micro-batch progress events committed and still zero input rows
+    anywhere in the progress history, the drain concludes empty-source
+    and returns the empty table instead of timing out. The grace scales
+    with ``timeout_s`` (default ``max(15, timeout_s/6)`` — 30 s at the
+    default 180 s; r9 ADVICE #3: a fixed 15 s could conclude "empty"
+    on a heavily loaded box where the first data batch simply hadn't
+    committed yet, silently returning a partial table). The ≥2-idle-
+    events requirement is load-adaptive on top of wall-clock: idle
+    triggers throttle progress events to ~1 per 10 s, and event
+    production itself slows with the box, so a stalled-but-nonempty
+    source keeps failing both conditions until the loud timeout. A real
+    data batch arriving inside the grace window still flips
+    ``saw_data`` via the full-history scan."""
     import json as _json
     import time as _time
 
     global last_run_progress
-    empty_grace_s = 15.0
+    if empty_grace_s is None:
+        empty_grace_s = max(15.0, timeout_s / 6.0)
     name = f"stream_result_{next(_qname_counter)}"
     query = (
         streaming_df.writeStream.format("memory")
@@ -1953,7 +1962,7 @@ def run_flush_to_batch(
                 lp = query.lastProgress
                 if lp is not None and _json.loads(lp.json)["numInputRows"] == 0:
                     break
-            elif progresses and _time.time() - start > empty_grace_s:
+            elif len(progresses) >= 2 and _time.time() - start > empty_grace_s:
                 break  # genuinely empty source: all-idle since start
             _time.sleep(0.25)
         else:

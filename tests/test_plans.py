@@ -493,8 +493,11 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         try:
             plan = joined._jdf.queryExecution().executedPlan().toString()
         finally:
+            # BOTH restores inside the finally (r9 ADVICE #4): a raise in
+            # executedPlan() must not leak the -1 broadcast threshold
+            # into the shared session and flip other plan-shape pins.
             spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         # the join and the agg must both be SHUFFLE-free: the bucket
         # layout satisfies the SortMergeJoin's distribution requirement,
         # and the agg on the join key reuses it

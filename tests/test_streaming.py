@@ -1174,3 +1174,55 @@ def test_exact_dedup_manifest_sink(spark, tmp_path):
     # batch-l1 digest-set equality over all non-NULL docs
     all_docs = [r for w in waves for r in w] + [(2, "alpha"), (17, "epsilon")]
     assert set(got2) == {d(t) for _i, t in all_docs if t is not None}
+
+
+def test_exact_dedup_manifest_sink_replay_idempotent(spark, tmp_path):
+    """The crash-replay guarantee (r9 ADVICE #2): out_dir is the single
+    source of truth — a foreachBatch REPLAY of already-committed batches
+    (simulated here by deleting the checkpoint and re-draining the same
+    source) anti-joins against out_dir itself, recomputes fresh as
+    empty, and appends nothing: no lost rows, no duplicates. Under the
+    old manifest-anti-join design this replay would have found the
+    digests already in the manifest and permanently dropped them from
+    out_dir had the first run crashed between the two appends."""
+    import shutil
+
+    from prometheus_remote_kinesis_spark.streaming.pipeline import (
+        exact_dedup_manifest_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "w0.parquet"))
+
+    manifest = str(tmp_path / "manifest")
+    out = str(tmp_path / "accepted")
+
+    def drain(ckpt: str) -> None:
+        q = exact_dedup_manifest_sink(
+            (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(str(src / "w*.parquet"))
+            ),
+            manifest,
+            out,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+
+    drain(str(tmp_path / "ckpt"))
+    first = sorted(
+        (r.digest, r.rep_id) for r in spark.read.parquet(out).collect()
+    )
+    assert len(first) == 2  # alpha (rep 1), beta (rep 2)
+
+    # Full replay: fresh checkpoint, same source → every batch re-runs.
+    shutil.rmtree(tmp_path / "ckpt")
+    drain(str(tmp_path / "ckpt2"))
+    replayed = sorted(
+        (r.digest, r.rep_id) for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first  # unchanged: no dupes, no losses
