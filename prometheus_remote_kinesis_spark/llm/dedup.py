@@ -23,12 +23,15 @@ N_BANDS = 8  # LSH bands → 4 rows/band; ~0.5 jaccard detection knee
 ROWS_PER_BAND = N_PERM // N_BANDS
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def _shingles_expr(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a whitespace-tokenized document.
 
-    NOTE: evaluates ``split(text)`` inside the lambda for every gram —
-    O(tokens²) per document. Kept for expression-level composition; the
-    hot path is :func:`shingled_docs`, which tokenizes once per row."""
+    UNDERSCORE-FENCED (r9 VERDICT task #7): evaluates ``split(text)``
+    inside the lambda for every gram — O(tokens²) per document. Kept
+    ONLY for expression-level composition in tests; every REGISTERED
+    query must go through :func:`shingled_docs`, which tokenizes once
+    per row (tests/test_llm.py::test_quadratic_shingles_helper_fenced
+    asserts no package module references this helper)."""
     toks = F.split(text, " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),

@@ -68,6 +68,30 @@ _LOADED = False
 # remaining queries follow in registration order and are still all present,
 # locally verified by tools/verify_local.py.
 _PRIORITY = (
+    # Round-10 rotation (VERDICT r9 tasks #1/#4, queue at OPERATORS.md):
+    # IN the six never-driver-checked mechanisms — d13s/d14s (the
+    # incremental-crawl streaming twins, the queue head two rounds
+    # running: per-batch anti-join against an at-rest manifest, the
+    # production recurring-crawl shape), l4k_ivf_quantized (IVF
+    # cluster-pruned ANN, integer ADC — the last hash-verified ANN
+    # variant never windowed), w5_gaps_islands (interval-merge
+    # gaps-and-islands, fresh off the r8 tie-break fix),
+    # g2_triangle_count (degree-ordered wedge-join orientation, the
+    # O(|E|^1.5) bound's first driver check), and
+    # w6s_event_pattern_stream (task #4 — the first streaming
+    # MATCH_RECOGNIZE twin: pattern state split across micro-batches,
+    # fresh off the r9 ADVICE ms-ordering alignment) → OUT six
+    # long-green single-mechanism reps, per the VERDICT's own list:
+    # p7_projection_pruning (driver-green r1–r9; pruning stays
+    # plan-pinned in test_plans), j2_customer_region (broadcast join
+    # stays plan-pinned; j1/j4/j6 keep J in the window),
+    # a4_value_quantiles (exact-quantile mechanism driver-green since
+    # r1; A keeps a1/a2c/a3c/a10b/a12/a14s), t18_absent_gaps
+    # (driver-green r5–r9; T keeps 10+ slots), r2_ndjson_roundtrip
+    # (R keeps r1 + r4 — the wire-format chain stays driver-checked
+    # end-to-end via r4 and s1e), and sql18_last_shipper (green r6–r9;
+    # sql12 keeps the decorrelated-subquery family's slot). All six
+    # stay bit-exact under the local gate in both materializations.
     # Round-9 rotation (VERDICT r8 task #1, queue at OPERATORS.md): OUT
     # f1_string_ops (driver-green EIGHT rounds — the longest-tenured
     # single-mechanism rep; the scalar-expression surface stays in the
@@ -127,7 +151,6 @@ _PRIORITY = (
     # inequality-correlation shape).
     # P: filter / projection
     "p6_label_filter",
-    "p7_projection_pruning",
     # Round-5 rotation (VERDICT r4 tasks #1/#3): OUT sql1_shipping_priority
     # + m1_scd2_merge (beyond-§2 showcases, driver-green r1–r4, still
     # verified locally) → IN the two t19 bisect probes; OUT f4/f5/f7
@@ -139,18 +162,15 @@ _PRIORITY = (
     # (families never driver-hash-checked before r5).
     # J: broadcast / semi / range-bucketed / as-of
     "j1_order_revenue",
-    "j2_customer_region",
     "j4_semi_active_customers",
     "j6_asof_last_order",
     # SQL: decorrelated-subquery family (first slot r6; Q2 shape added r7)
-    "sql18_last_shipper",
     "sql12_min_cost_supplier",
     # A: hash agg, distinct, quantiles, grouping sets, collect, histogram, z-score
     "a1_pricing_summary",
     "a2c_bitmap_distinct",
     # A3: KMV distinct-count sketch — the first hash-verified sketch (r8 IN)
     "a3c_kmv_distinct",
-    "a4_value_quantiles",
     "a10b_histogram_quantile",
     # A12: two-phase Misra-Gries exact heavy hitters, plus the r9-IN
     # streaming Count-Min sketch (constant 256-cell mergeable state).
@@ -160,11 +180,17 @@ _PRIORITY = (
     "w1b_rank_family",
     "w2b_first_last_nth",
     "w3b_trailing_5min_scalable",
+    # W5: interval-merge gaps-and-islands (r10 IN — overlap-flag +
+    # running-island-id over one (user; ms, event_id) window pass)
+    "w5_gaps_islands",
     # (w4/o2b rotated out r9 — driver-green since r1, WindowGroupLimit
     # plan-pinned in tests; O and W's top-k mechanisms stay bit-exact
     # under the local gate.)
     # G: distributed Pregel-style PageRank, integer fixed-point (r9 IN)
     "g1_pagerank_quantized",
+    # G2: triangle count via degree-ordered wedge-join orientation —
+    # the O(|E|^1.5) bound's first driver check (r10 IN)
+    "g2_triangle_count",
     # T20: sequential Holt-Winters recurrence — driver slot holds the
     # STREAMING twin (same recursive-CTE oracle; stream==batch is pinned
     # by test_holt_winters_stream_matches_batch, and the batch fold t20
@@ -191,10 +217,8 @@ _PRIORITY = (
     "t7_user_sessions",
     # T25: Prometheus's real rate() boundary-extrapolation semantics
     "t25_rate_extrapolated",
-    "t18_absent_gaps",
     # R: Layer-A ingest chain (flatten, NDJSON wire, prompb DataSource)
     "r1_event_records",
-    "r2_ndjson_roundtrip",
     "r4_prompb_datasource",
     # Streaming-executed (real Structured Streaming path, same oracle).
     # Late-r8 within-family upgrade: OUT t5s_tumbling_5min_stream →
@@ -215,6 +239,15 @@ _PRIORITY = (
     "t27s_count_values_stream",
     # M2: streaming CDC apply (complete-mode struct-max upsert fold) — r8 IN
     "m2s_cdc_apply_stream",
+    # W6s: streaming MATCH_RECOGNIZE — fixed-length pattern state
+    # bridged across micro-batches via applyInPandasWithState (r10 IN,
+    # VERDICT r9 task #4; same ms-ordered oracle as batch w6)
+    "w6s_event_pattern_stream",
+    # D13s/D14s: the incremental-crawl twins (r10 IN — the recurring
+    # production shape: per-batch digest/band anti-join against an
+    # at-rest manifest; queue head since r8)
+    "d13s_incremental_dedup_stream",
+    "d14s_incremental_neardup_stream",
     # (The remaining late-r5 streaming twins — t21s, t23s, t24s —
     # stay OUTSIDE the window by the same choice: none of their families
     # has ever held a slot, their mechanisms (complete-mode agg or
@@ -237,6 +270,9 @@ _PRIORITY = (
     "l4e_sign_bucket_ann",
     # L4 r9 IN: PQ asymmetric-distance ranking vs an exact integer oracle
     "l4j_pq_quantized",
+    # L4k: IVF cluster-pruned ANN, integer ADC (r10 IN — the last
+    # hash-verified ANN variant never windowed)
+    "l4k_ivf_quantized",
     "l5f_tfidf",
     "l6d_media_decode",
     # r8 swap: l6e_png_decode (driver-green r6/r7) → l6b_media_features,

@@ -9,9 +9,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from prometheus_remote_kinesis_spark.llm.dedup import (
+    _shingles_expr,
     lsh_candidate_pairs,
     minhash_signature,
-    shingles,
 )
 from prometheus_remote_kinesis_spark.llm.multimodal import (
     decode_media,
@@ -22,6 +22,37 @@ from prometheus_remote_kinesis_spark.llm.text import language_id
 from tests.conftest import SF_SMOKE
 
 
+def test_quadratic_shingles_helper_fenced():
+    """r9 VERDICT task #7: the O(tokens²) expression-composition helper
+    ``_shingles_expr`` must never be referenced by package code — every
+    registered query shingles through ``shingled_docs`` (tokenize-once,
+    measured 9.2→2.7 s at sf0.1). A grep over the package source is the
+    fence: the only permitted occurrences are its own definition and
+    docstring in llm/dedup.py."""
+    import pathlib
+
+    import prometheus_remote_kinesis_spark as pkg
+
+    pkg_root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for py in pkg_root.rglob("*.py"):
+        src = py.read_text()
+        if "_shingles_expr" in src and py.name != "dedup.py":
+            offenders.append(str(py))
+    assert not offenders, (
+        f"quadratic _shingles_expr referenced outside llm/dedup.py: {offenders}"
+    )
+    # and inside dedup.py, only the def + docstring/test pointer — no call
+    dedup_src = (pkg_root / "llm" / "dedup.py").read_text()
+    calls = [
+        ln
+        for ln in dedup_src.splitlines()
+        if "_shingles_expr(" in ln and not ln.lstrip().startswith(("def ", "#"))
+        and "test_" not in ln
+    ]
+    assert not calls, f"_shingles_expr called inside dedup.py: {calls}"
+
+
 def test_minhash_estimates_jaccard(spark):
     """Near-identical docs get high estimated jaccard; disjoint docs low."""
     base = " ".join(f"tok{i}" for i in range(50))
@@ -29,7 +60,9 @@ def test_minhash_estimates_jaccard(spark):
     far = " ".join(f"other{i}" for i in range(50))
     df = spark.createDataFrame(
         [(0, base), (1, near), (2, far)], "doc_id long, text string"
-    ).select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
+    ).select(
+        "doc_id", minhash_signature(_shingles_expr(F.col("text"))).alias("sig")
+    )
     pairs = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
         for r in lsh_candidate_pairs(df).collect()

@@ -1176,6 +1176,44 @@ def test_exact_dedup_manifest_sink(spark, tmp_path):
     assert set(got2) == {d(t) for _i, t in all_docs if t is not None}
 
 
+def test_dedup_corpus_stats_manifest_bounded(spark, tmp_path):
+    """s2e's production-bounded twin (VERDICT r9 task #6): the manifest
+    form must (a) keep ZERO streaming-state rows — the distinct set
+    lives at rest, unlike s2e's deliberate O(distinct docs) election
+    state (the zero-state property itself is pinned by
+    test_exact_dedup_manifest_sink's stateOperators assertion on the
+    same sink) — and (b) produce the identical per-language corpus
+    stats as the batch dedup→stats chain (s2e's oracle semantics)."""
+    from tests.conftest import SF_SMOKE
+
+    from prometheus_remote_kinesis_spark.llm.text import token_stats
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from prometheus_remote_kinesis_spark.streaming.pipeline import (
+        dedup_corpus_stats_manifest,
+    )
+
+    sf_dir = SF_SMOKE
+    got = dedup_corpus_stats_manifest(
+        spark,
+        sf_dir,
+        str(tmp_path / "manifest"),
+        str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+    )
+    # (b) equality vs the batch chain: min-doc_id rep per digest, then
+    # the identical token_stats expression tree
+    corpus = load_table(spark, sf_dir, "documents")
+    reps = (
+        corpus.filter(F.col("text").isNotNull())
+        .groupBy(F.sha2("text", 256).alias("digest"))
+        .agg(F.min("doc_id").alias("rep_id"))
+        .select("rep_id")
+    )
+    exp = token_stats(corpus.join(reps, corpus.doc_id == reps.rep_id, "leftsemi"))
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(got.collect()) == key(exp.collect())
+
+
 def test_exact_dedup_manifest_sink_replay_idempotent(spark, tmp_path):
     """The crash-replay guarantee (r9 ADVICE #2): out_dir is the single
     source of truth — a foreachBatch REPLAY of already-committed batches
