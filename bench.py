@@ -95,7 +95,7 @@ def main() -> None:
     from tools.bench_relay import measure_prompb
 
     relay = measure_relay(spark, sf_dir, runs=3)
-    relay_pb = measure_prompb(spark, sf_dir)
+    relay_pb = measure_prompb(spark, sf_dir, runs=3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -131,6 +131,17 @@ def main() -> None:
                     "speedup_vs_reference_ticker"
                 ],
                 "relay_prompb_records_per_sec": relay_pb["value"],
+                # r10 (VERDICT r9 task #2): prompb marginal rate is now
+                # MEDIAN-of-3 (1x, 4x) timed pairs with the min/max band —
+                # the marginal method differences two clocks, so it is
+                # noisier than the plain relay rate; r9's single-shot
+                # 83.6k "regression" sat inside this band.
+                "relay_prompb_records_per_sec_min": relay_pb.get(
+                    "records_per_sec_min"
+                ),
+                "relay_prompb_records_per_sec_max": relay_pb.get(
+                    "records_per_sec_max"
+                ),
                 # r6 methodology discontinuity marker (see bench_relay.py):
                 # r1-r5 values under this key were 1x quotients (~32.5k),
                 # r6+ are marginal 4x-drain rates — not comparable.

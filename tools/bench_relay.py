@@ -183,7 +183,7 @@ if __name__ == "__main__":
     main()
 
 
-def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
+def measure_prompb(spark, sf_dir: str, bodies: int = 64, runs: int = 1) -> dict:
     """Raw-spool relay variant: the same record stream staged as snappy
     prompb WriteRequest bodies (what RemoteWriteServer(raw=True) persists),
     decoded INSIDE Spark by the format("prompb") parallel stream reader,
@@ -200,7 +200,15 @@ def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
     decode loop (the r5 lesson: SCALE.md's 4×-volume protocol showed
     153 k rec/s while the 1× quotient reported 32 k). Differencing two
     volumes cancels the fixed setup exactly; the 1× quotient and the
-    implied setup seconds are reported alongside for continuity."""
+    implied setup seconds are reported alongside for continuity.
+
+    With ``runs > 1`` the timed (1×, 4×) pair repeats and ``value`` is
+    the MEDIAN of the per-run marginal rates, with the min/max band
+    reported alongside (VERDICT r9 task #2: prompb history bounced
+    32–109 k with no band; the marginal rate differences two clocks, so
+    it is NOISIER than the plain relay rate and needs the band even
+    more — a single-shot 83.6 k in r9 read as a regression when it was
+    inside the band)."""
     from prometheus_remote_kinesis_spark.sources.prompb import (
         encode_remote_write_body,
     )
@@ -257,36 +265,58 @@ def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
         q.awaitTermination()
         cold_elapsed = time.time() - t0
 
-        t0 = time.time()
-        q = relay(
-            read_prompb_record_stream(spark, src, parallel=True),
-            put_records_fn=noop_put,
-            checkpoint_dir=ckpt,
-            available_now=True,
-        )
-        q.awaitTermination()
-        elapsed = time.time() - t0
+        import statistics as _stats
 
-        t0 = time.time()
-        q = relay(
-            read_prompb_record_stream(spark, src4, parallel=True),
-            put_records_fn=noop_put,
-            checkpoint_dir=ckpt + "_4x",
-            available_now=True,
-        )
-        q.awaitTermination()
-        elapsed_4x = time.time() - t0
+        def _timed_pair(i: int) -> tuple[float, float]:
+            t0 = time.time()
+            q = relay(
+                read_prompb_record_stream(spark, src, parallel=True),
+                put_records_fn=noop_put,
+                checkpoint_dir=f"{ckpt}_run{i}",
+                available_now=True,
+            )
+            q.awaitTermination()
+            e1 = time.time() - t0
+            t0 = time.time()
+            q = relay(
+                read_prompb_record_stream(spark, src4, parallel=True),
+                put_records_fn=noop_put,
+                checkpoint_dir=f"{ckpt}_run{i}_4x",
+                available_now=True,
+            )
+            q.awaitTermination()
+            return e1, time.time() - t0
 
-        # Marginal rate: the fixed per-drain setup cancels in the
-        # difference. Guard against clock noise making t_4x <= t_1x
-        # (tiny corpora): fall back to the 4× quotient, still far less
-        # setup-dominated than the 1× one.
-        if elapsed_4x > elapsed:
-            rps = 3 * n_records / (elapsed_4x - elapsed)
-        else:
-            rps = 4 * n_records / elapsed_4x
+        def _marginal(e1: float, e4: float) -> float:
+            # Marginal rate: the fixed per-drain setup cancels in the
+            # difference. Guard against clock noise making t_4x <= t_1x
+            # (tiny corpora): fall back to the 4× quotient, still far
+            # less setup-dominated than the 1× one.
+            if e4 > e1:
+                return 3 * n_records / (e4 - e1)
+            return 4 * n_records / e4
+
+        pairs = [_timed_pair(i) for i in range(max(1, runs))]
+        rates = [_marginal(e1, e4) for e1, e4 in pairs]
+        # median run (by rate) supplies the headline + continuity fields
+        mid = sorted(range(len(rates)), key=lambda i: rates[i])[len(rates) // 2]
+        elapsed, elapsed_4x = pairs[mid]
+        rps = rates[mid]
         setup_sec = max(0.0, elapsed - n_records / rps)
+        band = (
+            {
+                "runs": runs,
+                "records_per_sec_min": round(min(rates), 1),
+                "records_per_sec_max": round(max(rates), 1),
+                "elapsed_pairs_sec": [
+                    [round(a, 3), round(b, 3)] for a, b in pairs
+                ],
+            }
+            if runs > 1
+            else {}
+        )
         return {
+            **band,
             "metric": "relay_prompb_throughput",
             "value": round(rps, 1),
             "unit": "records/sec",
@@ -300,7 +330,9 @@ def measure_prompb(spark, sf_dir: str, bodies: int = 64) -> dict:
             # (setup-dominated, ~32.5k at r5) — trend tables must not
             # conflate the method switch with a real speedup; the 1x
             # quotient stays alongside for continuity.
-            "prompb_method": "marginal_4x" if elapsed_4x > elapsed else "quotient_4x",
+            "prompb_method": (
+                "marginal_4x" if elapsed_4x > elapsed else "quotient_4x"
+            ),
             "records_per_sec_1x_quotient": round(n_records / elapsed, 1),
             "setup_sec_implied": round(setup_sec, 3),
             "speedup_vs_reference_ticker": round(
