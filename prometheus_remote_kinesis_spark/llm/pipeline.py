@@ -1460,3 +1460,48 @@ def d19_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("clean").cast("bigint").alias("n_clean_after"),
         )
     )
+
+
+D20_GROUP_CAP = 25  # max docs admitted per (lang, source) stratum
+D20_SAMPLE_K = 200  # global sample size
+
+D20_ORACLE = f"""
+    WITH capped AS (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY n_chars DESC, doc_id) AS grp_rank
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, lang, source, n_chars, CAST(grp_rank AS BIGINT) AS grp_rank
+    FROM capped WHERE grp_rank <= {D20_GROUP_CAP}
+    ORDER BY n_chars DESC, doc_id LIMIT {D20_SAMPLE_K}
+"""
+
+
+@register("d20_diversified_sample", family="L7", oracle=D20_ORACLE)
+def d20_diversified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped quality sampling — the curation step between
+    dedup and mixture weighting in a training-data pipeline: take the
+    top-{D20_SAMPLE_K} documents by quality (n_chars here as the
+    in-corpus quality proxy; any l5 quality score drops in) subject to
+    a per-(lang, source) stratum cap of {D20_GROUP_CAP}, so a single
+    dominant crawl source cannot monopolize the sample (the MMR-lite
+    diversity rule corpus curators apply before mixture sampling).
+    Ties break on doc_id in BOTH the stratum rank and the global top-k
+    (the LIMIT determinism rule).
+
+    Scale shape: the stratum cap is a rank-filtered window that Spark
+    executes as WindowGroupLimit (per-partition top-{D20_GROUP_CAP}
+    heaps BEFORE the (lang, source) exchange — only cap·|strata|
+    survivors shuffle); the global top-k is TakeOrderedAndProject over
+    those survivors (w4/o2's envelope). Only ids + metadata move —
+    text never enters any exchange; the caller re-joins text by doc_id
+    at write time (d16's rep-id semi-join discipline)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = Window.partitionBy("lang", "source").orderBy(F.desc("n_chars"), "doc_id")
+    capped = (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("grp_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("grp_rank") <= D20_GROUP_CAP)
+    )
+    return capped.orderBy(F.desc("n_chars"), "doc_id").limit(D20_SAMPLE_K)

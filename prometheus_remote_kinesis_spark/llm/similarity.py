@@ -1478,3 +1478,116 @@ def l4m_power_iteration_quantized(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("v"),
         )
     return v.select(F.col("j").cast("bigint").alias("dim_idx"), F.col("v").alias("pc1_fp"))
+
+
+# ---------------------------------------------------------------------------
+# l4n: Johnson-Lindenstrauss sign random projection (Achlioptas 2003:
+# ±1 entries suffice for JL) — embedding compression for ANN shortlists.
+# The sign matrix is derived from md5 (deterministic, no RNG), inlined
+# as literals in BOTH engines, so the whole pipeline is integer-exact.
+L4N_OUT_DIMS = 8
+L4N_IN_DIMS = 64
+L4N_Q = 1000  # milli-unit quantization of raw float coordinates
+
+
+def _l4n_sign(j: int, d: int) -> int:
+    import hashlib
+
+    return 1 if hashlib.md5(f"l4n:{j}:{d}".encode()).digest()[0] % 2 == 0 else -1
+
+
+L4N_SIGNS = tuple(
+    tuple(_l4n_sign(j, d) for d in range(L4N_IN_DIMS)) for j in range(L4N_OUT_DIMS)
+)
+
+
+def _l4n_proj_sql(j: int) -> str:
+    """proj_j as ±q[d] sum over the quantized DuckDB list column ``q``."""
+    terms = [
+        ("+" if L4N_SIGNS[j][d] > 0 else "-") + f" q[{d + 1}]"
+        for d in range(L4N_IN_DIMS)
+    ]
+    return " ".join(terms).lstrip("+ ")
+
+
+_L4N_ORACLE = f"""
+    WITH p AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * {L4N_Q}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id,
+               {", ".join(f"CAST({_l4n_proj_sql(j)} AS BIGINT) AS p{j}" for j in range(L4N_OUT_DIMS))}
+        FROM p
+    ),
+    qp AS (SELECT * FROM proj WHERE vec_id = 0)
+    SELECT c.vec_id,
+           CAST({" + ".join(f"(c.p{j} - qp.p{j}) * (c.p{j} - qp.p{j})" for j in range(L4N_OUT_DIMS))}
+                AS BIGINT) AS pdist
+    FROM proj c, qp
+    WHERE c.vec_id <> 0
+    ORDER BY pdist, c.vec_id
+    LIMIT 10
+"""
+
+
+@register("l4n_random_projection", family="L4", oracle=_L4N_ORACLE)
+def l4n_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection (64→8 dims)
+    + nearest-10 in the projected space — the embedding
+    COMPRESSION stage of an ANN pipeline (project once at index-build
+    time, shortlist in the cheap space, re-rank survivors exactly; the
+    shortlist scan touches 8 ints/vector instead of 64 floats). The
+    ±1 matrix follows Achlioptas 2003 (sign entries satisfy the JL
+    lemma) and is derived from md5 of (j, d) — deterministic, no RNG —
+    inlined as literals in both engines.
+
+    Cross-engine exactness: raw coordinates quantize to milli-units
+    (round(x·1000), the t31 precedent — float→double cast is exact and
+    both engines round half away from zero), every projection is a ±1
+    dot product over those BIGINTs, and the query's projection comes
+    from the SAME in-engine expression (a 1-row CTE / broadcast, never
+    a driver-side Python round, whose banker's rounding differs).
+    Distances are exact integer L2 in the projected space; top-10
+    orders by (pdist, vec_id) — the LIMIT determinism rule.
+
+    Scale shape: projection is MAP-ONLY (zip_with against a literal
+    sign array + integer fold — inside codegen, no UDF, the corpus
+    never shuffles); the 1-row query projection broadcasts; top-10 is
+    TakeOrderedAndProject. At 100 TB this is the index-build pass: one
+    linear scan emitting 8 BIGINTs per vector, partition-preserving."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * L4N_Q, 0).cast("long")
+    )
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s) for s in L4N_SIGNS[j]]),
+                lambda a, b: a * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(L4N_OUT_DIMS)
+    ]
+    proj = emb.select("vec_id", *proj_cols)
+    qp = proj.filter(F.col("vec_id") == 0).select(
+        *[F.col(f"p{j}").alias(f"qp{j}") for j in range(L4N_OUT_DIMS)]
+    )
+    pdist = None
+    for j in range(L4N_OUT_DIMS):
+        term = (F.col(f"p{j}") - F.col(f"qp{j}")) * (
+            F.col(f"p{j}") - F.col(f"qp{j}")
+        )
+        pdist = term if pdist is None else pdist + term
+    return (
+        proj.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qp))
+        .select("vec_id", pdist.cast("bigint").alias("pdist"))
+        .orderBy("pdist", "vec_id")
+        .limit(10)
+    )

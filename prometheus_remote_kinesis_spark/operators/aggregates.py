@@ -1200,3 +1200,104 @@ def a10c_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lo, hi in A10C_RANGES
         ],
     )
+
+
+# a10d: bucket midpoints in HALF-UNITS so every per-bucket sum is an
+# exact integer on both engines: bucket i spans (bound[i-1], bound[i]],
+# midpoint = (lo+hi)/2, first bucket interpolates from 0 (the a10b
+# Prometheus rule), the overflow bucket (> last bound) is represented
+# by the last finite bound itself (Prometheus's +Inf convention in
+# histogram_quantile, applied to the moment estimate).
+A10D_MID2 = tuple(
+    int(_HIST_BOUNDS[i] + (_HIST_BOUNDS[i - 1] if i else 0.0))
+    for i in range(len(_HIST_BOUNDS))
+) + (int(2 * _HIST_BOUNDS[-1]),)
+
+
+def _a10d_bucket_case(i: int) -> str:
+    """DuckDB per-row bucket count for bucket i (0-based; last = overflow)."""
+    if i == 0:
+        return f"CASE WHEN value <= {_HIST_BOUNDS[0]} THEN 1 ELSE 0 END"
+    if i == len(_HIST_BOUNDS):
+        return f"CASE WHEN value > {_HIST_BOUNDS[-1]} THEN 1 ELSE 0 END"
+    return (
+        f"CASE WHEN value > {_HIST_BOUNDS[i - 1]} AND value <= {_HIST_BOUNDS[i]}"
+        " THEN 1 ELSE 0 END"
+    )
+
+
+A10D_ORACLE = f"""
+    WITH w AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               {", ".join(f"CAST(sum({_a10d_bucket_case(i)} * {m}) AS BIGINT) AS s1_{i}" for i, m in enumerate(A10D_MID2))},
+               {", ".join(f"CAST(sum({_a10d_bucket_case(i)} * {m * m}) AS BIGINT) AS s2_{i}" for i, m in enumerate(A10D_MID2))}
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n,
+               CAST({" + ".join(f"s1_{i}" for i in range(len(A10D_MID2)))} AS BIGINT) AS s1,
+               CAST({" + ".join(f"s2_{i}" for i in range(len(A10D_MID2)))} AS BIGINT) AS s2
+        FROM w
+    )
+    SELECT event_type, n,
+           floor(CAST(s1 AS DOUBLE) / (2 * n) * 1e6) / 1e6 AS est_avg,
+           floor(sqrt(CAST(s2 AS DOUBLE) / (4 * n)
+                      - (CAST(s1 AS DOUBLE) / (2 * n))
+                        * (CAST(s1 AS DOUBLE) / (2 * n))) * 1e6) / 1e6
+               AS est_stddev
+    FROM m
+"""
+
+
+@register("a10d_histogram_stddev", family="A10", oracle=A10D_ORACLE)
+def a10d_histogram_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_avg`` / ``histogram_stddev`` estimated from
+    classic le-bucket counts — the moment estimates a monitoring
+    backend serves when only bucketed data survives downsampling: each
+    sample is represented by its bucket's midpoint ((lo+hi)/2; the
+    first bucket interpolates from 0 per the a10b Prometheus rule, the
+    overflow bucket by the last finite bound, Prometheus's +Inf
+    convention), then avg = Σc·mid / n and
+    stddev = sqrt(Σc·mid²/n − avg²).
+
+    Cross-engine exactness: midpoints are carried in HALF-UNITS
+    (A10D_MID2 — all integers for these bounds), so Σc·mid2 and
+    Σc·mid2² are exact BIGINTs on both engines regardless of
+    accumulation order; the conversion to double happens ONCE per
+    moment with the identical expression tree (s1/2n, s2/4n − avg²),
+    and outputs floor-truncate at 1e-6 (the f8 tie-free rule). NULL
+    metric values (staleness markers) are excluded identically on both
+    sides.
+
+    Scale shape: the a10/a10b/a10c envelope — ONE hash aggregation
+    whose shuffle carries |types| rows of (n, s1, s2) integer partials
+    (map-side combinable); the moments are scalar expressions on the
+    wide row. No explode, no second shuffle, no UDF."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.col("value")
+    mid2 = F.when(v <= _HIST_BOUNDS[0], F.lit(A10D_MID2[0]))
+    for i in range(1, len(_HIST_BOUNDS)):
+        mid2 = mid2.when(
+            (v > _HIST_BOUNDS[i - 1]) & (v <= _HIST_BOUNDS[i]),
+            F.lit(A10D_MID2[i]),
+        )
+    mid2 = mid2.otherwise(F.lit(A10D_MID2[-1]))
+    per_type = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(mid2).cast("bigint").alias("s1"),
+        F.sum(mid2 * mid2).cast("bigint").alias("s2"),
+    )
+    avg = F.col("s1").cast("double") / (2 * F.col("n"))
+    return per_type.select(
+        "event_type",
+        "n",
+        F.floor(avg * 1e6) / 1e6,
+        (
+            F.floor(
+                F.sqrt(F.col("s2").cast("double") / (4 * F.col("n")) - avg * avg)
+                * 1e6
+            )
+            / 1e6
+        ),
+    ).toDF("event_type", "n", "est_avg", "est_stddev")

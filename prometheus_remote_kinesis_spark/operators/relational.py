@@ -1039,3 +1039,90 @@ def dq2_freshness_volume_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_days"
         ),
     )
+
+
+# dq3: one profile row per column; min/max rendered engine-portably —
+# BIGINT/VARCHAR casts are identical across engines, ts goes through
+# unix-micros, and the DOUBLE column is floor-scaled to micro-units
+# BEFORE min/max so no float-to-string formatting ever enters the hash.
+_DQ3_COLS = (
+    ("event_id", "CAST(event_id AS VARCHAR)"),
+    ("ts", "CAST(unix_micros(ts) AS VARCHAR)"),
+    ("user_id", "CAST(user_id AS VARCHAR)"),
+    ("event_type", "event_type"),
+    ("value", "CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR)"),
+    ("props", "props"),
+)
+
+
+def _dq3_duck_render(col: str) -> str:
+    return {
+        "ts": "CAST(epoch_us(ts) AS VARCHAR)",
+        "value": "CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR)",
+        "event_type": "event_type",
+        "props": "props",
+    }.get(col, f"CAST({col} AS VARCHAR)")
+
+
+DQ3_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{col}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           min({_dq3_duck_render(col)}) AS min_s,
+           max({_dq3_duck_render(col)}) AS max_s
+    FROM events
+    """
+    for col, _ in _DQ3_COLS
+)
+
+
+@register("dq3_schema_profile", family="P6", oracle=DQ3_ORACLE)
+def dq3_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the relay's event table — the
+    schema-drift audit that completes the dq family (dq1 = FK edges,
+    dq2 = time axis, dq3 = the COLUMNS themselves): one row per column
+    with row count, NULL count, exact distinct cardinality, and
+    engine-portable min/max renderings (BIGINT/VARCHAR casts; the ts
+    column goes through unix-micros and the DOUBLE column floor-scales
+    to micro-units BEFORE min/max so float formatting never enters the
+    hash). The profile a pipeline diffs run-over-run to page on schema
+    drift: a NULL-rate jump, a cardinality collapse, a domain shift.
+
+    Scale shape: one aggregation pass per column over a COLUMNAR scan —
+    each branch prunes to its single column (parquet reads 1 column per
+    profile row, the P7 pruning argument), and the per-column plan is a
+    partial+final hash agg with a two-phase exact distinct. Exact
+    distinct is the hash-checkable form; a 100 TB profile swaps in
+    approx_count_distinct (a3's HLL) with everything else unchanged.
+    The six single-row results union into the 6-row report — no joins,
+    no window, no text shuffle (min/max of props moves 2 strings per
+    partition, not the column)."""
+    events = load_table(spark, sf_dir, "events")
+    spark_render = {
+        "ts": F.expr("CAST(unix_micros(ts) AS STRING)"),
+        "value": F.expr("CAST(CAST(floor(value * 1e6) AS BIGINT) AS STRING)"),
+        "event_type": F.col("event_type"),
+        "props": F.col("props"),
+    }
+    out = None
+    for col, _ in _DQ3_COLS:
+        r = spark_render.get(col, F.col(col).cast("string"))
+        row = events.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).cast("bigint").alias("n_null"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            F.min(r).alias("min_s"),
+            F.max(r).alias("max_s"),
+        ).select(
+            F.lit(col).alias("col_name"),
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_s",
+            "max_s",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
