@@ -24,6 +24,34 @@ from prometheus_remote_kinesis_spark.sources.tables import load_table
 G1_SCALE = 1_000_000  # fixed-point unit: pr = 1.0 ≡ 1e6
 G1_ITERS = 2
 
+
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (customer, supplier) trade pairs as 'c<id>'/'s<id>' node
+    strings — shared by g1/g3. The DISTINCT runs on the raw INTEGER
+    keys and the node strings are formatted AFTER it (r10: the 256×
+    probe put g3's growth entirely in this edge-construction shuffle —
+    13.2→37.3 s at 64×→256× fit floor + linear-in-input almost exactly —
+    so the dedup exchange now carries two BIGINTs per row instead of
+    two formatted strings; the concat runs on |pairs| survivors, not
+    |lineitem| rows). Same result set: the oracle's DISTINCT is on
+    integers already."""
+    return _trade_pairs_int(spark, sf_dir).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    )
+
+
+def _trade_pairs_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct raw (o_custkey, l_suppkey) trade pairs — the integer
+    form g4 consumes directly and _trade_pairs formats into node ids."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+
 _PR_STEP = """
     SELECT e.dst AS node,
            CAST(150000 + (85 * sum(p.pr // d.outdeg)) // 100 AS BIGINT) AS pr
@@ -82,16 +110,7 @@ def g1_pagerank_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus. Quantization error vs float PageRank is ≤ iters ×
     1e-6 per unit rank — capacity-ranking ties at that resolution are
     already meaningless."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
+    pairs = _trade_pairs(spark, sf_dir)
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
@@ -386,16 +405,7 @@ def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     K is fixed at plan time (the hash-checkable form — a run-to-fixpoint
     BFS terminates data-dependently, the same reason g1 fixes its
     superstep count)."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
+    pairs = _trade_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
@@ -421,3 +431,113 @@ def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select("node", "hops")
+
+
+# g4: synchronous label propagation (Raghavan et al. 2007), 2 supersteps,
+# deterministic tie-break. The per-node mode aggregate packs
+# (count, label) into ONE BIGINT — score = cnt·ENC + (ENC−1−lbl) — so the
+# superstep is a plain-long max (hash-aggregable inside codegen; struct
+# max would leave it, the t30 lesson) and decodes exactly on both engines
+# (all operands non-negative, so % and DIV agree).
+G4_ENC = 1 << 31
+G4_ITERS = 2
+
+_G4_STEP = """
+    SELECT node, {enc} - 1 - (max(score) % {enc}) AS lbl FROM (
+        SELECT e.dst AS node,
+               count(*) * {enc} + ({enc} - 1 - l.lbl) AS score
+        FROM edges e JOIN {prev} l ON l.node = e.src
+        GROUP BY e.dst, l.lbl
+    ) GROUP BY node
+"""
+
+G4_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT s * 2 + 1, c * 2 FROM pairs
+    ),
+    lbl0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl FROM edges),
+    lbl1 AS ({_G4_STEP.format(prev="lbl0", enc=G4_ENC)}),
+    lbl2 AS ({_G4_STEP.format(prev="lbl1", enc=G4_ENC)})
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM lbl2 GROUP BY 1
+"""
+
+
+@register("g4_label_propagation", family="G1", oracle=G4_ORACLE)
+def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous LABEL PROPAGATION (Raghavan
+    et al. 2007) over the customer↔supplier trade graph — the G
+    family's fourth mechanism and a different superstep ALGEBRA from
+    its siblings: g1 folds a SUM per superstep, g3 grows a frontier;
+    LP needs a per-node MODE (most frequent neighbor label, ties to
+    the smallest label). The mode is made hash-aggregable by packing
+    (count, label) into one BIGINT — score = cnt·ENC + (ENC−1−lbl),
+    ENC = 2³¹ — so each superstep is two growing-key hash aggs
+    (neighbor-label counts keyed (node, lbl), then a plain-long max
+    keyed node; struct max would fall out of codegen, the t30 lesson)
+    and the decode ENC−1−(max % ENC) is exact on both engines (all
+    operands non-negative, % ≡ DuckDB %, no sign splits). Two
+    supersteps, unrolled as CTEs in the oracle — edge construction,
+    label init, both propagation rounds and the community rollup all
+    inside one driver hash check. Node encoding: custkey·2 /
+    suppkey·2+1 (disjoint integer namespaces, no strings in any
+    exchange).
+
+    Output: per surviving community label, member count and min node —
+    the summary a dedup/fraud pipeline consumes (label = cluster id).
+    Sync LP on a bipartite graph oscillates rather than converges
+    (known property); a production run adds more rounds or async
+    updates — the MECHANISM (mode superstep) is what is verified, at
+    the fixed superstep count that makes it hash-checkable (g1's
+    argument).
+
+    Scale shape: per superstep one edges⋈labels equi-join on node keys
+    that grow with the corpus, one (node, lbl)-keyed count, one
+    node-keyed max — all map-side combinable, no driver
+    materialization; the label relation stays distributed. The score
+    fits int64 while cnt·2³¹ < 2⁶³ (cnt < 2³² neighbors — beyond any
+    real degree; Spark's ANSI mode raises rather than wraps past it)."""
+    pairs = _trade_pairs_int(spark, sf_dir)
+    edges = (
+        pairs.select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("o_custkey") * 2).alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    lbl = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").cast("bigint").alias("lbl")
+    )
+    for _ in range(G4_ITERS):
+        scored = (
+            edges.join(lbl, lbl.node == edges.src)
+            .groupBy(F.col("dst"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.col("cnt") * G4_ENC + (F.lit(G4_ENC - 1) - F.col("lbl"))
+                ).alias("score"),
+            )
+        )
+        lbl = scored.groupBy("node").agg(
+            (F.lit(G4_ENC - 1) - F.max("score") % G4_ENC).cast("bigint").alias("lbl")
+        )
+    return lbl.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_node"),
+    )

@@ -2488,3 +2488,63 @@ def dq2s_freshness_audit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_days"
         ),
     )
+
+
+def _a10ds_oracle() -> str:
+    from prometheus_remote_kinesis_spark.operators.aggregates import A10D_ORACLE
+
+    return A10D_ORACLE
+
+
+@register(
+    "a10ds_histogram_stddev_stream",
+    family="A10-stream",
+    oracle=_a10ds_oracle(),
+)
+def a10ds_histogram_stddev_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a10d's ``histogram_avg``/``histogram_stddev`` moments maintained
+    BY the streaming engine — the live latency panel: ONE complete-mode
+    groupBy(event_type) holding (n, Σc·mid2, Σc·mid2²) — three integer
+    partials, mergeable across micro-batches in any order, state =
+    |types| rows of three BIGINTs, PERIOD (the a14s/a10cs
+    constant-state class; streaming moments never need the samples,
+    only the sums). The drain applies a10d's identical
+    divide-once + floor-truncate expressions to the drained partials —
+    same oracle, chop-invariant because integer sums are."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        _HIST_BOUNDS,
+        A10D_MID2,
+    )
+
+    events = stream_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    v = F.col("value")
+    mid2 = F.when(v <= _HIST_BOUNDS[0], F.lit(A10D_MID2[0]))
+    for i in range(1, len(_HIST_BOUNDS)):
+        mid2 = mid2.when(
+            (v > _HIST_BOUNDS[i - 1]) & (v <= _HIST_BOUNDS[i]),
+            F.lit(A10D_MID2[i]),
+        )
+    mid2 = mid2.otherwise(F.lit(A10D_MID2[-1]))
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(mid2).cast("bigint").alias("s1"),
+        F.sum(mid2 * mid2).cast("bigint").alias("s2"),
+    )
+    drained = run_to_batch(agg, "complete")
+    avg = F.col("s1").cast("double") / (2 * F.col("n"))
+    return drained.select(
+        "event_type",
+        "n",
+        (F.floor(avg * 1e6) / 1e6).alias("est_avg"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.col("s2").cast("double") / (4 * F.col("n")) - avg * avg
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("est_stddev"),
+    )
