@@ -106,6 +106,13 @@ WHITELIST: set[tuple[str, str]] = {
     # g3's per-superstep frontier/visited checkpoints (the l2e loop
     # discipline: plan depth and analysis time O(1) per superstep).
     ("g3_bfs_hops", "rdd_scan"),
+    # g4 checkpoints its edge set (referenced by both LP supersteps —
+    # the g2/g3 edge-reuse discipline).
+    ("g4_label_propagation", "rdd_scan"),
+    # l4n's query-side projection is ONE broadcast row cross-joined into
+    # the scan (the l3/l4 literal-query shape, in-engine instead of a
+    # driver-side Python round whose banker's rounding differs).
+    ("l4n_random_projection", "nested_loop_join"),
     # Banded two-phase global ranks: the only global window runs over the
     # ~100-256-row band-count aggregate, never the fact table.
     ("w1c_global_rank_scalable", "global_window"),
