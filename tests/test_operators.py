@@ -787,3 +787,165 @@ def test_skyline_matches_textbook_definition(spark):
         )
     }
     assert got == exp and len(exp) >= 1
+
+
+def test_histogram_stddev_bucket_semantics(spark):
+    """a10d: engineered samples pin the boundary conventions — a value
+    exactly ON a bound lands in the lower bucket (le semantics), the
+    first bucket's midpoint interpolates from 0, the overflow bucket is
+    represented by the last finite bound, NULLs are excluded — and the
+    moments match a hand computation in exact integer half-units."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        _HIST_BOUNDS,
+        A10D_MID2,
+    )
+
+    # values: on-bound 1.0 (bucket 0, mid2=1), 1.5 (bucket 1, mid2=3),
+    # 600.0 (overflow, mid2=1000), NULL (excluded)
+    df = spark.createDataFrame(
+        [("x", 1.0), ("x", 1.5), ("x", 600.0), ("x", None)],
+        "event_type string, value double",
+    )
+    mid2s = [A10D_MID2[0], A10D_MID2[1], A10D_MID2[-1]]
+    n = 3
+    s1 = sum(mid2s)
+    s2 = sum(m * m for m in mid2s)
+    exp_avg = math.floor(s1 / (2 * n) * 1e6) / 1e6
+    exp_sd = (
+        math.floor(math.sqrt(s2 / (4 * n) - (s1 / (2 * n)) ** 2) * 1e6) / 1e6
+    )
+
+    v = F.col("value")
+    mid2 = F.when(v <= _HIST_BOUNDS[0], F.lit(A10D_MID2[0]))
+    for i in range(1, len(_HIST_BOUNDS)):
+        mid2 = mid2.when(
+            (v > _HIST_BOUNDS[i - 1]) & (v <= _HIST_BOUNDS[i]),
+            F.lit(A10D_MID2[i]),
+        )
+    mid2 = mid2.otherwise(F.lit(A10D_MID2[-1]))
+    row = (
+        df.where(v.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(mid2).alias("s1"),
+            F.sum(mid2 * mid2).alias("s2"),
+        )
+        .head()
+    )
+    assert (row["n"], row["s1"], row["s2"]) == (n, s1, s2)
+    avg = row["s1"] / (2 * row["n"])
+    sd = math.sqrt(row["s2"] / (4 * row["n"]) - avg * avg)
+    assert math.floor(avg * 1e6) / 1e6 == exp_avg
+    assert math.floor(sd * 1e6) / 1e6 == exp_sd
+
+
+def test_diversified_sample_stratum_cap(spark, tmp_path):
+    """d20: an engineered skewed corpus — one (lang, source) stratum
+    holding the 100 longest docs — must surface at most the cap from
+    that stratum, with the remaining slots going to other strata in
+    quality order (the diversity property the operator exists for)."""
+    import os
+
+    from prometheus_remote_kinesis_spark.llm.pipeline import (
+        D20_GROUP_CAP,
+        d20_diversified_sample,
+    )
+
+    rows = []
+    # dominant stratum: 100 docs, all longer than everything else
+    for i in range(100):
+        rows.append((i, "t" * (1000 - i), "en", "bigcrawl", 1000 - i))
+    # two small strata with shorter docs
+    for i in range(30):
+        rows.append((200 + i, "u" * (500 - i), "en", "curated", 500 - i))
+        rows.append((300 + i, "v" * (400 - i), "de", "wiki", 400 - i))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+    got = d20_diversified_sample(spark, sf).collect()
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault((r["lang"], r["source"]), []).append(r)
+    assert len(by_stratum[("en", "bigcrawl")]) == D20_GROUP_CAP  # capped
+    assert len(by_stratum[("en", "curated")]) == D20_GROUP_CAP
+    assert len(by_stratum[("de", "wiki")]) == D20_GROUP_CAP
+    # within the dominant stratum the cap kept the TOP docs by quality
+    kept = sorted(r["doc_id"] for r in by_stratum[("en", "bigcrawl")])
+    assert kept == list(range(D20_GROUP_CAP))
+
+
+def test_label_propagation_star_graph(spark, tmp_path):
+    """g4 semantics on an engineered star: after superstep 1 every leaf
+    holds the hub's label and the hub holds the MIN leaf label (the
+    tie-break: all leaf labels appear once each); after superstep 2
+    leaves all hold that min-leaf label and the hub takes the hub label
+    back from the leaves. Built by writing a tiny orders/lineitem pair
+    so the real operator (edge construction included) is what runs."""
+    import os
+
+    from prometheus_remote_kinesis_spark.operators.graph import (
+        g4_label_propagation,
+    )
+
+    # one supplier (hub, node 2*0+1=1) trading with customers 1..4
+    # (nodes 2,4,6,8): orders o_k by customer k, lineitem links all to
+    # supplier 0.
+    orders = spark.createDataFrame(
+        [(k, k) for k in range(1, 5)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(k, 0) for k in range(1, 5)], "l_orderkey long, l_suppkey long"
+    )
+    sf = str(tmp_path)
+    orders.write.parquet(os.path.join(sf, "orders.parquet"))
+    li.write.parquet(os.path.join(sf, "lineitem.parquet"))
+    got = {r["community"]: (r["n_members"], r["min_node"]) for r in
+           g4_label_propagation(spark, sf).collect()}
+    # superstep 1: leaves (customers) -> hub label 1; hub -> min leaf 2
+    # superstep 2: leaves see only the hub's label (now 2) -> 2;
+    #              hub sees four leaves all labeled 1 -> 1
+    # final: customers 2,4,6,8 labeled 2; supplier node 1 labeled 1
+    assert got == {2: (4, 2), 1: (1, 1)}
+
+
+def test_random_projection_preserves_neighborhood(spark):
+    """l4n property: the JL sign projection must keep an engineered
+    near-duplicate pair closer in projected space than a far pair —
+    the shortlist-recall property the 8-dim space is for (exactness of
+    the arithmetic itself is the oracle's job)."""
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.llm.similarity import (
+        L4N_IN_DIMS,
+        L4N_SIGNS,
+        L4N_OUT_DIMS,
+    )
+
+    base = [float((i % 7) - 3) / 4 for i in range(L4N_IN_DIMS)]
+    near = list(base)
+    near[0] += 0.01
+    far = [-x for x in base]
+
+    def project(vec):
+        q = [round(x * 1000) for x in vec]
+        return [
+            sum(s * qi for s, qi in zip(L4N_SIGNS[j], q))
+            for j in range(L4N_OUT_DIMS)
+        ]
+
+    pb, pn, pf = project(base), project(near), project(far)
+    d_near = sum((a - b) ** 2 for a, b in zip(pb, pn))
+    d_far = sum((a - b) ** 2 for a, b in zip(pb, pf))
+    assert d_near < d_far
+    # sign matrix is balanced enough to be a real JL matrix (md5-derived,
+    # not degenerate): each row within 3-sigma of half +1s
+    for j in range(L4N_OUT_DIMS):
+        pos = sum(1 for s in L4N_SIGNS[j] if s > 0)
+        assert abs(pos - L4N_IN_DIMS / 2) <= 3 * (L4N_IN_DIMS ** 0.5) / 2
