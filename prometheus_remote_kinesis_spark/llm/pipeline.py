@@ -1505,3 +1505,96 @@ def d20_diversified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("grp_rank") <= D20_GROUP_CAP)
     )
     return capped.orderBy(F.desc("n_chars"), "doc_id").limit(D20_SAMPLE_K)
+
+
+# d21: URL canonicalization — patterns kept in the Java-regex ∩ RE2
+# common subset (the d19 rule) so both engines match identically.
+_D21_STRIP_TRACKING = r"\?utm_[A-Za-z_=]*$"
+_D21_SCHEME = r"^([A-Za-z]+)://"
+_D21_HOST = r"^[A-Za-z]+://([^/?]+)"
+_D21_PATH = r"^[A-Za-z]+://[^/?]+(/[^?]*)?"
+
+D21_ORACLE = rf"""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'http://www.example.com/a/' || (doc_id // 6)::VARCHAR
+                 WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM/a/' || (doc_id // 6)::VARCHAR
+                 WHEN 2 THEN 'http://www.example.com:80/a/' || (doc_id // 6)::VARCHAR
+                 WHEN 3 THEN 'http://www.example.com/a/' || (doc_id // 6)::VARCHAR || '/'
+                 WHEN 4 THEN 'http://www.example.com/a/' || (doc_id // 6)::VARCHAR || '?utm_source=x'
+                 ELSE 'https://other.org/b/' || doc_id::VARCHAR
+               END AS url
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               lower(regexp_extract(regexp_replace(url, '{_D21_STRIP_TRACKING}', ''), '{_D21_SCHEME}', 1))
+               || '://'
+               || regexp_replace(lower(regexp_extract(regexp_replace(url, '{_D21_STRIP_TRACKING}', ''), '{_D21_HOST}', 1)), ':80$', '')
+               || regexp_replace(regexp_extract(regexp_replace(url, '{_D21_STRIP_TRACKING}', ''), '{_D21_PATH}', 1), '/+$', '')
+                   AS canon
+        FROM raw
+    ),
+    groups AS (
+        SELECT canon, CAST(count(*) AS BIGINT) AS group_size,
+               CAST(min(doc_id) AS BIGINT) AS rep_id
+        FROM c GROUP BY 1
+    )
+    SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(rep_id) AS BIGINT) AS min_rep
+    FROM groups GROUP BY 1
+"""
+
+
+@register("d21_url_canonicalize", family="L7", oracle=D21_ORACLE)
+def d21_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + collapse accounting — the crawl-frontier
+    dedup stage upstream of every text pipeline (the same page arrives
+    as case-variant host, explicit default port, trailing slash, and
+    utm-tagged variants; fetching all five wastes 5× the crawl budget):
+    canonical = lower(scheme) '://' lower(host, :80 stripped)
+    path(tracking params and trailing slashes stripped). The corpus
+    carries no URLs, so a deterministic 6-variant URL layer is
+    synthesized from doc_id inside the query on both engines (the
+    d19/synthesize_media_mix precedent) — five variants of each page
+    collapse to one canonical URL, the sixth stays unique, and the
+    output histograms (group_size → n_groups, min rep id) so the
+    synthesis, every canonicalization rule, AND the collapse accounting
+    sit inside one hash. Regexes stay in the Java ∩ RE2 subset (d19's
+    rule) so both engines match identically.
+
+    Scale shape: canonicalization is pure per-row string expressions
+    (JVM regex inside codegen, no UDF); the collapse is one hash agg
+    keyed on the canonical URL (keys grow with the corpus, values are
+    counts + min ids — raw URL text leaves the scan only as the
+    canonical key itself, the l1 digest discipline's URL analog), then
+    a second |group-sizes|-row agg. Map-side combine collapses the
+    synthetic duplicates before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 6").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("http://www.example.com/a/"), g))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("HTTP://WWW.EXAMPLE.COM/a/"), g))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("http://www.example.com:80/a/"), g))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("http://www.example.com/a/"), g, F.lit("/")))
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("http://www.example.com/a/"), g, F.lit("?utm_source=x")))
+        .otherwise(F.concat(F.lit("https://other.org/b/"), F.col("doc_id").cast("string")))
+    )
+    stripped = F.regexp_replace(url, _D21_STRIP_TRACKING, "")
+    canon = F.concat(
+        F.lower(F.regexp_extract(stripped, _D21_SCHEME, 1)),
+        F.lit("://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(stripped, _D21_HOST, 1)), ":80$", ""
+        ),
+        F.regexp_replace(F.regexp_extract(stripped, _D21_PATH, 1), "/+$", ""),
+    )
+    groups = docs.select("doc_id", canon.alias("canon")).groupBy("canon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.min("doc_id").cast("bigint").alias("rep_id"),
+    )
+    return groups.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("rep_id").cast("bigint").alias("min_rep"),
+    )

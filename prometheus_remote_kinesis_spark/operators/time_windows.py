@@ -2317,3 +2317,85 @@ def t34_offset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             delta.cast("bigint").alias("delta_ppm"),
         )
     )
+
+
+T35_ORACLE = """
+    WITH cells AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) % 24 AS hod,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    base AS (
+        SELECT event_type, hod,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(v) AS s
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT b.event_type, CAST(b.hod AS BIGINT) AS hod, b.n,
+           floor(CAST(b.s AS DOUBLE) / b.n * 1e4) / 1e4 AS baseline_avg,
+           CAST(sum(CASE WHEN c.v * b.n > 2 * b.s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_2x
+    FROM cells c
+    JOIN base b ON b.event_type = c.event_type AND b.hod = c.hod
+    GROUP BY 1, 2, 3, floor(CAST(b.s AS DOUBLE) / b.n * 1e4) / 1e4
+"""
+
+
+@register("t35_seasonal_baseline", family="T17", oracle=T35_ORACLE)
+def t35_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day SEASONAL baseline + seasonality-aware anomaly count —
+    the diurnal-pattern layer the t-family's anomaly detectors lacked
+    (t11/t17 z-score against a global or trailing window; a metric with
+    a daily cycle needs its 3 AM samples judged against the 3 AM
+    baseline, the seasonal decomposition every alerting stack grows):
+    per (series, hour-of-day 0-23) the mean over ALL days is the
+    seasonal component, and a sample is flagged when it exceeds 2× its
+    own cell's baseline.
+
+    Cross-engine exactness: the baseline mean's numerator accumulates
+    as DECIMAL(18,2) (the t5 rule — order-independent), the flag
+    comparison is written MULTIPLIED THROUGH as v·n > 2·s (pure decimal
+    arithmetic, no division, so a knife-edge sample can never flip on a
+    double rounding), and the reported baseline divides once and
+    floor-truncates at 1e-4 (f8 tie-free rule). NULL staleness markers
+    excluded identically on both sides.
+
+    Scale shape: one hash agg keyed (type, hod) — ≤ 24·|types| cells —
+    then the flag pass BROADCASTS those cells back onto the fact scan
+    (tiny build side by construction) into a second map-side-combinable
+    agg on the same key; no window over fact rows, no self-join on
+    inequality. At 100 TB both passes are single fact scans; the
+    baseline relation stays |types|·24 regardless of volume."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = events.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hod"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    base = cells.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("s"),
+    )
+    joined = cells.join(
+        F.broadcast(base.withColumnRenamed("event_type", "b_et").withColumnRenamed("hod", "b_hod")),
+        (F.col("event_type") == F.col("b_et")) & (F.col("hod") == F.col("b_hod")),
+    )
+    return (
+        joined.groupBy(
+            "event_type",
+            F.col("hod").cast("bigint").alias("hod"),
+            "n",
+            (F.floor(F.col("s").cast("double") / F.col("n") * 1e4) / 1e4).alias(
+                "baseline_avg"
+            ),
+        )
+        .agg(
+            F.sum(
+                (F.col("v") * F.col("n") > 2 * F.col("s")).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_above_2x")
+        )
+        .select("event_type", "hod", "n", "baseline_avg", "n_above_2x")
+    )
