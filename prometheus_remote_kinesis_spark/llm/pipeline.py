@@ -1598,3 +1598,52 @@ def d21_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
         F.min("rep_id").cast("bigint").alias("min_rep"),
     )
+
+
+D22_ORACLE = """
+    WITH toks AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(length(bin(n_tokens)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY 1, 2
+"""
+
+
+@register("d22_length_histogram", family="L7", oracle=D22_ORACLE)
+def d22_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in power-of-2 buckets, per language — the
+    dataset-card panel every corpus release publishes (sequence-length
+    distribution drives packing efficiency, truncation losses, and
+    curriculum buckets; d2's packer and d18's drift gate both consume
+    this shape). Bucket = bit length of the whitespace token count via
+    ``length(bin(n))`` — the t30 string-length trick, exact on both
+    engines where a float floor(log2) can split on power-of-2
+    boundaries. NULL text excluded identically (the l5 convention).
+
+    Scale shape: one pass of per-row codegen expressions (split + size
+    — no shingling, no UDF) into one hash agg keyed (lang, bucket) —
+    ≤ |langs|·64 groups, map-side combinable; text never leaves the
+    scan (the aggregate carries counts and token sums only)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    return (
+        docs.select(
+            "lang",
+            n_tokens.alias("n_tokens"),
+            F.length(F.bin(n_tokens)).cast("bigint").alias("log2_bucket"),
+        )
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

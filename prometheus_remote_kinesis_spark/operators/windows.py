@@ -712,3 +712,58 @@ def w7_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("first_ms").cast("bigint").alias("first_match_ms"),
         F.min(F.col("p_ms") - F.col("first_ms")).cast("bigint").alias("min_span_ms"),
     )
+
+
+W9_ORACLE = """
+    WITH first_seen AS (
+        SELECT user_id,
+               min(epoch_us(ts) // 86400000000) AS first_day
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    per_day AS (
+        SELECT first_day AS day_idx,
+               CAST(count(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY 1
+    )
+    SELECT CAST(day_idx AS BIGINT) AS day_idx, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day_idx
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM per_day
+"""
+
+
+@register("w9_cumulative_distinct_users", family="W3", oracle=W9_ORACLE)
+def w9_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — cumulative distinct users by day, the
+    "users-to-date" curve every product dashboard draws. The naive
+    form (count(DISTINCT user) over an expanding day frame) re-scans
+    every prior day per output row — O(days²) distinct work and a
+    distinct aggregate no window frame supports anyway. The scalable
+    identity: a user contributes to the cumulative count exactly once,
+    on their FIRST day — so min(day) per user (one growing-key hash
+    agg), count per first-day (second agg, |days| keys), and a running
+    sum over the |days|-row aggregate reproduce the expanding distinct
+    exactly.
+
+    Day indices are integer epoch divisions (the dq2 rule — no engine
+    date types in the hash); NULL users excluded identically. Scale
+    shape: two map-side-combinable hash aggs (users, then days); the
+    only window is the cumulative sum over the per-DAY aggregate —
+    |days| rows (~36 k/century), never fact rows, the w1c/dq2
+    band-aggregate argument (whitelisted global window)."""
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    first_seen = events.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = first_seen.groupBy(F.col("first_day").alias("day_idx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

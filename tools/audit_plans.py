@@ -123,6 +123,9 @@ WHITELIST: set[tuple[str, str]] = {
     # dq2's gap-to-previous-day lag runs over the per-DAY aggregate —
     # |days| rows (~36 k/century), never fact rows (the w1c argument).
     ("dq2_freshness_volume_audit", "global_window"),
+    # w9's cumulative sum runs over the per-DAY new-user aggregate —
+    # same |days|-row envelope as dq2.
+    ("w9_cumulative_distinct_users", "global_window"),
     ("dq2s_freshness_audit_stream", "global_window"),  # same |days|-row lag, post-drain
     # o5's cross-band prefix minimum runs over the ~112-row band
     # aggregate (the w1c argument); fact rows only see banded windows.
