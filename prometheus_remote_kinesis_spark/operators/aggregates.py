@@ -1301,3 +1301,78 @@ def a10d_histogram_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ),
     ).toDF("event_type", "n", "est_avg", "est_stddev")
+
+
+T36_WINDOW_MS = 300_000  # 5-minute dashboard step
+
+T36_ORACLE = f"""
+    WITH w AS (
+        SELECT event_type,
+               epoch_us(ts) // {T36_WINDOW_MS * 1000} AS win_idx,
+               count(*) AS n, [{_HQ_CUMS_SQL}] AS cums,
+               {_HQ_BOUNDS_SQL} AS bounds
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(win_idx AS BIGINT) AS win_idx,
+           CAST(n AS BIGINT) AS n,
+           {", ".join(f"{_hq_quantile_sql(p)} AS p{int(p * 100)}" for p in _HQ_PHIS)}
+    FROM w
+"""
+
+
+@register("t36_histogram_quantile_windowed", family="A10", oracle=T36_ORACLE)
+def t36_histogram_quantile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_quantile(φ, rate(bucket[5m]))`` — THE dashboard
+    idiom (a p99-over-time panel): a10b's bucket-interpolated quantiles
+    computed per (series, 5-minute window) instead of once per series.
+    Over a 5-minute-aligned grid the windowed rate of a cumulative
+    bucket counter reduces exactly to the per-window bucket COUNTS
+    (increase = count of samples ≤ le inside the window), so the
+    integer-exact a10 machinery applies per cell and the interpolation
+    expressions are a10b's verbatim — same Prometheus first-bucket /
+    +Inf conventions, same cross-engine determinism argument (integer
+    counts, identical double expression trees).
+
+    Scale shape: the a10 one-hash-agg envelope with the key widened to
+    (type, window) — key count GROWS with retention (the w3b axis, not
+    the w3 disease: parallelism scales with data), shuffle carries 10
+    integer partials per cell, quantile search stays scalar expressions
+    on the wide row. Window index is an integer epoch division (dq2
+    rule — no engine date types in the hash)."""
+    events = load_table(spark, sf_dir, "events")
+    per_cell = events.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {T36_WINDOW_MS * 1000}")
+        .cast("bigint")
+        .alias("win_idx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("value") <= b).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(_HIST_BOUNDS)
+        ],
+    )
+    cums = F.array(*[F.col(f"c{i}") for i in range(len(_HIST_BOUNDS))])
+    bounds = F.array(*[F.lit(b) for b in _HIST_BOUNDS])
+
+    def quantile(phi: float) -> Column:
+        rank = F.lit(phi) * F.col("n")
+        idx = F.size(F.filter(cums, lambda c: c < rank))
+        lower = F.coalesce(F.get(bounds, idx - 1), F.lit(0.0))
+        cum_lower = F.coalesce(F.get(cums, idx - 1), F.lit(0)).cast("double")
+        upper = F.get(bounds, idx)
+        cum_upper = F.get(cums, idx).cast("double")
+        return F.round(
+            F.when(idx >= F.size(bounds), F.element_at(bounds, -1)).otherwise(
+                lower
+                + (upper - lower) * (rank - cum_lower) / (cum_upper - cum_lower)
+            ),
+            4,
+        )
+
+    return per_cell.select(
+        "event_type",
+        "win_idx",
+        F.col("n").cast("bigint").alias("n"),
+        *[quantile(p).alias(f"p{int(p * 100)}") for p in _HQ_PHIS],
+    )
