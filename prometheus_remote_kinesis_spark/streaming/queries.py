@@ -2548,3 +2548,75 @@ def a10ds_histogram_stddev_stream(spark: SparkSession, sf_dir: str) -> DataFrame
             / 1e6
         ).alias("est_stddev"),
     )
+
+
+def _t36s_oracle() -> str:
+    from prometheus_remote_kinesis_spark.operators.aggregates import T36_ORACLE
+
+    return T36_ORACLE
+
+
+@register(
+    "t36s_histogram_quantile_windowed_stream",
+    family="A10-stream",
+    oracle=_t36s_oracle(),
+)
+def t36s_histogram_quantile_windowed_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t36's p99-over-time panel maintained BY the streaming engine —
+    the LIVE form of the `histogram_quantile(rate(bucket[5m]))` idiom:
+    one complete-mode groupBy on (type, 5-min window index) holding
+    n + the nine cumulative bucket counters — ten mergeable integer
+    partials per cell, state = |types|·|active windows| rows (grows
+    with retention ONLY if windows are never evicted; the t28
+    watermark-evicted twin pattern bounds it in production — here
+    complete mode keeps every window so the drain equals batch t36
+    against the shared oracle). Quantile interpolation runs post-drain
+    on the wide rows — a10b's expressions verbatim, chop-invariant
+    because integer sums are."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        _HIST_BOUNDS,
+        _HQ_PHIS,
+        T36_WINDOW_MS,
+        _hq_quantile_sql,
+    )
+
+    events = stream_table(spark, sf_dir, "events")
+    per_cell = events.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {T36_WINDOW_MS * 1000}")
+        .cast("bigint")
+        .alias("win_idx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("value") <= b).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(_HIST_BOUNDS)
+        ],
+    )
+    drained = run_to_batch(per_cell, "complete")
+    cums = F.array(*[F.col(f"c{i}") for i in range(len(_HIST_BOUNDS))])
+    bounds = F.array(*[F.lit(b) for b in _HIST_BOUNDS])
+
+    def quantile(phi: float) -> Column:
+        rank = F.lit(phi) * F.col("n")
+        idx = F.size(F.filter(cums, lambda c: c < rank))
+        lower = F.coalesce(F.get(bounds, idx - 1), F.lit(0.0))
+        cum_lower = F.coalesce(F.get(cums, idx - 1), F.lit(0)).cast("double")
+        upper = F.get(bounds, idx)
+        cum_upper = F.get(cums, idx).cast("double")
+        return F.round(
+            F.when(idx >= F.size(bounds), F.element_at(bounds, -1)).otherwise(
+                lower
+                + (upper - lower) * (rank - cum_lower) / (cum_upper - cum_lower)
+            ),
+            4,
+        )
+
+    return drained.select(
+        "event_type",
+        "win_idx",
+        F.col("n").cast("bigint").alias("n"),
+        *[quantile(p).alias(f"p{int(p * 100)}") for p in _HQ_PHIS],
+    )
