@@ -1647,3 +1647,78 @@ def d22_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+D23_SAMPLE_K = 100  # weighted sample size
+
+D23_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, lang, source,
+               greatest(n_chars, 1) AS w,
+               CAST(('0x' || substring(md5('d23:' || CAST(doc_id AS VARCHAR)),
+                                       1, 10)) AS BIGINT) AS u40
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+           CAST(w AS BIGINT) AS w, u40,
+           CAST(floor(CAST(u40 AS DOUBLE) / w * 1e3) AS BIGINT) AS pri_milli
+    FROM d
+    ORDER BY CAST(u40 AS DOUBLE) / w, doc_id
+    LIMIT {D23_SAMPLE_K}
+"""
+
+
+@register("d23_weighted_sample", family="L7", oracle=D23_ORACLE)
+def d23_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement — the mixture-construction
+    primitive that admits each document with probability proportional to
+    its weight (here n_chars; any l5 quality score drops in): the
+    Efraimidis–Spirakis priority trick (Inf. Proc. Letters 2006, the
+    one-pass weighted-reservoir scheme) selects the {D23_SAMPLE_K}
+    smallest values of key = u/w where u is a per-doc uniform draw.
+    d5 stratifies, d7 shuffles uniformly, d20 caps strata — this adds
+    the WEIGHTED regime, and it runs as a single distributed top-k
+    (each executor keeps a {D23_SAMPLE_K}-element heap; only k rows per
+    partition reach the driver-side merge — the o2/l4n envelope).
+
+    Hash-match strategy: u is the first 40 md5 bits of 'd23:'||doc_id —
+    deterministic, no RNG (the l2h/j8/l4n md5 discipline), parsed to
+    BIGINT by the identical '0x'-prefix cast on both engines; the
+    priority u/w is ONE IEEE division of two exact integers (identical
+    on both engines — no transcendental, unlike the classic u^(1/w)
+    form, which this ordering is a monotone equivalent of for ranking
+    purposes); ties break on doc_id (LIMIT determinism rule); the
+    reported key floor-truncates at 1e-3 (f8 rule). w clamps to ≥ 1 on
+    both sides so empty docs cannot divide by zero; NULL-text docs are
+    excluded identically (the corpus NULL rule).
+
+    Scale shape: pure per-row codegen expressions (md5 + substring +
+    conv — no UDF, no shuffle) followed by TakeOrderedAndProject; text
+    never leaves the scan (ids + metadata only); at 100 TB this is a
+    map-only pass over the corpus with k·partitions rows moving."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    u40 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("d23:"), F.col("doc_id").cast("string"))), 1, 10),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    d = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        "source",
+        w.alias("w"),
+        u40.alias("u40"),
+    ).withColumn("pri", F.col("u40").cast("double") / F.col("w"))
+    return (
+        d.orderBy("pri", "doc_id")
+        .limit(D23_SAMPLE_K)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "w",
+            "u40",
+            F.floor(F.col("pri") * 1e3).cast("bigint").alias("pri_milli"),
+        )
+    )

@@ -567,3 +567,105 @@ def j8_bloom_semi_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2l(F.col("exact")).alias("n_exact"),
         F.lit(n_bits_set).cast("bigint").alias("n_bits_set"),
     )
+
+
+J9_TOP_K = 20  # pairs reported
+
+_J9_ORACLE = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.pk AS p1, b.pk AS p2
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    sup AS (
+        SELECT p1, p2, CAST(count(*) AS BIGINT) AS support
+        FROM pairs GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT * FROM sup ORDER BY support DESC, p1, p2 LIMIT {J9_TOP_K}
+    ),
+    freq AS (
+        SELECT pk, CAST(count(*) AS BIGINT) AS nf FROM li GROUP BY 1
+    )
+    SELECT CAST(t.p1 AS BIGINT) AS p1, CAST(t.p2 AS BIGINT) AS p2,
+           t.support, f1.nf AS n1, f2.nf AS n2,
+           CAST(floor(CAST(t.support AS DOUBLE)
+                      / (f1.nf + f2.nf - t.support) * 1e6) AS BIGINT)
+               AS jacc_micro
+    FROM top t
+    JOIN freq f1 ON t.p1 = f1.pk
+    JOIN freq f2 ON t.p2 = f2.pk
+    ORDER BY support DESC, p1, p2
+"""
+
+
+@register("j9_item_affinity", family="J1", oracle=_J9_ORACLE)
+def j9_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item affinity — the co-occurrence self-join behind
+    'frequently bought together' and feature-co-occurrence mining: for
+    every pair of parts appearing in the same order, count supporting
+    orders and report the top-{J9_TOP_K} pairs with their Jaccard
+    affinity support / (n1 + n2 - support). New mechanism for the J
+    family: pair GENERATION whose blowup is bounded by group size, not
+    data size (g2 bounds wedges by degree ordering; here the group is
+    an order, k ≤ 7 line items in TPC-H, so ≤ k(k-1)/2 = 21 pairs per
+    order regardless of total volume).
+
+    Scale shape: (orderkey, partkey) dedupes first — partial (map-side)
+    distinct collapses duplicates before the exchange — then the
+    self-join keys on l_orderkey (cardinality GROWS with data, so no
+    skew ceiling; both sides share the distinct's partitioning) and
+    p1 < p2 canonicalizes each pair once. The obvious 'fusion' — one
+    groupBy(order).collect_set + map-side pair explosion from the
+    sorted array — was MEASURED SLOWER head-to-head on identical 64×
+    data (54.4 s vs 37.2 s warm: collect_set shuffles every raw row
+    un-combined and the nested-transform explode runs as a generator
+    outside codegen, while sort-merge self-join + partial distinct stay
+    whole-stage); the join shape is kept deliberately. Support is one
+    map-side-combinable hash agg on (p1, p2); the global top-k is
+    TakeOrderedAndProject with the (support DESC, p1, p2) tie-break
+    (LIMIT determinism rule); and the Jaccard normalization joins part
+    frequencies ONLY onto the {J9_TOP_K} survivors — the k-row side is
+    explicitly broadcast, so the |parts|-cardinality frequency agg
+    never shuffles against the pair set. Integer support/frequency
+    counts; the single support/(n1+n2-support) quotient is one IEEE
+    division of exact integers (identical on both engines),
+    floor-truncated at 1e-6 (the f8 tie-free rule)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+    ).select(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+    sup = pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+    top = sup.orderBy(F.desc("support"), "p1", "p2").limit(J9_TOP_K)
+    freq = li.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("nf"))
+    f1 = freq.select(F.col("pk").alias("p1"), F.col("nf").alias("n1"))
+    f2 = freq.select(F.col("pk").alias("p2"), F.col("nf").alias("n2"))
+    out = (
+        f2.join(F.broadcast(f1.join(F.broadcast(top), "p1")), "p2")
+        .select(
+            F.col("p1").cast("bigint").alias("p1"),
+            F.col("p2").cast("bigint").alias("p2"),
+            "support",
+            "n1",
+            "n2",
+            F.floor(
+                F.col("support").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("support"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("jacc_micro"),
+        )
+    )
+    return out.orderBy(F.desc("support"), "p1", "p2")

@@ -2399,3 +2399,103 @@ def t35_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "hod", "n", "baseline_avg", "n_above_2x")
     )
+
+
+T37_ORACLE = """
+    WITH d AS (
+        SELECT event_type, user_id, event_id,
+               epoch_us(ts) // 1000 AS ms,
+               CAST(round(value * 100, 0) AS BIGINT) AS v100
+        FROM events WHERE value IS NOT NULL
+    ),
+    seg AS (
+        SELECT event_type, user_id,
+               ms - lag(ms) OVER w AS dt,
+               v100 + lag(v100) OVER w AS vsum
+        FROM d
+        WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ms, event_id)
+    ),
+    a AS (
+        SELECT event_type, user_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(dt) AS BIGINT) AS span_ms,
+               sum(CAST(vsum AS DECIMAL(38,0)) * dt) AS num
+        FROM seg GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, n_samples, span_ms,
+           floor(CAST(num AS DOUBLE) / CAST(span_ms AS DOUBLE)
+                 / 200.0 * 1e6) / 1e6 AS twa
+    FROM a WHERE span_ms > 0
+"""
+
+
+@register("t37_time_weighted_avg", family="T14", oracle=T37_ORACLE)
+def t37_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average per series — trapezoidal integration of the
+    gauge between samples, ∑ (vᵢ₋₁+vᵢ)/2 · Δtᵢ / ∑ Δtᵢ (the TimescaleDB
+    ``time_weight('linear')`` idiom). PromQL's ``avg_over_time`` (t14b)
+    is SAMPLE-weighted: a gauge polled every 1 s during a spike and
+    every 60 s while idle reports a wildly inflated mean; the
+    time-weighted form is the billing/SLA-correct answer on irregular
+    samples, and it is a different mechanism from every t14 member —
+    the aggregate's weights come from the DELTA of the ordering column,
+    not from the rows.
+
+    Hash-match strategy: values are exact integer cents (the t14 v100
+    pattern) and segment lengths are exact integer ms, so each trapezoid
+    term 2·area = (v100ᵢ₋₁+v100ᵢ)·Δt is an exact integer; terms
+    accumulate as DECIMAL(38,0) ≡ HUGEINT (t31s precedent — exact on
+    both engines in ANY accumulation order), the numerator converts to
+    double ONCE, and the single num/span/200 quotient chain runs in the
+    identical expression order, floor-truncated at 1e-6 (f8 tie-free
+    rule). NULL staleness markers are excluded identically on both
+    sides BEFORE lag, so segments bridge gaps the same way (the
+    r4-ADVICE alignment). Σdt telescopes to max(ms)−min(ms) per series;
+    single-sample and zero-span series are excluded by span_ms > 0 on
+    both engines. Lag ties break on (ms, event_id) — the t30/w5 ms
+    convention — on both sides.
+
+    Scale shape: ONE Sort+Exchange on the high-cardinality series key
+    feeds the lag window, and the following hash agg groups by the SAME
+    key, so the planner reuses the partitioning (no second exchange);
+    state per series is three integers. No RANGE frame, no global
+    window — this is the t14 envelope with a cheaper tail."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    d = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("ms", "event_id")
+    seg = d.select(
+        "event_type",
+        "user_id",
+        (F.col("ms") - F.lag("ms").over(w)).alias("dt"),
+        (F.col("v100") + F.lag("v100").over(w)).alias("vsum"),
+    )
+    a = seg.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum("dt").cast("bigint").alias("span_ms"),
+        F.sum(
+            F.col("vsum").cast("decimal(19,0)") * F.col("dt").cast("decimal(19,0)")
+        ).alias("num"),
+    )
+    return a.where(F.col("span_ms") > 0).select(
+        "event_type",
+        "user_id",
+        "n_samples",
+        "span_ms",
+        (
+            F.floor(
+                F.col("num").cast("double")
+                / F.col("span_ms").cast("double")
+                / 200.0
+                * 1e6
+            )
+            / 1e6
+        ).alias("twa"),
+    )

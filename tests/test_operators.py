@@ -949,3 +949,126 @@ def test_random_projection_preserves_neighborhood(spark):
     for j in range(L4N_OUT_DIMS):
         pos = sum(1 for s in L4N_SIGNS[j] if s > 0)
         assert abs(pos - L4N_IN_DIMS / 2) <= 3 * (L4N_IN_DIMS ** 0.5) / 2
+
+
+def test_item_affinity_matches_bruteforce(spark):
+    """j9: exact equality against a Python brute-force market-basket
+    count at sf0.001 — per-order distinct part sets, all p1 < p2 pairs,
+    top-20 by (support DESC, p1, p2), Jaccard = co/(n1+n2-co) with the
+    same floor-truncation."""
+    import itertools
+    import math
+    from collections import Counter, defaultdict
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r.p1, r.p2, r.support, r.n1, r.n2, r.jacc_micro)
+        for r in all_queries()["j9_item_affinity"].fn(spark, SF_SMOKE).collect()
+    ]
+    orders = defaultdict(set)
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        orders[r.l_orderkey].add(r.l_partkey)
+    sup = Counter()
+    freq = Counter()
+    for parts in orders.values():
+        for pk in parts:
+            freq[pk] += 1
+        for p1, p2 in itertools.combinations(sorted(parts), 2):
+            sup[(p1, p2)] += 1
+    top = sorted(sup.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    exp = [
+        (
+            p1,
+            p2,
+            co,
+            freq[p1],
+            freq[p2],
+            math.floor(co / (freq[p1] + freq[p2] - co) * 1e6),
+        )
+        for (p1, p2), co in top
+    ]
+    assert got == exp and len(exp) == 20
+
+
+def test_time_weighted_avg_matches_python_trapezoid(spark):
+    """t37: exact equality against a Python trapezoid integration at
+    sf0.001 (exact integer cents × ms accumulated unbounded in Python —
+    the decimal(38,0) path's ground truth), plus the mean-value bound:
+    a time-weighted average must lie within [min, max] of the series'
+    sample values."""
+    import math
+    from collections import defaultdict
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.event_type, r.user_id): (r.n_samples, r.span_ms, r.twa)
+        for r in all_queries()["t37_time_weighted_avg"].fn(spark, SF_SMOKE).collect()
+    }
+    series = defaultdict(list)
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .where("value IS NOT NULL")
+        .selectExpr("event_type", "user_id", "unix_millis(ts) AS ms",
+                    "event_id", "CAST(round(value * 100, 0) AS LONG) AS v100")
+        .collect()
+    ):
+        series[(r.event_type, r.user_id)].append((r.ms, r.event_id, r.v100))
+    exp = {}
+    for key, rows in series.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        num = sum(
+            (a[2] + b[2]) * (b[0] - a[0]) for a, b in zip(rows, rows[1:])
+        )
+        span = rows[-1][0] - rows[0][0]
+        if span > 0:
+            twa = math.floor(float(num) / float(span) / 200.0 * 1e6) / 1e6
+            exp[key] = (len(rows), span, twa)
+    assert got == exp and len(exp) >= 5
+    for key, (_n, _span, twa) in got.items():
+        vals = [v / 100.0 for (_ms, _eid, v) in series[key]]
+        assert min(vals) - 1e-6 <= twa <= max(vals) + 1e-6
+
+
+def test_weighted_sample_priority_selection(spark):
+    """d23: the selected 100 docs are EXACTLY the smallest u/w priority
+    keys (u recomputed with hashlib md5, doc_id tie-break), output
+    arrives in priority order, and every weight is clamped >= 1."""
+    import hashlib
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        (r.doc_id, r.w, r.u40, r.pri_milli)
+        for r in all_queries()["d23_weighted_sample"].fn(spark, SF_SMOKE).collect()
+    ]
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where("text IS NOT NULL")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    keyed = []
+    for r in docs:
+        u = int(hashlib.md5(f"d23:{r.doc_id}".encode()).hexdigest()[:10], 16)
+        w = max(r.n_chars, 1)
+        keyed.append((u / w, r.doc_id, w, u))
+    keyed.sort(key=lambda t: (t[0], t[1]))
+    import math
+
+    exp = [
+        (doc_id, w, u, math.floor(u / w * 1e3)) for (pri, doc_id, w, u) in keyed[:100]
+    ]
+    assert got == exp
+    assert all(w >= 1 for (_d, w, _u, _p) in got)
