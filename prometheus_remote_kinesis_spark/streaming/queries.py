@@ -49,6 +49,7 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T27_ORACLE,
     T28_ORACLE,
     T30_ORACLE,
+    T37_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -623,6 +624,56 @@ def t20s_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("hw_level", 6).alias("hw_level"),
             F.round("hw_trend", 6).alias("hw_trend"),
             F.round("hw_forecast", 6).alias("hw_forecast"),
+        )
+    )
+
+
+@register("t37s_time_weighted_avg_stream", family="T14-stream", oracle=T37_ORACLE)
+def t37s_time_weighted_avg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t37's trapezoidal time-weighted average MAINTAINED BY the
+    streaming engine: ``applyInPandasWithState`` carries five integers
+    per series (n, last_ms, last_v100, span_ms, num) — O(1) state
+    regardless of stream length, every update integer-exact, so a chop
+    cannot move a bit (the t17s argument; t20s's float twin relies on
+    op-order identity instead). Each micro-batch emits one summary row
+    per touched series; n_samples grows monotonically, so the max-n row
+    is authoritative (t20s's emission protocol, WindowGroupLimit-pruned
+    top-1), zero-span series drop on both sides, and the drain applies
+    t37's IDENTICAL divide-once + floor-truncate expression chain to the
+    drained integers — registering directly against t37's oracle."""
+    from pyspark.sql import Window
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        time_weighted_avg,
+    )
+
+    records = stream_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+    out = time_weighted_avg(records, idle_timeout_ms=None)
+    drained = run_to_batch(out, "append")
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.desc("n_samples"))
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("span_ms") > 0))
+        .select(
+            "event_type",
+            "user_id",
+            "n_samples",
+            "span_ms",
+            (
+                F.floor(
+                    F.col("num").cast("double")
+                    / F.col("span_ms").cast("double")
+                    / 200.0
+                    * 1e6
+                )
+                / 1e6
+            ).alias("twa"),
         )
     )
 

@@ -1696,3 +1696,89 @@ def quantified_pattern_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+TWA_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("span_ms", LongType()),
+        StructField("num", LongType()),
+    ]
+)
+
+_TWA_STATE_SCHEMA = "n long, last_ms long, last_v100 long, span_ms long, num long"
+
+
+def time_weighted_avg(
+    records: DataFrame, idle_timeout_ms: int | None = 3_600_000
+) -> DataFrame:
+    """Streaming twin of t37's trapezoidal time-weighted average: per
+    series the state is FIVE integers — (n, last_ms, last_v100, span_ms,
+    num) where num = Σ (v100ᵢ₋₁+v100ᵢ)·Δt — O(1) regardless of stream
+    length (the t20s class, but integer-exact like t17s: every update is
+    integer adds/multiplies, so chop cannot move a bit). Each micro-batch
+    emits one summary row per touched series; n grows monotonically, so
+    the max-n row per series is the authoritative drain row (t20s's
+    emission protocol). The num→twa conversion happens OUTSIDE the
+    stream, in the drain's Spark expressions, with t37's identical
+    divide-once + floor-truncate chain. NaN staleness markers skip
+    identically to the batch filter; within-batch order is
+    (time, event_id) — in-order arrival across batches is the relay's
+    property, the same assumption t14s/t20s/t31's streams already pin.
+    Python ints are unbounded but state stores int64: at 100 TB num
+    splits into decimal partials exactly as t31s does (docstring note;
+    per-series num is ~1e11 at the 64× probe, 7 orders inside int64)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        n, last_ms, last_v100, span_ms, num = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            sort_keys = (
+                ["time", "event_id"] if "event_id" in pdf.columns else ["time"]
+            )
+            pdf = pdf.sort_values(sort_keys)
+            for _, r in pdf.iterrows():
+                v = r["value"]
+                if v is None or pd.isna(v):
+                    continue  # staleness marker — batch filter parity
+                ms = int(r["time"])
+                v100 = int(_round_half_up(float(v) * 100, 0))
+                if n > 0:
+                    dt = ms - last_ms
+                    num += (last_v100 + v100) * dt
+                    span_ms += dt
+                n += 1
+                last_ms, last_v100 = ms, v100
+        state.update((n, last_ms, last_v100, span_ms, num))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "user_id": user_id,
+                    "n_samples": n,
+                    "span_ms": span_ms,
+                    "num": num,
+                }
+            ]
+        )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TWA_SCHEMA,
+        stateStructType=_TWA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

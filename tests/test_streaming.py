@@ -1264,3 +1264,71 @@ def test_exact_dedup_manifest_sink_replay_idempotent(spark, tmp_path):
         (r.digest, r.rep_id) for r in spark.read.parquet(out).collect()
     )
     assert replayed == first  # unchanged: no dupes, no losses
+
+
+def test_time_weighted_avg_multibatch_chop_invariant(spark, tmp_path):
+    """time_weighted_avg under a REAL multi-batch chop (one file per
+    micro-batch, 4 batches): the five-integer state must bridge batch
+    boundaries exactly — the boundary trapezoid (last sample of batch k,
+    first sample of batch k+1) is the bit that a single-batch drain never
+    exercises. NULL staleness markers land mid-stream and must bridge
+    like the batch filter. Ground truth is an unbounded-int Python
+    trapezoid with the identical floor-truncation."""
+    import math
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import time_weighted_avg
+
+    vals_a = [1.0, 2.5, None, 4.0, 7.5, 1.2, 3.0, None, 9.9, 12.4]
+    vals_b = [10.0, 10.0, 5.25, 20.0]
+    rows = [
+        {
+            "event_id": i,
+            "event_type": "m",
+            "user_id": 1,
+            "time": i * 65_000,
+            "value": v,
+        }
+        for i, v in enumerate(vals_a)
+    ] + [
+        {
+            "event_id": 100 + i,
+            "event_type": "m",
+            "user_id": 2,
+            "time": i * 13_000,
+            "value": v,
+        }
+        for i, v in enumerate(vals_b)
+    ]
+    out = run_to_batch(
+        time_weighted_avg(
+            _chopped_stream(spark, tmp_path, rows, 4), idle_timeout_ms=None
+        ),
+        "append",
+    )
+    # authoritative row per series = max n_samples (the t20s protocol)
+    got = {}
+    for r in out.collect():
+        key = (r["event_type"], r["user_id"])
+        if key not in got or r["n_samples"] > got[key][0]:
+            got[key] = (r["n_samples"], r["span_ms"], r["num"])
+
+    def truth(vals):
+        pts = [
+            (i * 65_000 if vals is vals_a else i * 13_000, int(round(v * 100)))
+            for i, v in enumerate(vals)
+            if v is not None
+        ]
+        num = sum(
+            (v0 + v1) * (t1 - t0) for (t0, v0), (t1, v1) in zip(pts, pts[1:])
+        )
+        return len(pts), pts[-1][0] - pts[0][0], num
+
+    assert got[("m", 1)] == truth(vals_a)
+    assert got[("m", 2)] == truth(vals_b)
+    # and the drain-side conversion reproduces the batch twa exactly
+    for key, (_n, span, num) in got.items():
+        twa = math.floor(float(num) / float(span) / 200.0 * 1e6) / 1e6
+        lo = min(v for v in (vals_a if key[1] == 1 else vals_b) if v is not None)
+        hi = max(v for v in (vals_a if key[1] == 1 else vals_b) if v is not None)
+        assert lo - 1e-6 <= twa <= hi + 1e-6
