@@ -2499,3 +2499,147 @@ def t37_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("twa"),
     )
+
+
+T39_THR = 50  # alert condition: value > THR (dollars)
+T39_FOR_MS = 600_000  # Prometheus `for:` hold duration (10 min)
+T39_BUCKET_MS = 3_600_000  # decomposition bucket (1 h)
+
+T39_ORACLE = f"""
+    WITH d AS (
+        SELECT event_type, epoch_us(ts) // 1000 AS ms, event_id,
+               (value > {T39_THR}) AS cond
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT *, CASE WHEN cond AND NOT coalesce(lag(cond) OVER w, FALSE)
+                       THEN 1 ELSE 0 END AS new_island
+        FROM d WINDOW w AS (PARTITION BY event_type ORDER BY ms, event_id)
+    ),
+    i AS (
+        SELECT *, sum(new_island) OVER (
+            PARTITION BY event_type ORDER BY ms, event_id
+        ) AS isl
+        FROM m
+    )
+    SELECT event_type,
+           CAST(min(ms) AS BIGINT) AS island_start,
+           CAST(max(ms) AS BIGINT) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           (max(ms) - min(ms) >= {T39_FOR_MS}) AS fired,
+           CAST(CASE WHEN max(ms) - min(ms) >= {T39_FOR_MS}
+                     THEN min(ms) + {T39_FOR_MS} END AS BIGINT) AS fire_ms
+    FROM i WHERE cond
+    GROUP BY event_type, isl
+"""
+
+
+@register("t39_alert_for_duration", family="T28", oracle=T39_ORACLE)
+def t39_alert_for_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus alerting's `for:` hold-duration state machine — an
+    alert whose condition (value > {T39_THR}) must hold CONTINUOUSLY for
+    {T39_FOR_MS} ms before it transitions pending→firing (the
+    Alertmanager semantics every `rate > x FOR 10m` rule runs on; t28's
+    burn-rate alert is the threshold side, this is the temporal side):
+    one row per maximal run of consecutive breaching samples with its
+    span, sample count, whether it fired, and the pending→firing
+    transition time start + FOR.
+
+    Scale shape — BANDED GAPS-ISLANDS, a new composition: w5's islands
+    machinery partitioned by the ALERT KEY alone is the w3 disease (the
+    key space is |types|, constant, so per-partition window state grows
+    with data). Here runs are found within (event_type, 1 h bucket) —
+    key count grows with retention, the w3b axis — and only EDGE runs
+    (those containing their bucket's first or last sample, ≤ 2 per
+    bucket per type — growing with time, never with sample density) go
+    through the per-type stitch window; interior runs finalize without
+    any low-cardinality exchange. The stitch merges an edge run into
+    its predecessor iff it starts its bucket, the predecessor ends ITS
+    bucket, and that predecessor's bucket is the immediately preceding
+    NON-EMPTY bucket (sample adjacency, not time adjacency — an
+    all-quiet bucket in between breaks nothing if it is empty, but a
+    non-cond sample anywhere does). Bucket-first/last flags come from
+    lag()/lead() NULLs, not count frames (the t30 lesson). All outputs
+    are integers/booleans — no floats anywhere, hash-safe by
+    construction; NULL staleness markers excluded identically.
+
+    Ref: the reference relays these series for EXACTLY this kind of
+    downstream Prometheus rule evaluation (SURVEY §0)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    d = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        (F.col("value") > T39_THR).alias("cond"),
+    ).withColumn("bucket", F.expr(f"ms div {T39_BUCKET_MS}"))
+    wb = Window.partitionBy("event_type", "bucket").orderBy("ms", "event_id")
+    m = (
+        d.withColumn(
+            "new_island",
+            (
+                F.col("cond")
+                & ~F.coalesce(F.lag("cond").over(wb), F.lit(False))
+            ).cast("int"),
+        )
+        .withColumn("isl", F.sum("new_island").over(wb))
+        .withColumn("is_first", F.lag("ms").over(wb).isNull())
+        .withColumn("is_last", F.lead("ms").over(wb).isNull())
+    )
+    runs = (
+        m.where("cond")
+        .groupBy("event_type", "bucket", "isl")
+        .agg(
+            F.min("ms").alias("s"),
+            F.max("ms").alias("e"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max(F.col("is_first").cast("int")).alias("touch_start"),
+            F.max(F.col("is_last").cast("int")).alias("touch_end"),
+        )
+    )
+    interior = runs.where("touch_start = 0 AND touch_end = 0")
+    edge = runs.where("touch_start = 1 OR touch_end = 1")
+    # previous NON-EMPTY bucket per (type, bucket): |types|·|buckets| rows,
+    # growing with retention only — the w1c band-size argument.
+    wt = Window.partitionBy("event_type").orderBy("bucket")
+    bprev = (
+        d.select("event_type", "bucket")
+        .distinct()
+        .withColumn("prev_bucket", F.lag("bucket").over(wt))
+    )
+    e2 = edge.join(bprev, ["event_type", "bucket"])
+    we = Window.partitionBy("event_type").orderBy("bucket", "isl")
+    chained = (
+        e2.withColumn("p_touch_end", F.lag("touch_end").over(we))
+        .withColumn("p_bucket", F.lag("bucket").over(we))
+        .withColumn(
+            "new_chain",
+            F.when(
+                (F.col("touch_start") == 1)
+                & (F.coalesce(F.col("p_touch_end"), F.lit(0)) == 1)
+                & (F.col("p_bucket") == F.col("prev_bucket")),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("chain", F.sum("new_chain").over(we))
+    )
+    merged = chained.groupBy("event_type", "chain").agg(
+        F.min("s").alias("s"), F.max("e").alias("e"), F.sum("n").alias("n")
+    )
+    islands = interior.select("event_type", "s", "e", "n").unionByName(
+        merged.select("event_type", "s", "e", "n")
+    )
+    return islands.select(
+        "event_type",
+        F.col("s").cast("bigint").alias("island_start"),
+        F.col("e").cast("bigint").alias("island_end"),
+        F.col("n").cast("bigint").alias("n_samples"),
+        (F.col("e") - F.col("s") >= T39_FOR_MS).alias("fired"),
+        F.when(
+            F.col("e") - F.col("s") >= T39_FOR_MS,
+            F.col("s") + T39_FOR_MS,
+        )
+        .cast("bigint")
+        .alias("fire_ms"),
+    )

@@ -50,6 +50,9 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T28_ORACLE,
     T30_ORACLE,
     T37_ORACLE,
+    T39_FOR_MS,
+    T39_ORACLE,
+    T39_THR,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -674,6 +677,57 @@ def t37s_time_weighted_avg_stream(spark: SparkSession, sf_dir: str) -> DataFrame
                 )
                 / 1e6
             ).alias("twa"),
+        )
+    )
+
+
+@register("t39s_alert_for_duration_stream", family="T28-stream", oracle=T39_ORACLE)
+def t39s_alert_for_duration_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t39's alert `for:` state machine EXECUTED BY the streaming engine
+    — the form that actually pages someone: applyInPandasWithState keeps
+    the ONE open island per alert key (three integers, O(1) state),
+    closed islands emit exactly once as a non-breaching sample arrives,
+    and the drain keeps the max-n row per (key, island_start) (open
+    islands are provisional rows superseded batch-over-batch). fired /
+    fire_ms derive in the drain with t39's identical integer
+    expressions — registers against t39's oracle. Where the batch form
+    needs banded gaps-islands to avoid the low-cardinality-window
+    disease, the streaming form is IMMUNE by construction: the state
+    machine never buffers more than the open island."""
+    from pyspark.sql import Window
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        alert_for_duration,
+    )
+
+    records = stream_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+    out = alert_for_duration(records, thr=T39_THR, idle_timeout_ms=None)
+    drained = run_to_batch(out, "append")
+    w = Window.partitionBy("event_type", "island_start").orderBy(
+        F.desc("n_samples")
+    )
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "island_start",
+            "island_end",
+            "n_samples",
+            (F.col("island_end") - F.col("island_start") >= T39_FOR_MS).alias(
+                "fired"
+            ),
+            F.when(
+                F.col("island_end") - F.col("island_start") >= T39_FOR_MS,
+                F.col("island_start") + T39_FOR_MS,
+            )
+            .cast("bigint")
+            .alias("fire_ms"),
         )
     )
 

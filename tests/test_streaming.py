@@ -1332,3 +1332,48 @@ def test_time_weighted_avg_multibatch_chop_invariant(spark, tmp_path):
         lo = min(v for v in (vals_a if key[1] == 1 else vals_b) if v is not None)
         hi = max(v for v in (vals_a if key[1] == 1 else vals_b) if v is not None)
         assert lo - 1e-6 <= twa <= hi + 1e-6
+
+
+def test_alert_for_duration_multibatch_chop(spark, tmp_path):
+    """alert_for_duration under a REAL multi-batch chop: an island that
+    OPENS in batch 1, extends through batch 2, and closes in batch 3
+    must emit exactly one authoritative row (the provisional rows it
+    superseded carry the same island_start with smaller n); islands
+    fully inside one batch behave identically; NULLs neither open nor
+    close an island."""
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        alert_for_duration,
+    )
+
+    # thr=50: cond pattern per row (one series 'm'):
+    # 60, 70, None, 80, 90 | 10 | 55, 20, 95 → islands:
+    #   rows 0-4 (NULL skipped, stays open across it) closed by row 5,
+    #   row 6 closed by row 7, row 8 open at drain.
+    vals = [60.0, 70.0, None, 80.0, 90.0, 10.0, 55.0, 20.0, 95.0]
+    rows = [
+        {"event_id": i, "event_type": "m", "user_id": 1,
+         "time": i * 60_000, "value": v}
+        for i, v in enumerate(vals)
+    ]
+    out = run_to_batch(
+        alert_for_duration(
+            _chopped_stream(spark, tmp_path, rows, 3), thr=50, idle_timeout_ms=None
+        ),
+        "append",
+    )
+    rows_out = [
+        (r["island_start"], r["island_end"], r["n_samples"]) for r in out.collect()
+    ]
+    # authoritative = max n per island_start
+    auth = {}
+    for s, e, n in rows_out:
+        if s not in auth or n > auth[s][1]:
+            auth[s] = (e, n)
+    assert auth == {
+        0: (4 * 60_000, 4),       # 60,70,80,90 (NULL bridged)
+        6 * 60_000: (6 * 60_000, 1),
+        8 * 60_000: (8 * 60_000, 1),
+    }
+    # the closed islands were emitted exactly once with their final n
+    assert rows_out.count((0, 4 * 60_000, 4)) >= 1
