@@ -1376,3 +1376,71 @@ def t36_histogram_quantile_windowed(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n").cast("bigint").alias("n"),
         *[quantile(p).alias(f"p{int(p * 100)}") for p in _HQ_PHIS],
     )
+
+
+A4C_ORACLE = """
+    WITH j AS (
+        SELECT p_brand, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS w
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    h AS (
+        SELECT p_brand, qty, CAST(sum(w) AS BIGINT) AS wsum
+        FROM j GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT p_brand, qty, wsum,
+               CAST(sum(wsum) OVER (PARTITION BY p_brand ORDER BY qty)
+                    AS BIGINT) AS cum,
+               CAST(sum(wsum) OVER (PARTITION BY p_brand) AS BIGINT) AS total
+        FROM h
+    )
+    SELECT p_brand, total AS total_weight,
+           CAST(min(qty) AS BIGINT) AS wmedian_qty
+    FROM c WHERE cum * 2 >= total
+    GROUP BY 1, 2
+"""
+
+
+@register("a4c_weighted_median", family="A4", oracle=A4C_ORACLE)
+def a4c_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median — the order-quantity level at which half the
+    REVENUE sits, per brand (lower weighted median: the smallest q with
+    2·cumweight(q) ≥ totalweight). a4 gives unweighted percentiles, a4b
+    a rank sketch, a4s a streaming histogram; none answers 'the median
+    dollar', which is what pricing/SLO-cost analyses weight by. The
+    window-based formulation (cum weight over value-ordered fact rows
+    per group) is the w3 disease; this runs as a SATURATING VALUE
+    HISTOGRAM instead: one map-side-combinable (brand, qty) hash agg
+    collapses the fact stream to ≤ |brands|·|qty domain| = 25·50 cells
+    (the t32 dict argument — quantity is a 1..50 integer domain, so the
+    histogram stops growing long before the data does), and the
+    cum/total windows run over those ≤50 rows per brand, never over
+    facts. Weights are exact integer cents summed as BIGINT (decimal
+    partials at 100 TB, the t31s swap); every output is an integer —
+    no floats, hash-safe by construction; part is a broadcast dim
+    (J2 rule)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("w"),
+    )
+    h = j.groupBy("p_brand", "qty").agg(F.sum("w").cast("bigint").alias("wsum"))
+    wcum = (
+        Window.partitionBy("p_brand")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("p_brand")
+    c = h.withColumn("cum", F.sum("wsum").over(wcum).cast("bigint")).withColumn(
+        "total", F.sum("wsum").over(wtot).cast("bigint")
+    )
+    return (
+        c.where(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("p_brand", F.col("total").alias("total_weight"))
+        .agg(F.min("qty").cast("bigint").alias("wmedian_qty"))
+    )

@@ -767,3 +767,85 @@ def w9_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+W10_ORACLE = """
+    WITH act AS (
+        SELECT DISTINCT event_type, user_id,
+               (epoch_us(ts) // 1000) // 3600000 AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    m AS (
+        SELECT *, CASE WHEN lag(h) OVER w IS NULL OR h - lag(h) OVER w > 24
+                       THEN 1 ELSE 0 END AS new_isl
+        FROM act WINDOW w AS (PARTITION BY event_type, user_id ORDER BY h)
+    ),
+    i AS (
+        SELECT *, sum(new_isl) OVER (
+            PARTITION BY event_type, user_id ORDER BY h
+        ) AS isl
+        FROM m
+    ),
+    spans AS (
+        SELECT event_type, user_id, isl,
+               min(h) AS hs, max(h) + 23 AS he
+        FROM i GROUP BY 1, 2, 3
+    ),
+    cov AS (
+        SELECT event_type, unnest(range(hs, he + 1)) AS hour
+        FROM spans
+    )
+    SELECT event_type, CAST(hour AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM cov GROUP BY 1, 2
+"""
+
+
+@register("w10_rolling_distinct_users", family="W3", oracle=W10_ORACLE)
+def w10_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users — for every hour H, how many distinct users
+    had ANY event in the trailing 24 hours (H−23..H]: the rolling-DAU
+    panel next to w9's cumulative form, and the canonical query people
+    reach for a sliding count(DISTINCT) window on — which neither
+    engine supports and which would be quadratic if emulated per-hour.
+
+    Rewritten as INTERVAL-COVERAGE EXPANSION (no sliding distinct ever
+    exists): activity collapses to distinct (type, user, hour) [one
+    growing-key hash agg with map-side dedup]; per user, activity hours
+    whose gaps are ≤ 24 h merge into islands (w5's machinery on the
+    high-cardinality (type, user) key — an island [h₁, h₂] covers
+    report hours h₁..h₂+23, and a >24 h gap means disjoint coverage);
+    each island EXPLODES via sequence() into its covered report hours —
+    bounded fan-out ≤ span+24 rows per island, and islands are disjoint
+    by construction so the exploded rows are already (type, user, hour)
+    distinct; the final map-side-combinable (type, hour) count needs no
+    distinct at all. Three shuffles, every key growing with data; the
+    explode runs inside the projection. All-integer output (hour = epoch
+    div, the dq2 rule); NULL users excluded identically (w9's rule)."""
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    act = (
+        events.select(
+            "event_type",
+            "user_id",
+            F.expr("unix_millis(ts) div 3600000").alias("h"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("event_type", "user_id").orderBy("h")
+    m = act.withColumn(
+        "new_isl",
+        F.when(
+            F.lag("h").over(wu).isNull()
+            | (F.col("h") - F.lag("h").over(wu) > 24),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("isl", F.sum("new_isl").over(wu))
+    spans = m.groupBy("event_type", "user_id", "isl").agg(
+        F.min("h").alias("hs"), (F.max("h") + 23).alias("he")
+    )
+    cov = spans.select(
+        "event_type", F.explode(F.sequence("hs", "he")).alias("hour")
+    )
+    return cov.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    ).select("event_type", F.col("hour").cast("bigint").alias("hour"), "n_active")

@@ -1072,3 +1072,82 @@ def test_weighted_sample_priority_selection(spark):
     ]
     assert got == exp
     assert all(w >= 1 for (_d, w, _u, _p) in got)
+
+
+def test_rolling_distinct_users_matches_bruteforce(spark):
+    """w10: the interval-coverage expansion equals the quadratic
+    definition at sf0.001 — for every report hour H, the count of
+    distinct users with ANY event in (H-23..H], hours with zero active
+    users absent on both sides."""
+    from collections import defaultdict
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.event_type, r.hour): r.n_active
+        for r in all_queries()["w10_rolling_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    act = defaultdict(set)  # (type, hour) -> users
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .where("user_id IS NOT NULL")
+        .selectExpr("event_type", "user_id", "unix_millis(ts) div 3600000 AS h")
+        .collect()
+    ):
+        act[(r.event_type, r.h)].add(r.user_id)
+    hours = defaultdict(set)  # type -> active hours
+    for (t, h) in act:
+        hours[t].add(h)
+    exp = {}
+    for t, hs in hours.items():
+        for H in range(min(hs), max(hs) + 24):
+            users = set()
+            for h in range(H - 23, H + 1):
+                users |= act.get((t, h), set())
+            if users:
+                exp[(t, H)] = len(users)
+    assert got == exp and len(exp) > 100
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """a4c: the saturating-histogram weighted median equals the direct
+    definition at sf0.001 — sort each brand's (qty, weight) pairs by
+    qty, walk cumulative weight, return the first qty reaching half the
+    total."""
+    from collections import defaultdict
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.p_brand: (r.total_weight, r.wmedian_qty)
+        for r in all_queries()["a4c_weighted_median"].fn(spark, SF_SMOKE).collect()
+    }
+    pb = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    }
+    acc = defaultdict(lambda: defaultdict(int))
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .selectExpr(
+            "l_partkey",
+            "CAST(l_quantity AS LONG) AS qty",
+            "CAST(round(l_extendedprice * 100, 0) AS LONG) AS w",
+        )
+        .collect()
+    ):
+        acc[pb[r.l_partkey]][r.qty] += r.w
+    exp = {}
+    for brand, hist in acc.items():
+        total = sum(hist.values())
+        cum = 0
+        for qty in sorted(hist):
+            cum += hist[qty]
+            if 2 * cum >= total:
+                exp[brand] = (total, qty)
+                break
+    assert got == exp and len(exp) == 25
