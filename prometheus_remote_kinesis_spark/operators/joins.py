@@ -669,3 +669,137 @@ def j9_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("support"), "p1", "p2")
+
+
+J10_GAP_MS = 1_800_000  # session inactivity gap (30 min, t7's convention)
+J10_BUCKET_MS = 3_600_000  # overlap-join expansion bucket (1 h)
+
+_J10_ORACLE = f"""
+    WITH f AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                            OR ms - lag(ms) OVER w > {J10_GAP_MS}
+                       THEN 1 ELSE 0 END AS new_s
+        FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ),
+    sess AS (
+        SELECT user_id, sid, min(ms) AS ss, max(ms) AS se
+        FROM (SELECT *, sum(new_s) OVER (
+                  PARTITION BY user_id ORDER BY ms, event_id) AS sid
+              FROM flagged)
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, epoch_us(ts) // 1000 AS ms, event_id,
+               (value > 50) AS cond
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT *, CASE WHEN cond AND NOT coalesce(lag(cond) OVER w, FALSE)
+                       THEN 1 ELSE 0 END AS new_island
+        FROM d WINDOW w AS (PARTITION BY event_type ORDER BY ms, event_id)
+    ),
+    isl AS (
+        SELECT event_type, min(ms) AS i_s, max(ms) AS i_e
+        FROM (SELECT *, sum(new_island) OVER (
+                  PARTITION BY event_type ORDER BY ms, event_id) AS iid
+              FROM m)
+        WHERE cond
+        GROUP BY event_type, iid
+        HAVING max(ms) - min(ms) >= 600000
+    ),
+    pairs AS (
+        SELECT i.event_type,
+               least(s.se, i.i_e) - greatest(s.ss, i.i_s) AS ov
+        FROM sess s JOIN isl i ON s.ss <= i.i_e AND i.i_s <= s.se
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(ov) AS BIGINT) AS total_overlap_ms,
+           CAST(max(ov) AS BIGINT) AS max_overlap_ms
+    FROM pairs GROUP BY 1
+"""
+
+
+@register("j10_interval_overlap_join", family="J5", oracle=_J10_ORACLE)
+def j10_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — which user sessions ran while
+    an alert was breaching (incident blast-radius accounting: per alert
+    key, how many sessions overlapped a FIRED breach island and for how
+    long). A different join class from everything in the family: j1/j4
+    join points to points, j5/j5b a point into a range; here BOTH sides
+    are intervals and the predicate is Allen overlap
+    (s.start ≤ i.end AND i.start ≤ s.end), which no equi-key expresses
+    directly.
+
+    Scale shape — BUCKET-EXPANSION join (the standard distributed
+    interval-overlap rewrite): each interval explodes to the 1 h buckets
+    it covers (fan-out = ⌈span/1 h⌉, bounded by interval length, never
+    data size), the join runs as an EQUI join on the bucket key —
+    cardinality grows with retention, co-partitioning both sides — with
+    the exact overlap predicate as a residual filter, and multi-bucket
+    double-matches collapse in one distinct keyed by the pair identity
+    (user, ss, type, i_s). Left side: t7-convention 30 min-gap sessions
+    (w5 islands machinery on the high-cardinality user key). Right
+    side: REUSES t39's banded breach islands (fired only), so the
+    low-cardinality alert key never sees an unbanded window here
+    either. All-integer output (counts + overlap milliseconds); closed
+    intervals, point-touch counts as a 0 ms overlap; NULL users excluded
+    from sessions, NULL values from breaches (staleness rule)."""
+    from prometheus_remote_kinesis_spark.operators.time_windows import (
+        t39_alert_for_duration,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    f = ev.select(
+        "user_id", F.unix_millis("ts").alias("ms"), "event_id"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    sess = (
+        f.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ms").over(wu).isNull()
+                | (F.col("ms") - F.lag("ms").over(wu) > J10_GAP_MS),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("sid", F.sum("new_s").over(wu))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ms").alias("ss"), F.max("ms").alias("se"))
+    )
+    isl = (
+        t39_alert_for_duration(spark, sf_dir)
+        .where("fired")
+        .select("event_type", F.col("island_start").alias("i_s"),
+                F.col("island_end").alias("i_e"))
+    )
+    b = f"div {J10_BUCKET_MS}"
+    s_exp = sess.withColumn(
+        "bucket", F.explode(F.expr(f"sequence(ss {b}, se {b})"))
+    )
+    i_exp = isl.withColumn(
+        "bucket", F.explode(F.expr(f"sequence(i_s {b}, i_e {b})"))
+    )
+    pairs = (
+        s_exp.join(i_exp, "bucket")
+        .where((F.col("ss") <= F.col("i_e")) & (F.col("i_s") <= F.col("se")))
+        .select(
+            "event_type",
+            "user_id",
+            "ss",
+            "i_s",
+            (
+                F.least("se", "i_e") - F.greatest("ss", "i_s")
+            ).alias("ov"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        F.sum("ov").cast("bigint").alias("total_overlap_ms"),
+        F.max("ov").cast("bigint").alias("max_overlap_ms"),
+    )

@@ -1151,3 +1151,69 @@ def test_weighted_median_matches_bruteforce(spark):
                 exp[brand] = (total, qty)
                 break
     assert got == exp and len(exp) == 25
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """j10: the bucket-expansion overlap join equals the quadratic Allen
+    overlap at sf0.001 — sessions (30 min gaps) x fired breach islands,
+    closed intervals, point-touch = 0 ms overlap, multi-bucket pairs
+    deduped to one."""
+    from collections import defaultdict
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.event_type: (r.n_overlaps, r.total_overlap_ms, r.max_overlap_ms)
+        for r in all_queries()["j10_interval_overlap_join"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr(
+            "user_id", "event_type", "unix_millis(ts) AS ms", "event_id", "value"
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        if r.user_id is not None:
+            by_user[r.user_id].append((r.ms, r.event_id))
+    sessions = []
+    for u, pts in by_user.items():
+        pts.sort()
+        cur = [pts[0][0], pts[0][0]]
+        for ms, _eid in pts[1:]:
+            if ms - cur[1] > 1_800_000:
+                sessions.append(tuple(cur))
+                cur = [ms, ms]
+            else:
+                cur[1] = ms
+        sessions.append(tuple(cur))
+    by_type = defaultdict(list)
+    for r in ev:
+        if r.value is not None:
+            by_type[r.event_type].append((r.ms, r.event_id, r.value > 50))
+    islands = []
+    for t, pts in by_type.items():
+        pts.sort()
+        s = e = None
+        for ms, _eid, cond in pts:
+            if cond:
+                s, e = (ms, ms) if s is None else (s, ms)
+            elif s is not None:
+                islands.append((t, s, e))
+                s = None
+        if s is not None:
+            islands.append((t, s, e))
+    fired = [(t, s, e) for (t, s, e) in islands if e - s >= 600_000]
+    exp = defaultdict(lambda: [0, 0, None])
+    for (t, i_s, i_e) in fired:
+        for (ss, se) in sessions:
+            if ss <= i_e and i_s <= se:
+                ov = min(se, i_e) - max(ss, i_s)
+                acc = exp[t]
+                acc[0] += 1
+                acc[1] += ov
+                acc[2] = ov if acc[2] is None else max(acc[2], ov)
+    assert got == {t: tuple(v) for t, v in exp.items()} and len(got) >= 1
