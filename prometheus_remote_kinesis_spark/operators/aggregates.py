@@ -1444,3 +1444,96 @@ def a4c_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", F.col("total").alias("total_weight"))
         .agg(F.min("qty").cast("bigint").alias("wmedian_qty"))
     )
+
+
+A10E_ORACLE = """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type,
+               CASE WHEN cents <= 1 THEN 0
+                    ELSE length(bin(cents - 1)) END AS k
+        FROM c
+    ),
+    h AS (
+        SELECT event_type, k, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, k, n,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY k)
+                    AS BIGINT) AS c_n,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM h
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN 2 * c_n >= total THEN k END) AS BIGINT)
+               AS p50_bucket,
+           CAST(min(CASE WHEN 100 * c_n >= 99 * total THEN k END) AS BIGINT)
+               AS p99_bucket,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(total) AS BIGINT) AS n_samples,
+           CAST(max(k) AS BIGINT) AS max_bucket
+    FROM cum GROUP BY 1
+"""
+
+
+@register("a10e_native_histogram", family="A10", oracle=A10E_ORACLE)
+def a10e_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus NATIVE histograms — the sparse base-2 exponential
+    bucketing (schema 0: bucket k covers (2^(k-1), 2^k] in integer cent
+    units) that replaces the classic le-bucket scheme a10/a10b/a10c/a10d
+    consume: no pre-declared bounds, resolution follows the data, and
+    the sketch merges by bucket-index addition. Quantiles report the
+    rank-containing bucket INDEX (its upper bound is 2^k cents, exact) —
+    rank selection over exact integer counts, no interpolation and no
+    log() anywhere: the bucket index is the d22/t30 bit-length trick
+    (length(bin(cents−1)), exact where float log2 splits on power-of-2
+    boundaries and identical on both engines; ceil(log2(c)) for c ≥ 2,
+    bucket 0 holds c ≤ 1).
+
+    Scale shape: one per-row codegen pass (round + bin + length) into
+    one map-side-combinable (type, k) hash agg — ≤ |types|·~40 cells
+    (the cent domain caps k at ~40 for any float64-representable cent
+    value, so the histogram SATURATES, the a4c argument); the
+    cum/quantile windows run over those cells, never facts; one
+    |types|-row output. All-integer output; NULL staleness markers
+    excluded identically."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    c = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    b = c.select(
+        "event_type",
+        F.when(F.col("cents") <= 1, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("cents") - 1)))
+        .alias("k"),
+    )
+    h = b.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = h.withColumn("c_n", F.sum("n").over(wcum).cast("bigint")).withColumn(
+        "total", F.sum("n").over(wtot).cast("bigint")
+    )
+    return cum.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("c_n") >= F.col("total"), F.col("k")))
+        .cast("bigint")
+        .alias("p50_bucket"),
+        F.min(F.when(100 * F.col("c_n") >= 99 * F.col("total"), F.col("k")))
+        .cast("bigint")
+        .alias("p99_bucket"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("total").cast("bigint").alias("n_samples"),
+        F.max("k").cast("bigint").alias("max_bucket"),
+    )

@@ -1217,3 +1217,50 @@ def test_interval_overlap_join_matches_bruteforce(spark):
                 acc[1] += ov
                 acc[2] = ov if acc[2] is None else max(acc[2], ov)
     assert got == {t: tuple(v) for t, v in exp.items()} and len(got) >= 1
+
+
+def test_native_histogram_bucket_semantics(spark):
+    """a10e: engineered cents pin the exponential-bucket conventions —
+    bucket k covers (2^(k-1), 2^k] (a value exactly ON a power of 2
+    lands in the LOWER bucket, matching Prometheus upper-inclusive
+    native buckets), c <= 1 lands in bucket 0, and the rank-selected
+    quantile buckets match a hand computation."""
+    import math
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.event_type: (r.p50_bucket, r.p99_bucket, r.n_buckets, r.n_samples,
+                       r.max_bucket)
+        for r in all_queries()["a10e_native_histogram"].fn(spark, SF_SMOKE).collect()
+    }
+    from collections import Counter, defaultdict
+
+    hist = defaultdict(Counter)
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .where("value IS NOT NULL")
+        .selectExpr("event_type", "CAST(round(value * 100, 0) AS LONG) AS c")
+        .collect()
+    ):
+        k = 0 if r.c <= 1 else math.ceil(math.log2(r.c))
+        # cross-check the bit-length trick against exact integer log
+        if r.c > 1:
+            assert 2 ** (k - 1) < r.c <= 2 ** k
+        hist[r.event_type][k] += 1
+    exp = {}
+    for t, cnt in hist.items():
+        total = sum(cnt.values())
+        ks = sorted(cnt)
+        cum = 0
+        p50 = p99 = None
+        for k in ks:
+            cum += cnt[k]
+            if p50 is None and 2 * cum >= total:
+                p50 = k
+            if p99 is None and 100 * cum >= 99 * total:
+                p99 = k
+        exp[t] = (p50, p99, len(ks), total, max(ks))
+    assert got == exp and len(exp) == 5
