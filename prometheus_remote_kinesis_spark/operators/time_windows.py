@@ -2643,3 +2643,100 @@ def t39_alert_for_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fire_ms"),
     )
+
+
+T41_HL_MS = 600_000  # decay half-life (10 min): weight halves per idle HL
+
+T41_ORACLE = f"""
+    WITH RECURSIVE s AS (
+        SELECT event_type, user_id, CAST(value AS DOUBLE) AS v,
+               epoch_us(ts) // 1000 AS ms,
+               row_number() OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts, event_id) AS i,
+               count(*) OVER (PARTITION BY event_type, user_id) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+        SELECT event_type, user_id, i, n, v AS l, ms AS m
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.user_id, s.i, s.n,
+               s.v + (e.l - s.v)
+                     * (1.0 / CAST((CAST(1 AS BIGINT) << CAST(least(
+                           (s.ms - e.m) // {T41_HL_MS}, 62) AS INTEGER))
+                        AS DOUBLE)),
+               s.ms
+        FROM e
+        JOIN s ON s.event_type = e.event_type AND s.user_id = e.user_id
+              AND s.i = e.i + 1
+    )
+    SELECT event_type, user_id,
+           CAST(n AS BIGINT) AS n_samples,
+           floor(l * 1e6) / 1e6 AS ewma
+    FROM e WHERE i = n
+"""
+
+
+@register("t41_ewma_halflife", family="T20", oracle=T41_ORACLE)
+def t41_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-AWARE exponential smoothing on IRREGULAR samples — the
+    half-life EWMA every metrics store offers next to holt_winters
+    (t20), whose fixed α silently assumes equal spacing: here the old
+    level's weight halves per {T41_HL_MS} ms of idle time,
+    level' = v + (level − v)·2^(−⌊Δt/HL⌋), so a series polled sparsely
+    decays correctly and a burst doesn't over-weight the past.
+
+    Hash-match strategy: the decay factor is an EXACT DYADIC —
+    1.0 / CAST(1 << min(Δt div HL, 62) AS DOUBLE), an exact integer
+    power of two divided once (both exactly representable; no exp/pow
+    library call anywhere — the cross-libm hazard that forced d18 to
+    rational TV distance is avoided by quantizing the exponent to
+    integer halvings); the recurrence applies bit-identical IEEE ops in
+    identical operand order on both engines (the t20 discipline: Spark
+    runs an order-stable ``aggregate`` fold over the time-sorted sample
+    array, the oracle a recursive CTE — NOT list_reduce, whose struct
+    accumulator is sequential); output floor-truncates at 1e-6
+    (tie-free on identical doubles). NULL staleness markers excluded on
+    both paths before the fold.
+
+    Scale: one shuffle (the groupBy); per-series arrays bounded by
+    series length, chunkable with (level, last_ms) handoff exactly like
+    t20 — which is what the streaming twin t41s does with O(1) state."""
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_millis("ts").alias("ms"),
+                        "event_id",
+                        F.col("value").cast("double").alias("v"),
+                    )
+                )
+            ).alias("samples")
+        )
+    )
+
+    def step(acc, x):
+        # integer div: operands non-negative (samples sorted by ms)
+        g = F.floor((x["ms"] - acc["m"]) / F.lit(T41_HL_MS)).cast("int")
+        g = F.least(g, F.lit(62))
+        decay = F.lit(1.0) / F.call_function(
+            "shiftleft", F.lit(1).cast("long"), g
+        ).cast("double")
+        return F.struct(
+            (x["v"] + (acc["l"] - x["v"]) * decay).alias("l"),
+            x["ms"].alias("m"),
+        )
+
+    first = F.element_at("samples", 1)
+    init = F.struct(first["v"].alias("l"), first["ms"].alias("m"))
+    folded = F.aggregate(F.slice("samples", 2, F.size("samples")), init, step)
+    return s.select(
+        "event_type",
+        "user_id",
+        F.size("samples").cast("bigint").alias("n_samples"),
+        (F.floor(folded["l"] * 1e6) / 1e6).alias("ewma"),
+    )

@@ -53,6 +53,8 @@ from prometheus_remote_kinesis_spark.operators.time_windows import (
     T39_FOR_MS,
     T39_ORACLE,
     T39_THR,
+    T41_HL_MS,
+    T41_ORACLE,
     sliding_rollup_10min,
     tumbling_rollup_5min,
     user_sessions,
@@ -728,6 +730,43 @@ def t39s_alert_for_duration_stream(spark: SparkSession, sf_dir: str) -> DataFram
             )
             .cast("bigint")
             .alias("fire_ms"),
+        )
+    )
+
+
+@register("t41s_ewma_halflife_stream", family="T20-stream", oracle=T41_ORACLE)
+def t41s_ewma_halflife_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t41's half-life EWMA MAINTAINED BY the streaming engine:
+    applyInPandasWithState carries (n, last_ms, level) per series — the
+    exact chunk-handoff t41's docstring prescribes, O(1) state — and
+    applies the identical dyadic-decay recurrence in the identical
+    operand order (Python IEEE doubles ≡ the batch fold ≡ the recursive
+    CTE; the decay 1/2^g is exact, so chop cannot move a bit). Max-n
+    drain row per series is authoritative (t20s protocol); the
+    floor-truncation applies in the drain expression — registers
+    against t41's oracle."""
+    from pyspark.sql import Window
+
+    from prometheus_remote_kinesis_spark.streaming.stateful import ewma_halflife
+
+    records = stream_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("time"),
+        "value",
+    )
+    out = ewma_halflife(records, hl_ms=T41_HL_MS, idle_timeout_ms=None)
+    drained = run_to_batch(out, "append")
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.desc("n_samples"))
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "user_id",
+            "n_samples",
+            (F.floor(F.col("ewma_raw") * 1e6) / 1e6).alias("ewma"),
         )
     )
 

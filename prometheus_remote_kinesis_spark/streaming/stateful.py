@@ -1861,3 +1861,80 @@ def alert_for_duration(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("ewma_raw", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = "n long, m long, l double"
+
+
+def ewma_halflife(
+    records: DataFrame, hl_ms: int, idle_timeout_ms: int | None = 3_600_000
+) -> DataFrame:
+    """Streaming twin of t41's half-life EWMA: per series the state is
+    (n, last_ms, level) — the exact (level, last_ms) chunk-handoff the
+    batch docstring prescribes, O(1) for any stream length. Every
+    update is level' = v + (level − v)·(1 / float(1 << g)) with
+    g = min(Δt // hl, 62) — Python ints and IEEE doubles applying the
+    IDENTICAL operand order as the batch ``aggregate`` fold and the
+    recursive-CTE oracle (the t20s op-order-identity argument; the
+    dyadic decay is exact, so even the multiply inputs are bit-equal).
+    One summary row per touched series per batch; max-n drain row is
+    authoritative (t20s protocol); the floor-truncation happens in the
+    drain's Spark expression, not here."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        n, m, l = state.get if state.exists else (0, 0, 0.0)  # noqa: E741
+        for pdf in pdfs:
+            sort_keys = (
+                ["time", "event_id"] if "event_id" in pdf.columns else ["time"]
+            )
+            pdf = pdf.sort_values(sort_keys)
+            for _, r in pdf.iterrows():
+                v = r["value"]
+                if v is None or pd.isna(v):
+                    continue  # staleness marker — batch filter parity
+                ms = int(r["time"])
+                x = float(v)
+                if n == 0:
+                    l = x  # noqa: E741
+                else:
+                    g = min((ms - m) // hl_ms, 62)
+                    l = x + (l - x) * (1.0 / float(1 << g))  # noqa: E741
+                m, n = ms, n + 1
+        state.update((n, m, l))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "user_id": user_id,
+                    "n_samples": n,
+                    "ewma_raw": l,
+                }
+            ]
+        )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -1377,3 +1377,43 @@ def test_alert_for_duration_multibatch_chop(spark, tmp_path):
     }
     # the closed islands were emitted exactly once with their final n
     assert rows_out.count((0, 4 * 60_000, 4)) >= 1
+
+
+def test_ewma_halflife_multibatch_chop(spark, tmp_path):
+    """ewma_halflife under a REAL multi-batch chop: the (level, last_ms)
+    handoff across batch boundaries must reproduce the single-pass fold
+    bit-for-bit (dyadic decay is exact; op-order identity covers the
+    rest); NULLs bridge without advancing last_ms."""
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import ewma_halflife
+
+    HL = 600_000
+    vals = [10.0, 12.0, None, 8.0, 20.0, 4.0, 16.0]
+    # spacings chosen to exercise g = 0, 1, and >1 halvings
+    times = [0, 100_000, 150_000, 700_000, 2_000_000, 2_050_000, 9_999_999]
+    rows = [
+        {"event_id": i, "event_type": "m", "user_id": 1,
+         "time": t, "value": v}
+        for i, (t, v) in enumerate(zip(times, vals))
+    ]
+    out = run_to_batch(
+        ewma_halflife(
+            _chopped_stream(spark, tmp_path, rows, 4), hl_ms=HL,
+            idle_timeout_ms=None,
+        ),
+        "append",
+    )
+    best = max(out.collect(), key=lambda r: r["n_samples"])
+    # single-pass Python fold (identical op order)
+    l = m = n = None
+    for t, v in zip(times, vals):
+        if v is None:
+            continue
+        if n is None:
+            l, m, n = v, t, 1
+        else:
+            g = min((t - m) // HL, 62)
+            l = v + (l - v) * (1.0 / float(1 << g))
+            m, n = t, n + 1
+    assert best["n_samples"] == n == 6
+    assert best["ewma_raw"] == l  # bit-exact
