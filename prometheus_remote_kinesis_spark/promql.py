@@ -1,0 +1,545 @@
+"""PromQL front-end — a parser + compiler from a PromQL subset to
+Catalyst plans (PQ family).
+
+The reference is a relay with no query surface (SURVEY §0); its users
+query the relayed series with PromQL downstream. This module closes that
+loop inside the engine: a PromQL instant query compiles to the same
+DataFrame plans the t-family operators use, so "switch the dashboard to
+the Spark engine" needs no query rewrite for the supported subset.
+
+Supported grammar (instant queries, evaluated at T = corpus max ms —
+the t23/t25 convention)::
+
+    expr     := agg | vector | expr CMP number | expr ('*'|'/') number
+    agg      := ('sum'|'min'|'max'|'count'|'avg') ['by' '(' labels ')']
+                '(' expr ')'
+    vector   := fn '(' selector '[' duration ']' ')' | selector
+    fn       := 'rate' | 'increase' | 'avg_over_time' | 'sum_over_time'
+              | 'count_over_time' | 'min_over_time' | 'max_over_time'
+    selector := metric ['{' label '=' '"' value '"' [',' ...] '}']
+    duration := <int>('ms'|'s'|'m'|'h'|'d')
+
+Data-model mapping (TESTDATA.md): metric name ≡ ``event_type``; the one
+label is ``user`` ≡ ``user_id``; sample value ≡ ``value`` (NULL staleness
+markers excluded, the fleet rule). A bare selector is the instant vector:
+each series' last sample within the 5-minute staleness window (t23).
+
+EXACT-RATIONAL COMPILATION — the hash discipline as a compiler property:
+every vector node carries its value as an exact integer rational
+(``num``/``den`` columns, cents-derived), aggregations combine integer
+numerators (order-independent, so even a global ``sum()`` over thousands
+of series is hash-safe — the float-sum ordering hazard never exists),
+scalar comparisons evaluate by CROSS-MULTIPLICATION against the scalar
+parsed as an exact ``Fraction`` (no division, no ties), scalar ``*``/``/``
+rescale the rational, and ONE division happens at finalize:
+``floor(num/den · 1e6)/1e6`` (the f8 tie-free rule). Semantics notes:
+``rate``/``increase`` are reset-aware (t14's counter model) and require
+≥ 2 samples in the window (the Prometheus rule); range selectors cover
+``(T−W, T]``.
+
+Ref: the compile targets mirror kinesis.go's relayed record model
+(`/root/reference/kinesis.go:76-84` — what downstream Prometheus would
+evaluate this PromQL against).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prometheus_remote_kinesis_spark.registry import register
+from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- AST
+
+@dataclass(frozen=True)
+class Selector:
+    metric: str
+    matchers: tuple[tuple[str, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class RangeFn:
+    fn: str
+    sel: Selector
+    window_ms: int
+
+
+@dataclass(frozen=True)
+class Agg:
+    op: str
+    by: tuple[str, ...]
+    expr: object
+
+
+@dataclass(frozen=True)
+class Cmp:
+    expr: object
+    op: str
+    scalar: Fraction
+
+
+@dataclass(frozen=True)
+class Scale:
+    expr: object
+    op: str  # '*' or '/'
+    scalar: Fraction
+
+
+_RANGE_FNS = {
+    "rate", "increase", "avg_over_time", "sum_over_time",
+    "count_over_time", "min_over_time", "max_over_time",
+}
+_AGG_OPS = {"sum", "min", "max", "count", "avg"}
+_DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)(?P<unit>ms|[smhd])?"
+    r"|(?P<id>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<str>\"[^\"]*\")"
+    r"|(?P<op><=|>=|==|!=|[<>(){}\[\],=*/]))"
+)
+
+
+class PromQLError(ValueError):
+    pass
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip():
+                raise PromQLError(f"unexpected character at {pos!r}: {text[pos:]}")
+            break
+        pos = m.end()
+        if m.group("num") is not None:
+            if m.group("unit"):
+                out.append(("dur", m.group("num") + m.group("unit")))
+            else:
+                out.append(("num", m.group("num")))
+        elif m.group("id") is not None:
+            out.append(("id", m.group("id")))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1]))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, kind, val=None):
+        t = self._next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise PromQLError(f"expected {val or kind}, got {t}")
+        return t
+
+    def parse(self):
+        e = self._expr()
+        if self._peek()[0] != "eof":
+            raise PromQLError(f"trailing input: {self.toks[self.i:]}")
+        return e
+
+    def _expr(self):
+        e = self._primary()
+        while True:
+            k, v = self._peek()
+            if k == "op" and v in ("<", ">", "<=", ">=", "==", "!="):
+                self._next()
+                num = self._expect("num")[1]
+                e = Cmp(e, v, Fraction(num))
+            elif k == "op" and v in ("*", "/"):
+                self._next()
+                num = self._expect("num")[1]
+                s = Fraction(num)
+                if v == "/" and s == 0:
+                    raise PromQLError("division by zero scalar")
+                e = Scale(e, v, s)
+            else:
+                return e
+
+    def _primary(self):
+        k, v = self._peek()
+        if k == "id" and v in _AGG_OPS:
+            save = self.i
+            self._next()
+            by: tuple[str, ...] = ()
+            if self._peek() == ("id", "by"):
+                self._next()
+                self._expect("op", "(")
+                labels = [self._expect("id")[1]]
+                while self._peek() == ("op", ","):
+                    self._next()
+                    labels.append(self._expect("id")[1])
+                self._expect("op", ")")
+                by = tuple(labels)
+            if self._peek() == ("op", "("):
+                self._next()
+                inner = self._expr()
+                self._expect("op", ")")
+                return Agg(v, by, inner)
+            self.i = save  # an aggregation keyword used as a metric name
+        if k == "id" and v in _RANGE_FNS:
+            self._next()
+            self._expect("op", "(")
+            sel = self._selector()
+            self._expect("op", "[")
+            dur = self._expect("dur")[1]
+            m = re.fullmatch(r"(\d+)(ms|[smhd])", dur)
+            if not m:
+                raise PromQLError(f"bad duration {dur!r}")
+            self._expect("op", "]")
+            self._expect("op", ")")
+            return RangeFn(v, sel, int(m.group(1)) * _DUR_MS[m.group(2)])
+        return self._selector()
+
+    def _selector(self) -> Selector:
+        metric = self._expect("id")[1]
+        matchers: list[tuple[str, str]] = []
+        if self._peek() == ("op", "{"):
+            self._next()
+            while True:
+                label = self._expect("id")[1]
+                self._expect("op", "=")
+                val = self._expect("str")[1]
+                matchers.append((label, val))
+                if self._peek() == ("op", ","):
+                    self._next()
+                    continue
+                break
+            self._expect("op", "}")
+        return Selector(metric, tuple(matchers))
+
+
+def parse(text: str):
+    """Parse a PromQL string into the AST above (raises PromQLError)."""
+    return _Parser(text).parse()
+
+
+# ------------------------------------------------------------ compiler
+
+_LABELS = {"user": "user_id"}
+STALENESS_MS = 300_000  # instant-vector lookback (t23's 5-minute cut)
+
+
+@dataclass
+class _Vec:
+    """A compiled vector: label columns + exact rational value columns.
+
+    ``df`` holds ``labels + [num (bigint/decimal), den (bigint)]`` with
+    value = num/den in display units — exact on both engines until the
+    single finalize division."""
+
+    df: DataFrame
+    labels: tuple[str, ...]
+
+
+def _base(spark: SparkSession, sf_dir: str, sel: Selector) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.where(F.col("event_type") == sel.metric)
+    for label, val in sel.matchers:
+        if label not in _LABELS:
+            raise PromQLError(f"unknown label {label!r} (have: {set(_LABELS)})")
+        ev = ev.where(F.col(_LABELS[label]) == int(val))
+    return ev.select(
+        F.col("user_id").alias("user"),
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+
+
+def _t_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.max(F.unix_millis("ts")).alias("t_eval"))
+
+
+def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
+    if isinstance(node, Selector):  # instant vector: last sample, staleness cut
+        d = _base(spark, sf_dir, node).crossJoin(
+            F.broadcast(_t_eval(spark, sf_dir))
+        )
+        g = (
+            d.where(F.col("ms") <= F.col("t_eval"))
+            .groupBy("user")
+            .agg(
+                F.max("ms").alias("last_ms"),
+                F.max_by("c", F.struct("ms", "event_id")).alias("num"),
+                F.max("t_eval").alias("t_eval"),
+            )
+            .where(F.col("last_ms") >= F.col("t_eval") - STALENESS_MS)
+        )
+        return _Vec(
+            g.select("user", F.col("num").cast("long").alias("num"),
+                     F.lit(100).cast("long").alias("den")),
+            ("user",),
+        )
+    if isinstance(node, RangeFn):
+        d = _base(spark, sf_dir, node.sel).crossJoin(
+            F.broadcast(_t_eval(spark, sf_dir))
+        )
+        w = node.window_ms
+        d = d.where(
+            (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
+        )
+        if node.fn in ("rate", "increase"):
+            wl = Window.partitionBy("user").orderBy("ms", "event_id")
+            inc = (
+                F.when(F.lag("c").over(wl).isNull(), F.lit(0))
+                .when(F.col("c") >= F.lag("c").over(wl), F.col("c") - F.lag("c").over(wl))
+                .otherwise(F.col("c"))
+            )
+            g = (
+                d.select("user", inc.alias("inc"))
+                .groupBy("user")
+                .agg(
+                    F.sum("inc").cast("long").alias("inc"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .where(F.col("n") >= 2)  # Prometheus: rate needs two samples
+            )
+            if node.fn == "rate":  # cents/(100) per (W/1000) s → num/den dollars/s
+                out = g.select(
+                    "user",
+                    (F.col("inc") * 1000).cast("long").alias("num"),
+                    F.lit(100 * w).cast("long").alias("den"),
+                )
+            else:
+                out = g.select(
+                    "user", F.col("inc").alias("num"),
+                    F.lit(100).cast("long").alias("den"),
+                )
+            return _Vec(out, ("user",))
+        aggs = {
+            "avg_over_time": (F.sum("c").cast("long"), F.count(F.lit(1)) * 100),
+            "sum_over_time": (F.sum("c").cast("long"), F.lit(100)),
+            "count_over_time": (F.count(F.lit(1)), F.lit(1)),
+            "min_over_time": (F.min("c"), F.lit(100)),
+            "max_over_time": (F.max("c"), F.lit(100)),
+        }
+        num, den = aggs[node.fn]
+        g = d.groupBy("user").agg(
+            num.cast("long").alias("num"), den.cast("long").alias("den")
+        )
+        return _Vec(g, ("user",))
+    if isinstance(node, Agg):
+        inner = _compile_vector(spark, sf_dir, node.expr)
+        for lbl in node.by:
+            if lbl not in inner.labels:
+                raise PromQLError(f"by({lbl}) not in inner labels {inner.labels}")
+        keys = list(node.by)
+        gb = inner.df.groupBy(*keys) if keys else inner.df.groupBy()
+        if node.op in ("sum", "avg", "min", "max"):
+            # exact rational aggregation needs a common denominator within
+            # each group — true for every kernel above except
+            # avg_over_time's per-series den; enforced at runtime (cheap:
+            # den_lo/den_hi are aggregate outputs)
+            g = gb.agg(
+                {
+                    "sum": F.sum("num").cast("long"),
+                    "avg": F.sum("num").cast("long"),
+                    "min": F.min("num").cast("long"),
+                    "max": F.max("num").cast("long"),
+                }[node.op].alias("num"),
+                F.min("den").alias("den_lo"),
+                F.max("den").alias("den_hi"),
+                F.count(F.lit(1)).alias("n_in"),
+            )
+            g = g.where(F.col("den_lo") == F.col("den_hi"))
+            den = (
+                F.col("den_lo") * F.col("n_in")
+                if node.op == "avg"
+                else F.col("den_lo")
+            )
+            out = g.select(
+                *keys, F.col("num").alias("num"),
+                den.cast("long").alias("den"),
+            )
+        elif node.op == "count":
+            out = gb.agg(F.count(F.lit(1)).cast("long").alias("num")).select(
+                *keys, "num", F.lit(1).cast("long").alias("den")
+            )
+        return _Vec(out, tuple(keys))
+    if isinstance(node, Cmp):
+        inner = _compile_vector(spark, sf_dir, node.expr)
+        p, q = node.scalar.numerator, node.scalar.denominator
+        lhs = F.col("num") * F.lit(q)  # num/den OP p/q  ⟺  num·q OP p·den
+        rhs = F.lit(p) * F.col("den")
+        cond = {
+            ">": lhs > rhs, ">=": lhs >= rhs, "<": lhs < rhs,
+            "<=": lhs <= rhs, "==": lhs == rhs, "!=": lhs != rhs,
+        }[node.op]
+        return _Vec(inner.df.where(cond), inner.labels)
+    if isinstance(node, Scale):
+        inner = _compile_vector(spark, sf_dir, node.expr)
+        s = node.scalar if node.op == "*" else 1 / node.scalar
+        out = inner.df.select(
+            *inner.labels,
+            (F.col("num") * F.lit(s.numerator)).cast("long").alias("num"),
+            (F.col("den") * F.lit(s.denominator)).cast("long").alias("den"),
+        )
+        return _Vec(out, inner.labels)
+    raise PromQLError(f"unsupported node {node!r}")
+
+
+def compile_promql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Parse + compile a PromQL instant query; returns (labels..., value)
+    with value = floor(num/den · 1e6)/1e6 — ONE division after an
+    all-integer pipeline."""
+    vec = _compile_vector(spark, sf_dir, parse(query))
+    return vec.df.select(
+        *[F.col(c).cast("bigint").alias(c) for c in vec.labels],
+        (
+            F.floor(F.col("num").cast("double") / F.col("den").cast("double") * 1e6)
+            / 1e6
+        ).alias("value"),
+    )
+
+
+# ---------------------------------------------------- registered queries
+
+PQ1_QUERY = "sum(increase(click[1d]))"
+PQ1_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 86400000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    d AS (
+        SELECT user_id, c, lag(c) OVER (
+            PARTITION BY user_id ORDER BY ms, event_id) AS p
+        FROM s
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN p IS NULL THEN 0
+                             WHEN c >= p THEN c - p ELSE c END) AS BIGINT) AS inc
+        FROM d GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT floor(CAST(CAST(sum(inc) AS BIGINT) AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pq1_promql_sum_increase", family="PQ", oracle=PQ1_ORACLE)
+def pq1_promql_sum_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum(increase(click[1d]))`` through the parser+compiler — a GLOBAL
+    sum over every series' reset-aware increase, hash-safe because the
+    aggregation sums exact integer cents (the compiler's rational
+    pipeline), with the single division at finalize. See module
+    docstring for grammar/semantics."""
+    return compile_promql(spark, sf_dir, PQ1_QUERY)
+
+
+PQ2_QUERY = 'avg_over_time(purchase[1d]) > 40'
+PQ2_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id, CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                             AS BIGINT) AS num,
+               CAST(count(*) * 100 AS BIGINT) AS den
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 86400000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g WHERE num * 1 > 40 * den
+"""
+
+
+@register("pq2_promql_threshold_filter", family="PQ", oracle=PQ2_ORACLE)
+def pq2_promql_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``avg_over_time(purchase[1d]) > 40`` — per-series window average against a
+    scalar threshold; the comparison runs by CROSS-MULTIPLICATION in
+    exact integers (num > 40·den), so a knife-edge series can never
+    flip on a float rounding (the t35 multiplied-through rule, applied
+    by the compiler automatically)."""
+    return compile_promql(spark, sf_dir, PQ2_QUERY)
+
+
+PQ3_QUERY = "count(signup)"
+PQ3_ORACLE = f"""
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id, max(epoch_us(ts) // 1000) AS last_ms, max(t) AS t
+        FROM events, b
+        WHERE event_type = 'signup' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT floor(CAST(count(*) AS DOUBLE) / CAST(1 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g WHERE last_ms >= t - {STALENESS_MS}
+"""
+
+
+@register("pq3_promql_count_instant", family="PQ", oracle=PQ3_ORACLE)
+def pq3_promql_count_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``count(signup)`` — cardinality of the live instant vector:
+    a bare selector compiles to each series' last sample under the
+    5-minute staleness cut (t23's semantics), and ``count`` folds the
+    survivors."""
+    return compile_promql(spark, sf_dir, PQ3_QUERY)
+
+
+PQ4_QUERY = "sum by (user) (rate(view[1d])) * 3600"
+PQ4_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'view' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 86400000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    d AS (
+        SELECT user_id, c, lag(c) OVER (
+            PARTITION BY user_id ORDER BY ms, event_id) AS p
+        FROM s
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN p IS NULL THEN 0
+                             WHEN c >= p THEN c - p ELSE c END) AS BIGINT) AS inc
+        FROM d GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(inc * 1000 * 3600 AS DOUBLE)
+                 / CAST(CAST(100 AS BIGINT) * 86400000 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g
+"""
+
+
+@register("pq4_promql_rate_scaled", family="PQ", oracle=PQ4_ORACLE)
+def pq4_promql_rate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum by (user) (rate(view[1d])) * 3600`` — per-series counter rate rescaled to
+    per-hour units: the scalar ``* 3600`` multiplies the rational's
+    integer numerator (never a float), so the only division remains the
+    finalize step."""
+    return compile_promql(spark, sf_dir, PQ4_QUERY)

@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "prometheus_remote_kinesis_spark.llm.text",
     "prometheus_remote_kinesis_spark.llm.multimodal",
     "prometheus_remote_kinesis_spark.llm.pipeline",
+    "prometheus_remote_kinesis_spark.promql",
 ]
 
 

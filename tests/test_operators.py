@@ -1264,3 +1264,107 @@ def test_native_histogram_bucket_semantics(spark):
                 p99 = k
         exp[t] = (p50, p99, len(ks), total, max(ks))
     assert got == exp and len(exp) == 5
+
+
+def test_promql_parser_asts():
+    """The PromQL parser produces the documented AST shapes and rejects
+    malformed input loudly."""
+    from fractions import Fraction
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        Agg, Cmp, PromQLError, RangeFn, Scale, Selector, parse,
+    )
+
+    assert parse("click") == Selector("click")
+    assert parse('click{user="42"}') == Selector("click", (("user", "42"),))
+    assert parse("rate(view[5m])") == RangeFn("rate", Selector("view"), 300_000)
+    assert parse("sum by (user) (increase(click[1d]))") == Agg(
+        "sum", ("user",), RangeFn("increase", Selector("click"), 86_400_000)
+    )
+    e = parse("avg_over_time(purchase[90s]) > 40.5")
+    assert e == Cmp(
+        RangeFn("avg_over_time", Selector("purchase"), 90_000),
+        ">",
+        Fraction("40.5"),
+    )
+    assert parse("sum(rate(view[1h])) * 3600") == Scale(
+        Agg("sum", (), RangeFn("rate", Selector("view"), 3_600_000)),
+        "*",
+        Fraction(3600),
+    )
+    # an agg keyword followed by something that is not '(' parses as a
+    # metric name (count is a legal metric)
+    assert parse("count") == Selector("count")
+    for bad in (
+        "rate(view[5x])", "sum by user (click)", "click{user=42}",
+        "rate(view)", "click > ", "sum(click))", "rate(view[5m]) / 0",
+    ):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+
+def test_promql_compiler_matches_handbuilt(spark):
+    """Compiled `sum by (user) (increase(click[1d]))` equals a
+    hand-built DataFrame computation of the same semantics at sf0.001,
+    and the threshold filter keeps exactly the rows whose exact rational
+    exceeds the scalar."""
+    from fractions import Fraction
+
+    from prometheus_remote_kinesis_spark.promql import compile_promql
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum by (user) (increase(click[1d]))"
+        ).collect()
+    }
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'click' AND value IS NOT NULL")
+        .selectExpr(
+            "user_id", "unix_millis(ts) AS ms", "event_id",
+            "CAST(round(value * 100, 0) AS LONG) AS c",
+        )
+        .collect()
+    )
+    t = max(r.ms for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("unix_millis(ts) AS ms").collect()
+    ))
+    import math
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        if t - 86_400_000 < r.ms <= t:
+            per_user[r.user_id].append((r.ms, r.event_id, r.c))
+    exp = {}
+    for u, pts in per_user.items():
+        if len(pts) < 2:
+            continue
+        pts.sort(key=lambda x: (x[0], x[1]))
+        inc = sum(
+            (b[2] - a[2]) if b[2] >= a[2] else b[2]
+            for a, b in zip(pts, pts[1:])
+        )
+        exp[u] = math.floor(float(inc) / 100.0 * 1e6) / 1e6
+    assert got == exp and len(exp) >= 1
+
+    kept = {
+        r.user
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum by (user) (increase(click[1d])) > 30"
+        ).collect()
+    }
+    assert kept == {
+        u for u, pts in per_user.items()
+        if len(pts) >= 2
+        and Fraction(sum(
+            (b[2] - a[2]) if b[2] >= a[2] else b[2]
+            for a, b in zip(sorted(pts), sorted(pts)[1:])
+        ), 100) > 30
+    }
