@@ -1537,3 +1537,147 @@ def a10e_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").cast("bigint").alias("n_samples"),
         F.max("k").cast("bigint").alias("max_bucket"),
     )
+
+
+A4D_ORACLE = """
+    WITH h AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, c, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c)
+                    AS BIGINT) AS cu,
+               CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM h
+    ),
+    trimmed AS (
+        SELECT event_type, n, n // 20 AS k,
+               CAST(sum(c * greatest(CAST(0 AS BIGINT),
+                        least(cu, n - n // 20)
+                        - greatest(cu - cnt + 1, n // 20 + 1) + 1))
+                    AS DECIMAL(38,0)) AS tsum,
+               CAST(min(CASE WHEN 2 * cu >= n THEN c END) AS BIGINT) AS med
+        FROM cum GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT cum.event_type, abs(cum.c - t.med) AS d,
+               CAST(sum(cum.cnt) AS BIGINT) AS cnt, max(t.n) AS n
+        FROM cum JOIN trimmed t ON cum.event_type = t.event_type
+        GROUP BY 1, 2
+    ),
+    dcum AS (
+        SELECT event_type, d, n,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS cu
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(min(CASE WHEN 2 * cu >= n THEN d END) AS BIGINT)
+                   AS mad_cents
+        FROM dcum GROUP BY 1
+    )
+    SELECT t.event_type, t.n AS n_samples, CAST(t.k AS BIGINT) AS trim_k,
+           t.med AS median_cents, m.mad_cents,
+           floor(CAST(t.tsum AS DOUBLE) / CAST((t.n - 2 * t.k) * 100 AS DOUBLE)
+                 * 1e6) / 1e6 AS trimmed_mean
+    FROM trimmed t JOIN mad m ON t.event_type = m.event_type
+"""
+
+
+@register("a4d_robust_stats", family="A4", oracle=A4D_ORACLE)
+def a4d_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST statistics per metric — 5%-trimmed mean and MAD (median
+    absolute deviation), the outlier-resistant pair every monitoring
+    shop wants next to mean/stddev (a11's z-scores break on the same
+    outliers these tolerate). Exact order statistics WITHOUT ever
+    sorting facts: the fleet's saturating-histogram trick (a4c/t32)
+    taken one step further with PARTIAL-CELL RANK ARITHMETIC — each
+    (type, cents) cell spans ranks [cum−cnt+1, cum], so the trimmed sum
+    keeps max(0, min(cum, n−k) − max(cum−cnt+1, k+1) + 1) samples from
+    the cell (cells fully inside the trim window contribute wholly,
+    boundary cells partially, all in exact integers); the MAD's second
+    ranking runs over the |c − median| RE-KEYED HISTOGRAM — another
+    cell-level aggregate, facts are never touched twice.
+
+    Scale shape: ONE map-side-combinable (type, cents) hash agg over
+    facts — the cent domain is bounded (~49 k cells/type at sf0.01,
+    saturating, the t32 dict argument) — then every window/join runs
+    over cells. Trimmed sum accumulates as DECIMAL(38,0) ≡ HUGEINT
+    (t31s precedent: c·kept can reach 1e9·cells); one division at the
+    end, floor-truncated (f8); counts, k, median, MAD all exact
+    BIGINTs. NULL staleness markers excluded identically."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        events.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = h.withColumn("cu", F.sum("cnt").over(wcum).cast("bigint")).withColumn(
+        "n", F.sum("cnt").over(wtot).cast("bigint")
+    )
+    k = F.expr("n div 20")
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cu"), F.col("n") - k)
+        - F.greatest(F.col("cu") - F.col("cnt") + 1, k + 1)
+        + 1,
+    )
+    trimmed = cum.groupBy("event_type", "n").agg(
+        F.sum(F.col("c").cast("decimal(19,0)") * kept.cast("decimal(19,0)")).alias(
+            "tsum"
+        ),
+        F.min(F.when(2 * F.col("cu") >= F.col("n"), F.col("c")))
+        .cast("bigint")
+        .alias("med"),
+    ).withColumn("k", F.expr("n div 20"))
+    dev = (
+        cum.join(
+            F.broadcast(trimmed.select("event_type", "med")), "event_type"
+        )
+        .groupBy("event_type", F.abs(F.col("c") - F.col("med")).alias("d"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dcum = dev.withColumn("cu", F.sum("cnt").over(wd).cast("bigint")).join(
+        F.broadcast(trimmed.select("event_type", "n")), "event_type"
+    )
+    mad = dcum.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cu") >= F.col("n"), F.col("d")))
+        .cast("bigint")
+        .alias("mad_cents")
+    )
+    return trimmed.join(mad, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_samples"),
+        F.col("k").cast("bigint").alias("trim_k"),
+        F.col("med").alias("median_cents"),
+        "mad_cents",
+        (
+            F.floor(
+                F.col("tsum").cast("double")
+                / ((F.col("n") - 2 * F.col("k")) * 100).cast("double")
+                * 1e6
+            )
+            / 1e6
+        ).alias("trimmed_mean"),
+    )

@@ -1368,3 +1368,45 @@ def test_promql_compiler_matches_handbuilt(spark):
             for a, b in zip(sorted(pts), sorted(pts)[1:])
         ), 100) > 30
     }
+
+
+def test_robust_stats_matches_bruteforce(spark):
+    """a4d: partial-cell rank arithmetic equals the direct definition at
+    sf0.001 — sort each type's cents, drop exactly k = n div 20 from each
+    end, average the rest; median and MAD as lower medians."""
+    import math
+    from collections import defaultdict
+
+    from prometheus_remote_kinesis_spark.registry import all_queries
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.event_type: (r.n_samples, r.trim_k, r.median_cents, r.mad_cents,
+                       r.trimmed_mean)
+        for r in all_queries()["a4d_robust_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    vals = defaultdict(list)
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .where("value IS NOT NULL")
+        .selectExpr("event_type", "CAST(round(value * 100, 0) AS LONG) AS c")
+        .collect()
+    ):
+        vals[r.event_type].append(r.c)
+
+    def lower_median(sorted_xs):
+        n = len(sorted_xs)
+        return sorted_xs[(n + 1) // 2 - 1]  # smallest x with 2*rank >= n
+
+    exp = {}
+    for t, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        k = n // 20
+        kept = xs[k : n - k]
+        med = lower_median(xs)
+        mad = lower_median(sorted(abs(x - med) for x in xs))
+        tm = math.floor(float(sum(kept)) / float((n - 2 * k) * 100) * 1e6) / 1e6
+        exp[t] = (n, k, med, mad, tm)
+    assert got == exp and len(exp) == 5

@@ -66,6 +66,13 @@ WHITELIST: set[tuple[str, str]] = {
     # per-series lasts (≤ |series| rows, not the stream)
     ("t23s_instant_vector_stream", "nested_loop_join"),
     ("t25_rate_extrapolated", "nested_loop_join"),  # broadcast eval-time scalar
+    # PromQL front-end: every compiled instant query carries the same
+    # 1-row broadcast eval-time scalar (T = corpus max ms, the t25/t31
+    # shape) into the window/staleness cut
+    ("pq1_promql_sum_increase", "nested_loop_join"),
+    ("pq2_promql_threshold_filter", "nested_loop_join"),
+    ("pq3_promql_count_instant", "nested_loop_join"),
+    ("pq4_promql_rate_scaled", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
