@@ -1909,7 +1909,11 @@ def ewma_halflife(
                 if n == 0:
                     l = x  # noqa: E741
                 else:
-                    g = min((ms - m) // hl_ms, 62)
+                    # clamp at 0: an out-of-order sample (possible under
+                    # replayed/overlapping inputs; in-order arrival is the
+                    # batch-equivalence precondition, as for t20s) decays
+                    # by zero halvings instead of crashing the shift
+                    g = min(max((ms - m) // hl_ms, 0), 62)
                     l = x + (l - x) * (1.0 / float(1 << g))  # noqa: E741
                 m, n = ms, n + 1
         state.update((n, m, l))
