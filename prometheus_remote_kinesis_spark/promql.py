@@ -60,6 +60,7 @@ from prometheus_remote_kinesis_spark.sources.tables import load_table
 class Selector:
     metric: str
     matchers: tuple[tuple[str, str], ...] = ()
+    offset_ms: int = 0
 
 
 @dataclass(frozen=True)
@@ -73,6 +74,12 @@ class RangeFn:
 class Agg:
     op: str
     by: tuple[str, ...]
+    expr: object
+
+
+@dataclass(frozen=True)
+class TopK:
+    k: int
     expr: object
 
 
@@ -195,19 +202,39 @@ class _Parser:
                 self._expect("op", ")")
                 return Agg(v, by, inner)
             self.i = save  # an aggregation keyword used as a metric name
+        if k == "id" and v == "topk":
+            self._next()
+            self._expect("op", "(")
+            kk = self._expect("num")[1]
+            if "." in kk or int(kk) < 1:
+                raise PromQLError(f"topk k must be a positive integer, got {kk}")
+            self._expect("op", ",")
+            inner = self._expr()
+            self._expect("op", ")")
+            return TopK(int(kk), inner)
         if k == "id" and v in _RANGE_FNS:
             self._next()
             self._expect("op", "(")
             sel = self._selector()
             self._expect("op", "[")
-            dur = self._expect("dur")[1]
-            m = re.fullmatch(r"(\d+)(ms|[smhd])", dur)
-            if not m:
-                raise PromQLError(f"bad duration {dur!r}")
+            win = self._duration(self._expect("dur")[1])
             self._expect("op", "]")
+            if self._peek() == ("id", "offset"):
+                self._next()
+                sel = Selector(
+                    sel.metric, sel.matchers,
+                    self._duration(self._expect("dur")[1]),
+                )
             self._expect("op", ")")
-            return RangeFn(v, sel, int(m.group(1)) * _DUR_MS[m.group(2)])
+            return RangeFn(v, sel, win)
         return self._selector()
+
+    @staticmethod
+    def _duration(text: str) -> int:
+        m = re.fullmatch(r"(\d+)(ms|[smhd])", text)
+        if not m:
+            raise PromQLError(f"bad duration {text!r}")
+        return int(m.group(1)) * _DUR_MS[m.group(2)]
 
     def _selector(self) -> Selector:
         metric = self._expect("id")[1]
@@ -224,7 +251,11 @@ class _Parser:
                     continue
                 break
             self._expect("op", "}")
-        return Selector(metric, tuple(matchers))
+        off = 0
+        if self._peek() == ("id", "offset"):
+            self._next()
+            off = self._duration(self._expect("dur")[1])
+        return Selector(metric, tuple(matchers), off)
 
 
 def parse(text: str):
@@ -275,6 +306,8 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         d = _base(spark, sf_dir, node).crossJoin(
             F.broadcast(_t_eval(spark, sf_dir))
         )
+        if node.offset_ms:  # PromQL offset: evaluate at T - offset
+            d = d.withColumn("t_eval", F.col("t_eval") - node.offset_ms)
         g = (
             d.where(F.col("ms") <= F.col("t_eval"))
             .groupBy("user")
@@ -294,6 +327,8 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         d = _base(spark, sf_dir, node.sel).crossJoin(
             F.broadcast(_t_eval(spark, sf_dir))
         )
+        if node.sel.offset_ms:  # PromQL offset: the window shifts back
+            d = d.withColumn("t_eval", F.col("t_eval") - node.sel.offset_ms)
         w = node.window_ms
         d = d.where(
             (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
@@ -376,6 +411,14 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
                 *keys, "num", F.lit(1).cast("long").alias("den")
             )
         return _Vec(out, tuple(keys))
+    if isinstance(node, TopK):
+        inner = _compile_vector(spark, sf_dir, node.expr)
+        # sort key = ONE IEEE division of exact integers per row —
+        # identical on both engines (the d23 priority-key argument);
+        # labels break ties (LIMIT determinism rule)
+        key = F.col("num").cast("double") / F.col("den").cast("double")
+        out = inner.df.orderBy(F.desc(key), *inner.labels).limit(node.k)
+        return _Vec(out, inner.labels)
     if isinstance(node, Cmp):
         inner = _compile_vector(spark, sf_dir, node.expr)
         p, q = node.scalar.numerator, node.scalar.denominator
@@ -543,3 +586,72 @@ def pq4_promql_rate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer numerator (never a float), so the only division remains the
     finalize step."""
     return compile_promql(spark, sf_dir, PQ4_QUERY)
+
+
+PQ5_QUERY = "topk(3, sum by (user) (increase(click[1d])))"
+PQ5_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 86400000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    d AS (
+        SELECT user_id, c, lag(c) OVER (
+            PARTITION BY user_id ORDER BY ms, event_id) AS p
+        FROM s
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN p IS NULL THEN 0
+                             WHEN c >= p THEN c - p ELSE c END) AS BIGINT) AS inc
+        FROM d GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(inc AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+    ORDER BY CAST(inc AS DOUBLE) / CAST(100 AS DOUBLE) DESC, user_id
+    LIMIT 3
+"""
+
+
+@register("pq5_promql_topk", family="PQ", oracle=PQ5_ORACLE)
+def pq5_promql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``topk(3, sum by (user) (increase(click[1d])))`` — the
+    top-k selection compiles to TakeOrderedAndProject whose sort key is
+    ONE IEEE division of exact integers per row (identical on both
+    engines, the d23 priority-key argument), labels breaking ties
+    (LIMIT determinism rule)."""
+    return compile_promql(spark, sf_dir, PQ5_QUERY)
+
+
+PQ6_QUERY = "max_over_time(error[1d] offset 1d)"
+PQ6_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'error' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 86400000 - 86400000
+          AND epoch_us(ts) // 1000 <= t - 86400000
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(num AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g
+"""
+
+
+@register("pq6_promql_offset_window", family="PQ", oracle=PQ6_ORACLE)
+def pq6_promql_offset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``max_over_time(error[1d] offset 1d)`` — the ``offset``
+    modifier shifts the evaluation time: the range covers
+    (T−2d, T−1d], yesterday's window for week/day-over-day comparisons
+    (t34's idiom, reachable from query text)."""
+    return compile_promql(spark, sf_dir, PQ6_QUERY)

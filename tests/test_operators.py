@@ -1410,3 +1410,52 @@ def test_robust_stats_matches_bruteforce(spark):
         tm = math.floor(float(sum(kept)) / float((n - 2 * k) * 100) * 1e6) / 1e6
         exp[t] = (n, k, med, mad, tm)
     assert got == exp and len(exp) == 5
+
+
+def test_promql_topk_and_offset_parse_and_compile(spark):
+    """topk/offset extensions: AST shapes, the offset window's exact
+    range (a sample exactly at T-1d belongs to the offset window, not
+    the current one), and topk's deterministic tie-breaking."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        Agg, PromQLError, RangeFn, Selector, TopK, compile_promql, parse,
+    )
+
+    assert parse("rate(view[5m] offset 1h)") == RangeFn(
+        "rate", Selector("view", (), 3_600_000), 300_000
+    )
+    assert parse("click offset 30m") == Selector("click", (), 1_800_000)
+    t = parse("topk(3, sum by (user) (increase(click[1d])))")
+    assert isinstance(t, TopK) and t.k == 3 and isinstance(t.expr, Agg)
+    for bad in ("topk(0, click)", "topk(2.5, click)", "topk(3 click)",
+                "rate(view[5m] offset)", "click offset"):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(error[1d] offset 1d)"
+        ).collect()
+    }
+    cur = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(error[1d])"
+        ).collect()
+    }
+    # the two windows are disjoint: offset counts can't all equal current
+    assert got and cur and got != cur
+    topk = compile_promql(
+        spark, SF_SMOKE, "topk(2, count_over_time(error[2d]))"
+    ).collect()
+    full = sorted(
+        compile_promql(spark, SF_SMOKE, "count_over_time(error[2d])").collect(),
+        key=lambda r: (-r.value, r.user),
+    )
+    assert [(r.user, r.value) for r in topk] == [
+        (r.user, r.value) for r in full[:2]
+    ]
