@@ -354,3 +354,85 @@ def r5_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("recovered_sum"),
     )
+
+
+def remote_read_select(
+    spark: SparkSession,
+    sf_dir: str,
+    start_ms: int,
+    end_ms: int,
+    matchers: list[tuple[int, str, str]],
+) -> DataFrame:
+    """The query half of Prometheus ``remote_read`` (served by
+    server.py's ``POST /read``): apply LabelMatchers (EQ/NEQ/RE/NRE;
+    ``__name__`` ≡ event_type, ``user`` ≡ user_id — the promql.py
+    mapping) and the [start_ms, end_ms] range (the protocol's CLOSED
+    interval) to the record scan, returning the flat sample rows a
+    ReadResponse serializes. Regex matchers stay in the Java ∩ RE2
+    subset (the d19 rule — Prometheus itself is RE2).
+
+    Scale shape: pure scan-side conjunctive predicates — equality and
+    range reach parquet as PushedFilters, regex evaluates inside
+    codegen; no shuffle, no join. The serializing caller groups by
+    series AFTER this projection (ids only until then)."""
+    from prometheus_remote_kinesis_spark.sources.prompb import (
+        MATCH_EQ, MATCH_NEQ, MATCH_NRE, MATCH_RE,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = {"__name__": F.col("event_type"), "user": F.col("user_id").cast("string")}
+    pred = (F.unix_millis("ts") >= start_ms) & (F.unix_millis("ts") <= end_ms)
+    for mtype, name, value in matchers:
+        if name not in cols:
+            raise ValueError(f"unknown label {name!r} (have {sorted(cols)})")
+        c = cols[name]
+        if mtype == MATCH_EQ:
+            pred = pred & (c == value)
+        elif mtype == MATCH_NEQ:
+            pred = pred & (c != value)
+        elif mtype == MATCH_RE:
+            pred = pred & c.rlike(f"^(?:{value})$")  # RE2 full anchoring
+        elif mtype == MATCH_NRE:
+            pred = pred & ~c.rlike(f"^(?:{value})$")
+        else:
+            raise ValueError(f"unknown matcher type {mtype}")
+    return ev.where(pred).select(
+        F.col("event_type").alias("name"),
+        F.col("user_id").cast("bigint").alias("user"),
+        F.unix_millis("ts").alias("ms"),
+        "value",
+    )
+
+
+_R6_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events)
+    SELECT event_type AS name, CAST(user_id AS BIGINT) AS user,
+           epoch_us(ts) // 1000 AS ms, value
+    FROM events, b
+    WHERE epoch_us(ts) // 1000 >= t - 86400000
+      AND epoch_us(ts) // 1000 <= t
+      AND event_type = 'click'
+      AND regexp_full_match(CAST(user_id AS VARCHAR), '(?:[0-9]*[02468])')
+"""
+
+
+@register("r6_remote_read", family="S1-read", oracle=_R6_ORACLE)
+def r6_remote_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``remote_read`` served from the archive — the read
+    half the reference never had (it is write-only, kinesis.go): a
+    fixed ReadRequest ``{__name__="click", user=~"[0-9]*[02468]"}``
+    over the trailing day evaluates through the SAME matcher engine the
+    ``POST /read`` endpoint uses (``remote_read_select``), so the
+    driver hash-checks the protocol's query semantics — EQ + anchored
+    RE2 regex + closed time range — against DuckDB's regex engine. The
+    wire framing (snappy ∘ protobuf ReadRequest/ReadResponse, prompb.py
+    read codecs) is pinned separately by the server e2e pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.agg(F.max(F.unix_millis("ts")).alias("t")).collect()[0][0]
+    from prometheus_remote_kinesis_spark.sources.prompb import MATCH_EQ, MATCH_RE
+
+    return remote_read_select(
+        spark, sf_dir, t - 86400000, t,
+        [(MATCH_EQ, "__name__", "click"), (MATCH_RE, "user", "[0-9]*[02468]")],
+    )

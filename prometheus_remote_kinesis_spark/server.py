@@ -36,7 +36,10 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from prometheus_remote_kinesis_spark.sources.prompb import (
+    encode_read_response,
+    parse_read_request,
     parse_write_request,
+    snappy_compress_literal,
     snappy_decompress,
 )
 
@@ -75,6 +78,33 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        if self.path == "/read" and getattr(self.server, "read_handler", None):
+            # Prometheus remote_read (beyond-reference surface; the
+            # reference is write-only — this serves the relayed series
+            # BACK to a `remote_read` client, prompb.py read codecs):
+            # snappy(ReadRequest) → handler(queries) → snappy(ReadResponse)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                queries = parse_read_request(snappy_decompress(body))
+            except Exception:
+                self.send_response(400)
+                self.end_headers()
+                return
+            try:
+                results = self.server.read_handler(queries)  # type: ignore[attr-defined]
+                payload = snappy_compress_literal(encode_read_response(results))
+            except Exception:
+                self.send_response(500)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-protobuf")
+            self.send_header("Content-Encoding", "snappy")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+            return
         if self.path != "/receive":  # route, main.go:61
             self.send_response(404)
             self.end_headers()
@@ -131,12 +161,17 @@ class RemoteWriteServer(ThreadingHTTPServer):
         host: str = "127.0.0.1",
         port: int = 0,
         raw: bool = False,
+        read_handler=None,
     ):
         super().__init__((host, port), _Handler)
         self.spool_dir = spool_dir
         # raw=True: spool the validated snappy body as .pb.sz for the
         # format("prompb") DataSource — decode runs in Spark, not here.
         self.raw = raw
+        # optional remote_read: callable(queries) -> per-query series lists
+        # (prompb.encode_read_response shape); None keeps the server
+        # write-only like the reference (POST /read → 404)
+        self.read_handler = read_handler
         os.makedirs(spool_dir, exist_ok=True)
         self._thread: threading.Thread | None = None
 

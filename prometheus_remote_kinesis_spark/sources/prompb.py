@@ -373,3 +373,118 @@ def encode_remote_write_body(
     """Full wire body: snappy(protobuf(WriteRequest)) — what hits
     ``/receive`` (kinesis.go:69-84)."""
     return snappy_compress_literal(encode_write_request(timeseries))
+
+
+# ---------------------------------------------------------------------------
+# Prometheus remote READ protocol (public prompb spec, remote.proto):
+#   ReadRequest  { repeated Query queries = 1; }
+#   Query        { int64 start_timestamp_ms = 1; int64 end_timestamp_ms = 2;
+#                  repeated LabelMatcher matchers = 3; }
+#   LabelMatcher { Type type = 1 (EQ=0 NEQ=1 RE=2 NRE=3);
+#                  string name = 2; string value = 3; }
+#   ReadResponse { repeated QueryResult results = 1; }
+#   QueryResult  { repeated TimeSeries timeseries = 1; }
+# The reference implements only the WRITE half (kinesis.go); the read half
+# here lets the engine SERVE the relayed series back to a Prometheus
+# `remote_read` client — same varint/field primitives, same TimeSeries
+# shape as the write path, so responses round-trip through
+# parse_write_request's TimeSeries parser.
+
+MATCH_EQ, MATCH_NEQ, MATCH_RE, MATCH_NRE = 0, 1, 2, 3
+
+
+def _parse_matcher(buf: bytes) -> tuple[int, str, str]:
+    pos, mtype, name, value = 0, 0, "", ""
+    while pos < len(buf):
+        field, wire, pos = _read_key(buf, pos)
+        if field == 1 and wire == 0:
+            mtype, pos = _read_uvarint(buf, pos)
+        elif field == 2 and wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            name = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif field == 3 and wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            value = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        else:
+            pos = _skip(buf, pos, wire)
+    return (mtype, name, value)
+
+
+def parse_read_request(buf: bytes) -> list[dict]:
+    """protobuf ``ReadRequest`` bytes → list of query dicts
+    ``{"start_ms", "end_ms", "matchers": [(type, name, value), ...]}``."""
+    queries: list[dict] = []
+    pos = 0
+    while pos < len(buf):
+        field, wire, pos = _read_key(buf, pos)
+        if field == 1 and wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            q = buf[pos : pos + ln]
+            pos += ln
+            qpos, start, end, matchers = 0, 0, 0, []
+            while qpos < len(q):
+                f2, w2, qpos = _read_key(q, qpos)
+                if f2 == 1 and w2 == 0:
+                    raw, qpos = _read_uvarint(q, qpos)
+                    start = raw - (1 << 64) if raw >= (1 << 63) else raw
+                elif f2 == 2 and w2 == 0:
+                    raw, qpos = _read_uvarint(q, qpos)
+                    end = raw - (1 << 64) if raw >= (1 << 63) else raw
+                elif f2 == 3 and w2 == 2:
+                    ln2, qpos = _read_uvarint(q, qpos)
+                    matchers.append(_parse_matcher(q[qpos : qpos + ln2]))
+                    qpos += ln2
+                else:
+                    qpos = _skip(q, qpos, w2)
+            queries.append({"start_ms": start, "end_ms": end, "matchers": matchers})
+        else:
+            pos = _skip(buf, pos, wire)
+    return queries
+
+
+def encode_read_request(queries: list[dict]) -> bytes:
+    """Inverse of :func:`parse_read_request` (client side / test fixture)."""
+    out = bytearray()
+    for q in queries:
+        body = bytearray()
+        body += _field(1, 0) + _write_uvarint(q["start_ms"] & ((1 << 64) - 1))
+        body += _field(2, 0) + _write_uvarint(q["end_ms"] & ((1 << 64) - 1))
+        for mtype, name, value in q["matchers"]:
+            m = (
+                (_field(1, 0) + _write_uvarint(mtype) if mtype else b"")
+                + _len_delim(2, name.encode("utf-8"))
+                + _len_delim(3, value.encode("utf-8"))
+            )
+            body += _len_delim(3, bytes(m))
+        out += _len_delim(1, bytes(body))
+    return bytes(out)
+
+
+def encode_read_response(results: list[list[tuple[dict, list[tuple[float, int]]]]]) -> bytes:
+    """``[[ (labels, [(value, ts_ms), ...]) ... per series ] ... per query ]``
+    → ``prompb.ReadResponse`` bytes. Series reuse the WriteRequest
+    TimeSeries encoding, so :func:`parse_write_request` parses each
+    QueryResult payload."""
+    out = bytearray()
+    for series_list in results:
+        qr = encode_write_request(series_list)  # identical TimeSeries shape
+        out += _len_delim(1, qr)
+    return bytes(out)
+
+
+def parse_read_response(buf: bytes) -> list[list[dict]]:
+    """Inverse of :func:`encode_read_response`: per query, the
+    ``parse_write_request``-shaped series list."""
+    results: list[list[dict]] = []
+    pos = 0
+    while pos < len(buf):
+        field, wire, pos = _read_key(buf, pos)
+        if field == 1 and wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            results.append(parse_write_request(buf[pos : pos + ln]))
+            pos += ln
+        else:
+            pos = _skip(buf, pos, wire)
+    return results

@@ -138,3 +138,115 @@ def test_raw_spool_to_prompb_stream_relay(spark, tmp_path):
     assert rows[("stale", 3000)]["value"] is None
     assert rows[("empty_series", 0)]["value"] is None
     assert rows[("", 4000)]["value"] == 2.5
+
+
+def test_remote_read_endpoint_round_trip(tmp_path):
+    """POST /read e2e: snappy(ReadRequest) in, snappy(ReadResponse) out —
+    the read handler sees the parsed queries, its series serialize
+    through the WriteRequest-shaped TimeSeries encoding, and a NaN
+    sample survives the wire (the staleness marker's inverse mapping).
+    A server WITHOUT a read handler keeps reference parity: /read → 404."""
+    import math
+
+    from prometheus_remote_kinesis_spark.sources.prompb import (
+        MATCH_EQ,
+        MATCH_RE,
+        encode_read_request,
+        parse_read_response,
+        snappy_compress_literal,
+        snappy_decompress,
+    )
+
+    seen = {}
+
+    def handler(queries):
+        seen["queries"] = queries
+        return [
+            [
+                ({"__name__": "click", "user": "7"}, [(1.25, 1500), (None, 1600)]),
+                ({"__name__": "click", "user": "9"}, [(2.5, 1700)]),
+            ]
+        ]
+
+    srv = RemoteWriteServer(str(tmp_path / "spool"), read_handler=handler).start()
+    host, port = srv.server_address[:2]
+    req = snappy_compress_literal(
+        encode_read_request(
+            [{"start_ms": 1000, "end_ms": 2000,
+              "matchers": [(MATCH_EQ, "__name__", "click"),
+                           (MATCH_RE, "user", "[79]")]}]
+        )
+    )
+    try:
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.request("POST", "/read", body=req)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "application/x-protobuf"
+        body = resp.read()
+        conn.close()
+        # bad snappy → 400
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.request("POST", "/read", body=b"\xff\xffgarbage")
+        assert conn.getresponse().status == 400
+        conn.close()
+    finally:
+        srv.stop()
+
+    assert seen["queries"] == [
+        {"start_ms": 1000, "end_ms": 2000,
+         "matchers": [(MATCH_EQ, "__name__", "click"), (MATCH_RE, "user", "[79]")]}
+    ]
+    results = parse_read_response(snappy_decompress(body))
+    assert len(results) == 1 and len(results[0]) == 2
+    s0 = results[0][0]
+    assert {l["name"]: l["value"] for l in s0["labels"]} == {
+        "__name__": "click", "user": "7"
+    }
+    assert s0["samples"][0] == {"value": 1.25, "timestamp": 1500}
+    assert math.isnan(s0["samples"][1]["value"])
+
+    # write-only server (reference parity): /read routes to 404
+    srv2 = RemoteWriteServer(str(tmp_path / "spool2")).start()
+    try:
+        h2, p2 = srv2.server_address[:2]
+        assert _post(h2, p2, req, "/read") == 404
+    finally:
+        srv2.stop()
+
+
+def test_remote_read_matcher_semantics(spark):
+    """remote_read_select: NEQ and NRE matchers against a brute-force
+    filter at sf0.001, closed [start, end] range edges included."""
+    from prometheus_remote_kinesis_spark.ingest_queries import remote_read_select
+    from prometheus_remote_kinesis_spark.sources.prompb import (
+        MATCH_NEQ,
+        MATCH_NRE,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = [
+        (r.event_type, r.user_id, r.ms, r.value)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .selectExpr("event_type", "user_id", "unix_millis(ts) AS ms", "value")
+        .collect()
+    ]
+    mss = sorted(ms for (_t, _u, ms, _v) in ev)
+    start, end = mss[len(mss) // 4], mss[3 * len(mss) // 4]
+    got = {
+        (r.name, r.user, r.ms)
+        for r in remote_read_select(
+            spark, SF_SMOKE, start, end,
+            [(MATCH_NEQ, "__name__", "click"), (MATCH_NRE, "user", ".*[05]")],
+        ).collect()
+    }
+    import re as _re
+
+    exp = {
+        (t, u, ms)
+        for (t, u, ms, _v) in ev
+        if start <= ms <= end and t != "click" and u is not None
+        and not _re.fullmatch("(?:.*[05])", str(u))
+    }
+    assert got == exp and len(exp) > 50
