@@ -436,3 +436,39 @@ def r6_remote_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, t - 86400000, t,
         [(MATCH_EQ, "__name__", "click"), (MATCH_RE, "user", "[0-9]*[02468]")],
     )
+
+
+def spark_read_handler(spark: SparkSession, sf_dir: str):
+    """Factory closing the remote_read loop through Spark: returns the
+    ``read_handler`` callable ``RemoteWriteServer(read_handler=...)``
+    expects — each wire Query evaluates via :func:`remote_read_select`
+    (scan-side matchers + range), rows group into per-series sample
+    lists ordered by (ms, then value for exact duplicate-ms ties), and
+    the caller serializes them with ``encode_read_response``. The
+    per-query collect is bounded by the client's matchers + range (a
+    remote_read response must fit one HTTP body by protocol design —
+    the unbounded-scan path is the parquet archive, not this endpoint)."""
+
+    def handler(queries: list[dict]) -> list[list[tuple[dict, list[tuple[float, int]]]]]:
+        out = []
+        for q in queries:
+            df = remote_read_select(
+                spark, sf_dir, q["start_ms"], q["end_ms"], q["matchers"]
+            )
+            series: dict[tuple[str, int], list[tuple[float, int]]] = {}
+            for r in df.collect():
+                series.setdefault((r["name"], r["user"]), []).append(
+                    (r["value"], r["ms"])
+                )
+            out.append(
+                [
+                    (
+                        {"__name__": name, "user": str(user)},
+                        sorted(samples, key=lambda s: (s[1], s[0] is None, s[0])),
+                    )
+                    for (name, user), samples in sorted(series.items())
+                ]
+            )
+        return out
+
+    return handler

@@ -250,3 +250,67 @@ def test_remote_read_matcher_semantics(spark):
         and not _re.fullmatch("(?:.*[05])", str(u))
     }
     assert got == exp and len(exp) > 50
+
+
+def test_remote_read_spark_e2e(spark, tmp_path):
+    """The FULL remote_read loop: wire ReadRequest → POST /read →
+    Spark scan (matchers + range pushed to the parquet scan) →
+    ReadResponse wire → client parse — compared against a direct
+    DataFrame query over the same corpus."""
+    from prometheus_remote_kinesis_spark.ingest_queries import (
+        remote_read_select,
+        spark_read_handler,
+    )
+    from prometheus_remote_kinesis_spark.sources.prompb import (
+        MATCH_EQ,
+        encode_read_request,
+        parse_read_response,
+        snappy_compress_literal,
+        snappy_decompress,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    bounds = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("min(unix_millis(ts)) AS lo", "max(unix_millis(ts)) AS hi")
+        .collect()[0]
+    )
+    start, end = bounds.lo, bounds.lo + (bounds.hi - bounds.lo) // 8
+    matchers = [(MATCH_EQ, "__name__", "purchase")]
+
+    srv = RemoteWriteServer(
+        str(tmp_path / "spool"),
+        read_handler=spark_read_handler(spark, SF_SMOKE),
+    ).start()
+    host, port = srv.server_address[:2]
+    try:
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.request(
+            "POST",
+            "/read",
+            body=snappy_compress_literal(
+                encode_read_request(
+                    [{"start_ms": start, "end_ms": end, "matchers": matchers}]
+                )
+            ),
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        body = resp.read()
+        conn.close()
+    finally:
+        srv.stop()
+
+    results = parse_read_response(snappy_decompress(body))
+    got = {}
+    for s in results[0]:
+        labels = {l["name"]: l["value"] for l in s["labels"]}
+        got[(labels["__name__"], labels["user"])] = [
+            smp["timestamp"] for smp in s["samples"]
+        ]
+    direct = remote_read_select(spark, SF_SMOKE, start, end, matchers).collect()
+    exp = {}
+    for r in sorted(direct, key=lambda r: r["ms"]):
+        exp.setdefault((r["name"], str(r["user"])), []).append(r["ms"])
+    assert got == exp and len(exp) >= 5
