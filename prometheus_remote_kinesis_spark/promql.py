@@ -100,6 +100,7 @@ class Scale:
 _RANGE_FNS = {
     "rate", "increase", "avg_over_time", "sum_over_time",
     "count_over_time", "min_over_time", "max_over_time",
+    "last_over_time", "present_over_time", "stddev_over_time",
 }
 _AGG_OPS = {"sum", "min", "max", "count", "avg"}
 _DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
@@ -279,6 +280,9 @@ class _Vec:
 
     df: DataFrame
     labels: tuple[str, ...]
+    sqrt: bool = False  # value = sqrt(num/den) — stddev_over_time; sqrt is
+    # IEEE-correctly-rounded on both engines, so the finalize stays exact-
+    # deterministic; Cmp/Scale stay rational by SQUARING the scalar
 
 
 def _base(spark: SparkSession, sf_dir: str, sel: Selector) -> DataFrame:
@@ -333,6 +337,24 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         d = d.where(
             (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
         )
+        if node.fn == "stddev_over_time":
+            # population variance = (n·Σc² − (Σc)²) / (n²·100²); the
+            # regression-sums discipline (t31): exact integer partials,
+            # value = sqrt(num/den) at finalize. n·Σc² bounded ~1e16 at
+            # the 64× probe (ANSI mode raises loudly past int64).
+            g = d.groupBy("user").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c").cast("long").alias("s1"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+            )
+            out = g.select(
+                "user",
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                .cast("long")
+                .alias("num"),
+                (F.col("n") * F.col("n") * 10000).cast("long").alias("den"),
+            )
+            return _Vec(out, ("user",), sqrt=True)
         if node.fn in ("rate", "increase"):
             wl = Window.partitionBy("user").orderBy("ms", "event_id")
             inc = (
@@ -367,6 +389,11 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             "count_over_time": (F.count(F.lit(1)), F.lit(1)),
             "min_over_time": (F.min("c"), F.lit(100)),
             "max_over_time": (F.max("c"), F.lit(100)),
+            "last_over_time": (
+                F.max_by("c", F.struct("ms", "event_id")),
+                F.lit(100),
+            ),
+            "present_over_time": (F.max(F.lit(1)), F.lit(1)),
         }
         num, den = aggs[node.fn]
         g = d.groupBy("user").agg(
@@ -375,6 +402,11 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         return _Vec(g, ("user",))
     if isinstance(node, Agg):
         inner = _compile_vector(spark, sf_dir, node.expr)
+        if inner.sqrt and node.op != "count":
+            raise PromQLError(
+                "sum/avg/min/max over stddev_over_time is outside the exact-"
+                "rational subset (sqrt values don't aggregate rationally)"
+            )
         for lbl in node.by:
             if lbl not in inner.labels:
                 raise PromQLError(f"by({lbl}) not in inner labels {inner.labels}")
@@ -418,26 +450,35 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         # labels break ties (LIMIT determinism rule)
         key = F.col("num").cast("double") / F.col("den").cast("double")
         out = inner.df.orderBy(F.desc(key), *inner.labels).limit(node.k)
-        return _Vec(out, inner.labels)
+        return _Vec(out, inner.labels, sqrt=inner.sqrt)
     if isinstance(node, Cmp):
         inner = _compile_vector(spark, sf_dir, node.expr)
-        p, q = node.scalar.numerator, node.scalar.denominator
+        scalar = node.scalar
+        if inner.sqrt:
+            if scalar < 0:
+                raise PromQLError("stddev comparison against a negative scalar")
+            scalar = scalar * scalar  # sqrt(num/den) OP s ⟺ num/den OP s²
+        p, q = scalar.numerator, scalar.denominator
         lhs = F.col("num") * F.lit(q)  # num/den OP p/q  ⟺  num·q OP p·den
         rhs = F.lit(p) * F.col("den")
         cond = {
             ">": lhs > rhs, ">=": lhs >= rhs, "<": lhs < rhs,
             "<=": lhs <= rhs, "==": lhs == rhs, "!=": lhs != rhs,
         }[node.op]
-        return _Vec(inner.df.where(cond), inner.labels)
+        return _Vec(inner.df.where(cond), inner.labels, sqrt=inner.sqrt)
     if isinstance(node, Scale):
         inner = _compile_vector(spark, sf_dir, node.expr)
         s = node.scalar if node.op == "*" else 1 / node.scalar
+        if inner.sqrt:
+            if s < 0:
+                raise PromQLError("stddev scaling by a negative scalar")
+            s = s * s  # c·sqrt(num/den) = sqrt(c²·num/den)
         out = inner.df.select(
             *inner.labels,
             (F.col("num") * F.lit(s.numerator)).cast("long").alias("num"),
             (F.col("den") * F.lit(s.denominator)).cast("long").alias("den"),
         )
-        return _Vec(out, inner.labels)
+        return _Vec(out, inner.labels, sqrt=inner.sqrt)
     raise PromQLError(f"unsupported node {node!r}")
 
 
@@ -446,12 +487,11 @@ def compile_promql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     with value = floor(num/den · 1e6)/1e6 — ONE division after an
     all-integer pipeline."""
     vec = _compile_vector(spark, sf_dir, parse(query))
+    ratio = F.col("num").cast("double") / F.col("den").cast("double")
+    val = F.sqrt(ratio) if vec.sqrt else ratio
     return vec.df.select(
         *[F.col(c).cast("bigint").alias(c) for c in vec.labels],
-        (
-            F.floor(F.col("num").cast("double") / F.col("den").cast("double") * 1e6)
-            / 1e6
-        ).alias("value"),
+        (F.floor(val * 1e6) / 1e6).alias("value"),
     )
 
 
@@ -655,3 +695,44 @@ def pq6_promql_offset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (T−2d, T−1d], yesterday's window for week/day-over-day comparisons
     (t34's idiom, reachable from query text)."""
     return compile_promql(spark, sf_dir, PQ6_QUERY)
+
+
+PQ7_QUERY = "topk(5, stddev_over_time(view[1d]))"
+PQ7_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                        * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s2
+        FROM events, b
+        WHERE event_type = 'view' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 86400000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT user_id, CAST(n * s2 - s1 * s1 AS BIGINT) AS num,
+               CAST(n * n * 10000 AS BIGINT) AS den
+        FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(sqrt(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e6) / 1e6
+               AS value
+    FROM r
+    ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC, user_id
+    LIMIT 5
+"""
+
+
+@register("pq7_promql_stddev_topk", family="PQ", oracle=PQ7_ORACLE)
+def pq7_promql_stddev_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``topk(5, stddev_over_time(view[1d]))`` — population
+    stddev from the five exact regression-sum partials (t31's
+    discipline); the ONLY non-rational op is the finalize ``sqrt``,
+    which IEEE-754 defines as correctly rounded, so both engines hold
+    the identical double; topk orders by the UNDERLYING rational
+    (monotone-equivalent to the sqrt) and comparisons/scaling against a
+    stddev stay rational by squaring the scalar."""
+    return compile_promql(spark, sf_dir, PQ7_QUERY)

@@ -771,6 +771,72 @@ def t41s_ewma_halflife_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQS1_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(num AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g
+"""
+
+
+@register("pqs1_promql_sum_over_time_stream", family="PQ-stream", oracle=PQS1_ORACLE)
+def pqs1_promql_sum_over_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum_over_time(purchase[30d])`` EXECUTED BY the streaming
+    engine — the live-dashboard form of the pq-family compiler's kernel:
+    one complete-mode groupBy(user) holding exact integer cents plus the
+    series' (min, max) ms — three mergeable partials, chop-invariant
+    because integer sums are — and the drain applies the compiler's
+    identical divide-once + floor finalize. The [30d] window covers the
+    corpus only while its span stays under 30 d (true for the driver
+    corpora, ~29.998 d); the drain VERIFIES that from the drained
+    min/max partials and raises loudly instead of silently dropping the
+    cut — and the oracle CARRIES the cut, so a grown corpus fails the
+    hash gate red rather than green-by-accident."""
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.where(F.col("value").isNotNull())
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("ms"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("num"),
+            F.min("ms").alias("lo"),
+            F.max("ms").alias("hi"),
+        )
+    )
+    drained = run_to_batch(agg, "complete")
+    span = drained.agg(
+        (F.max("hi") - F.min("lo")).alias("span"),
+    ).collect()[0]["span"]
+    if span is not None and span >= 2592000000:
+        raise RuntimeError(
+            f"corpus span {span} ms >= the 30d window: the no-cut streaming "
+            "form no longer covers it — add the t28s bucket-cut flip"
+        )
+    return drained.select(
+        F.col("user_id").cast("bigint").alias("user"),
+        (
+            F.floor(F.col("num").cast("double") / F.lit(100).cast("double") * 1e6)
+            / 1e6
+        ).alias("value"),
+    )
+
+
 @register(
     "t10bs_gap_fill_stream",
     family="T13-stream",

@@ -1459,3 +1459,70 @@ def test_promql_topk_and_offset_parse_and_compile(spark):
     assert [(r.user, r.value) for r in topk] == [
         (r.user, r.value) for r in full[:2]
     ]
+
+
+def test_promql_stddev_semantics(spark):
+    """stddev kernel: value matches numpy's population stddev on exact
+    cents (within the 1e-6 floor), comparisons against a stddev square
+    the scalar (exact subset survives), aggregating a stddev raises,
+    and present_over_time/last_over_time behave."""
+    import math
+    from collections import defaultdict
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql, parse, _compile_vector,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "stddev_over_time(view[30d])"
+        ).collect()
+    }
+    per_user = defaultdict(list)
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'view' AND value IS NOT NULL")
+        .selectExpr("user_id", "CAST(round(value * 100, 0) AS LONG) AS c")
+        .collect()
+    ):
+        per_user[r.user_id].append(r.c)
+    for u, cs in per_user.items():
+        n = len(cs)
+        num = n * sum(c * c for c in cs) - sum(cs) ** 2
+        exp = math.floor(math.sqrt(num / (n * n * 10000)) * 1e6) / 1e6
+        assert got[u] == exp
+    # threshold squares the scalar: kept set == exact python filter
+    kept = {
+        r.user
+        for r in compile_promql(
+            spark, SF_SMOKE, "stddev_over_time(view[30d]) > 38.5"
+        ).collect()
+    }
+    from fractions import Fraction
+
+    exp_kept = set()
+    for u, cs in per_user.items():
+        n = len(cs)
+        num = n * sum(c * c for c in cs) - sum(cs) ** 2
+        if Fraction(num, n * n * 10000) > Fraction("38.5") ** 2:
+            exp_kept.add(u)
+    # ~38.5 is the median stddev at sf0.001: the threshold must actually
+    # split the set, exercising both comparison branches
+    assert kept == exp_kept and kept and kept != set(per_user)
+    with pytest.raises(PromQLError):
+        _compile_vector(
+            spark, SF_SMOKE, parse("sum(stddev_over_time(view[1d]))")
+        )
+    present = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "present_over_time(view[30d])"
+        ).collect()
+    }
+    assert set(present) == set(per_user)
+    assert all(v == 1.0 for v in present.values())
