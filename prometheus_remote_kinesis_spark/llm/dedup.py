@@ -954,7 +954,16 @@ def l2j_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Window for prefix ranking partitions by doc_id — key count grows
     with the corpus. τ is compile-time; higher τ ⇒ shorter prefixes ⇒
     fewer candidates, the knob real crawlers tune."""
-    sh_sets = shingled_docs(load_table(spark, sf_dir, "documents"))
+    # sh_sets feeds the postings AND both verification sides, and
+    # prefixes feeds BOTH sides of the candidate self-join: without
+    # lineage truncation Catalyst re-inlines the scan→shingle→rank
+    # pipeline at every reference (the g2 lesson) — measured 39.8 s at
+    # the 32× fresh probe vs ~19 s with the two checkpoints, and 150 s
+    # vs 55 s at 64× (the r8-era 16×-only probe missed this knee; the
+    # 64× rule exists because of exactly this class).
+    sh_sets = shingled_docs(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
     post = sh_sets.select("doc_id", F.explode("sh").alias("g"))
     freq = post.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("doc_id").orderBy("f", "g")
@@ -973,7 +982,11 @@ def l2j_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 1
     )
-    prefixes = ranked.where(F.col("rn") <= pref_len).select("doc_id", "g")
+    prefixes = (
+        ranked.where(F.col("rn") <= pref_len)
+        .select("doc_id", "g")
+        .localCheckpoint(eager=True)  # rank window runs ONCE, not per side
+    )
     cand = (
         prefixes.select(F.col("doc_id").alias("id_a"), "g")
         .join(prefixes.select(F.col("doc_id").alias("id_b"), "g"), "g")
@@ -1010,4 +1023,134 @@ def l2j_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard_ppm"
             ),
         )
+    )
+
+
+L2K_TAU_NUM = 4  # containment threshold τ = 4/5: |A∩B| ≥ 0.8·|A|
+L2K_TAU_DEN = 5
+
+_L2K_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, s.i, s.i + 2), ' ') AS g
+        FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS s(i)
+        WHERE len(t) >= 3
+        UNION
+        SELECT doc_id, array_to_string(t, ' ') AS g
+        FROM toks WHERE len(t) < 3
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb,
+           CAST((i * 1000000) // sa.n AS BIGINT) AS containment_ppm
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE {L2K_TAU_DEN} * i >= {L2K_TAU_NUM} * sa.n
+"""
+
+
+@register("l2k_containment_join", family="L2", oracle=_L2K_ORACLE)
+def l2k_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment-threshold join — the ASYMMETRIC near-dup case
+    symmetric Jaccard (l2/l2j) structurally misses: a short document
+    embedded verbatim inside a much longer one has |A∩B|/|A| ≈ 1 but
+    Jaccard ≈ |A|/|B| ≈ 0 (quote farms, boilerplate-wrapped reposts,
+    excerpt pages). Reports every DIRECTIONAL pair with
+    |A∩B| ≥ τ·|A|, τ = {L2K_TAU_NUM}/{L2K_TAU_DEN}.
+
+    Prefix filtering goes one-sided (the containment variant of
+    Bayardo et al. 2007, cf. PPJoin's asymmetric extension): if
+    |A∩B| ≥ τ·|A| then A's (n_a − ⌈τ·n_a⌉ + 1)-length prefix under ANY
+    global order intersects B — so candidates come from joining the
+    CONTAINED side's prefix against the container side's FULL postings.
+    The rarest-shingle-first order makes that safe at scale: prefix
+    members are globally rare BY CONSTRUCTION, so the full posting
+    lists they probe are short — the boilerplate shingles that blow up
+    an unfiltered inverted index never appear in any prefix.
+    Verification is exact integer-only (array_intersect size,
+    {L2K_TAU_DEN}·i ≥ {L2K_TAU_NUM}·n_a cross-multiplied, containment
+    shipped as truncated PPM by integer division). The ORACLE is the
+    unfiltered all-pairs join — the hash compare IS the one-sided
+    prefix-completeness theorem executed on data (the l2j discipline).
+
+    Scale shape: one posting shuffle to rank by global frequency, the
+    candidate join keyed on prefix shingles (short-string keys, short
+    postings), full shingle arrays move only to verify candidates (two
+    id-keyed joins, O(candidates)); text itself never shuffles
+    (shingled_docs' digest discipline)."""
+    # sh_sets feeds the postings AND both verification sides, and
+    # prefixes feeds BOTH sides of the candidate self-join: without
+    # lineage truncation Catalyst re-inlines the scan→shingle→rank
+    # pipeline at every reference (the g2 lesson) — measured 39.8 s at
+    # the 32× fresh probe vs ~19 s with the two checkpoints, and 150 s
+    # vs 55 s at 64× (the r8-era 16×-only probe missed this knee; the
+    # 64× rule exists because of exactly this class).
+    sh_sets = shingled_docs(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    post = sh_sets.select("doc_id", F.explode("sh").alias("g"))
+    freq = post.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("doc_id").orderBy("f", "g")
+    n_col = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ranked = (
+        post.join(freq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", n_col)
+    )
+    pref_len = (
+        F.col("cnt")
+        - F.expr(
+            f"CAST(({L2K_TAU_NUM} * cnt + {L2K_TAU_DEN - 1}) "
+            f"DIV {L2K_TAU_DEN} AS BIGINT)"
+        )
+        + 1
+    )
+    prefixes = (
+        ranked.where(F.col("rn") <= pref_len)
+        .select("doc_id", "g")
+        .localCheckpoint(eager=True)  # rank window runs once (l2j's note)
+    )
+    cand = (
+        prefixes.select(F.col("doc_id").alias("id_a"), "g")
+        .join(post.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh_sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sha"),
+        F.size("sh").cast("bigint").alias("na"),
+    )
+    sb = sh_sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("shb"),
+        F.size("sh").cast("bigint").alias("nb"),
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "i", F.size(F.array_intersect("sha", "shb")).cast("bigint")
+        )
+        .where(L2K_TAU_DEN * F.col("i") >= L2K_TAU_NUM * F.col("na"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "i",
+        "na",
+        "nb",
+        F.expr("CAST((i * 1000000) DIV na AS BIGINT)").alias("containment_ppm"),
     )

@@ -108,6 +108,11 @@ WHITELIST: set[tuple[str, str]] = {
     # Eager localCheckpoint (lineage truncation for the iterative CC
     # loops) surfaces as Scan ExistingRDD — that IS the design.
     ("l2e_neardup_clusters", "rdd_scan"),
+    # l2j/l2k checkpoint sh_sets + prefixes: the shingle→rank pipeline
+    # feeds 3-4 references and re-inlines without truncation (measured
+    # at the r10 64× re-probe — SCALE.md)
+    ("l2j_prefix_jaccard_join", "rdd_scan"),
+    ("l2k_containment_join", "rdd_scan"),
     ("l2f_neardup_clusters_star", "rdd_scan"),
     # g2 checkpoints its edge set (referenced ~6×) and oriented edges
     # (3×): without it Catalyst inlines the scan→window→distinct edge
