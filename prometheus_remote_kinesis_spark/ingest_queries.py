@@ -430,6 +430,8 @@ def r6_remote_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     read codecs) is pinned separately by the server e2e pytest."""
     ev = load_table(spark, sf_dir, "events")
     t = ev.agg(F.max(F.unix_millis("ts")).alias("t")).collect()[0][0]
+    if t is None:  # empty corpus → empty (but well-typed) read window
+        t = 86400000
     from prometheus_remote_kinesis_spark.sources.prompb import MATCH_EQ, MATCH_RE
 
     return remote_read_select(
