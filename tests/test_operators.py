@@ -1526,3 +1526,84 @@ def test_promql_stddev_semantics(spark):
     }
     assert set(present) == set(per_user)
     assert all(v == 1.0 for v in present.values())
+
+
+def test_alert_islands_bucket_boundary_stitching(spark, tmp_path):
+    """t39's banded gaps-islands on ENGINEERED timestamps the corpus may
+    not contain: an island whose samples straddle a bucket boundary, an
+    island bridging an ENTIRELY EMPTY bucket (sample adjacency — must
+    merge), a non-breaching sample between two breaching runs in
+    different buckets (must split), and a breaching run fully covering
+    one bucket (touches both edges). Ground truth is the naive global
+    scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.operators.time_windows import (
+        T39_BUCKET_MS,
+        T39_FOR_MS,
+        t39_alert_for_duration,
+    )
+
+    H = T39_BUCKET_MS
+    rows = []  # (ms, value): >50 breaches
+    # island A: straddles bucket 0 → 1 boundary (all breaching)
+    rows += [(H - 120_000, 60.0), (H - 60_000, 70.0), (H + 60_000, 80.0)]
+    # island B: ends bucket 2; bucket 3 EMPTY; resumes bucket 4 → ONE island
+    rows += [(2 * H + 100_000, 90.0), (2 * H + 200_000, 95.0)]
+    rows += [(4 * H + 50_000, 99.0)]
+    # non-breaching sample in bucket 5 splits C1 (bucket 5) from C2 (bucket 6)
+    rows += [(5 * H + 10_000, 75.0), (5 * H + 20_000, 10.0)]
+    rows += [(6 * H + 30_000, 88.0)]
+    # island D: covers ALL of bucket 8's samples (touches both edges)
+    rows += [(8 * H + i * 200_000, 60.0 + i) for i in range(5)]
+    # NULL staleness marker inside island A must bridge, not split
+    rows.insert(2, (H + 1_000, None))
+
+    df = spark.createDataFrame(
+        [
+            (i, ms, 1, "m", v, "{}")
+            for i, (ms, v) in enumerate(rows)
+        ],
+        "event_id long, ms long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ms") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "t39edge")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        (r.island_start, r.island_end): (r.n_samples, r.fired, r.fire_ms)
+        for r in t39_alert_for_duration(spark, sf).collect()
+    }
+    # naive ground truth
+    pts = sorted((ms, v) for ms, v in rows if v is not None)
+    islands = []
+    cur = None
+    for ms, v in pts:
+        if v > 50:
+            cur = [ms, ms, 1] if cur is None else [cur[0], ms, cur[2] + 1]
+        elif cur is not None:
+            islands.append(tuple(cur))
+            cur = None
+    if cur is not None:
+        islands.append(tuple(cur))
+    exp = {
+        (s, e): (n, e - s >= T39_FOR_MS, s + T39_FOR_MS if e - s >= T39_FOR_MS else None)
+        for (s, e, n) in islands
+    }
+    assert got == exp
+    # pin the structure: islands are runs of consecutive breaching
+    # SAMPLES regardless of bucket — everything from A through C1 chains
+    # into ONE 7-sample island (crossing the 0→1 boundary, the NULL, the
+    # empty bucket 3, and three stitch hops) until the 10.0 sample splits
+    # it; the second island chains C2 + D (6 samples) across buckets 6→8
+    ns = sorted(n for (n, _f, _fm) in got.values())
+    assert ns == [6, 7]
