@@ -736,3 +736,27 @@ def pq7_promql_stddev_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (monotone-equivalent to the sqrt) and comparisons/scaling against a
     stddev stay rational by squaring the scalar."""
     return compile_promql(spark, sf_dir, PQ7_QUERY)
+
+
+PQ8_QUERY = 'count_over_time(click{user="7"}[30d])'
+PQ8_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events)
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(count(*) AS DOUBLE) / CAST(1 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM events, b
+    WHERE event_type = 'click' AND value IS NOT NULL AND user_id = 7
+      AND epoch_us(ts) // 1000 > t - 2592000000
+      AND epoch_us(ts) // 1000 <= t
+    GROUP BY 1
+"""
+
+
+@register("pq8_promql_label_matcher", family="PQ", oracle=PQ8_ORACLE)
+def pq8_promql_label_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``count_over_time(click{user="7"}[30d])`` — the label
+    MATCHER path through the compiler (`{user="7"}` becomes a scan-side
+    equality predicate pushed to parquet alongside the metric-name
+    filter), driver-checkable where pq1–pq7 only exercise bare
+    selectors."""
+    return compile_promql(spark, sf_dir, PQ8_QUERY)

@@ -76,6 +76,7 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq5_promql_topk", "nested_loop_join"),
     ("pq6_promql_offset_window", "nested_loop_join"),
     ("pq7_promql_stddev_topk", "nested_loop_join"),
+    ("pq8_promql_label_matcher", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
