@@ -8,16 +8,38 @@ DataFrame plans the t-family operators use, so "switch the dashboard to
 the Spark engine" needs no query rewrite for the supported subset.
 
 Supported grammar (instant queries, evaluated at T = corpus max ms —
-the t23/t25 convention)::
+the t23/t25 convention; standard precedence — ``*``/``/`` bind tighter
+than ``+``/``-``, comparisons lowest, all left-associative)::
 
-    expr     := agg | vector | expr CMP number | expr ('*'|'/') number
+    expr     := addexpr | expr CMP number
+    addexpr  := mulexpr | addexpr ('+'|'-') (number | mulexpr)
+    mulexpr  := primary | mulexpr ('*'|'/') (number | primary)
+    primary  := agg | topk | histq | vector
     agg      := ('sum'|'min'|'max'|'count'|'avg') ['by' '(' labels ')']
                 '(' expr ')'
+    histq    := 'histogram_quantile' '(' phi ','
+                'sum' 'by' '(' 'le' ')'
+                '(' 'count_over_time' '(' metric'_bucket' '[' dur ']' ')' ')'
+                ')'
     vector   := fn '(' selector '[' duration ']' ')' | selector
     fn       := 'rate' | 'increase' | 'avg_over_time' | 'sum_over_time'
               | 'count_over_time' | 'min_over_time' | 'max_over_time'
-    selector := metric ['{' label '=' '"' value '"' [',' ...] '}']
+    selector := metric ['{' label op '"' value '"' [',' ...] '}']
+    op       := '=' | '!=' | '=~' | '!~'       (Prometheus matcher ops)
     duration := <int>('ms'|'s'|'m'|'h'|'d')
+
+Regex matchers are FULLY ANCHORED (``^(?:v)$``) exactly like Prometheus
+and this engine's own remote_read matcher engine
+(``ingest_queries.py::_remote_read_select``); patterns must stay in the
+Java ∩ RE2 subset (the d19 rule). Vector-vector ``+ - * /`` matches on
+IDENTICAL label sets (one-to-one), like bare PromQL without
+``on``/``ignoring``; ``/`` drops samples whose divisor is exactly zero
+(Prometheus emits ±Inf/NaN there — outside the exact-rational subset,
+and excluded identically in every oracle). ``histogram_quantile``
+emulates classic ``_bucket`` series: ``<m>_bucket`` selects metric
+``<m>`` and buckets its samples over the engine's le-bounds (a10b's
+``_HIST_BOUNDS``) — cumulative-by-construction — then applies
+Prometheus's linear interpolation; it must be the OUTERMOST expression.
 
 Data-model mapping (TESTDATA.md): metric name ≡ ``event_type``; the one
 label is ``user`` ≡ ``user_id``; sample value ≡ ``value`` (NULL staleness
@@ -59,7 +81,8 @@ from prometheus_remote_kinesis_spark.sources.tables import load_table
 @dataclass(frozen=True)
 class Selector:
     metric: str
-    matchers: tuple[tuple[str, str], ...] = ()
+    # (label, op, value) with op ∈ {'=', '!=', '=~', '!~'}
+    matchers: tuple[tuple[str, str, str], ...] = ()
     offset_ms: int = 0
 
 
@@ -97,6 +120,26 @@ class Scale:
     scalar: Fraction
 
 
+@dataclass(frozen=True)
+class Shift:
+    expr: object
+    op: str  # '+' or '-'
+    scalar: Fraction
+
+
+@dataclass(frozen=True)
+class VecBin:
+    left: object
+    op: str  # '+', '-', '*', '/'
+    right: object
+
+
+@dataclass(frozen=True)
+class HistQ:
+    phi: Fraction
+    expr: object
+
+
 _RANGE_FNS = {
     "rate", "increase", "avg_over_time", "sum_over_time",
     "count_over_time", "min_over_time", "max_over_time",
@@ -108,7 +151,7 @@ _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)(?P<unit>ms|[smhd])?"
     r"|(?P<id>[A-Za-z_][A-Za-z0-9_]*)"
     r"|(?P<str>\"[^\"]*\")"
-    r"|(?P<op><=|>=|==|!=|[<>(){}\[\],=*/]))"
+    r"|(?P<op><=|>=|==|!=|=~|!~|[-+<>(){}\[\],=*/]))"
 )
 
 
@@ -165,20 +208,43 @@ class _Parser:
         return e
 
     def _expr(self):
-        e = self._primary()
+        # comparisons bind loosest (standard PromQL precedence)
+        e = self._addexpr()
         while True:
             k, v = self._peek()
             if k == "op" and v in ("<", ">", "<=", ">=", "==", "!="):
                 self._next()
                 num = self._expect("num")[1]
                 e = Cmp(e, v, Fraction(num))
-            elif k == "op" and v in ("*", "/"):
+            else:
+                return e
+
+    def _addexpr(self):
+        e = self._mulexpr()
+        while True:
+            k, v = self._peek()
+            if k == "op" and v in ("+", "-"):
                 self._next()
-                num = self._expect("num")[1]
-                s = Fraction(num)
-                if v == "/" and s == 0:
-                    raise PromQLError("division by zero scalar")
-                e = Scale(e, v, s)
+                if self._peek()[0] == "num":
+                    e = Shift(e, v, Fraction(self._next()[1]))
+                else:  # vector rhs: one multiplicative unit (left-assoc)
+                    e = VecBin(e, v, self._mulexpr())
+            else:
+                return e
+
+    def _mulexpr(self):
+        e = self._primary()
+        while True:
+            k, v = self._peek()
+            if k == "op" and v in ("*", "/"):
+                self._next()
+                if self._peek()[0] == "num":
+                    s = Fraction(self._next()[1])
+                    if v == "/" and s == 0:
+                        raise PromQLError("division by zero scalar")
+                    e = Scale(e, v, s)
+                else:
+                    e = VecBin(e, v, self._primary())
             else:
                 return e
 
@@ -203,6 +269,16 @@ class _Parser:
                 self._expect("op", ")")
                 return Agg(v, by, inner)
             self.i = save  # an aggregation keyword used as a metric name
+        if k == "id" and v == "histogram_quantile":
+            self._next()
+            self._expect("op", "(")
+            phi = Fraction(self._expect("num")[1])
+            if not (0 <= phi <= 1):
+                raise PromQLError(f"histogram_quantile phi must be in [0,1], got {phi}")
+            self._expect("op", ",")
+            inner = self._expr()
+            self._expect("op", ")")
+            return HistQ(phi, inner)
         if k == "id" and v == "topk":
             self._next()
             self._expect("op", "(")
@@ -239,14 +315,18 @@ class _Parser:
 
     def _selector(self) -> Selector:
         metric = self._expect("id")[1]
-        matchers: list[tuple[str, str]] = []
+        matchers: list[tuple[str, str, str]] = []
         if self._peek() == ("op", "{"):
             self._next()
             while True:
                 label = self._expect("id")[1]
-                self._expect("op", "=")
+                k, op = self._next()
+                if k != "op" or op not in ("=", "!=", "=~", "!~"):
+                    raise PromQLError(
+                        f"expected a matcher op (= != =~ !~), got {(k, op)}"
+                    )
                 val = self._expect("str")[1]
-                matchers.append((label, val))
+                matchers.append((label, op, val))
                 if self._peek() == ("op", ","):
                     self._next()
                     continue
@@ -270,6 +350,29 @@ _LABELS = {"user": "user_id"}
 STALENESS_MS = 300_000  # instant-vector lookback (t23's 5-minute cut)
 
 
+def _variable_den(node) -> bool:
+    """True when the compiled vector's rational denominator can DIFFER
+    across rows — the property that makes integer-numerator aggregation
+    (sum/avg/min/max) unsound. avg_over_time's den is count·100 (varies
+    per series); an avg aggregation's den is den·n_in (varies per
+    group); every other kernel above yields a query-constant den.
+    Checked at COMPILE time so the unsound query raises PromQLError
+    instead of silently filtering groups (r10 ADVICE)."""
+    if isinstance(node, Selector):
+        return False
+    if isinstance(node, RangeFn):
+        return node.fn == "avg_over_time"
+    if isinstance(node, Agg):
+        return node.op == "avg"  # den = den_in · n_in, n_in per-group
+    if isinstance(node, (TopK, Cmp, Scale, Shift)):
+        return _variable_den(node.expr)
+    if isinstance(node, VecBin):
+        if node.op == "/":
+            return True  # den picks up the rhs NUMERATOR — data-dependent
+        return _variable_den(node.left) or _variable_den(node.right)
+    return True  # unknown node: be loud, not silently wrong
+
+
 @dataclass
 class _Vec:
     """A compiled vector: label columns + exact rational value columns.
@@ -288,10 +391,23 @@ class _Vec:
 def _base(spark: SparkSession, sf_dir: str, sel: Selector) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     ev = ev.where(F.col("event_type") == sel.metric)
-    for label, val in sel.matchers:
+    for label, op, val in sel.matchers:
         if label not in _LABELS:
             raise PromQLError(f"unknown label {label!r} (have: {set(_LABELS)})")
-        ev = ev.where(F.col(_LABELS[label]) == int(val))
+        c = F.col(_LABELS[label])
+        if op in ("=", "!="):
+            try:
+                iv = int(val)
+            except ValueError:
+                raise PromQLError(
+                    f"label {label!r} holds integer ids; {val!r} is not one "
+                    "(use =~ for pattern matching)"
+                ) from None
+            ev = ev.where(c == iv if op == "=" else c != iv)
+        elif op == "=~":  # RE2 full anchoring — the remote_read convention
+            ev = ev.where(c.cast("string").rlike(f"^(?:{val})$"))
+        else:  # '!~'
+            ev = ev.where(~c.cast("string").rlike(f"^(?:{val})$"))
     return ev.select(
         F.col("user_id").alias("user"),
         F.unix_millis("ts").alias("ms"),
@@ -401,6 +517,16 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         )
         return _Vec(g, ("user",))
     if isinstance(node, Agg):
+        if node.op in ("sum", "avg", "min", "max") and _variable_den(node.expr):
+            # before compiling the inner vector: a pure AST-walk check,
+            # so the unsound query fails fast with no plan built
+            raise PromQLError(
+                f"{node.op}() over a variable-denominator vector "
+                "(avg_over_time / nested avg) is outside the exact-"
+                "rational subset: per-series denominators differ, so "
+                "integer-numerator aggregation is unsound — aggregate "
+                "sum_over_time and count_over_time separately instead"
+            )
         inner = _compile_vector(spark, sf_dir, node.expr)
         if inner.sqrt and node.op != "count":
             raise PromQLError(
@@ -413,10 +539,11 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         keys = list(node.by)
         gb = inner.df.groupBy(*keys) if keys else inner.df.groupBy()
         if node.op in ("sum", "avg", "min", "max"):
-            # exact rational aggregation needs a common denominator within
-            # each group — true for every kernel above except
-            # avg_over_time's per-series den; enforced at runtime (cheap:
-            # den_lo/den_hi are aggregate outputs)
+            # exact rational aggregation needs a common denominator
+            # within each group — variable-den kernels (avg_over_time,
+            # nested avg) were REJECTED AT COMPILE TIME above (r10
+            # ADVICE: the silent den_lo==den_hi filter returned an
+            # empty result for a grammatically valid query).
             g = gb.agg(
                 {
                     "sum": F.sum("num").cast("long"),
@@ -428,6 +555,8 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
                 F.max("den").alias("den_hi"),
                 F.count(F.lit(1)).alias("n_in"),
             )
+            # defensive invariant only: provably vacuous for the accepted
+            # subset (the compile-time check above guarantees constant den)
             g = g.where(F.col("den_lo") == F.col("den_hi"))
             den = (
                 F.col("den_lo") * F.col("n_in")
@@ -479,14 +608,149 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             (F.col("den") * F.lit(s.denominator)).cast("long").alias("den"),
         )
         return _Vec(out, inner.labels, sqrt=inner.sqrt)
+    if isinstance(node, Shift):
+        inner = _compile_vector(spark, sf_dir, node.expr)
+        if inner.sqrt:
+            raise PromQLError(
+                "scalar +/- over stddev_over_time is outside the exact-"
+                "rational subset (sqrt doesn't shift rationally)"
+            )
+        # num/den ± p/q = (num·q ± p·den) / (den·q) — stays exact
+        p, q = node.scalar.numerator, node.scalar.denominator
+        sp = p if node.op == "+" else -p
+        out = inner.df.select(
+            *inner.labels,
+            (F.col("num") * F.lit(q) + F.lit(sp) * F.col("den"))
+            .cast("long")
+            .alias("num"),
+            (F.col("den") * F.lit(q)).cast("long").alias("den"),
+        )
+        return _Vec(out, inner.labels)
+    if isinstance(node, VecBin):
+        lv = _compile_vector(spark, sf_dir, node.left)
+        rv = _compile_vector(spark, sf_dir, node.right)
+        if lv.sqrt or rv.sqrt:
+            raise PromQLError(
+                "vector arithmetic over stddev_over_time is outside the "
+                "exact-rational subset"
+            )
+        if lv.labels != rv.labels:
+            raise PromQLError(
+                f"vector-vector {node.op!r} needs identical label sets "
+                f"(one-to-one matching), got {lv.labels} vs {rv.labels}"
+            )
+        keys = list(lv.labels)
+        left = lv.df.select(
+            *keys, F.col("num").alias("lnum"), F.col("den").alias("lden")
+        )
+        right = rv.df.select(
+            *keys, F.col("num").alias("rnum"), F.col("den").alias("rden")
+        )
+        # scalar-result vectors (labels = ()) combine by cross join of
+        # two 1-row frames — sum(a) / sum(b) global ratios
+        j = left.join(right, keys) if keys else left.crossJoin(right)
+        if node.op == "+":
+            num = F.col("lnum") * F.col("rden") + F.col("rnum") * F.col("lden")
+            den = F.col("lden") * F.col("rden")
+        elif node.op == "-":
+            num = F.col("lnum") * F.col("rden") - F.col("rnum") * F.col("lden")
+            den = F.col("lden") * F.col("rden")
+        elif node.op == "*":
+            num = F.col("lnum") * F.col("rnum")
+            den = F.col("lden") * F.col("rden")
+        else:  # '/': drop divisor-zero samples (PromQL's ±Inf/NaN rows —
+            # outside the exact-rational subset; excluded in every oracle)
+            j = j.where(F.col("rnum") != 0)
+            # keep the den > 0 invariant (Cmp's cross-multiplication and
+            # topk's sort direction both rely on it): fold the divisor's
+            # sign into the numerator
+            sgn = F.when(F.col("rnum") < 0, F.lit(-1)).otherwise(F.lit(1))
+            num = F.col("lnum") * F.col("rden") * sgn
+            den = F.abs(F.col("lden") * F.col("rnum"))
+        out = j.select(
+            *keys, num.cast("long").alias("num"), den.cast("long").alias("den")
+        )
+        return _Vec(out, lv.labels)
+    if isinstance(node, HistQ):
+        raise PromQLError(
+            "histogram_quantile must be the outermost expression (its "
+            "result is an interpolated double, not an exact rational)"
+        )
     raise PromQLError(f"unsupported node {node!r}")
+
+
+from prometheus_remote_kinesis_spark.operators.aggregates import (
+    _HIST_BOUNDS as _PQ_HQ_BOUNDS,  # a10b's le-bounds; PQ-prefixed alias
+    # (the r8 shadowing rule — never re-bind a bare upstream name here)
+)
+
+
+def _compile_histq(spark: SparkSession, sf_dir: str, node: HistQ) -> DataFrame:
+    """Compile ``histogram_quantile(φ, sum by (le)
+    (count_over_time(<m>_bucket[w])))`` to a10b's one-hash-aggregation +
+    array-interpolation plan (`operators/aggregates.py:439`): the scan
+    aggregates to ONE row of |bounds| cumulative integer counts (the
+    classic ``_bucket`` series emulated over the engine's le-bounds —
+    cumulative by construction), the target bucket index comes from the
+    EXACT integer comparison c_i·q < p·n (φ = p/q as a Fraction — no
+    float rank ties), and Prometheus's linear interpolation runs as one
+    deterministic double expression, truncated by the f8 tie-free rule."""
+    inner = node.expr
+    shape_ok = (
+        isinstance(inner, Agg)
+        and inner.op == "sum"
+        and inner.by == ("le",)
+        and isinstance(inner.expr, RangeFn)
+        and inner.expr.fn == "count_over_time"
+        and inner.expr.sel.metric.endswith("_bucket")
+    )
+    if not shape_ok:
+        raise PromQLError(
+            "histogram_quantile supports exactly "
+            "sum by (le) (count_over_time(<metric>_bucket[w]))"
+        )
+    rf = inner.expr
+    sel = Selector(
+        rf.sel.metric[: -len("_bucket")], rf.sel.matchers, rf.sel.offset_ms
+    )
+    d = _base(spark, sf_dir, sel).crossJoin(F.broadcast(_t_eval(spark, sf_dir)))
+    if sel.offset_ms:
+        d = d.withColumn("t_eval", F.col("t_eval") - sel.offset_ms)
+    d = d.where(
+        (F.col("ms") > F.col("t_eval") - rf.window_ms)
+        & (F.col("ms") <= F.col("t_eval"))
+    )
+    p, q = node.phi.numerator, node.phi.denominator
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("c") <= int(round(b * 100))).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(_PQ_HQ_BOUNDS)
+        ],
+    ).where(F.col("n") > 0)  # empty window → 0 rows (both engines)
+    cums = F.array(*[F.col(f"c{i}") for i in range(len(_PQ_HQ_BOUNDS))])
+    bounds = F.array(*[F.lit(float(b)) for b in _PQ_HQ_BOUNDS])
+    idx = F.size(F.filter(cums, lambda c: c * F.lit(q) < F.lit(p) * F.col("n")))
+    rank = (F.lit(p) * F.col("n")).cast("double") / F.lit(q)
+    lower = F.coalesce(F.get(bounds, idx - 1), F.lit(0.0))
+    cum_lower = F.coalesce(F.get(cums, idx - 1), F.lit(0)).cast("double")
+    upper = F.get(bounds, idx)
+    cum_upper = F.get(cums, idx).cast("double")
+    val = F.when(idx >= F.size(bounds), F.element_at(bounds, -1)).otherwise(
+        lower + (upper - lower) * (rank - cum_lower) / (cum_upper - cum_lower)
+    )
+    return g.select((F.floor(val * 1e6) / 1e6).alias("value"))
 
 
 def compile_promql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """Parse + compile a PromQL instant query; returns (labels..., value)
     with value = floor(num/den · 1e6)/1e6 — ONE division after an
-    all-integer pipeline."""
-    vec = _compile_vector(spark, sf_dir, parse(query))
+    all-integer pipeline (histogram_quantile finalizes through its
+    interpolation expression instead; see _compile_histq)."""
+    ast = parse(query)
+    if isinstance(ast, HistQ):
+        return _compile_histq(spark, sf_dir, ast)
+    vec = _compile_vector(spark, sf_dir, ast)
     ratio = F.col("num").cast("double") / F.col("den").cast("double")
     val = F.sqrt(ratio) if vec.sqrt else ratio
     return vec.df.select(
@@ -760,3 +1024,179 @@ def pq8_promql_label_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter), driver-checkable where pq1–pq7 only exercise bare
     selectors."""
     return compile_promql(spark, sf_dir, PQ8_QUERY)
+
+
+PQ9_QUERY = 'sum_over_time(purchase{user=~"1.?"}[30d])'
+PQ9_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND regexp_full_match(CAST(user_id AS VARCHAR), '1.?')
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(num AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g
+"""
+
+
+@register("pq9_promql_regex_matcher", family="PQ", oracle=PQ9_ORACLE)
+def pq9_promql_regex_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum_over_time(purchase{user=~"1.?"}[30d])`` — the REGEX
+    matcher path through the compiler: ``=~`` compiles to a fully
+    anchored ``rlike('^(?:1.?)$')`` scan-side predicate, the exact
+    semantics of this engine's remote_read matcher engine
+    (``ingest_queries.py::_remote_read_select``, MATCH_RE) and of
+    Prometheus itself (RE2, full anchoring); the oracle's
+    ``regexp_full_match`` applies the identical anchoring. Patterns
+    stay in the Java ∩ RE2 subset (the d19 rule)."""
+    return compile_promql(spark, sf_dir, PQ9_QUERY)
+
+
+PQ10_QUERY = "increase(error[30d]) / increase(view[30d])"
+PQ10_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT event_type, user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type IN ('error', 'view') AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    d AS (
+        SELECT event_type, user_id, c, lag(c) OVER (
+            PARTITION BY event_type, user_id ORDER BY ms, event_id) AS p
+        FROM s
+    ),
+    g AS (
+        SELECT event_type, user_id,
+               CAST(sum(CASE WHEN p IS NULL THEN 0
+                             WHEN c >= p THEN c - p ELSE c END) AS BIGINT) AS inc
+        FROM d GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT CAST(ge.user_id AS BIGINT) AS user,
+           floor(CAST(ge.inc * 100 AS DOUBLE)
+                 / CAST(100 * gv.inc AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g ge JOIN g gv ON ge.user_id = gv.user_id
+    WHERE ge.event_type = 'error' AND gv.event_type = 'view'
+      AND gv.inc <> 0
+"""
+
+
+@register("pq10_promql_vector_ratio", family="PQ", oracle=PQ10_ORACLE)
+def pq10_promql_vector_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``increase(error[30d]) / increase(view[30d])`` — the
+    vector-VECTOR binary-op path (t24's pre-aggregated equi-join
+    mechanism, `operators/time_windows.py:1254`, reached from query
+    text): both sides compile to per-series exact rationals, one-to-one
+    label matching is an equi-join on the shared label set, and the
+    quotient stays rational (num = nₑ·d_v, den = dₑ·n_v — the den>0
+    invariant kept by folding the divisor's sign into the numerator).
+    Divisor-zero samples drop on BOTH engines (PromQL's ±Inf rows are
+    outside the exact-rational subset; the oracle carries the identical
+    ``gv.inc <> 0`` cut)."""
+    return compile_promql(spark, sf_dir, PQ10_QUERY)
+
+
+PQ11_QUERY = (
+    "histogram_quantile(0.95, sum by (le) (count_over_time(view_bucket[30d])))"
+)
+PQ11_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'view' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               [CAST(sum(CASE WHEN c <= 100 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN c <= 200 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN c <= 500 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN c <= 1000 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN c <= 2000 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN c <= 5000 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN c <= 10000 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN c <= 20000 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN c <= 50000 THEN 1 ELSE 0 END) AS BIGINT)]
+                   AS cums
+        FROM s HAVING count(*) > 0
+    ),
+    r AS (
+        SELECT n, cums,
+               len(list_filter(cums, x -> x * 20 < 19 * n)) AS idx,
+               CAST(19 * n AS DOUBLE) / 20 AS rk,
+               [1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0] AS bl
+        FROM g
+    )
+    SELECT floor(
+      (CASE WHEN idx >= len(bl) THEN bl[len(bl)]
+            ELSE (CASE WHEN idx = 0 THEN 0.0 ELSE bl[idx] END)
+                 + (bl[idx + 1]
+                    - CASE WHEN idx = 0 THEN 0.0 ELSE bl[idx] END)
+                   * (rk - CAST(CASE WHEN idx = 0 THEN 0
+                                     ELSE cums[idx] END AS DOUBLE))
+                   / (CAST(cums[idx + 1] AS DOUBLE)
+                      - CAST(CASE WHEN idx = 0 THEN 0
+                                  ELSE cums[idx] END AS DOUBLE))
+       END) * 1e6) / 1e6 AS value
+    FROM r
+"""
+
+
+@register("pq11_promql_histogram_quantile", family="PQ", oracle=PQ11_ORACLE)
+def pq11_promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(0.95, sum by (le)
+    (count_over_time(view_bucket[30d])))`` — the classic-histogram
+    quantile path compiled to a10b's one-hash-aggregation +
+    array-interpolation plan (see _compile_histq): ``view_bucket``
+    emulates the ``_bucket`` series over the engine's le-bounds, the
+    target bucket comes from the EXACT integer comparison c_i·20 < 19·n
+    (φ = 19/20 — no float rank ties), and Prometheus's interpolation
+    runs as one identical double expression on both engines, truncated
+    tie-free. The shuffle carries ONE row of 10 integer partials —
+    unchanged at any corpus scale."""
+    return compile_promql(spark, sf_dir, PQ11_QUERY)
+
+
+PQ12_QUERY = "avg_over_time(purchase[30d]) - 40"
+PQ12_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num,
+               CAST(count(*) * 100 AS BIGINT) AS den
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(num * 1 + (-40) * den AS DOUBLE)
+                 / CAST(den * 1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pq12_promql_scalar_shift", family="PQ", oracle=PQ12_ORACLE)
+def pq12_promql_scalar_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``avg_over_time(purchase[30d]) - 40`` — scalar add/sub
+    stays exact: num/den − p/q = (num·q − p·den)/(den·q), so the only
+    division remains the finalize (which floors identically on
+    NEGATIVE values too — floor truncates toward −∞ on both engines).
+    Also the one pq query whose kernel has a VARIABLE den
+    (avg_over_time): legal here because Shift is per-row; aggregating
+    it is what the compile-time _variable_den check rejects."""
+    return compile_promql(spark, sf_dir, PQ12_QUERY)

@@ -69,6 +69,29 @@ _LOADED = False
 # remaining queries follow in registration order and are still all present,
 # locally verified by tools/verify_local.py.
 _PRIORITY = (
+    # Round-11 rotation (VERDICT r10 task #1 + r10 ADVICE #1, queue at
+    # OPERATORS.md): IN the six never-driver-checked mechanisms the
+    # VERDICT names, led by the PromQL front-end's first driver check —
+    # pq1_promql_sum_increase (the whole parser→Catalyst path),
+    # w7s_pattern_quantified_stream (the committed r9 task #4 second CEP
+    # twin: quantified-run state across micro-batches),
+    # t39s_alert_for_duration_stream (O(1) island state machine, fresh
+    # off the r10 ADVICE island_seq identity fix),
+    # j10_interval_overlap_join (bucket-expansion interval join),
+    # a4d_robust_stats (partial-cell rank arithmetic), and
+    # r6_remote_read (the /read matcher engine + prompb wire) → OUT six
+    # long-green single-mechanism reps: w2b_first_last_nth (driver-green
+    # since r1; W2's lag/lead mechanism stays bit-exact locally and the
+    # CEP surface keeps w6s + the incoming w7s),
+    # t25_rate_extrapolated (green r5–r10; the rate family keeps t14s,
+    # and t25's boundary extrapolation stays pinned by its pytest),
+    # m2s_cdc_apply_stream (green r8–r10, a beyond-§2 showcase — the
+    # r5 sql1/m1 precedent), l4_knn_join + l4e_sign_bucket_ann (L4 held
+    # FOUR window slots; l4j/l4k keep the quantized-ANN pair that
+    # subsumes the bucketed-candidate mechanism), and l6d_media_decode
+    # (green r6–r10; l6b's per-mime feature oracle subsumes the decode
+    # dispatch — the r8 l6e precedent). All six stay bit-exact under the
+    # local gate in both materializations at both SFs.
     # Round-10 rotation (VERDICT r9 tasks #1/#4, queue at OPERATORS.md):
     # IN the six never-driver-checked mechanisms — d13s/d14s (the
     # incremental-crawl streaming twins, the queue head two rounds
@@ -165,6 +188,8 @@ _PRIORITY = (
     "j1_order_revenue",
     "j4_semi_active_customers",
     "j6_asof_last_order",
+    # J10: interval-overlap join via bucket expansion (r11 IN)
+    "j10_interval_overlap_join",
     # SQL: decorrelated-subquery family (first slot r6; Q2 shape added r7)
     "sql12_min_cost_supplier",
     # A: hash agg, distinct, quantiles, grouping sets, collect, histogram, z-score
@@ -172,6 +197,9 @@ _PRIORITY = (
     "a2c_bitmap_distinct",
     # A3: KMV distinct-count sketch — the first hash-verified sketch (r8 IN)
     "a3c_kmv_distinct",
+    # A4d: robust stats (weighted-median family's partial-cell rank
+    # arithmetic: trimmed mean + MAD) — r11 IN
+    "a4d_robust_stats",
     "a10b_histogram_quantile",
     # A12: two-phase Misra-Gries exact heavy hitters, plus the r9-IN
     # streaming Count-Min sketch (constant 256-cell mergeable state).
@@ -179,7 +207,8 @@ _PRIORITY = (
     "a14s_count_min_stream",
     # W: rank family, analytics, scalable range frame, top-k
     "w1b_rank_family",
-    "w2b_first_last_nth",
+    # (w2b_first_last_nth rotated out r11 — driver-green since r1; the
+    # lag/lead mechanism stays bit-exact locally, CEP keeps w6s/w7s.)
     "w3b_trailing_5min_scalable",
     # W5: interval-merge gaps-and-islands (r10 IN — overlap-flag +
     # running-island-id over one (user; ms, event_id) window pass)
@@ -216,11 +245,14 @@ _PRIORITY = (
     # T: event-time windows, PromQL, funnels, cohorts (t5 batch rotated
     # out r6 — T5's slot is the streaming-executed t5s, same oracle)
     "t7_user_sessions",
-    # T25: Prometheus's real rate() boundary-extrapolation semantics
-    "t25_rate_extrapolated",
+    # (t25_rate_extrapolated rotated out r11 — green r5–r10; the rate
+    # family keeps t14s and t25's extrapolation stays pytest-pinned.)
     # R: Layer-A ingest chain (flatten, NDJSON wire, prompb DataSource)
     "r1_event_records",
     "r4_prompb_datasource",
+    # R6: remote_read — the /read half the write-only reference lacks:
+    # EQ/NEQ/RE/NRE matcher engine + prompb wire (r11 IN)
+    "r6_remote_read",
     # Streaming-executed (real Structured Streaming path, same oracle).
     # Late-r8 within-family upgrade: OUT t5s_tumbling_5min_stream →
     # IN s1e_relay_rollup_stream_e2e, which registers the SAME T5 oracle
@@ -238,12 +270,19 @@ _PRIORITY = (
     "t9s_stream_dedup",
     "t12s_stream_stream_join",
     "t27s_count_values_stream",
-    # M2: streaming CDC apply (complete-mode struct-max upsert fold) — r8 IN
-    "m2s_cdc_apply_stream",
+    # (m2s_cdc_apply_stream rotated out r11 — green r8–r10, beyond-§2
+    # showcase; the complete-mode struct-max fold stays bit-exact locally.)
+    # T39s: the alert `for:` hold-duration state machine EXECUTED BY the
+    # streaming engine — O(1) open-island state, island_seq identity
+    # (r11 IN, fresh off the r10 ADVICE same-ms-islands fix)
+    "t39s_alert_for_duration_stream",
     # W6s: streaming MATCH_RECOGNIZE — fixed-length pattern state
     # bridged across micro-batches via applyInPandasWithState (r10 IN,
     # VERDICT r9 task #4; same ms-ordered oracle as batch w6)
     "w6s_event_pattern_stream",
+    # W7s: the second CEP twin — QUANTIFIED-run pattern state across
+    # micro-batches (r11 IN, the committed r9 task #4 completion)
+    "w7s_pattern_quantified_stream",
     # D13s/D14s: the incremental-crawl twins (r10 IN — the recurring
     # production shape: per-batch digest/band anti-join against an
     # at-rest manifest; queue head since r8)
@@ -264,18 +303,24 @@ _PRIORITY = (
     # md5 hash family; l2b stays bit-exact under the local gate).
     "l1_exact_dedup",
     "l2h_minhash_md5",
+    # PQ: the PromQL parser+compiler path's FIRST driver check (r11 IN,
+    # the VERDICT's queue head): global sum over reset-aware increase,
+    # exact integer rationals end-to-end, one finalize division
+    "pq1_promql_sum_increase",
     # (l2e_neardup_clusters rotated out r9 — L2 keeps the band-join
     # pipeline rep l2h; the CC-clustering layer stays bit-exact locally.)
     "l3_cosine_topk",
-    "l4_knn_join",
-    "l4e_sign_bucket_ann",
+    # (l4_knn_join + l4e_sign_bucket_ann rotated out r11 — L4 held FOUR
+    # slots; the quantized pair l4j/l4k keeps the ANN mechanisms, and
+    # both rotated entries stay bit-exact under the local gate.)
     # L4 r9 IN: PQ asymmetric-distance ranking vs an exact integer oracle
     "l4j_pq_quantized",
     # L4k: IVF cluster-pruned ANN, integer ADC (r10 IN — the last
     # hash-verified ANN variant never windowed)
     "l4k_ivf_quantized",
     "l5f_tfidf",
-    "l6d_media_decode",
+    # (l6d_media_decode rotated out r11 — green r6–r10; l6b's per-mime
+    # feature oracle subsumes the decode dispatch, the r8 l6e precedent.)
     # r8 swap: l6e_png_decode (driver-green r6/r7) → l6b_media_features,
     # whose per-mime feature oracle subsumes the dispatch path (r6 ADVICE).
     "l6b_media_features",

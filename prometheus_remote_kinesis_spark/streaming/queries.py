@@ -689,8 +689,10 @@ def t39s_alert_for_duration_stream(spark: SparkSession, sf_dir: str) -> DataFram
     — the form that actually pages someone: applyInPandasWithState keeps
     the ONE open island per alert key (three integers, O(1) state),
     closed islands emit exactly once as a non-breaching sample arrives,
-    and the drain keeps the max-n row per (key, island_start) (open
-    islands are provisional rows superseded batch-over-batch). fired /
+    and the drain keeps the max-n row per (key, island_seq) (open
+    islands are provisional rows superseded batch-over-batch; the
+    monotone sequence — not island_start — is the island identity, so
+    two islands opening on the same truncated ms stay distinct). fired /
     fire_ms derive in the drain with t39's identical integer
     expressions — registers against t39's oracle. Where the batch form
     needs banded gaps-islands to avoid the low-cardinality-window
@@ -710,7 +712,7 @@ def t39s_alert_for_duration_stream(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = alert_for_duration(records, thr=T39_THR, idle_timeout_ms=None)
     drained = run_to_batch(out, "append")
-    w = Window.partitionBy("event_type", "island_start").orderBy(
+    w = Window.partitionBy("event_type", "island_seq").orderBy(
         F.desc("n_samples")
     )
     return (
@@ -820,13 +822,23 @@ def pqs1_promql_sum_over_time_stream(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     drained = run_to_batch(agg, "complete")
-    span = drained.agg(
-        (F.max("hi") - F.min("lo")).alias("span"),
-    ).collect()[0]["span"]
-    if span is not None and span >= 2592000000:
+    # Coverage guard: the oracle's window is (T−30d, T] with T = the
+    # GLOBAL max event ms (the compiler's _t_eval scalar), so the uncut
+    # streaming sum equals the oracle iff T − min(purchase ms) < 30d.
+    # Purchase-only span is NOT sufficient: non-purchase events later
+    # than the last purchase push T right and can cut early purchases
+    # while a span check stays silent (r10 ADVICE).
+    t_global = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_millis("ts")).alias("t"))
+        .collect()[0]["t"]
+    )
+    lo_min = drained.agg(F.min("lo").alias("lo")).collect()[0]["lo"]
+    if lo_min is not None and t_global - lo_min >= 2592000000:
         raise RuntimeError(
-            f"corpus span {span} ms >= the 30d window: the no-cut streaming "
-            "form no longer covers it — add the t28s bucket-cut flip"
+            f"oldest purchase is {t_global - lo_min} ms before the global "
+            "max event ts (>= the 30d window): the no-cut streaming form "
+            "no longer covers the oracle's cut — add the t28s bucket-cut flip"
         )
     return drained.select(
         F.col("user_id").cast("bigint").alias("user"),

@@ -1787,35 +1787,43 @@ def time_weighted_avg(
 ALERT_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),
+        StructField("island_seq", LongType()),
         StructField("island_start", LongType()),
         StructField("island_end", LongType()),
         StructField("n_samples", LongType()),
     ]
 )
 
-_ALERT_STATE_SCHEMA = "open_s long, open_e long, open_n long"
+_ALERT_STATE_SCHEMA = "open_s long, open_e long, open_n long, seq long"
 
 
 def alert_for_duration(
     records: DataFrame, thr: float, idle_timeout_ms: int | None = 3_600_000
 ) -> DataFrame:
     """Streaming twin of t39's alert `for:` state machine: per alert key
-    the state is the ONE open island (start, end, n) — O(1) regardless
-    of stream length. A breaching sample opens/extends the island; a
-    non-breaching sample CLOSES it (emitted once, final); batch end
-    emits the still-open island as a provisional row that later batches
-    supersede with a larger n at the same island_start — so the max-n
-    row per (key, island_start) is authoritative on drain (the t20s
-    protocol, keyed by island identity instead of series). All state and
-    emissions are integers; NaN staleness markers skip identically to
-    the batch filter; within-batch order is (time, event_id)."""
+    the state is the ONE open island (start, end, n) plus a monotone
+    island SEQUENCE number — O(1) regardless of stream length. A
+    breaching sample opens/extends the island (opening increments the
+    sequence); a non-breaching sample CLOSES it (emitted once, final);
+    batch end emits the still-open island as a provisional row that
+    later batches supersede with a larger n at the same island_seq — so
+    the max-n row per (key, island_seq) is authoritative on drain (the
+    t20s protocol, keyed by island IDENTITY). The sequence — not
+    island_start — is the identity: two distinct islands of the same
+    type can START at the same truncated millisecond (the partition key
+    is event_type alone, so a close + reopen can land on one ms), and
+    a start-keyed drain would collapse them to one max-n row. All state
+    and emissions are integers; NaN staleness markers skip identically
+    to the batch filter; within-batch order is (time, event_id)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (event_type,) = key
-        open_s, open_e, open_n = state.get if state.exists else (0, 0, 0)
-        out: list[tuple[int, int, int]] = []
+        open_s, open_e, open_n, seq = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        out: list[tuple[int, int, int, int]] = []
         for pdf in pdfs:
             sort_keys = (
                 ["time", "event_id"] if "event_id" in pdf.columns else ["time"]
@@ -1828,23 +1836,25 @@ def alert_for_duration(
                 ms = int(r["time"])
                 if float(v) > thr:
                     if open_n == 0:
+                        seq += 1
                         open_s, open_e, open_n = ms, ms, 1
                     else:
                         open_e, open_n = ms, open_n + 1
                 elif open_n > 0:
-                    out.append((open_s, open_e, open_n))  # closed: final
+                    out.append((seq, open_s, open_e, open_n))  # closed: final
                     open_s, open_e, open_n = 0, 0, 0
-        state.update((open_s, open_e, open_n))
+        state.update((open_s, open_e, open_n, seq))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         if open_n > 0:
-            out.append((open_s, open_e, open_n))  # provisional
+            out.append((seq, open_s, open_e, open_n))  # provisional
         yield pd.DataFrame(
             {
                 "event_type": pd.Series([event_type] * len(out), dtype="object"),
-                "island_start": pd.Series([s for s, _e, _n in out], dtype="int64"),
-                "island_end": pd.Series([e for _s, e, _n in out], dtype="int64"),
-                "n_samples": pd.Series([n for _s, _e, n in out], dtype="int64"),
+                "island_seq": pd.Series([q for q, _s, _e, _n in out], dtype="int64"),
+                "island_start": pd.Series([s for _q, s, _e, _n in out], dtype="int64"),
+                "island_end": pd.Series([e for _q, _s, e, _n in out], dtype="int64"),
+                "n_samples": pd.Series([n for _q, _s, _e, n in out], dtype="int64"),
             },
             columns=[f.name for f in ALERT_SCHEMA.fields],
         )

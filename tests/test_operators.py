@@ -1278,7 +1278,7 @@ def test_promql_parser_asts():
     )
 
     assert parse("click") == Selector("click")
-    assert parse('click{user="42"}') == Selector("click", (("user", "42"),))
+    assert parse('click{user="42"}') == Selector("click", (("user", "=", "42"),))
     assert parse("rate(view[5m])") == RangeFn("rate", Selector("view"), 300_000)
     assert parse("sum by (user) (increase(click[1d]))") == Agg(
         "sum", ("user",), RangeFn("increase", Selector("click"), 86_400_000)
@@ -1526,6 +1526,240 @@ def test_promql_stddev_semantics(spark):
     }
     assert set(present) == set(per_user)
     assert all(v == 1.0 for v in present.values())
+
+
+def test_promql_variable_den_rejected_at_compile_time():
+    """sum/avg/min/max over a variable-denominator vector (avg_over_time,
+    nested avg) must raise PromQLError at COMPILE time — the silent
+    den_lo==den_hi filter previously returned an EMPTY result for these
+    grammatically valid queries (r10 ADVICE). Constant-den kernels and
+    den-insensitive aggregations stay accepted."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, _variable_den, parse,
+    )
+
+    rejected = [
+        "sum(avg_over_time(purchase[1d]))",
+        "avg(avg_over_time(purchase[1d]))",
+        "min(avg_over_time(purchase[1d]) > 40)",     # Cmp preserves dens
+        "max(avg_over_time(purchase[1d]) * 2)",      # Scale preserves dens
+        "sum(avg by (user) (sum_over_time(purchase[1d])))",  # nested avg
+    ]
+    for q in rejected:
+        with pytest.raises(PromQLError, match="variable-denominator"):
+            # compile without a SparkSession: the check fires while
+            # walking the AST, before any DataFrame is touched
+            from prometheus_remote_kinesis_spark.promql import _compile_vector
+
+            _compile_vector(None, None, parse(q))
+    # constant-den kernels aggregate fine; count() never needs a common den
+    assert not _variable_den(parse("sum_over_time(purchase[1d])"))
+    assert not _variable_den(parse("rate(view[1d])"))
+    assert _variable_den(parse("avg_over_time(purchase[1d])"))
+    assert _variable_den(parse("avg(sum_over_time(purchase[1d]))"))
+    assert not _variable_den(parse("count(avg_over_time(purchase[1d]))"))
+    # '/' makes the den data-dependent (it picks up the rhs numerator);
+    # '+'/'-'/'*' stay constant-den when both sides are
+    assert _variable_den(parse("increase(error[1d]) / increase(view[1d])"))
+    assert not _variable_den(parse("increase(error[1d]) + increase(view[1d])"))
+    with pytest.raises(PromQLError, match="variable-denominator"):
+        from prometheus_remote_kinesis_spark.promql import _compile_vector
+
+        _compile_vector(
+            None, None, parse("sum(increase(error[1d]) / increase(view[1d]))")
+        )
+
+
+def test_promql_extended_grammar_parses():
+    """r11 grammar extensions: matcher ops (= != =~ !~), vector-vector
+    + - * / with standard precedence, scalar add/sub, and the
+    histogram_quantile form — all parse to the documented AST shapes;
+    malformed variants raise."""
+    from fractions import Fraction
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        Agg, HistQ, PromQLError, RangeFn, Selector, Shift, VecBin, parse,
+    )
+
+    assert parse('click{user!="7"}') == Selector("click", (("user", "!=", "7"),))
+    assert parse('click{user=~"1.?"}') == Selector(
+        "click", (("user", "=~", "1.?"),)
+    )
+    assert parse('click{user!~"[0-4]+", user="9"}') == Selector(
+        "click", (("user", "!~", "[0-4]+"), ("user", "=", "9"))
+    )
+    assert parse("increase(error[1d]) / increase(view[1d])") == VecBin(
+        RangeFn("increase", Selector("error"), 86_400_000),
+        "/",
+        RangeFn("increase", Selector("view"), 86_400_000),
+    )
+    # precedence: * binds tighter than -, left-assoc within a level
+    e = parse("a - b * 2 - c")
+    from prometheus_remote_kinesis_spark.promql import Scale
+
+    assert e == VecBin(
+        VecBin(Selector("a"), "-", Scale(Selector("b"), "*", Fraction(2))),
+        "-",
+        Selector("c"),
+    )
+    assert parse("avg_over_time(purchase[30d]) - 40") == Shift(
+        RangeFn("avg_over_time", Selector("purchase"), 2_592_000_000),
+        "-",
+        Fraction(40),
+    )
+    hq = parse(
+        "histogram_quantile(0.95, sum by (le) (count_over_time(view_bucket[30d])))"
+    )
+    assert hq == HistQ(
+        Fraction("0.95"),
+        Agg(
+            "sum",
+            ("le",),
+            RangeFn("count_over_time", Selector("view_bucket"), 2_592_000_000),
+        ),
+    )
+    for bad in (
+        'click{user~"1"}',            # bad matcher op
+        "histogram_quantile(1.5, sum by (le) (count_over_time(x_bucket[1d])))",
+        "click == view",              # vector==vector comparison unsupported
+    ):
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+
+def test_promql_extended_compile_semantics(spark):
+    """The r11 compile paths against brute force at sf0.001: regex /
+    negated matchers partition the user set exactly like Python re
+    (full anchoring), vector ratio equals the per-user quotient of the
+    separately compiled sides, +/- join exactly, scalar-result division
+    works via cross join, label-set mismatch raises, and
+    histogram_quantile equals a Python reimplementation of Prometheus's
+    interpolation over the same cumulative buckets."""
+    import math
+    import re as _re
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql, parse, _compile_vector,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    all_users = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(purchase[30d])"
+        ).collect()
+    }
+    re_users = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, 'sum_over_time(purchase{user=~"1.?"}[30d])'
+        ).collect()
+    }
+    nre_users = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, 'sum_over_time(purchase{user!~"1.?"}[30d])'
+        ).collect()
+    }
+    pat = _re.compile(r"^(?:1.?)$")
+    assert set(re_users) == {u for u in all_users if pat.match(str(u))}
+    assert set(nre_users) == {u for u in all_users if not pat.match(str(u))}
+    assert re_users and nre_users  # both sides non-trivial
+    assert {**re_users, **nre_users} == all_users  # values unchanged
+    neq = {
+        r.user
+        for r in compile_promql(
+            spark, SF_SMOKE, 'sum_over_time(purchase{user!="7"}[30d])'
+        ).collect()
+    }
+    assert neq == set(all_users) - {7}
+
+    # vector ratio == quotient of the separately compiled sides
+    inc_e = {
+        r.user: r.value
+        for r in compile_promql(spark, SF_SMOKE, "increase(error[30d])").collect()
+    }
+    inc_v = {
+        r.user: r.value
+        for r in compile_promql(spark, SF_SMOKE, "increase(view[30d])").collect()
+    }
+    ratio = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "increase(error[30d]) / increase(view[30d])"
+        ).collect()
+    }
+    exp_keys = {u for u in inc_e if u in inc_v and inc_v[u] != 0}
+    assert set(ratio) == exp_keys
+    for u in exp_keys:
+        # the compiled sides are floor-truncated at 1e-6, so rebuild the
+        # quotient only approximately (verify_local's oracle does the
+        # exact check)
+        assert ratio[u] == pytest.approx(inc_e[u] / inc_v[u], rel=1e-3, abs=1e-4)
+    # + and - join on the full shared key set
+    s = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "increase(error[30d]) + increase(view[30d])"
+        ).collect()
+    }
+    assert set(s) == set(inc_e) & set(inc_v)
+    for u in s:
+        assert s[u] == pytest.approx(inc_e[u] + inc_v[u], abs=3e-6)
+    # scalar-result sides combine by cross join
+    g = compile_promql(
+        spark, SF_SMOKE, "sum(increase(error[30d])) / sum(increase(view[30d]))"
+    ).collect()
+    assert len(g) == 1 and g[0]["value"] > 0
+    # label-set mismatch is a loud error
+    with pytest.raises(PromQLError, match="identical label sets"):
+        _compile_vector(
+            spark, SF_SMOKE,
+            parse("sum(increase(error[1d])) / increase(view[1d])"),
+        )
+    # histogram_quantile vs a Python reimplementation
+    got = compile_promql(
+        spark,
+        SF_SMOKE,
+        "histogram_quantile(0.95, sum by (le) (count_over_time(view_bucket[30d])))",
+    ).collect()
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'view' AND value IS NOT NULL")
+        .selectExpr("CAST(round(value * 100, 0) AS LONG) AS c")
+        .collect()
+    )
+    bounds = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0]
+    cents = [r.c for r in ev]
+    n = len(cents)
+    cums = [sum(1 for c in cents if c <= int(b * 100)) for b in bounds]
+    idx = sum(1 for c in cums if c * 20 < 19 * n)
+    rank = (19 * n) / 20
+    if idx >= len(bounds):
+        exp = bounds[-1]
+    else:
+        lo = bounds[idx - 1] if idx > 0 else 0.0
+        cl = float(cums[idx - 1] if idx > 0 else 0)
+        exp = lo + (bounds[idx] - lo) * (rank - cl) / (float(cums[idx]) - cl)
+    assert got[0]["value"] == math.floor(exp * 1e6) / 1e6
+    # histogram_quantile is terminal-only, and the inner shape is strict
+    with pytest.raises(PromQLError):
+        _compile_vector(
+            spark, SF_SMOKE,
+            parse("histogram_quantile(0.9, sum by (le) (count_over_time(view_bucket[1d])))"),
+        )
+    with pytest.raises(PromQLError, match="histogram_quantile supports"):
+        compile_promql(
+            spark, SF_SMOKE,
+            "histogram_quantile(0.9, sum by (le) (count_over_time(view[1d])))",
+        )
 
 
 def test_alert_islands_bucket_boundary_stitching(spark, tmp_path):

@@ -1363,20 +1363,58 @@ def test_alert_for_duration_multibatch_chop(spark, tmp_path):
         "append",
     )
     rows_out = [
-        (r["island_start"], r["island_end"], r["n_samples"]) for r in out.collect()
+        (r["island_seq"], r["island_start"], r["island_end"], r["n_samples"])
+        for r in out.collect()
     ]
-    # authoritative = max n per island_start
+    # authoritative = max n per island_seq (the island identity)
     auth = {}
-    for s, e, n in rows_out:
-        if s not in auth or n > auth[s][1]:
-            auth[s] = (e, n)
+    for q, s, e, n in rows_out:
+        if q not in auth or n > auth[q][2]:
+            auth[q] = (s, e, n)
     assert auth == {
-        0: (4 * 60_000, 4),       # 60,70,80,90 (NULL bridged)
-        6 * 60_000: (6 * 60_000, 1),
-        8 * 60_000: (8 * 60_000, 1),
+        1: (0, 4 * 60_000, 4),       # 60,70,80,90 (NULL bridged)
+        2: (6 * 60_000, 6 * 60_000, 1),
+        3: (8 * 60_000, 8 * 60_000, 1),
     }
     # the closed islands were emitted exactly once with their final n
-    assert rows_out.count((0, 4 * 60_000, 4)) >= 1
+    assert rows_out.count((1, 0, 4 * 60_000, 4)) >= 1
+
+
+def test_alert_for_duration_same_ms_islands_stay_distinct(spark, tmp_path):
+    """Two islands of the SAME type opening on the SAME truncated ms
+    (breach, close, re-breach all at one timestamp — possible because
+    the partition key is event_type alone) must surface as TWO
+    authoritative rows: the island_seq drain key keeps them distinct
+    where a (type, island_start) key would collapse them to one max-n
+    row and silently lose an island."""
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        alert_for_duration,
+    )
+
+    T = 120_000
+    rows = [
+        {"event_id": 0, "event_type": "m", "user_id": 1, "time": T, "value": 90.0},
+        {"event_id": 1, "event_type": "m", "user_id": 2, "time": T, "value": 10.0},
+        {"event_id": 2, "event_type": "m", "user_id": 3, "time": T, "value": 80.0},
+        {"event_id": 3, "event_type": "m", "user_id": 3, "time": T + 60_000,
+         "value": 70.0},
+    ]
+    out = run_to_batch(
+        alert_for_duration(
+            _chopped_stream(spark, tmp_path, rows, 2), thr=50, idle_timeout_ms=None
+        ),
+        "append",
+    )
+    auth = {}
+    for r in out.collect():
+        q = r["island_seq"]
+        if q not in auth or r["n_samples"] > auth[q][2]:
+            auth[q] = (r["island_start"], r["island_end"], r["n_samples"])
+    assert auth == {
+        1: (T, T, 1),              # closed by the same-ms non-breach
+        2: (T, T + 60_000, 2),     # reopened at the SAME start ms
+    }
 
 
 def test_ewma_halflife_multibatch_chop(spark, tmp_path):
