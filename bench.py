@@ -61,10 +61,48 @@ from prometheus_remote_kinesis_spark.registry import bench_queries
 from prometheus_remote_kinesis_spark.session import get_spark
 
 
+def calibrate(spark) -> dict[str, float]:
+    """Fixed-size box-speed probe (r11, VERDICT r10 task #4): sort + hash
+    agg over 4M synthetic in-memory rows (spark.range — no I/O, no SF
+    dependence), one warm-up then MEDIAN of 3 timed passes. The workload
+    is constant across rounds by construction, so the ratio of two
+    rounds' ``calibration_s`` is a direct box-load factor: any reader
+    can divide a round's query timings by it to compare plans across
+    load-skewed driver runs (two consecutive BENCH records were
+    load-skewed in r9/r10 and only SCALE.md's quiet-box re-runs were
+    comparable). Quiet-box reference: see SCALE.md's r11 note."""
+    import statistics as _st
+
+    def _pass() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 4_000_000, 1, 32)
+            .selectExpr(
+                "id % 9973 AS k",
+                "(id * 2654435761) % 1000003 AS v",
+            )
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .orderBy("k")
+            .toPandas()
+        )
+        return time.time() - t0
+
+    _pass()  # warm-up: codegen + exchange setup, not timed
+    samples = [_pass() for _ in range(3)]
+    return {
+        "calibration_s": round(_st.median(samples), 3),
+        "calibration_s_min": round(min(samples), 3),
+        "calibration_s_max": round(max(samples), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+
+    cal = calibrate(spark)  # before the suite: the box-load yardstick
 
     plans = {name: fn(spark, sf_dir) for name, fn in sorted(bench_queries().items())}
 
@@ -114,6 +152,11 @@ def main() -> None:
                 # r9 one-time headline-set change marker (see docstring):
                 # w3_trailing_5min_sum OUT, w5_gaps_islands IN.
                 "headline_set_change": "r9:w3_out_w5_in",
+                # r11 (VERDICT r10 task #4): fixed-workload box-speed
+                # probe timed before the suite; divide timings by
+                # (calibration_s / quiet-box reference in SCALE.md) to
+                # normalize round-over-round deltas for box load.
+                **cal,
                 "sf": sf,
                 "relay_records_per_sec": relay["value"],
                 # r9 (VERDICT r8 task #4): warm rate is now MEDIAN-of-3

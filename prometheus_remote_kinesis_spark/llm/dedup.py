@@ -896,6 +896,96 @@ def d14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 L2J_TAU_NUM = 1
 L2J_TAU_DEN = 2
 
+# Frequency split for the exact-verify tier (l2j/l2k): shingles with
+# posting length ≤ L2_HOT_F count their pair intersections through a
+# direct inverted-index join — Σf² ≤ L2_HOT_F · |postings|, LINEAR in
+# the corpus by construction — while the few hotter-than-L2_HOT_F
+# shingles (boilerplate) ride per-doc digest arrays whose size is the
+# per-doc hot-shingle count, not the posting length. The split is a
+# partition of the shingle universe, so the two counts ADD to the exact
+# |A∩B| (the knob a real crawler tunes against its boilerplate profile).
+L2_HOT_F = 256
+
+
+def _freq_split_verify(post, freq, sh_sets, cand, directional: bool):
+    """(id_a, id_b, i, na, nb) with EXACT i = |A∩B| for candidate pairs.
+
+    Three mechanisms compose (l2j's docstring has the full story):
+    set-digest short-circuit for identical pairs (i = na, one equality
+    test — the dup-flood tier), the L2_HOT_F frequency-split
+    inverted-index count for rare shingles (bounded-linear join, rows
+    are 32-byte digests), and per-doc hot-digest arrays intersected
+    only for the pairs that reach them. ``cand`` must be distinct
+    (id_a, id_b) pairs; ``directional`` selects the l2k a≠b pairing for
+    the rare-index join (vs l2j's a<b)."""
+    dh = post.join(freq, "g").select("doc_id", F.md5("g").alias("h"), "f")
+    rare = dh.where(F.col("f") <= L2_HOT_F).select("doc_id", "h")
+    hot = dh.where(F.col("f") > L2_HOT_F).groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hot")
+    )
+    empty = F.array().cast("array<string>")
+    meta = (
+        sh_sets.select(
+            "doc_id",
+            F.size("sh").cast("bigint").alias("n"),
+            F.md5(F.concat_ws("\x1f", F.array_sort("sh"))).alias("sd"),
+        )
+        .join(hot, "doc_id", "left")
+        .select("doc_id", "n", "sd", F.coalesce("hot", empty).alias("hot"))
+    )
+    cm = (
+        cand.join(
+            meta.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("n").alias("na"),
+                F.col("sd").alias("sda"),
+                F.col("hot").alias("hota"),
+            ),
+            "id_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("n").alias("nb"),
+                F.col("sd").alias("sdb"),
+                F.col("hot").alias("hotb"),
+            ),
+            "id_b",
+        )
+        .localCheckpoint(eager=True)
+        # cm feeds equal/diff/verify — three references; without
+        # truncation the prefix-join+distinct DAG re-inlines per
+        # reference (the g2 lesson: measured enough 64x spill to fill
+        # the box's disk before this checkpoint existed)
+    )
+    equal = cm.where(F.col("sda") == F.col("sdb")).select(
+        "id_a", "id_b", F.col("na").alias("i"), "na", "nb"
+    )
+    diff = cm.where(F.col("sda") != F.col("sdb"))
+    pair_cond = (
+        F.col("id_a") != F.col("id_b")
+        if directional
+        else F.col("id_a") < F.col("id_b")
+    )
+    rc = (
+        rare.select(F.col("doc_id").alias("id_a"), "h")
+        .join(rare.select(F.col("doc_id").alias("id_b"), "h"), "h")
+        .where(pair_cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ir"))
+    )
+    diffv = diff.join(rc, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        (
+            F.coalesce(F.col("ir"), F.lit(0))
+            + F.size(F.array_intersect("hota", "hotb")).cast("bigint")
+        ).cast("bigint").alias("i"),
+        "na",
+        "nb",
+    )
+    return equal.unionByName(diffv)
+
 _L2J_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t
@@ -939,21 +1029,46 @@ def l2j_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate never generate candidates here (measured: prefix postings
     are ~58% of full postings at sf0.01 and the rarest-first order
     concentrates the reduction exactly on the hottest posting lists).
-    Verification is exact and integer-only: i = |A∩B| via array_intersect
-    on the (distinct) shingle arrays, keep 2i ≥ (na + nb − i) (τ = 1/2
+    Verification is exact and integer-only, and DE-ARRAYED in two tiers
+    (r11, VERDICT r10 task #3): (1) every doc carries a SET DIGEST
+    (md5 of its sorted shingle set) — a candidate pair with EQUAL set
+    digests is an identical pair, so i = na with NO intersection work;
+    this short-circuits the flood that actually dominates dup-heavy
+    corpora (and the replica probe corpus: its near-dup clusters are
+    exact-set copies, so the old path carried ~26 M × 4 KB arrays — or
+    ~10⁹ exploded digest rows, which is how the first de-array attempt
+    filled the disk — for pairs whose answer is one equality test).
+    (2) Pairs with DIFFERENT set digests — the genuinely-partial
+    overlaps the prefix filter exists for — get i from the L2_HOT_F
+    FREQUENCY SPLIT (see _freq_split_verify): rare shingles
+    (posting ≤ L2_HOT_F) count pair co-occurrences through a direct
+    inverted-index self-join whose output is Σf² ≤ L2_HOT_F·|postings|
+    rows of 32-byte digests — bounded-LINEAR in the corpus, never
+    per-candidate explosion (a 27.5 M-candidate × 52-shingle corpus
+    turns per-candidate exploding into ~1.4 G rows; the index join
+    emits ~90 M) — while hot boilerplate shingles ride per-doc digest
+    arrays sized by each doc's HOT-shingle count and intersect only
+    inside the candidate join. The two counts partition the shingle
+    universe, so they ADD to the exact |A∩B|. The md5 family is l2h's
+    cross-engine convention; a 128-bit collision is ~2^-128 and the
+    oracle would hash-mismatch loudly if one ever fired. Counts are
+    over per-doc DISTINCT shingles (shingled_docs dedups), so i equals
+    array_intersect size exactly. Keep 2i ≥ (na + nb − i) (τ = 1/2
     cross-multiplied — no float), Jaccard shipped as truncated PPM by
-    integer division. The ORACLE is the unfiltered all-pairs join: the
-    oracle hash compare IS the prefix-filter completeness theorem
-    executed on data — a single missed pair hash-mismatches (local
-    verify gate today; a driver slot is in the rotation queue).
+    integer division. The ORACLE is the unfiltered all-pairs string
+    join: the oracle hash compare IS the prefix-filter completeness
+    theorem AND the digest/split-exactness claims executed on data — a
+    single missed or phantom pair hash-mismatches.
 
     Scale shape: shingle postings shuffle once to rank by global
     frequency (short-string keys, the l2b envelope), the candidate join
-    keys on PREFIX shingles only, and the full shingle arrays move only
-    to verify candidate pairs (two id-keyed joins, O(candidates)).
-    Window for prefix ranking partitions by doc_id — key count grows
-    with the corpus. τ is compile-time; higher τ ⇒ shorter prefixes ⇒
-    fewer candidates, the knob real crawlers tune."""
+    keys on PREFIX shingles only, equal-set pairs verify with a
+    constant-width metadata join, rare-shingle intersection counts
+    flow through one bounded index join + a map-side-combinable count,
+    and no shuffle anywhere carries a per-candidate array. Window for
+    prefix ranking partitions by doc_id — key count grows with the
+    corpus. τ and L2_HOT_F are compile-time; higher τ ⇒ shorter
+    prefixes ⇒ fewer candidates, the knobs real crawlers tune."""
     # sh_sets feeds the postings AND both verification sides, and
     # prefixes feeds BOTH sides of the candidate self-join: without
     # lineage truncation Catalyst re-inlines the scan→shingle→rank
@@ -994,22 +1109,9 @@ def l2j_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sh_sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("sh").alias("sha"),
-        F.size("sh").cast("bigint").alias("na"),
-    )
-    sb = sh_sets.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("sh").alias("shb"),
-        F.size("sh").cast("bigint").alias("nb"),
-    )
-    i_col = F.size(F.array_intersect("sha", "shb")).cast("bigint")
+    verified = _freq_split_verify(post, freq, sh_sets, cand, directional=False)
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", i_col.alias("i"), "na", "nb")
-        .where(
+        verified.where(
             F.lit(L2J_TAU_DEN) * F.col("i")
             >= F.lit(L2J_TAU_NUM) * (F.col("na") + F.col("nb") - F.col("i"))
         )
@@ -1078,17 +1180,29 @@ def l2k_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     members are globally rare BY CONSTRUCTION, so the full posting
     lists they probe are short — the boilerplate shingles that blow up
     an unfiltered inverted index never appear in any prefix.
-    Verification is exact integer-only (array_intersect size,
-    {L2K_TAU_DEN}·i ≥ {L2K_TAU_NUM}·n_a cross-multiplied, containment
-    shipped as truncated PPM by integer division). The ORACLE is the
-    unfiltered all-pairs join — the hash compare IS the one-sided
-    prefix-completeness theorem executed on data (the l2j discipline).
+    Verification is exact integer-only via l2j's de-arrayed scheme
+    (r11, VERDICT r10 task #3 — _freq_split_verify): equal-set-digest
+    pairs (the exact-dup flood) short-circuit to i = n_a with one
+    metadata equality test; different-set pairs get i from the
+    L2_HOT_F frequency split — rare-shingle co-occurrences through a
+    bounded-linear inverted-index join (Σf² ≤ L2_HOT_F·|postings|
+    32-byte digest rows), hot boilerplate shingles via per-doc digest
+    arrays intersected inside the candidate join — the two counts
+    partitioning the shingle universe so they ADD to the exact |A∩B|;
+    then {L2K_TAU_DEN}·i ≥ {L2K_TAU_NUM}·n_a cross-multiplied,
+    containment shipped as truncated PPM by integer division. The
+    ORACLE is the unfiltered all-pairs STRING join — the hash compare
+    IS the one-sided prefix-completeness theorem and the
+    digest/split-exactness claims executed on data (the l2j
+    discipline).
 
     Scale shape: one posting shuffle to rank by global frequency, the
     candidate join keyed on prefix shingles (short-string keys, short
-    postings), full shingle arrays move only to verify candidates (two
-    id-keyed joins, O(candidates)); text itself never shuffles
-    (shingled_docs' digest discipline)."""
+    postings), equal-set pairs verify via a constant-width metadata
+    join, rare-shingle counts through one bounded index join with a
+    map-side-combinable count; no shuffle carries a per-candidate
+    array and text itself never shuffles (shingled_docs' digest
+    discipline)."""
     # sh_sets feeds the postings AND both verification sides, and
     # prefixes feeds BOTH sides of the candidate self-join: without
     # lineage truncation Catalyst re-inlines the scan→shingle→rank
@@ -1128,29 +1242,15 @@ def l2k_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sh_sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("sh").alias("sha"),
-        F.size("sh").cast("bigint").alias("na"),
-    )
-    sb = sh_sets.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("sh").alias("shb"),
-        F.size("sh").cast("bigint").alias("nb"),
-    )
-    verified = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "i", F.size(F.array_intersect("sha", "shb")).cast("bigint")
+    verified = _freq_split_verify(post, freq, sh_sets, cand, directional=True)
+    return (
+        verified.where(L2K_TAU_DEN * F.col("i") >= L2K_TAU_NUM * F.col("na"))
+        .select(
+            "id_a",
+            "id_b",
+            "i",
+            "na",
+            "nb",
+            F.expr("CAST((i * 1000000) DIV na AS BIGINT)").alias("containment_ppm"),
         )
-        .where(L2K_TAU_DEN * F.col("i") >= L2K_TAU_NUM * F.col("na"))
-    )
-    return verified.select(
-        "id_a",
-        "id_b",
-        "i",
-        "na",
-        "nb",
-        F.expr("CAST((i * 1000000) DIV na AS BIGINT)").alias("containment_ppm"),
     )

@@ -1126,3 +1126,115 @@ def dq3_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _dq3b_sketch_block(col: str) -> str:
+    render = _dq3_duck_render(col)
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        KMV_BITS, KMV_K,
+    )
+
+    return f"""
+    SELECT '{col}' AS col_name, b.n_rows, b.n_null,
+           s.n_distinct, s.k_actual, s.h_k,
+           CASE WHEN s.k_actual < {KMV_K} THEN s.n_distinct
+                ELSE CAST(({KMV_K - 1} * {2**KMV_BITS}) // s.h_k AS BIGINT)
+           END AS kmv_estimate,
+           b.min_s, b.max_s
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               min({render}) AS min_s,
+               max({render}) AS max_s
+        FROM events
+    ) b, (
+        SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+               max(CASE WHEN rn <= {KMV_K} THEN h END) AS h_k,
+               CAST(sum(CASE WHEN rn <= {KMV_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k_actual
+        FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (
+                SELECT DISTINCT
+                       CAST(('0x' || substring(md5({render}),
+                                               1, {KMV_BITS // 4})) AS BIGINT)
+                           AS h
+                FROM events WHERE {col} IS NOT NULL
+            )
+        )
+    ) s
+    """
+
+
+DQ3B_ORACLE = "\nUNION ALL\n".join(
+    _dq3b_sketch_block(col) for col, _ in _DQ3_COLS
+)
+
+
+@register("dq3b_schema_profile_sketch", family="P6", oracle=DQ3B_ORACLE)
+def dq3b_schema_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq3's 100 TB form (r11, VERDICT r10 task #7 — delivered as the
+    dq3 docstring promised): the per-column EXACT distinct — dq3's
+    documented linear floor, which shuffles raw column values (props is
+    a text shuffle) — is replaced by the a3c KMV bottom-k sketch over
+    each column's ENGINE-PORTABLE rendering (the same min/max rendering
+    dq3 uses, so ts hashes its unix-micros and the DOUBLE column its
+    floor-scaled micro-units: cross-engine md5 needs identical input
+    strings). Everything else is unchanged: n_rows / n_null / min_s /
+    max_s per column, one row per column.
+
+    The sketch is hash-verified cell by cell (n_distinct of the hash
+    set, k_actual, h_k, estimate — the a3c discipline), and its scale
+    posture is a3c's: the only distinct shuffle carries (col, 56-bit
+    digest) fixed-width rows — the raw column, text included, never
+    re-shuffles — the top-K runs banded two-phase (w1c), and KMV
+    partials are MERGEABLE, so a 1000-executor profile combines
+    per-partition bottom-k sets without a raw rescan. n_distinct here
+    counts the DIGEST set (≡ the rendered-value set up to md5
+    collisions; the rendering quantizes the DOUBLE column to micro-
+    units, which is the profile's documented value domain)."""
+    from prometheus_remote_kinesis_spark.operators.aggregates import (
+        kmv_hash, kmv_summary,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    spark_render = {
+        "ts": F.expr("CAST(unix_micros(ts) AS STRING)"),
+        "value": F.expr("CAST(CAST(floor(value * 1e6) AS BIGINT) AS STRING)"),
+        "event_type": F.col("event_type"),
+        "props": F.col("props"),
+    }
+    dh = None
+    base = None
+    for col, _ in _DQ3_COLS:
+        r = spark_render.get(col, F.col(col).cast("string"))
+        d = (
+            events.where(F.col(col).isNotNull())
+            .select(F.lit(col).alias("event_type"), kmv_hash(r).alias("h"))
+            .distinct()
+        )
+        dh = d if dh is None else dh.unionByName(d)
+        row = events.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).cast("bigint").alias("n_null"),
+            F.min(r).alias("min_s"),
+            F.max(r).alias("max_s"),
+        ).select(
+            F.lit(col).alias("col_name"), "n_rows", "n_null", "min_s", "max_s"
+        )
+        base = row if base is None else base.unionByName(row)
+    sketch = kmv_summary(dh)  # one row per col_name (keyed as event_type)
+    return base.join(
+        sketch, base["col_name"] == sketch["event_type"]
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "k_actual",
+        "h_k",
+        "kmv_estimate",
+        "min_s",
+        "max_s",
+    )

@@ -11,7 +11,8 @@ Supported grammar (instant queries, evaluated at T = corpus max ms —
 the t23/t25 convention; standard precedence — ``*``/``/`` bind tighter
 than ``+``/``-``, comparisons lowest, all left-associative)::
 
-    expr     := addexpr | expr CMP number
+    expr     := cmpexpr | expr ('and'|'or'|'unless') cmpexpr
+    cmpexpr  := addexpr | cmpexpr CMP number
     addexpr  := mulexpr | addexpr ('+'|'-') (number | mulexpr)
     mulexpr  := primary | mulexpr ('*'|'/') (number | primary)
     primary  := agg | topk | histq | vector
@@ -28,7 +29,11 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
     op       := '=' | '!=' | '=~' | '!~'       (Prometheus matcher ops)
     duration := <int>('ms'|'s'|'m'|'h'|'d')
 
-Regex matchers are FULLY ANCHORED (``^(?:v)$``) exactly like Prometheus
+Logical set ops compile to join types, not value math: ``and`` = a
+LEFT SEMI join on the shared labels (lhs values, rhs existence),
+``unless`` = LEFT ANTI, ``or`` = lhs ∪ (rhs anti lhs) — one
+left-associative precedence level below comparisons (parenthesize to
+mix them). Regex matchers are FULLY ANCHORED (``^(?:v)$``) exactly like Prometheus
 and this engine's own remote_read matcher engine
 (``ingest_queries.py::_remote_read_select``); patterns must stay in the
 Java ∩ RE2 subset (the d19 rule). Vector-vector ``+ - * /`` matches on
@@ -140,6 +145,13 @@ class HistQ:
     expr: object
 
 
+@dataclass(frozen=True)
+class SetOp:
+    left: object
+    op: str  # 'and', 'or', 'unless'
+    right: object
+
+
 _RANGE_FNS = {
     "rate", "increase", "avg_over_time", "sum_over_time",
     "count_over_time", "min_over_time", "max_over_time",
@@ -208,7 +220,20 @@ class _Parser:
         return e
 
     def _expr(self):
-        # comparisons bind loosest (standard PromQL precedence)
+        # set operators bind loosest of all (PromQL: or below and/unless
+        # below comparisons; this subset treats and/or/unless as one
+        # left-associative level — parenthesize to mix them)
+        e = self._cmpexpr()
+        while True:
+            k, v = self._peek()
+            if k == "id" and v in ("and", "or", "unless"):
+                self._next()
+                e = SetOp(e, v, self._cmpexpr())
+            else:
+                return e
+
+    def _cmpexpr(self):
+        # comparisons bind below arithmetic (standard PromQL precedence)
         e = self._addexpr()
         while True:
             k, v = self._peek()
@@ -370,6 +395,10 @@ def _variable_den(node) -> bool:
         if node.op == "/":
             return True  # den picks up the rhs NUMERATOR — data-dependent
         return _variable_den(node.left) or _variable_den(node.right)
+    if isinstance(node, SetOp):
+        if node.op in ("and", "unless"):
+            return _variable_den(node.left)  # values come from the lhs only
+        return True  # 'or' mixes both sides' dens — not statically constant
     return True  # unknown node: be loud, not silently wrong
 
 
@@ -671,6 +700,32 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             *keys, num.cast("long").alias("num"), den.cast("long").alias("den")
         )
         return _Vec(out, lv.labels)
+    if isinstance(node, SetOp):
+        lv = _compile_vector(spark, sf_dir, node.left)
+        rv = _compile_vector(spark, sf_dir, node.right)
+        if lv.labels != rv.labels:
+            raise PromQLError(
+                f"{node.op} needs identical label sets (one-to-one "
+                f"matching), got {lv.labels} vs {rv.labels}"
+            )
+        keys = list(lv.labels)
+        if not keys:
+            raise PromQLError(f"{node.op} needs at least one matching label")
+        rhs_keys = rv.df.select(*keys)
+        if node.op == "and":  # values from the lhs, existence from the rhs
+            return _Vec(lv.df.join(rhs_keys, keys, "left_semi"), lv.labels,
+                        sqrt=lv.sqrt)
+        if node.op == "unless":
+            return _Vec(lv.df.join(rhs_keys, keys, "left_anti"), lv.labels,
+                        sqrt=lv.sqrt)
+        # 'or': all of lhs, plus rhs series absent from lhs
+        if lv.sqrt != rv.sqrt:
+            raise PromQLError("or over mixed sqrt/rational vectors")
+        lhs_keys = lv.df.select(*keys)
+        merged = lv.df.select(*keys, "num", "den").unionByName(
+            rv.df.select(*keys, "num", "den").join(lhs_keys, keys, "left_anti")
+        )
+        return _Vec(merged, lv.labels, sqrt=lv.sqrt)
     if isinstance(node, HistQ):
         raise PromQLError(
             "histogram_quantile must be the outermost expression (its "
@@ -1200,3 +1255,97 @@ def pq12_promql_scalar_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (avg_over_time): legal here because Shift is per-row; aggregating
     it is what the compile-time _variable_den check rejects."""
     return compile_promql(spark, sf_dir, PQ12_QUERY)
+
+
+PQ13_QUERY = (
+    "avg_over_time(purchase[30d]) > 40 and count_over_time(error[30d]) > 5"
+)
+PQ13_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num,
+               CAST(count(*) * 100 AS BIGINT) AS den
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    e AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events, b
+        WHERE event_type = 'error' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(g.user_id AS BIGINT) AS user,
+           floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g
+    WHERE num * 1 > 40 * den
+      AND g.user_id IN (SELECT user_id FROM e WHERE n * 1 > 5 * 1)
+"""
+
+
+@register("pq13_promql_and_semi_join", family="PQ", oracle=PQ13_ORACLE)
+def pq13_promql_and_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``avg_over_time(purchase[30d]) > 40 and
+    count_over_time(error[30d]) > 5`` — the logical ``and`` compiles to
+    a LEFT SEMI join on the shared label set (J4's mechanism,
+    `operators/joins.py:194`, reached from query text): lhs VALUES,
+    rhs EXISTENCE, no value math — so the exact-rational pipeline is
+    untouched and the result hashes like its lhs. The alerting idiom
+    this enables: gate a threshold on a second signal's presence
+    ("high spenders who are also erroring")."""
+    return compile_promql(spark, sf_dir, PQ13_QUERY)
+
+
+PQ14_QUERY = (
+    "avg_over_time(purchase[30d]) > 40 unless count_over_time(error[30d]) > 5"
+)
+PQ14_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num,
+               CAST(count(*) * 100 AS BIGINT) AS den
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    e AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events, b
+        WHERE event_type = 'error' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(g.user_id AS BIGINT) AS user,
+           floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g
+    WHERE num * 1 > 40 * den
+      AND NOT EXISTS (SELECT 1 FROM e
+                      WHERE e.user_id = g.user_id AND n * 1 > 5 * 1)
+"""
+
+
+@register("pq14_promql_unless_anti_join", family="PQ", oracle=PQ14_ORACLE)
+def pq14_promql_unless_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``... unless count_over_time(error[30d]) > 5`` — ``unless``
+    compiles to a LEFT ANTI join on the shared labels (J4's other
+    half): suppression, the alert-routing idiom ("page on high spend
+    EXCEPT where the error alert already fired"). Only 3 of the 113
+    lhs series survive at sf0.01 — the anti join does real work, and
+    the oracle uses NOT EXISTS with an equality correlate, whose
+    NULL-key behavior matches LEFT ANTI exactly (NOT IN would go empty
+    if a NULL key ever entered the rhs — the classic trap, dodged
+    structurally)."""
+    return compile_promql(spark, sf_dir, PQ14_QUERY)

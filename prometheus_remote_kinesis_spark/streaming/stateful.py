@@ -1727,9 +1727,14 @@ def time_weighted_avg(
     identically to the batch filter; within-batch order is
     (time, event_id) — in-order arrival across batches is the relay's
     property, the same assumption t14s/t20s/t31's streams already pin.
-    Python ints are unbounded but state stores int64: at 100 TB num
-    splits into decimal partials exactly as t31s does (docstring note;
-    per-series num is ~1e11 at the 64× probe, 7 orders inside int64)."""
+    Out-of-order deployment recipe: wrap the fold in the bounded
+    reorder buffer ``ewma_halflife_reordered`` demonstrates (commit
+    only past max-seen-ms − reorder_ms, in (ms, event_id) order; raise
+    past the horizon) — the trapezoid fold slots into the same _fold
+    seam, r11 task #6. Python ints are unbounded but state stores
+    int64: at 100 TB num splits into decimal partials exactly as t31s
+    does (docstring note; per-series num is ~1e11 at the 64× probe,
+    7 orders inside int64)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -1814,7 +1819,11 @@ def alert_for_duration(
     is event_type alone, so a close + reopen can land on one ms), and
     a start-keyed drain would collapse them to one max-n row. All state
     and emissions are integers; NaN staleness markers skip identically
-    to the batch filter; within-batch order is (time, event_id)."""
+    to the batch filter; within-batch order is (time, event_id) —
+    in-order arrival ACROSS batches is a precondition (a late breach
+    would reopen a closed island); the out-of-order deployment recipe
+    is ``ewma_halflife_reordered``'s bounded reorder buffer with the
+    island transition as the committed fold (r11 task #6)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -1949,6 +1958,120 @@ def ewma_halflife(
         fn,
         outputStructType=EWMA_SCHEMA,
         stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+_EWMA_RO_STATE_SCHEMA = (
+    "n long, m long, l double, hi long, "
+    "bms array<long>, bid array<long>, bv array<double>"
+)
+
+
+def ewma_halflife_reordered(
+    records: DataFrame,
+    hl_ms: int,
+    reorder_ms: int,
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """The PRODUCTION twin of ``ewma_halflife`` for out-of-order streams
+    (r11, VERDICT r10 task #6): ``ewma_halflife`` documents in-order
+    arrival as its batch-equivalence precondition (an out-of-order
+    sample clamps to zero halvings — correct-ish, but not the batch
+    fold). This twin makes the precondition a CONTRACT instead: a
+    bounded reorder buffer rides in the state — the watermark idea
+    applied inside the operator — and the fold only COMMITS samples
+    older than (max event ms seen) − reorder_ms, in (ms, event_id)
+    order. Any arrival pattern whose displacement stays under
+    ``reorder_ms`` therefore folds in exactly the global sort order:
+    the committed recurrence is BIT-EQUAL to the in-order fold (pinned
+    by test_ewma_reordered_bit_equals_in_order). A sample arriving
+    later than its reorder horizon raises loudly (the watermark
+    contract violated — the caller chose the bound) rather than folding
+    out of order silently.
+
+    Each batch emits a SPECULATIVE summary: the committed state plus
+    the still-buffered suffix folded in sorted order — so the drain's
+    max-n row (t20s protocol) reflects every sample, exactly as if the
+    stream had ended and the watermark advanced past the buffer. State
+    is (n, last_ms, level) + the bounded buffer: O(rate × reorder_ms)
+    per series, the price of tolerating disorder — constant in stream
+    LENGTH, the property that matters at 100 TB."""
+
+    def _fold(n: int, m: int, l: float, rows) -> tuple[int, int, float]:
+        for ms, _eid, x in rows:
+            if n == 0:
+                l = x  # noqa: E741
+            else:
+                g = min(max((ms - m) // hl_ms, 0), 62)
+                l = x + (l - x) * (1.0 / float(1 << g))  # noqa: E741
+            m, n = ms, n + 1
+        return n, m, l
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        if state.exists:
+            n, m, l, hi, bms, bid, bv = state.get  # noqa: E741
+            buf = list(zip(list(bms), list(bid), list(bv)))
+        else:
+            n, m, l, hi, buf = 0, 0, 0.0, -(1 << 62), []  # noqa: E741
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                v = r["value"]
+                if v is None or pd.isna(v):
+                    continue  # staleness marker — batch filter parity
+                ms = int(r["time"])
+                if ms < hi - reorder_ms:
+                    raise RuntimeError(
+                        f"sample at {ms} arrived past its reorder horizon "
+                        f"(max seen {hi}, bound {reorder_ms} ms): the "
+                        "watermark contract is violated — widen reorder_ms"
+                    )
+                eid = int(r["event_id"]) if "event_id" in pdf.columns else 0
+                buf.append((ms, eid, float(v)))
+                if ms > hi:
+                    hi = ms
+        buf.sort()
+        wm = hi - reorder_ms
+        cut = 0
+        while cut < len(buf) and buf[cut][0] <= wm:
+            cut += 1
+        n, m, l = _fold(n, m, l, buf[:cut])  # noqa: E741
+        buf = buf[cut:]
+        state.update(
+            (
+                n, m, l, hi,
+                [b[0] for b in buf],
+                [b[1] for b in buf],
+                [b[2] for b in buf],
+            )
+        )
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        sn, _sm, sl = _fold(n, m, l, buf)  # speculative: buffer folded, not committed
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "user_id": user_id,
+                    "n_samples": sn,
+                    "ewma_raw": sl,
+                }
+            ]
+        )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_RO_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
     )

@@ -1762,6 +1762,73 @@ def test_promql_extended_compile_semantics(spark):
         )
 
 
+def test_promql_set_ops_match_python_sets(spark):
+    """and/or/unless compile to semi/anti/union-anti joins whose key
+    sets equal Python set algebra over the separately compiled sides;
+    values come from the lhs ('or' fills gaps from the rhs); parse
+    shapes and the mixed-label rejection are pinned."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        Cmp, PromQLError, SetOp, compile_promql, parse, _compile_vector,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ast = parse("a > 1 and b")
+    assert isinstance(ast, SetOp) and ast.op == "and"
+    assert isinstance(ast.left, Cmp)  # comparisons bind tighter than set ops
+
+    lhs = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "avg_over_time(purchase[30d]) > 40"
+        ).collect()
+    }
+    rhs = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(error[30d]) > 10"
+        ).collect()
+    }
+    got_and = {
+        r.user: r.value
+        for r in compile_promql(
+            spark,
+            SF_SMOKE,
+            "avg_over_time(purchase[30d]) > 40 and count_over_time(error[30d]) > 10",
+        ).collect()
+    }
+    got_unless = {
+        r.user: r.value
+        for r in compile_promql(
+            spark,
+            SF_SMOKE,
+            "avg_over_time(purchase[30d]) > 40 unless count_over_time(error[30d]) > 10",
+        ).collect()
+    }
+    got_or = {
+        r.user: r.value
+        for r in compile_promql(
+            spark,
+            SF_SMOKE,
+            "avg_over_time(purchase[30d]) > 40 or count_over_time(error[30d]) > 10",
+        ).collect()
+    }
+    assert set(got_and) == set(lhs) & set(rhs)
+    assert set(got_unless) == set(lhs) - set(rhs)
+    assert set(got_or) == set(lhs) | set(rhs)
+    # the threshold split must be non-trivial on both sides
+    assert got_and and got_unless and set(rhs) - set(lhs)
+    for u, v in got_and.items():
+        assert v == lhs[u]  # lhs values, rhs existence
+    for u, v in got_or.items():
+        assert v == (lhs[u] if u in lhs else rhs[u])  # lhs wins on overlap
+    with pytest.raises(PromQLError, match="identical label sets"):
+        _compile_vector(
+            spark, SF_SMOKE, parse("sum(rate(view[1d])) and rate(view[1d])")
+        )
+
+
 def test_alert_islands_bucket_boundary_stitching(spark, tmp_path):
     """t39's banded gaps-islands on ENGINEERED timestamps the corpus may
     not contain: an island whose samples straddle a bucket boundary, an

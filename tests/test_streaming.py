@@ -1455,3 +1455,74 @@ def test_ewma_halflife_multibatch_chop(spark, tmp_path):
             m, n = t, n + 1
     assert best["n_samples"] == n == 6
     assert best["ewma_raw"] == l  # bit-exact
+
+
+def test_ewma_reordered_bit_equals_in_order(spark, tmp_path):
+    """ewma_halflife_reordered under REAL multi-batch chop with
+    out-of-order arrival inside the reorder bound: the committed fold
+    runs in global (ms, event_id) order regardless of arrival order, so
+    the drained level is BIT-EQUAL to the in-order Python fold (the
+    t20s op-order-identity argument, now robust to bounded disorder).
+    NULLs skip; a sample arriving past its reorder horizon raises
+    loudly instead of folding out of order."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        ewma_halflife_reordered,
+    )
+
+    HL, RO = 600_000, 300_000
+    # event-time order (ms, value); gaps exercise g = 0, 1, >1 halvings
+    seq = [
+        (0, 10.0), (100_000, 12.0), (150_000, None), (400_000, 8.0),
+        (700_000, 20.0), (900_000, 4.0), (2_000_000, 16.0),
+        (2_050_000, 7.0), (2_200_000, 11.0),
+    ]
+    rows_sorted = [
+        {"event_id": i, "event_type": "m", "user_id": 1, "time": t, "value": v}
+        for i, (t, v) in enumerate(seq)
+    ]
+    # bounded disorder: swap neighbors whose ms gap < RO (arrival order
+    # != event order, displacement under the contract)
+    order = [1, 0, 2, 3, 4, 5, 7, 6, 8]
+    rows_arrival = [rows_sorted[i] for i in order]
+    out = run_to_batch(
+        ewma_halflife_reordered(
+            _chopped_stream(spark, tmp_path, rows_arrival, 4),
+            hl_ms=HL,
+            reorder_ms=RO,
+            idle_timeout_ms=None,
+        ),
+        "append",
+    )
+    rows_out = out.collect()
+    auth = max(rows_out, key=lambda r: r["n_samples"])
+    # Python in-order fold — the identical recurrence, bit for bit
+    n, m, level = 0, 0, 0.0
+    for i, (t, v) in enumerate(seq):
+        if v is None:
+            continue
+        if n == 0:
+            level = v
+        else:
+            g = min(max((t - m) // HL, 0), 62)
+            level = v + (level - v) * (1.0 / float(1 << g))
+        m, n = t, n + 1
+    assert auth["n_samples"] == n
+    assert auth["ewma_raw"] == level  # bit-exact, not approx
+    # a sample past its horizon (displacement > RO) must raise loudly
+    bad = [rows_sorted[i] for i in [1, 2, 3, 4, 5, 0, 6, 7, 8]]  # 0 arrives
+    # after 900_000 has been seen: 0 < 900_000 - RO → contract violated
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    with pytest.raises(Exception, match="reorder horizon"):
+        run_to_batch(
+            ewma_halflife_reordered(
+                _chopped_stream(spark, bad_dir, bad, 3),
+                hl_ms=HL,
+                reorder_ms=RO,
+                idle_timeout_ms=None,
+            ),
+            "append",
+        ).collect()

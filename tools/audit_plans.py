@@ -77,6 +77,15 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq6_promql_offset_window", "nested_loop_join"),
     ("pq7_promql_stddev_topk", "nested_loop_join"),
     ("pq8_promql_label_matcher", "nested_loop_join"),
+    # r11 pq additions: the identical 1-row _t_eval broadcast (pq10
+    # carries it on BOTH VecBin sides; pq11's histq agg consumes it
+    # before the single-row interpolation)
+    ("pq9_promql_regex_matcher", "nested_loop_join"),
+    ("pq10_promql_vector_ratio", "nested_loop_join"),
+    ("pq11_promql_histogram_quantile", "nested_loop_join"),
+    ("pq12_promql_scalar_shift", "nested_loop_join"),
+    ("pq13_promql_and_semi_join", "nested_loop_join"),
+    ("pq14_promql_unless_anti_join", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
