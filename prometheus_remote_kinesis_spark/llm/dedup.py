@@ -952,6 +952,15 @@ def _freq_split_verify(post, freq, sh_sets, cand, directional: bool):
             ),
             "id_b",
         )
+        # 8× default parallelism keeps checkpoint blocks small enough
+        # to evict cleanly (measured: 32-partition blocks reach ~380 MB
+        # at the 256× probe and OOM a 16 g JVM; pair-hash partitioning,
+        # so the key count grows with data)
+        .repartition(
+            sh_sets.sparkSession.sparkContext.defaultParallelism * 8,
+            "id_a",
+            "id_b",
+        )
         .localCheckpoint(eager=True)
         # cm feeds equal/diff/verify — three references; without
         # truncation the prefix-join+distinct DAG re-inlines per

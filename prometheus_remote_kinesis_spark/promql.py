@@ -15,7 +15,9 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
     cmpexpr  := addexpr | cmpexpr CMP number
     addexpr  := mulexpr | addexpr ('+'|'-') (number | mulexpr)
     mulexpr  := primary | mulexpr ('*'|'/') (number | primary)
-    primary  := agg | topk | histq | vector
+    primary  := agg | topk | bottomk | histq | vecfn | vector
+    vecfn    := 'abs' '(' expr ')'
+              | ('clamp_min'|'clamp_max') '(' expr ',' number ')'
     agg      := ('sum'|'min'|'max'|'count'|'avg') ['by' '(' labels ')']
                 '(' expr ')'
     histq    := 'histogram_quantile' '(' phi ','
@@ -109,6 +111,19 @@ class Agg:
 class TopK:
     k: int
     expr: object
+    asc: bool = False  # bottomk
+
+
+@dataclass(frozen=True)
+class VecAbs:
+    expr: object
+
+
+@dataclass(frozen=True)
+class Clamp:
+    fn: str  # 'clamp_min' or 'clamp_max'
+    expr: object
+    scalar: Fraction
 
 
 @dataclass(frozen=True)
@@ -304,16 +319,31 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return HistQ(phi, inner)
-        if k == "id" and v == "topk":
+        if k == "id" and v in ("topk", "bottomk"):
             self._next()
             self._expect("op", "(")
             kk = self._expect("num")[1]
             if "." in kk or int(kk) < 1:
-                raise PromQLError(f"topk k must be a positive integer, got {kk}")
+                raise PromQLError(f"{v} k must be a positive integer, got {kk}")
             self._expect("op", ",")
             inner = self._expr()
             self._expect("op", ")")
-            return TopK(int(kk), inner)
+            return TopK(int(kk), inner, asc=(v == "bottomk"))
+        if k == "id" and v == "abs":
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            self._expect("op", ")")
+            return VecAbs(inner)
+        if k == "id" and v in ("clamp_min", "clamp_max"):
+            fn = v
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            self._expect("op", ",")
+            s = Fraction(self._expect("num")[1])
+            self._expect("op", ")")
+            return Clamp(fn, inner, s)
         if k == "id" and v in _RANGE_FNS:
             self._next()
             self._expect("op", "(")
@@ -389,7 +419,7 @@ def _variable_den(node) -> bool:
         return node.fn == "avg_over_time"
     if isinstance(node, Agg):
         return node.op == "avg"  # den = den_in · n_in, n_in per-group
-    if isinstance(node, (TopK, Cmp, Scale, Shift)):
+    if isinstance(node, (TopK, Cmp, Scale, Shift, VecAbs, Clamp)):
         return _variable_den(node.expr)
     if isinstance(node, VecBin):
         if node.op == "/":
@@ -605,10 +635,44 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         inner = _compile_vector(spark, sf_dir, node.expr)
         # sort key = ONE IEEE division of exact integers per row —
         # identical on both engines (the d23 priority-key argument);
-        # labels break ties (LIMIT determinism rule)
+        # labels break ties (LIMIT determinism rule); bottomk flips
+        # the direction (monotone-equivalent under sqrt too)
         key = F.col("num").cast("double") / F.col("den").cast("double")
-        out = inner.df.orderBy(F.desc(key), *inner.labels).limit(node.k)
+        ordered = F.asc(key) if node.asc else F.desc(key)
+        out = inner.df.orderBy(ordered, *inner.labels).limit(node.k)
         return _Vec(out, inner.labels, sqrt=inner.sqrt)
+    if isinstance(node, VecAbs):
+        inner = _compile_vector(spark, sf_dir, node.expr)
+        if inner.sqrt:  # a stddev is already non-negative
+            return inner
+        # den > 0 invariant: |num/den| = |num|/den, still exact
+        out = inner.df.select(
+            *inner.labels,
+            F.abs(F.col("num")).cast("long").alias("num"),
+            "den",
+        )
+        return _Vec(out, inner.labels)
+    if isinstance(node, Clamp):
+        inner = _compile_vector(spark, sf_dir, node.expr)
+        if inner.sqrt:
+            raise PromQLError(
+                "clamp over stddev_over_time is outside the exact-rational "
+                "subset"
+            )
+        # clamp against s = p/q stays exact AND keeps a constant-den
+        # kernel constant-den: num' = greatest/least(num·q, p·den),
+        # den' = den·q — the unclamped rows rescale by q too, so every
+        # row shares the same denominator expression
+        p, q = node.scalar.numerator, node.scalar.denominator
+        pick = F.greatest if node.fn == "clamp_min" else F.least
+        out = inner.df.select(
+            *inner.labels,
+            pick(F.col("num") * F.lit(q), F.lit(p) * F.col("den"))
+            .cast("long")
+            .alias("num"),
+            (F.col("den") * F.lit(q)).cast("long").alias("den"),
+        )
+        return _Vec(out, inner.labels)
     if isinstance(node, Cmp):
         inner = _compile_vector(spark, sf_dir, node.expr)
         scalar = node.scalar
@@ -1349,3 +1413,68 @@ def pq14_promql_unless_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if a NULL key ever entered the rhs — the classic trap, dodged
     structurally)."""
     return compile_promql(spark, sf_dir, PQ14_QUERY)
+
+
+PQ15_QUERY = "clamp_max(abs(avg_over_time(purchase[30d]) - 50), 20)"
+PQ15_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num,
+               CAST(count(*) * 100 AS BIGINT) AS den
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(least(abs(num - 50 * den), 20 * den) AS DOUBLE)
+                 / CAST(den AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pq15_promql_abs_clamp", family="PQ", oracle=PQ15_ORACLE)
+def pq15_promql_abs_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``clamp_max(abs(avg_over_time(purchase[30d]) - 50), 20)``
+    — the vector math functions stay exact-rational: |num/den| = |num|/den
+    (the den>0 invariant), and clamping against s = p/q rescales BOTH
+    branches by q (num' = least(num·q, p·den), den' = den·q), so a
+    constant-den kernel stays constant-den and the single division
+    remains the finalize. 17 of 150 series clamp at sf0.01 — both
+    branches inside the hash gate. The deviation-band idiom: distance
+    from a target value, capped for alert scoring."""
+    return compile_promql(spark, sf_dir, PQ15_QUERY)
+
+
+PQ16_QUERY = "bottomk(3, sum_over_time(error[30d]))"
+PQ16_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'error' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(num AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g
+    ORDER BY CAST(num AS DOUBLE) / CAST(100 AS DOUBLE) ASC, user_id
+    LIMIT 3
+"""
+
+
+@register("pq16_promql_bottomk", family="PQ", oracle=PQ16_ORACLE)
+def pq16_promql_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``bottomk(3, sum_over_time(error[30d]))`` — topk's
+    ascending twin (the "quietest series" selection): identical
+    TakeOrderedAndProject with the flipped one-IEEE-division sort key,
+    labels breaking ties on both engines."""
+    return compile_promql(spark, sf_dir, PQ16_QUERY)

@@ -1829,6 +1829,68 @@ def test_promql_set_ops_match_python_sets(spark):
         )
 
 
+def test_promql_vector_fns_match_python(spark):
+    """abs / clamp_min / clamp_max / bottomk: exact-rational per-row
+    math and the flipped top-k — each equals a Python recomputation
+    from the inner vector, clamp keeps constant-den kernels
+    constant-den (sum() over a clamped constant-den vector still
+    compiles), and bottomk returns the ascending head."""
+    import math
+
+    from prometheus_remote_kinesis_spark.promql import (
+        Clamp, TopK, VecAbs, compile_promql, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    assert parse("abs(x)") == VecAbs(parse("x"))
+    assert parse('clamp_min(x, 3)').fn == "clamp_min"
+    assert isinstance(parse("bottomk(2, x)"), TopK) and parse("bottomk(2, x)").asc
+
+    base = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "avg_over_time(purchase[30d]) - 50"
+        ).collect()
+    }
+    got = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE,
+            "clamp_max(abs(avg_over_time(purchase[30d]) - 50), 20)",
+        ).collect()
+    }
+    assert set(got) == set(base)
+    clamped = unclamped = 0
+    for u, v in base.items():
+        # the compiled sides each floor once; recompute within 2 ulps of
+        # the 1e-6 grid (abs/clamp commute with floor only approximately
+        # when v was already floored — tolerance covers it)
+        exp = min(abs(v), 20.0)
+        assert abs(got[u] - exp) < 3e-6
+        if abs(v) > 20:
+            clamped += 1
+        else:
+            unclamped += 1
+    assert clamped and unclamped  # both branches exercised
+    # clamp keeps constant-den: aggregating a clamped vector compiles
+    one = compile_promql(
+        spark, SF_SMOKE, "sum(clamp_min(sum_over_time(error[30d]), 100))"
+    ).collect()
+    assert len(one) == 1 and one[0]["value"] >= 100.0
+    bk = compile_promql(
+        spark, SF_SMOKE, "bottomk(3, sum_over_time(error[30d]))"
+    ).collect()
+    full = {
+        r.user: r.value
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(error[30d])"
+        ).collect()
+    }
+    exp3 = sorted(full.items(), key=lambda kv: (kv[1], kv[0]))[:3]
+    assert [(r.user, r.value) for r in bk] == exp3
+    assert math.isfinite(bk[0]["value"])
+
+
 def test_alert_islands_bucket_boundary_stitching(spark, tmp_path):
     """t39's banded gaps-islands on ENGINEERED timestamps the corpus may
     not contain: an island whose samples straddle a bucket boundary, an

@@ -86,6 +86,8 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq12_promql_scalar_shift", "nested_loop_join"),
     ("pq13_promql_and_semi_join", "nested_loop_join"),
     ("pq14_promql_unless_anti_join", "nested_loop_join"),
+    ("pq15_promql_abs_clamp", "nested_loop_join"),
+    ("pq16_promql_bottomk", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
