@@ -937,3 +937,79 @@ def test_power_iteration_quantized(spark, tmp_path):
     top = evecs[:, -1]
     cos = abs(v2 @ top) / (np.linalg.norm(v2) * np.linalg.norm(top))
     assert cos > 0.99, cos
+
+
+def test_freq_split_verify_all_tiers_vs_brute_force(spark, tmp_path, monkeypatch):
+    """The r11 l2j/l2k verify rebuild on an ENGINEERED corpus that
+    drives all three tiers at once — which the driver SFs never do
+    (their max posting length ~25 < L2_HOT_F): L2_HOT_F is pinned to 2
+    so the boilerplate shingle every doc shares goes HOT (per-doc
+    hot-array intersection), the distinctive shingles stay RARE
+    (index-join counts), and two exact-duplicate docs exercise the
+    set-digest short-circuit. Ground truth is the brute-force all-pairs
+    Python scan; both l2j (symmetric) and l2k (directional) must match
+    it EXACTLY — pairs, i, na, nb, ppm."""
+    from prometheus_remote_kinesis_spark import llm
+    from prometheus_remote_kinesis_spark.llm.dedup import (
+        L2J_TAU_DEN, L2J_TAU_NUM, L2K_TAU_DEN, L2K_TAU_NUM, shingled_docs,
+    )
+    from prometheus_remote_kinesis_spark.registry import all_queries
+
+    monkeypatch.setattr(llm.dedup, "L2_HOT_F", 2)
+
+    # "w0 w1 ... " prose with a shared boilerplate tail: the tail's
+    # shingles appear in EVERY doc (posting length 8 > 2 → hot); each
+    # doc's leading run is distinctive (posting ≤ 2 → rare). Docs 6/7
+    # duplicate docs 0/1 exactly (equal-set tier); docs 2/3 are a
+    # near-dup pair sharing most of their leading run.
+    boiler = "the quick brown fox jumps over lazy dogs"
+    bodies = [
+        "alpha beta gamma delta epsilon zeta",
+        "omicron pi rho sigma tau upsilon",
+        "one two three four five six seven eight nine",
+        "one two three four five six seven eight late",
+        "red orange yellow green blue indigo",
+        "north south east west upward downward",
+    ]
+    rows = [(i, f"{b} {boiler}") for i, b in enumerate(bodies)]
+    rows += [(6, rows[0][1]), (7, rows[1][1])]  # exact duplicates
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out_dir = str(tmp_path / "corpus")
+    docs.write.parquet(out_dir + "/documents.parquet")
+
+    sets = {r.doc_id: set(r.sh) for r in shingled_docs(docs).collect()}
+    # the engineered posting profile actually splits at L2_HOT_F=2
+    from collections import Counter
+
+    freq = Counter(g for s in sets.values() for g in s)
+    assert max(freq.values()) > 2 and min(freq.values()) <= 2
+
+    exp_j, exp_k = {}, {}
+    ids = sorted(sets)
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            i = len(sets[a] & sets[b])
+            na, nb = len(sets[a]), len(sets[b])
+            if a < b and L2J_TAU_DEN * i >= L2J_TAU_NUM * (na + nb - i):
+                exp_j[(a, b)] = (i, na, nb, i * 1_000_000 // (na + nb - i))
+            if L2K_TAU_DEN * i >= L2K_TAU_NUM * na:
+                exp_k[(a, b)] = (i, na, nb, i * 1_000_000 // na)
+    # the corpus exercises equal-set pairs AND partial overlaps
+    assert (0, 6) in exp_j and (2, 3) in exp_j and len(exp_k) >= len(exp_j)
+
+    got_j = {
+        (r.id_a, r.id_b): (r.i, r.na, r.nb, r.jaccard_ppm)
+        for r in all_queries()["l2j_prefix_jaccard_join"]
+        .fn(spark, out_dir)
+        .collect()
+    }
+    got_k = {
+        (r.id_a, r.id_b): (r.i, r.na, r.nb, r.containment_ppm)
+        for r in all_queries()["l2k_containment_join"]
+        .fn(spark, out_dir)
+        .collect()
+    }
+    assert got_j == exp_j
+    assert got_k == exp_k
