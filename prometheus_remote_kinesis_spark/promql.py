@@ -1478,3 +1478,35 @@ def pq16_promql_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with the flipped one-IEEE-division sort key,
     labels breaking ties on both engines."""
     return compile_promql(spark, sf_dir, PQ16_QUERY)
+
+
+def make_promql_http_handler(spark: SparkSession, sf_dir: str):
+    """Build the ``query_handler`` for ``RemoteWriteServer`` — the
+    Prometheus HTTP API instant query (``GET /api/v1/query``) served by
+    the PQ compiler, closing the full reference loop over the wire:
+    remote_write in (``/receive``), remote_read back (``/read``), and
+    now the dashboard's own query language over the same data
+    (``/api/v1/query``). Returns ``(eval_time_seconds, [(labels_dict,
+    value), ...])`` in the API's vector shape.
+
+    The per-query ``collect`` is bounded by the same protocol argument
+    as the remote_read handler (`ingest_queries.py`): an instant-vector
+    response must fit one HTTP body by design — heavy analytics belong
+    to the registered batch queries, not the dashboard endpoint. The
+    evaluation timestamp is the compiler's T (corpus max ms, the
+    t23/t25 convention); the API's ``time`` parameter is outside the
+    subset and ignored by the route."""
+
+    def handler(query: str):
+        df = compile_promql(spark, sf_dir, query)
+        rows = df.collect()
+        t_row = _t_eval(spark, sf_dir).collect()[0]["t_eval"]
+        t_s = (t_row or 0) / 1000.0
+        out = []
+        for r in rows:
+            d = r.asDict()
+            val = d.pop("value")
+            out.append(({k: str(v) for k, v in d.items()}, val))
+        return t_s, out
+
+    return handler

@@ -24,6 +24,13 @@ handler thread, exactly like the reference's per-request goroutine;
 ``tests/test_server.py`` pins it against the Spark-side
 ``ingest.flatten_write_requests`` on the same fixtures so the two can
 never diverge silently.
+
+Beyond the reference's write-only surface, the same server optionally
+serves the data BACK: ``POST /read`` (Prometheus remote_read, r10) and
+``GET /api/v1/query`` (the Prometheus HTTP API instant query, r11 —
+``promql.make_promql_http_handler`` puts the PQ compiler behind the
+spec's vector-JSON envelope). Both routes stay 404 unless a handler is
+injected, preserving reference parity by default.
 """
 
 from __future__ import annotations
@@ -76,6 +83,64 @@ class _Handler(BaseHTTPRequestHandler):
     # Quiet by default; the server object collects nothing per-request.
     def log_message(self, fmt: str, *args) -> None:  # noqa: A002
         pass
+
+    def _json(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj, ensure_ascii=False).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        # Prometheus HTTP API instant query (public spec:
+        # GET /api/v1/query?query=...) — beyond-reference surface like
+        # /read: the PQ compiler serves the relayed series back to any
+        # Prometheus-API client. Response envelope matches the spec's
+        # vector resultType; errors use the spec's status/errorType
+        # fields (bad_data for PromQL the subset rejects).
+        from urllib.parse import parse_qs, urlparse
+
+        u = urlparse(self.path)
+        if u.path != "/api/v1/query" or getattr(self.server, "query_handler", None) is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        q = parse_qs(u.query).get("query", [None])[0]
+        if not q:
+            self._json(
+                400,
+                {"status": "error", "errorType": "bad_data",
+                 "error": "missing query parameter"},
+            )
+            return
+        try:
+            t_s, results = self.server.query_handler(q)  # type: ignore[attr-defined]
+        except ValueError as e:  # PromQLError subclasses ValueError
+            self._json(
+                400,
+                {"status": "error", "errorType": "bad_data", "error": str(e)},
+            )
+            return
+        except Exception as e:  # noqa: BLE001 — spec: internal error
+            self._json(
+                500,
+                {"status": "error", "errorType": "internal", "error": str(e)},
+            )
+            return
+        self._json(
+            200,
+            {
+                "status": "success",
+                "data": {
+                    "resultType": "vector",
+                    "result": [
+                        {"metric": labels, "value": [t_s, str(float(v))]}
+                        for labels, v in results
+                    ],
+                },
+            },
+        )
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
         if self.path == "/read" and getattr(self.server, "read_handler", None):
@@ -162,6 +227,7 @@ class RemoteWriteServer(ThreadingHTTPServer):
         port: int = 0,
         raw: bool = False,
         read_handler=None,
+        query_handler=None,
     ):
         super().__init__((host, port), _Handler)
         self.spool_dir = spool_dir
@@ -172,6 +238,11 @@ class RemoteWriteServer(ThreadingHTTPServer):
         # (prompb.encode_read_response shape); None keeps the server
         # write-only like the reference (POST /read → 404)
         self.read_handler = read_handler
+        # optional PromQL instant-query API: callable(query_text) ->
+        # (eval_time_seconds, [(labels_dict, value), ...]); None keeps
+        # GET /api/v1/query → 404 (promql.make_promql_http_handler
+        # builds the Spark-backed one)
+        self.query_handler = query_handler
         os.makedirs(spool_dir, exist_ok=True)
         self._thread: threading.Thread | None = None
 

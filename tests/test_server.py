@@ -314,3 +314,76 @@ def test_remote_read_spark_e2e(spark, tmp_path):
     for r in sorted(direct, key=lambda r: r["ms"]):
         exp.setdefault((r["name"], str(r["user"])), []).append(r["ms"])
     assert got == exp and len(exp) >= 5
+
+
+def test_promql_query_endpoint_e2e(spark, tmp_path):
+    """GET /api/v1/query end to end: a REAL HTTP round trip against the
+    live server with the Spark-backed PQ compiler behind it — response
+    envelope matches the Prometheus HTTP API spec (status/resultType/
+    vector samples as [ts, "value"] pairs), values equal compile_promql
+    run directly, PromQL the subset rejects returns the spec's
+    bad_data error with HTTP 400, a missing query parameter 400s, and
+    a server without a query_handler keeps the route 404 (write-only
+    parity with the reference)."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.parse import quote
+    from urllib.request import urlopen
+
+    from prometheus_remote_kinesis_spark.promql import (
+        compile_promql, make_promql_http_handler,
+    )
+    from prometheus_remote_kinesis_spark.server import RemoteWriteServer
+    from tests.conftest import SF_SMOKE
+
+    srv = RemoteWriteServer(
+        str(tmp_path / "spool"),
+        query_handler=make_promql_http_handler(spark, SF_SMOKE),
+    ).start()
+    try:
+        host, port = srv.server_address[:2]
+        base = f"http://{host}:{port}/api/v1/query"
+        q = 'sum by (user) (increase(click[30d]))'
+        with urlopen(f"{base}?query={quote(q)}") as resp:
+            assert resp.status == 200
+            doc = _json.loads(resp.read())
+        assert doc["status"] == "success"
+        assert doc["data"]["resultType"] == "vector"
+        got = {
+            s["metric"]["user"]: float(s["value"][1])
+            for s in doc["data"]["result"]
+        }
+        direct = {
+            str(r.user): r.value
+            for r in compile_promql(spark, SF_SMOKE, q).collect()
+        }
+        assert got == direct and got
+        ts = {s["value"][0] for s in doc["data"]["result"]}
+        assert len(ts) == 1 and ts.pop() > 1e9  # one eval time, in seconds
+        # the subset's compile-time rejection surfaces as spec bad_data
+        try:
+            urlopen(f"{base}?query={quote('sum(avg_over_time(click[1d]))')}")
+            raise AssertionError("expected HTTP 400")
+        except HTTPError as e:
+            assert e.code == 400
+            err = _json.loads(e.read())
+            assert err["errorType"] == "bad_data"
+            assert "variable-denominator" in err["error"]
+        try:
+            urlopen(base)  # no query parameter
+            raise AssertionError("expected HTTP 400")
+        except HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+    # no handler → the route stays 404 (reference write-only parity)
+    srv2 = RemoteWriteServer(str(tmp_path / "spool2")).start()
+    try:
+        host, port = srv2.server_address[:2]
+        try:
+            urlopen(f"http://{host}:{port}/api/v1/query?query=click")
+            raise AssertionError("expected HTTP 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv2.stop()
