@@ -849,6 +849,68 @@ def pqs1_promql_sum_over_time_stream(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+PQS2_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events)
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(count(*) AS DOUBLE) / CAST(1 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM events, b
+    WHERE event_type = 'click' AND value IS NOT NULL
+      AND regexp_full_match(CAST(user_id AS VARCHAR), '1.?')
+      AND epoch_us(ts) // 1000 > t - 2592000000
+      AND epoch_us(ts) // 1000 <= t
+    GROUP BY 1
+"""
+
+
+@register("pqs2_promql_regex_count_stream", family="PQ-stream", oracle=PQS2_ORACLE)
+def pqs2_promql_regex_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``count_over_time(click{user=~"1.?"}[30d])`` EXECUTED BY
+    the streaming engine — pq9's regex-MATCHER scan predicate (the
+    remote_read anchoring, ``rlike('^(?:1.?)$')``) applied inside a
+    live stream, with pqs1's kernel shape: one complete-mode
+    groupBy(user) holding (count, min ms) — two mergeable partials,
+    chop-invariant because counts are — and the compiler's identical
+    divide-once + floor finalize at drain. Coverage guard is pqs1's
+    CORRECTED r11 form: the drained min(matched ms) is compared against
+    the GLOBAL max event ts (the compiler's _t_eval scalar), so
+    non-click events extending past the last matched click cannot slip
+    the oracle's 30d cut past a silent guard."""
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.where(F.col("value").isNotNull())
+        .where(F.col("event_type") == "click")
+        .where(F.col("user_id").cast("string").rlike("^(?:1.?)$"))
+        .select("user_id", F.unix_millis("ts").alias("ms"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("ms").alias("lo"),
+        )
+    )
+    drained = run_to_batch(agg, "complete")
+    t_global = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_millis("ts")).alias("t"))
+        .collect()[0]["t"]
+    )
+    lo_min = drained.agg(F.min("lo").alias("lo")).collect()[0]["lo"]
+    if lo_min is not None and t_global - lo_min >= 2592000000:
+        raise RuntimeError(
+            f"oldest matched click is {t_global - lo_min} ms before the "
+            "global max event ts (>= the 30d window): the no-cut streaming "
+            "form no longer covers the oracle's cut — add the t28s "
+            "bucket-cut flip"
+        )
+    return drained.select(
+        F.col("user_id").cast("bigint").alias("user"),
+        (
+            F.floor(F.col("n").cast("double") / F.lit(1).cast("double") * 1e6)
+            / 1e6
+        ).alias("value"),
+    )
+
+
 @register(
     "t10bs_gap_fill_stream",
     family="T13-stream",
