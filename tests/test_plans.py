@@ -518,3 +518,42 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_promql_setop_and_vecbin_plan_shapes(spark):
+    """The r11 PromQL compile targets produce the join types the
+    docstring promises: `and` plans a LeftSemi, `unless` a LeftAnti,
+    vector `/` an equi Inner join on the label key (never a nested-loop
+    over the fact rows — the only BNLJ in any pq plan is the 1-row
+    _t_eval broadcast), and the histogram_quantile plan is a single
+    global aggregate with NO join between fact rows (one wide row in,
+    interpolation expressions out)."""
+    from prometheus_remote_kinesis_spark.promql import compile_promql
+    from tests.conftest import SF_SMOKE
+
+    sem = compile_promql(
+        spark, SF_SMOKE,
+        "avg_over_time(purchase[1d]) > 40 and count_over_time(error[1d]) > 5",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in sem
+    ant = compile_promql(
+        spark, SF_SMOKE,
+        "avg_over_time(purchase[1d]) > 40 unless count_over_time(error[1d]) > 5",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in ant
+    rat = compile_promql(
+        spark, SF_SMOKE, "increase(error[1d]) / increase(view[1d])"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the label-matching join is an equi join keyed on user — hash or
+    # sort-merge depending on size estimates, never a cartesian/BNLJ
+    assert ("SortMergeJoin" in rat) or ("HashJoin" in rat and "Inner" in rat)
+    hq = compile_promql(
+        spark, SF_SMOKE,
+        "histogram_quantile(0.9, sum by (le) (count_over_time(view_bucket[1d])))",
+    )._jdf.queryExecution().executedPlan().toString()
+    # joins in the histq plan are ONLY the 1-row _t_eval broadcast
+    import re as _re
+
+    joins = _re.findall(r"(BroadcastNestedLoopJoin|SortMergeJoin|ShuffledHashJoin)", hq)
+    assert all(j == "BroadcastNestedLoopJoin" for j in joins)
+    assert "HashAggregate" in hq
