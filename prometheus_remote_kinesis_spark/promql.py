@@ -8,12 +8,13 @@ DataFrame plans the t-family operators use, so "switch the dashboard to
 the Spark engine" needs no query rewrite for the supported subset.
 
 Supported grammar (instant queries, evaluated at T = corpus max ms —
-the t23/t25 convention; standard precedence — ``*``/``/`` bind tighter
+the t23/t25 convention — or at the client-supplied ``eval_ms``/HTTP
+``time=`` parameter, r12; standard precedence — ``*``/``/`` bind tighter
 than ``+``/``-``, comparisons lowest, all left-associative)::
 
     expr     := cmpexpr | expr ('and'|'or'|'unless') cmpexpr
     cmpexpr  := addexpr | cmpexpr CMP number
-    addexpr  := mulexpr | addexpr ('+'|'-') (number | mulexpr)
+    addexpr  := mulexpr | addexpr ('+'|'-') (number ['*' mulexpr] | mulexpr)
     mulexpr  := primary | mulexpr ('*'|'/') (number | primary)
     primary  := agg | topk | bottomk | histq | vecfn | vector
     vecfn    := 'abs' '(' expr ')'
@@ -53,6 +54,17 @@ label is ``user`` ≡ ``user_id``; sample value ≡ ``value`` (NULL staleness
 markers excluded, the fleet rule). A bare selector is the instant vector:
 each series' last sample within the 5-minute staleness window (t23).
 
+RANGE QUERIES (r12): ``compile_promql_range`` evaluates the same
+grammar on a step-aligned grid — the ``query_range`` semantics behind
+``GET /api/v1/query_range``, every Grafana panel's call. The grid
+timestamp rides as a leading ``t_ms`` label through the identical
+_Vec algebra (aggregations group per step, vector matching joins per
+step, topk ranks per step), so every instant-mode kernel is a range
+kernel with no second implementation; each sample bucket-expands to
+the ⌈w/step⌉+1 windows containing it (the j10 idiom), one hash
+aggregation per kernel, shuffle keys growing with retention ×
+resolution. ``histogram_quantile`` stays instant-only.
+
 EXACT-RATIONAL COMPILATION — the hash discipline as a compiler property:
 every vector node carries its value as an exact integer rational
 (``num``/``den`` columns, cents-derived), aggregations combine integer
@@ -73,6 +85,7 @@ evaluate this PromQL against).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 from fractions import Fraction
@@ -266,7 +279,27 @@ class _Parser:
             if k == "op" and v in ("+", "-"):
                 self._next()
                 if self._peek()[0] == "num":
-                    e = Shift(e, v, Fraction(self._next()[1]))
+                    s = Fraction(self._next()[1])
+                    nk, nv = self._peek()
+                    if nk == "op" and nv == "*":
+                        # scalar-led product on the RHS: a - 2 * b means
+                        # a - (2*b) under standard precedence (r11 ADVICE —
+                        # the greedy Shift parse left this valid form
+                        # failing with a confusing trailing-input error).
+                        # Scalar multiplication commutes exactly on
+                        # rationals, so 2*b compiles as Scale(b, '*', 2).
+                        self._next()
+                        e = VecBin(e, v, Scale(self._mulexpr(), "*", s))
+                    elif nk == "op" and nv == "/":
+                        raise PromQLError(
+                            "scalar-led division (s / vector) is outside "
+                            "the exact-rational subset (the reciprocal's "
+                            "denominator would be data-dependent); write "
+                            "the reciprocal explicitly if the vector is "
+                            "the divisor"
+                        )
+                    else:
+                        e = Shift(e, v, s)
                 else:  # vector rhs: one multiplicative unit (left-assoc)
                     e = VecBin(e, v, self._mulexpr())
             else:
@@ -445,6 +478,25 @@ class _Vec:
     sqrt: bool = False  # value = sqrt(num/den) — stddev_over_time; sqrt is
     # IEEE-correctly-rounded on both engines, so the finalize stays exact-
     # deterministic; Cmp/Scale stay rational by SQUARING the scalar
+    den_const: int | None = None  # the denominator WHEN it is a query
+    # constant (every kernel except avg_over_time / nested avg / VecBin
+    # '/'); lets VecBin gcd-reduce and overflow-check constant den
+    # products AT COMPILE TIME (r11 ADVICE: rate[30d]*rate[30d] gave
+    # den = (100·2.592e9)² past int64 — an ANSI runtime 500 instead of
+    # a 400 rejection)
+
+
+def _chk_den(d: int) -> int:
+    """Reject a constant denominator that no longer fits int64 — at
+    COMPILE time, so the HTTP endpoint answers 400 bad_data instead of
+    surfacing Spark's ANSI ARITHMETIC_OVERFLOW as a 500 (r11 ADVICE)."""
+    if d >= (1 << 63):
+        raise PromQLError(
+            f"constant denominator {d} exceeds int64 — the expression's "
+            "exact-rational form overflows (narrow the range windows or "
+            "drop a scalar divisor)"
+        )
+    return d
 
 
 def _base(spark: SparkSession, sf_dir: str, sel: Selector) -> DataFrame:
@@ -480,10 +532,251 @@ def _t_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(F.max(F.unix_millis("ts")).alias("t_eval"))
 
 
-def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
+def _t_frame(
+    spark: SparkSession, sf_dir: str, eval_ms: int | None
+) -> DataFrame:
+    """The 1-row evaluation-time frame every instant kernel cross-joins:
+    corpus max ms by default (the t23/t25 convention), or the CLIENT'S
+    timestamp when the HTTP API supplies ``time=`` (r11 VERDICT task #3
+    — previously the endpoint ignored the spec's parameter and always
+    answered at T = corpus max)."""
+    if eval_ms is None:
+        return _t_eval(spark, sf_dir)
+    return spark.range(1).select(
+        F.lit(int(eval_ms)).cast("long").alias("t_eval")
+    )
+
+
+# ------------------------------------------------- range-query grid
+
+_GRID_MAX_POINTS = 11_000  # Prometheus's query_range resolution cap
+
+
+@dataclass(frozen=True)
+class _Grid:
+    """A step-aligned evaluation grid — the ``query_range`` semantics
+    (r11 VERDICT task #1). Two anchorings:
+
+    - literal (``start_ms``/``end_ms`` set): t_k = start + k·step for
+      0 ≤ k ≤ (end−start)//step — Prometheus's client-supplied grid,
+      used by ``GET /api/v1/query_range``;
+    - T-anchored (``span_ms`` set): end = T (corpus max ms, the t23/t25
+      convention), start = T − span — used by the registered pqr*
+      queries so the DuckDB oracle derives the IDENTICAL grid from the
+      data with no out-of-band constant. When step divides span the
+      last grid point is exactly T, so the instant query is the grid's
+      final row (pinned by test_promql_range_last_point_is_instant).
+    """
+
+    step_ms: int
+    span_ms: int | None = None
+    start_ms: int | None = None
+    end_ms: int | None = None
+
+    def check(self) -> None:
+        if self.step_ms <= 0:
+            raise PromQLError(f"step must be positive, got {self.step_ms}")
+        span = (
+            self.span_ms
+            if self.span_ms is not None
+            else (self.end_ms or 0) - (self.start_ms or 0)
+        )
+        if span < 0:
+            raise PromQLError("range end precedes start")
+        if span // self.step_ms + 1 > _GRID_MAX_POINTS:
+            raise PromQLError(
+                f"grid has {span // self.step_ms + 1} points — "
+                f"exceeds the {_GRID_MAX_POINTS}-point resolution cap "
+                "(Prometheus's query_range limit); raise step or narrow "
+                "the range"
+            )
+
+
+def _grid_expand(
+    spark: SparkSession,
+    sf_dir: str,
+    d: DataFrame,
+    grid: _Grid,
+    w: int,
+    off: int,
+    prep=None,
+) -> DataFrame:
+    """Attach the grid to a sample frame: each sample expands to exactly
+    the grid points t_k whose window (t_k − w, t_k] contains it — the
+    j10 bucket-expansion idiom with the grid index as the bucket
+    (`operators/joins.py:728`), never a grid×samples cross join. Adds
+    ``t_ms``; keeps every other column.
+
+    Scale posture: the per-sample fan-out is ⌈w/step⌉+1, a QUERY
+    constant independent of data size, and the downstream shuffle key is
+    (labels, t_ms) — it grows with retention × resolution, the w3b
+    partition-key axis (never a low-cardinality constant). ``prep``
+    runs after the range cut but before expansion — rate/increase
+    compute their per-series lag there ONCE, not once per grid point.
+    ``off`` implements PromQL ``offset``: sample ms shifts forward into
+    the grid frame (window (t_k − off − w, t_k − off] ⟺ effective
+    ms + off ∈ (t_k − w, t_k]), leaving output timestamps unshifted."""
+    step = grid.step_ms
+    if grid.span_ms is not None:
+        d = d.crossJoin(F.broadcast(_t_eval(spark, sf_dir)))
+        start = F.col("t_eval") - grid.span_ms
+        last_k = F.lit(grid.span_ms // step)
+    else:
+        start = F.lit(grid.start_ms)
+        last_k = F.lit((grid.end_ms - grid.start_ms) // step)
+    mse = F.col("ms") + F.lit(off)
+    d = (
+        d.withColumn("_start", start)
+        .withColumn("_mse", mse)
+        .where(
+            (F.col("_mse") > F.col("_start") - w)
+            & (F.col("_mse") <= F.col("_start") + last_k * step)
+        )
+    )
+    if prep is not None:
+        d = prep(d)
+    # k ∈ [ceil((mse−start)/step) clamped at 0, floor((mse+w−1−start)/step)
+    # clamped at last_k]; both floor args are non-negative after the range
+    # cut, and the double quotients are exact-integer-safe (operands well
+    # under 2^53, correctly-rounded division of exact ints)
+    klo = F.when(F.col("_mse") <= F.col("_start"), F.lit(0).cast("long")).otherwise(
+        F.floor((F.col("_mse") - F.col("_start") + (step - 1)) / F.lit(step))
+    )
+    khi = F.least(
+        F.floor((F.col("_mse") + (w - 1) - F.col("_start")) / F.lit(step)),
+        last_k.cast("long"),
+    )
+    d = d.where(klo <= khi).withColumn(
+        "_k", F.explode(F.sequence(klo, khi))
+    )
+    return d.withColumn(
+        "t_ms", (F.col("_start") + F.col("_k") * step).cast("long")
+    ).drop("_start", "_mse", "_k")
+
+
+def _compile_rangefn_grid(
+    spark: SparkSession, sf_dir: str, node: RangeFn, grid: _Grid
+) -> _Vec:
+    """The RangeFn kernels evaluated per grid point — identical window
+    semantics to the instant branch (windows cover (t_k − w, t_k]),
+    grouped by (t_ms, user) instead of (user).
+
+    rate/increase correctness note: the per-series lag runs ONCE over
+    the range-cut stream (in ``prep``, before expansion), and a pair's
+    increment counts toward grid point t_k only when the EARLIER sample
+    also sits inside (t_k − w, t_k]. Because a time window selects a
+    contiguous run of the (ms, event_id)-sorted series, stream-
+    consecutive pairs with both endpoints in-window are EXACTLY the
+    window-local consecutive pairs the instant branch lags over — the
+    two formulations are identical, sample for sample (and the window's
+    first sample contributes 0 in both)."""
+    w = node.window_ms
+    base = _base(spark, sf_dir, node.sel)
+    if node.fn in ("rate", "increase"):
+        def prep(d: DataFrame) -> DataFrame:
+            wl = Window.partitionBy("user").orderBy("ms", "event_id")
+            return d.withColumn("pms", F.lag("ms").over(wl)).withColumn(
+                "pc", F.lag("c").over(wl)
+            )
+
+        d = _grid_expand(spark, sf_dir, base, grid, w, node.sel.offset_ms, prep)
+        # the pair counts toward t_k only if the earlier sample is also
+        # in (t_k − w, t_k] — offset shifts BOTH endpoints identically
+        pair_in = F.col("pms").isNotNull() & (
+            F.col("pms") + F.lit(node.sel.offset_ms) > F.col("t_ms") - w
+        )
+        inc = (
+            F.when(~pair_in, F.lit(0))
+            .when(F.col("c") >= F.col("pc"), F.col("c") - F.col("pc"))
+            .otherwise(F.col("c"))
+        )
+        g = (
+            d.select("t_ms", "user", inc.alias("inc"))
+            .groupBy("t_ms", "user")
+            .agg(
+                F.sum("inc").cast("long").alias("inc"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .where(F.col("n") >= 2)  # Prometheus: rate needs two samples
+        )
+        if node.fn == "rate":
+            out = g.select(
+                "t_ms", "user",
+                (F.col("inc") * 1000).cast("long").alias("num"),
+                F.lit(100 * w).cast("long").alias("den"),
+            )
+            return _Vec(out, ("t_ms", "user"), den_const=_chk_den(100 * w))
+        out = g.select(
+            "t_ms", "user", F.col("inc").alias("num"),
+            F.lit(100).cast("long").alias("den"),
+        )
+        return _Vec(out, ("t_ms", "user"), den_const=100)
+    d = _grid_expand(spark, sf_dir, base, grid, w, node.sel.offset_ms)
+    if node.fn == "stddev_over_time":
+        g = d.groupBy("t_ms", "user").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("long").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+        out = g.select(
+            "t_ms", "user",
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            .cast("long")
+            .alias("num"),
+            (F.col("n") * F.col("n") * 10000).cast("long").alias("den"),
+        )
+        return _Vec(out, ("t_ms", "user"), sqrt=True)
+    aggs = {
+        # (num agg, den expr, den_const — None when data-dependent);
+        # keep in lockstep with the instant branch's table below
+        "avg_over_time": (F.sum("c").cast("long"), F.count(F.lit(1)) * 100, None),
+        "sum_over_time": (F.sum("c").cast("long"), F.lit(100), 100),
+        "count_over_time": (F.count(F.lit(1)), F.lit(1), 1),
+        "min_over_time": (F.min("c"), F.lit(100), 100),
+        "max_over_time": (F.max("c"), F.lit(100), 100),
+        "last_over_time": (
+            F.max_by("c", F.struct("ms", "event_id")),
+            F.lit(100),
+            100,
+        ),
+        "present_over_time": (F.max(F.lit(1)), F.lit(1), 1),
+    }
+    num, den, den_c = aggs[node.fn]
+    g = d.groupBy("t_ms", "user").agg(
+        num.cast("long").alias("num"), den.cast("long").alias("den")
+    )
+    return _Vec(g, ("t_ms", "user"), den_const=den_c)
+
+
+def _compile_vector(
+    spark: SparkSession,
+    sf_dir: str,
+    node,
+    grid: _Grid | None = None,
+    eval_ms: int | None = None,
+) -> _Vec:
     if isinstance(node, Selector):  # instant vector: last sample, staleness cut
+        if grid is not None:
+            # per grid point: the last sample within the staleness
+            # window (t_k − 5m, t_k] — t23's instant vector, gridded
+            d = _grid_expand(
+                spark, sf_dir, _base(spark, sf_dir, node),
+                grid, STALENESS_MS, node.offset_ms,
+            )
+            g = d.groupBy("t_ms", "user").agg(
+                F.max_by("c", F.struct("ms", "event_id")).alias("num")
+            )
+            return _Vec(
+                g.select(
+                    "t_ms", "user",
+                    F.col("num").cast("long").alias("num"),
+                    F.lit(100).cast("long").alias("den"),
+                ),
+                ("t_ms", "user"),
+                den_const=100,
+            )
         d = _base(spark, sf_dir, node).crossJoin(
-            F.broadcast(_t_eval(spark, sf_dir))
+            F.broadcast(_t_frame(spark, sf_dir, eval_ms))
         )
         if node.offset_ms:  # PromQL offset: evaluate at T - offset
             d = d.withColumn("t_eval", F.col("t_eval") - node.offset_ms)
@@ -501,10 +794,13 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             g.select("user", F.col("num").cast("long").alias("num"),
                      F.lit(100).cast("long").alias("den")),
             ("user",),
+            den_const=100,
         )
     if isinstance(node, RangeFn):
+        if grid is not None:
+            return _compile_rangefn_grid(spark, sf_dir, node, grid)
         d = _base(spark, sf_dir, node.sel).crossJoin(
-            F.broadcast(_t_eval(spark, sf_dir))
+            F.broadcast(_t_frame(spark, sf_dir, eval_ms))
         )
         if node.sel.offset_ms:  # PromQL offset: the window shifts back
             d = d.withColumn("t_eval", F.col("t_eval") - node.sel.offset_ms)
@@ -552,29 +848,31 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
                     (F.col("inc") * 1000).cast("long").alias("num"),
                     F.lit(100 * w).cast("long").alias("den"),
                 )
-            else:
-                out = g.select(
-                    "user", F.col("inc").alias("num"),
-                    F.lit(100).cast("long").alias("den"),
-                )
-            return _Vec(out, ("user",))
+                return _Vec(out, ("user",), den_const=_chk_den(100 * w))
+            out = g.select(
+                "user", F.col("inc").alias("num"),
+                F.lit(100).cast("long").alias("den"),
+            )
+            return _Vec(out, ("user",), den_const=100)
         aggs = {
-            "avg_over_time": (F.sum("c").cast("long"), F.count(F.lit(1)) * 100),
-            "sum_over_time": (F.sum("c").cast("long"), F.lit(100)),
-            "count_over_time": (F.count(F.lit(1)), F.lit(1)),
-            "min_over_time": (F.min("c"), F.lit(100)),
-            "max_over_time": (F.max("c"), F.lit(100)),
+            # (num agg, den expr, den_const — None when data-dependent)
+            "avg_over_time": (F.sum("c").cast("long"), F.count(F.lit(1)) * 100, None),
+            "sum_over_time": (F.sum("c").cast("long"), F.lit(100), 100),
+            "count_over_time": (F.count(F.lit(1)), F.lit(1), 1),
+            "min_over_time": (F.min("c"), F.lit(100), 100),
+            "max_over_time": (F.max("c"), F.lit(100), 100),
             "last_over_time": (
                 F.max_by("c", F.struct("ms", "event_id")),
                 F.lit(100),
+                100,
             ),
-            "present_over_time": (F.max(F.lit(1)), F.lit(1)),
+            "present_over_time": (F.max(F.lit(1)), F.lit(1), 1),
         }
-        num, den = aggs[node.fn]
+        num, den, den_c = aggs[node.fn]
         g = d.groupBy("user").agg(
             num.cast("long").alias("num"), den.cast("long").alias("den")
         )
-        return _Vec(g, ("user",))
+        return _Vec(g, ("user",), den_const=den_c)
     if isinstance(node, Agg):
         if node.op in ("sum", "avg", "min", "max") and _variable_den(node.expr):
             # before compiling the inner vector: a pure AST-walk check,
@@ -586,7 +884,7 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
                 "integer-numerator aggregation is unsound — aggregate "
                 "sum_over_time and count_over_time separately instead"
             )
-        inner = _compile_vector(spark, sf_dir, node.expr)
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         if inner.sqrt and node.op != "count":
             raise PromQLError(
                 "sum/avg/min/max over stddev_over_time is outside the exact-"
@@ -595,7 +893,9 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         for lbl in node.by:
             if lbl not in inner.labels:
                 raise PromQLError(f"by({lbl}) not in inner labels {inner.labels}")
-        keys = list(node.by)
+        # on a grid, every aggregation is per-evaluation-step: t_ms is
+        # an implicit grouping key (PromQL aggregates within one instant)
+        keys = (["t_ms"] if grid is not None else []) + list(node.by)
         gb = inner.df.groupBy(*keys) if keys else inner.df.groupBy()
         if node.op in ("sum", "avg", "min", "max"):
             # exact rational aggregation needs a common denominator
@@ -626,23 +926,42 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
                 *keys, F.col("num").alias("num"),
                 den.cast("long").alias("den"),
             )
+            # avg's den picks up the per-group n_in → not a query constant
+            den_c = None if node.op == "avg" else inner.den_const
         elif node.op == "count":
             out = gb.agg(F.count(F.lit(1)).cast("long").alias("num")).select(
                 *keys, "num", F.lit(1).cast("long").alias("den")
             )
-        return _Vec(out, tuple(keys))
+            den_c = 1
+        return _Vec(out, tuple(keys), den_const=den_c)
     if isinstance(node, TopK):
-        inner = _compile_vector(spark, sf_dir, node.expr)
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         # sort key = ONE IEEE division of exact integers per row —
         # identical on both engines (the d23 priority-key argument);
         # labels break ties (LIMIT determinism rule); bottomk flips
         # the direction (monotone-equivalent under sqrt too)
         key = F.col("num").cast("double") / F.col("den").cast("double")
         ordered = F.asc(key) if node.asc else F.desc(key)
+        if grid is not None and "t_ms" in inner.labels:
+            # per-STEP top-k (PromQL selects k series at each instant):
+            # rank within the t_ms partition — the partition key grows
+            # with the grid, and each partition holds one instant's
+            # series (a bounded per-step sort, the w4 WindowGroupLimit
+            # shape), never a global sort of the whole matrix
+            tie = [lb for lb in inner.labels if lb != "t_ms"]
+            wk = Window.partitionBy("t_ms").orderBy(ordered, *tie)
+            out = (
+                inner.df.withColumn("_rk", F.row_number().over(wk))
+                .where(F.col("_rk") <= node.k)
+                .drop("_rk")
+            )
+            return _Vec(out, inner.labels, sqrt=inner.sqrt,
+                        den_const=inner.den_const)
         out = inner.df.orderBy(ordered, *inner.labels).limit(node.k)
-        return _Vec(out, inner.labels, sqrt=inner.sqrt)
+        return _Vec(out, inner.labels, sqrt=inner.sqrt,
+                    den_const=inner.den_const)
     if isinstance(node, VecAbs):
-        inner = _compile_vector(spark, sf_dir, node.expr)
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         if inner.sqrt:  # a stddev is already non-negative
             return inner
         # den > 0 invariant: |num/den| = |num|/den, still exact
@@ -651,9 +970,9 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             F.abs(F.col("num")).cast("long").alias("num"),
             "den",
         )
-        return _Vec(out, inner.labels)
+        return _Vec(out, inner.labels, den_const=inner.den_const)
     if isinstance(node, Clamp):
-        inner = _compile_vector(spark, sf_dir, node.expr)
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         if inner.sqrt:
             raise PromQLError(
                 "clamp over stddev_over_time is outside the exact-rational "
@@ -672,9 +991,10 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             .alias("num"),
             (F.col("den") * F.lit(q)).cast("long").alias("den"),
         )
-        return _Vec(out, inner.labels)
+        den_c = None if inner.den_const is None else _chk_den(inner.den_const * q)
+        return _Vec(out, inner.labels, den_const=den_c)
     if isinstance(node, Cmp):
-        inner = _compile_vector(spark, sf_dir, node.expr)
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         scalar = node.scalar
         if inner.sqrt:
             if scalar < 0:
@@ -687,9 +1007,10 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             ">": lhs > rhs, ">=": lhs >= rhs, "<": lhs < rhs,
             "<=": lhs <= rhs, "==": lhs == rhs, "!=": lhs != rhs,
         }[node.op]
-        return _Vec(inner.df.where(cond), inner.labels, sqrt=inner.sqrt)
+        return _Vec(inner.df.where(cond), inner.labels, sqrt=inner.sqrt,
+                    den_const=inner.den_const)
     if isinstance(node, Scale):
-        inner = _compile_vector(spark, sf_dir, node.expr)
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         s = node.scalar if node.op == "*" else 1 / node.scalar
         if inner.sqrt:
             if s < 0:
@@ -700,9 +1021,13 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             (F.col("num") * F.lit(s.numerator)).cast("long").alias("num"),
             (F.col("den") * F.lit(s.denominator)).cast("long").alias("den"),
         )
-        return _Vec(out, inner.labels, sqrt=inner.sqrt)
+        den_c = (
+            None if inner.den_const is None
+            else _chk_den(inner.den_const * s.denominator)
+        )
+        return _Vec(out, inner.labels, sqrt=inner.sqrt, den_const=den_c)
     if isinstance(node, Shift):
-        inner = _compile_vector(spark, sf_dir, node.expr)
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         if inner.sqrt:
             raise PromQLError(
                 "scalar +/- over stddev_over_time is outside the exact-"
@@ -718,10 +1043,11 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             .alias("num"),
             (F.col("den") * F.lit(q)).cast("long").alias("den"),
         )
-        return _Vec(out, inner.labels)
+        den_c = None if inner.den_const is None else _chk_den(inner.den_const * q)
+        return _Vec(out, inner.labels, den_const=den_c)
     if isinstance(node, VecBin):
-        lv = _compile_vector(spark, sf_dir, node.left)
-        rv = _compile_vector(spark, sf_dir, node.right)
+        lv = _compile_vector(spark, sf_dir, node.left, grid, eval_ms)
+        rv = _compile_vector(spark, sf_dir, node.right, grid, eval_ms)
         if lv.sqrt or rv.sqrt:
             raise PromQLError(
                 "vector arithmetic over stddev_over_time is outside the "
@@ -742,13 +1068,34 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
         # scalar-result vectors (labels = ()) combine by cross join of
         # two 1-row frames — sum(a) / sum(b) global ratios
         j = left.join(right, keys) if keys else left.crossJoin(right)
-        if node.op == "+":
-            num = F.col("lnum") * F.col("rden") + F.col("rnum") * F.col("lden")
-            den = F.col("lden") * F.col("rden")
-        elif node.op == "-":
-            num = F.col("lnum") * F.col("rden") - F.col("rnum") * F.col("lden")
-            den = F.col("lden") * F.col("rden")
+        # Constant-den sides gcd-reduce BEFORE multiplying (r11 ADVICE:
+        # rate[30d]*rate[30d] gave den=(100·2.592e9)², an ANSI runtime
+        # overflow → 500; now a compile-time 400 via _chk_den, and the
+        # common same-window case reduces to den_l itself). Reduction by
+        # a common factor preserves the rational's value exactly.
+        ldc, rdc = lv.den_const, rv.den_const
+        g_rd = math.gcd(ldc, rdc) if (ldc is not None and rdc is not None) else 1
+        den_c: int | None = None
+        if node.op in ("+", "-"):
+            sign = 1 if node.op == "+" else -1
+            if ldc is not None and rdc is not None:
+                # num/den ± r/s with g=gcd(den,s):
+                # (num·(s/g) ± r·(den/g)) / (den·s/g)
+                num = (
+                    F.col("lnum") * F.lit(rdc // g_rd)
+                    + F.lit(sign) * F.col("rnum") * F.lit(ldc // g_rd)
+                )
+                den_c = _chk_den(ldc // g_rd * rdc)
+                den = F.lit(den_c)
+            else:
+                num = (
+                    F.col("lnum") * F.col("rden")
+                    + F.lit(sign) * F.col("rnum") * F.col("lden")
+                )
+                den = F.col("lden") * F.col("rden")
         elif node.op == "*":
+            if ldc is not None and rdc is not None:
+                den_c = _chk_den(ldc * rdc)
             num = F.col("lnum") * F.col("rnum")
             den = F.col("lden") * F.col("rden")
         else:  # '/': drop divisor-zero samples (PromQL's ±Inf/NaN rows —
@@ -758,15 +1105,22 @@ def _compile_vector(spark: SparkSession, sf_dir: str, node) -> _Vec:
             # topk's sort direction both rely on it): fold the divisor's
             # sign into the numerator
             sgn = F.when(F.col("rnum") < 0, F.lit(-1)).otherwise(F.lit(1))
-            num = F.col("lnum") * F.col("rden") * sgn
-            den = F.abs(F.col("lden") * F.col("rnum"))
+            if ldc is not None and rdc is not None:
+                # (num/den)/(r/s) = num·(s/g) / ((den/g)·r) with g=gcd(den,s)
+                # — the same-window ratio (pq10's shape) reduces to
+                # num/|r|, no constant factors left at all
+                num = F.col("lnum") * F.lit(rdc // g_rd) * sgn
+                den = F.abs(F.lit(ldc // g_rd) * F.col("rnum"))
+            else:
+                num = F.col("lnum") * F.col("rden") * sgn
+                den = F.abs(F.col("lden") * F.col("rnum"))
         out = j.select(
             *keys, num.cast("long").alias("num"), den.cast("long").alias("den")
         )
-        return _Vec(out, lv.labels)
+        return _Vec(out, lv.labels, den_const=den_c)
     if isinstance(node, SetOp):
-        lv = _compile_vector(spark, sf_dir, node.left)
-        rv = _compile_vector(spark, sf_dir, node.right)
+        lv = _compile_vector(spark, sf_dir, node.left, grid, eval_ms)
+        rv = _compile_vector(spark, sf_dir, node.right, grid, eval_ms)
         if lv.labels != rv.labels:
             raise PromQLError(
                 f"{node.op} needs identical label sets (one-to-one "
@@ -804,7 +1158,9 @@ from prometheus_remote_kinesis_spark.operators.aggregates import (
 )
 
 
-def _compile_histq(spark: SparkSession, sf_dir: str, node: HistQ) -> DataFrame:
+def _compile_histq(
+    spark: SparkSession, sf_dir: str, node: HistQ, eval_ms: int | None = None
+) -> DataFrame:
     """Compile ``histogram_quantile(φ, sum by (le)
     (count_over_time(<m>_bucket[w])))`` to a10b's one-hash-aggregation +
     array-interpolation plan (`operators/aggregates.py:439`): the scan
@@ -832,7 +1188,9 @@ def _compile_histq(spark: SparkSession, sf_dir: str, node: HistQ) -> DataFrame:
     sel = Selector(
         rf.sel.metric[: -len("_bucket")], rf.sel.matchers, rf.sel.offset_ms
     )
-    d = _base(spark, sf_dir, sel).crossJoin(F.broadcast(_t_eval(spark, sf_dir)))
+    d = _base(spark, sf_dir, sel).crossJoin(
+        F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+    )
     if sel.offset_ms:
         d = d.withColumn("t_eval", F.col("t_eval") - sel.offset_ms)
     d = d.where(
@@ -861,15 +1219,73 @@ def _compile_histq(spark: SparkSession, sf_dir: str, node: HistQ) -> DataFrame:
     return g.select((F.floor(val * 1e6) / 1e6).alias("value"))
 
 
-def compile_promql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+def compile_promql(
+    spark: SparkSession, sf_dir: str, query: str, eval_ms: int | None = None
+) -> DataFrame:
     """Parse + compile a PromQL instant query; returns (labels..., value)
     with value = floor(num/den · 1e6)/1e6 — ONE division after an
     all-integer pipeline (histogram_quantile finalizes through its
     interpolation expression instead; see _compile_histq)."""
     ast = parse(query)
     if isinstance(ast, HistQ):
-        return _compile_histq(spark, sf_dir, ast)
-    vec = _compile_vector(spark, sf_dir, ast)
+        return _compile_histq(spark, sf_dir, ast, eval_ms)
+    vec = _compile_vector(spark, sf_dir, ast, eval_ms=eval_ms)
+    ratio = F.col("num").cast("double") / F.col("den").cast("double")
+    val = F.sqrt(ratio) if vec.sqrt else ratio
+    return vec.df.select(
+        *[F.col(c).cast("bigint").alias(c) for c in vec.labels],
+        (F.floor(val * 1e6) / 1e6).alias("value"),
+    )
+
+
+def compile_promql_range(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    *,
+    step_ms: int,
+    span_ms: int | None = None,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
+    """Parse + compile a PromQL RANGE query (r11 VERDICT task #1 — the
+    ``query_range`` semantics, the dashboard's primary call): the
+    expression evaluates at every step-aligned grid point and the
+    result is the matrix (t_ms, labels..., value), one row per grid
+    point per series present there.
+
+    Grid anchoring: pass ``start_ms``+``end_ms`` (the Prometheus API's
+    client-supplied grid, used by ``GET /api/v1/query_range``) OR
+    ``span_ms`` (T-anchored: end = corpus max, start = T − span — the
+    registered pqr* form whose oracle re-derives the grid from data).
+
+    Execution shape: each sample bucket-expands to the ⌈w/step⌉+1 grid
+    windows containing it (a query-constant fan-out), then ONE hash
+    aggregation per kernel on the (t_ms, labels) key — which grows with
+    retention × resolution (the w3b axis), so no low-cardinality window
+    or per-point rescan exists anywhere in the plan. The exact-rational
+    discipline is unchanged: t_ms rides as a leading label through the
+    same _Vec algebra, and the single division stays at finalize.
+
+    ``histogram_quantile`` stays instant-only (its finalize is an
+    interpolated double; the gridded twin exists as the hand-built t36,
+    `operators/aggregates.py:1483`)."""
+    ast = parse(query)
+    if isinstance(ast, HistQ):
+        raise PromQLError(
+            "histogram_quantile is instant-only in the range compiler "
+            "(use the instant endpoint, or t36's windowed-grid operator)"
+        )
+    grid = _Grid(
+        step_ms=step_ms, span_ms=span_ms, start_ms=start_ms, end_ms=end_ms
+    )
+    if (span_ms is None) == (start_ms is None or end_ms is None):
+        raise PromQLError(
+            "range grid needs either span_ms (T-anchored) or "
+            "start_ms+end_ms (literal), not both/neither"
+        )
+    grid.check()
+    vec = _compile_vector(spark, sf_dir, ast, grid)
     ratio = F.col("num").cast("double") / F.col("den").cast("double")
     val = F.sqrt(ratio) if vec.sqrt else ratio
     return vec.df.select(
@@ -1480,6 +1896,107 @@ def pq16_promql_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_promql(spark, sf_dir, PQ16_QUERY)
 
 
+PQR1_QUERY = "sum(rate(view[1d]))"
+PQR1_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    grid AS (
+        SELECT t - 172800000 + k.k * 21600000 AS tm
+        FROM b, generate_series(0, 8) AS k(k)
+    ),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'view' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 172800000 - 86400000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    d AS (
+        SELECT g.tm, s.user_id, s.c, lag(s.c) OVER (
+            PARTITION BY g.tm, s.user_id ORDER BY s.ms, s.event_id) AS p
+        FROM grid g JOIN s ON s.ms > g.tm - 86400000 AND s.ms <= g.tm
+    ),
+    gg AS (
+        SELECT tm, user_id,
+               CAST(sum(CASE WHEN p IS NULL THEN 0
+                             WHEN c >= p THEN c - p ELSE c END) AS BIGINT) AS inc
+        FROM d GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT CAST(tm AS BIGINT) AS t_ms,
+           floor(CAST(CAST(sum(inc) * 1000 AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(100 AS BIGINT) * 86400000 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM gg GROUP BY 1
+"""
+
+
+@register("pqr1_promql_range_sum_rate", family="PQ", oracle=PQR1_ORACLE)
+def pqr1_promql_range_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL RANGE query ``sum(rate(view[1d]))`` on a T-anchored grid
+    (span 2d, step 6h → 9 evaluation points) — the ``query_range``
+    semantics (r11 VERDICT task #1): the agg-over-rate pipeline runs
+    per grid point via bucket expansion (each sample fans out to the
+    ≤ w/step+1 windows containing it; the rate lag runs ONCE per
+    series, not once per point) and ONE hash aggregation keyed on
+    (t_ms, user) then (t_ms) — keys that grow with retention ×
+    resolution, the w3b axis. The oracle re-derives the identical grid
+    from the corpus max (generate_series), window-local lag per
+    (tm, user) being provably identical to the stream-consecutive
+    formulation (see _compile_rangefn_grid). Step divides span, so the
+    final row is bit-equal to the instant query (pinned by pytest)."""
+    return compile_promql_range(
+        spark, sf_dir, PQR1_QUERY,
+        step_ms=21_600_000, span_ms=172_800_000,
+    )
+
+
+PQR2_QUERY = "click"
+PQR2_ORACLE = f"""
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    grid AS (
+        SELECT t - 86400000 + k.k * 1800000 AS tm
+        FROM b, generate_series(0, 48) AS k(k)
+    ),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 86400000 - {STALENESS_MS}
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    g AS (
+        SELECT g.tm, s.user_id, s.c, row_number() OVER (
+            PARTITION BY g.tm, s.user_id
+            ORDER BY s.ms DESC, s.event_id DESC) AS rn
+        FROM grid g JOIN s
+          ON s.ms > g.tm - {STALENESS_MS} AND s.ms <= g.tm
+    )
+    SELECT CAST(tm AS BIGINT) AS t_ms, CAST(user_id AS BIGINT) AS user,
+           floor(CAST(c AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g WHERE rn = 1
+"""
+
+
+@register("pqr2_promql_range_selector", family="PQ", oracle=PQR2_ORACLE)
+def pqr2_promql_range_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL RANGE query over a PLAIN SELECTOR — ``click`` on a
+    T-anchored grid (span 1d, step 30m → 49 points): each grid point
+    holds every series' last sample within the 5-minute staleness
+    window (t23's instant vector, gridded — the Grafana raw-metric
+    panel shape). Sparse by design at sf0.01 (~10 of 49 points carry a
+    sample — absent points produce NO row on either engine, exactly
+    Prometheus's staleness behavior). Oracle: the same grid via
+    generate_series and a row_number pick of the (ms, event_id)-max
+    sample per (tm, user) — deterministic because (ms, event_id) is
+    unique."""
+    return compile_promql_range(
+        spark, sf_dir, PQR2_QUERY,
+        step_ms=1_800_000, span_ms=86_400_000,
+    )
+
+
 def make_promql_http_handler(spark: SparkSession, sf_dir: str):
     """Build the ``query_handler`` for ``RemoteWriteServer`` — the
     Prometheus HTTP API instant query (``GET /api/v1/query``) served by
@@ -1493,20 +2010,67 @@ def make_promql_http_handler(spark: SparkSession, sf_dir: str):
     as the remote_read handler (`ingest_queries.py`): an instant-vector
     response must fit one HTTP body by design — heavy analytics belong
     to the registered batch queries, not the dashboard endpoint. The
-    evaluation timestamp is the compiler's T (corpus max ms, the
-    t23/t25 convention); the API's ``time`` parameter is outside the
-    subset and ignored by the route."""
+    evaluation timestamp honors the spec's ``time`` parameter (r11
+    VERDICT task #3 — a client-supplied unix-seconds timestamp becomes
+    the T of the t23/t25 convention, so two calls with different
+    ``time=`` values see different staleness windows); absent, T =
+    corpus max ms as before."""
 
-    def handler(query: str):
-        df = compile_promql(spark, sf_dir, query)
+    def handler(query: str, time_s: float | None = None):
+        eval_ms = None if time_s is None else int(round(time_s * 1000))
+        df = compile_promql(spark, sf_dir, query, eval_ms=eval_ms)
         rows = df.collect()
-        t_row = _t_eval(spark, sf_dir).collect()[0]["t_eval"]
-        t_s = (t_row or 0) / 1000.0
+        if time_s is None:
+            t_row = _t_eval(spark, sf_dir).collect()[0]["t_eval"]
+            t_s = (t_row or 0) / 1000.0
+        else:
+            t_s = time_s
         out = []
         for r in rows:
             d = r.asDict()
             val = d.pop("value")
             out.append(({k: str(v) for k, v in d.items()}, val))
         return t_s, out
+
+    return handler
+
+
+def make_promql_range_http_handler(spark: SparkSession, sf_dir: str):
+    """Build the ``range_handler`` for ``RemoteWriteServer`` — the
+    Prometheus HTTP API range query (``GET /api/v1/query_range``, r11
+    VERDICT task #1: the dashboard's PRIMARY call — every Grafana panel
+    refresh is one of these). Returns the matrix shape
+    ``[(labels_dict, [(t_seconds, value), ...]), ...]`` with per-series
+    samples ascending in time, ready for the spec's matrix JSON
+    envelope.
+
+    The grid is the client's literal (start, end, step) — Prometheus's
+    own alignment — compiled by ``compile_promql_range``'s bucket
+    expansion; the resolution cap (11k points, the upstream limit) and
+    every grammar rejection surface as PromQLError → the route's 400
+    bad_data. The collect is one row per (series, grid point) — bounded
+    by the same must-fit-one-HTTP-body protocol argument as the instant
+    endpoint."""
+
+    def handler(query: str, start_s: float, end_s: float, step_s: float):
+        step_ms = int(round(step_s * 1000))
+        df = compile_promql_range(
+            spark, sf_dir, query,
+            step_ms=step_ms,
+            start_ms=int(round(start_s * 1000)),
+            end_ms=int(round(end_s * 1000)),
+        )
+        series: dict[tuple, list] = {}
+        label_keys: dict[tuple, dict] = {}
+        for r in df.collect():
+            d = r.asDict()
+            t_ms = d.pop("t_ms")
+            val = d.pop("value")
+            key = tuple(sorted(d.items()))
+            label_keys.setdefault(key, {k: str(v) for k, v in d.items()})
+            series.setdefault(key, []).append((t_ms / 1000.0, val))
+        return [
+            (label_keys[k], sorted(pts)) for k, pts in sorted(series.items())
+        ]
 
     return handler

@@ -69,6 +69,31 @@ _LOADED = False
 # remaining queries follow in registration order and are still all present,
 # locally verified by tools/verify_local.py.
 _PRIORITY = (
+    # Round-12 rotation (VERDICT r11 task #2, queue at OPERATORS.md):
+    # IN the seven never-driver-checked mechanisms the queue leads with —
+    # pq10_promql_vector_ratio (the vector-vector binop compile path:
+    # equi-join + divisor-sign mechanics pq1 never exercised, now also
+    # carrying the r12 gcd-reduced constant-den form),
+    # pq11_promql_histogram_quantile (the single-row interpolation plan
+    # compiled from query text), pq13_promql_and_semi_join (logical set
+    # ops as join types from query text), l2k_containment_join (one-sided
+    # prefix completeness, fresh off the r11 freq-split verify rebuild —
+    # l2j's natural confirmation), dq3b_schema_profile_sketch (the
+    # KMV-sketch 100 TB profile), pqs2_promql_regex_count_stream (the
+    # compiler's streaming twin: regex matcher count EXECUTED BY the
+    # streaming engine), and t37_time_weighted_avg (step-interpolated
+    # time-weighted average) → OUT seven long-green single-mechanism
+    # reps: t7_user_sessions (driver-green since r1; session windows stay
+    # bit-exact locally and T keeps 9 slots), a12_heavy_hitters_mg
+    # (green r8–r11; A keeps a1/a2c/a3c/a4d/a10b/a14s),
+    # g1_pagerank_quantized (green r9–r11; G keeps g2),
+    # l3_cosine_topk (green since r2; L4's quantized pair subsumes the
+    # similarity surface, l3 stays the brute-force oracle locally),
+    # t16s_retention_cohorts_stream + t13s_resample_linear_stream +
+    # t27s_count_values_stream (green r5/r6/r7–r11 — the streaming
+    # surface keeps s1e/t19s/t15s/t14s/t9s/t12s/t39s/w6s/w7s/d13s/d14s
+    # plus the incoming pqs2). All seven stay bit-exact under the local
+    # gate in both materializations at both SFs.
     # Round-11 rotation (VERDICT r10 task #1 + r10 ADVICE #1, queue at
     # OPERATORS.md): IN the six never-driver-checked mechanisms the
     # VERDICT names, led by the PromQL front-end's first driver check —
@@ -203,7 +228,6 @@ _PRIORITY = (
     "a10b_histogram_quantile",
     # A12: two-phase Misra-Gries exact heavy hitters, plus the r9-IN
     # streaming Count-Min sketch (constant 256-cell mergeable state).
-    "a12_heavy_hitters_mg",
     "a14s_count_min_stream",
     # W: rank family, analytics, scalable range frame, top-k
     "w1b_rank_family",
@@ -217,7 +241,6 @@ _PRIORITY = (
     # plan-pinned in tests; O and W's top-k mechanisms stay bit-exact
     # under the local gate.)
     # G: distributed Pregel-style PageRank, integer fixed-point (r9 IN)
-    "g1_pagerank_quantized",
     # G2: triangle count via degree-ordered wedge-join orientation —
     # the O(|E|^1.5) bound's first driver check (r10 IN)
     "g2_triangle_count",
@@ -235,7 +258,8 @@ _PRIORITY = (
     # decimal(38,0) regression partials (HUGEINT-class intermediate
     # math) through a real streaming aggregation (r9 IN).
     "t31s_trend_stream",
-    "t16s_retention_cohorts_stream",
+    # T37 r12 IN: step-interpolated time-weighted average
+    "t37_time_weighted_avg",
     # U: custom-UDF surface — r8 swap: u3_median_udaf (grouped-agg UDAF,
     # driver-green r1–r7) → l4h_kmeans_quantized, whose broadcast-centroid
     # pandas_udf Lloyd core keeps the Python-UDF mechanism in the window
@@ -244,7 +268,6 @@ _PRIORITY = (
     "l4h_kmeans_quantized",
     # T: event-time windows, PromQL, funnels, cohorts (t5 batch rotated
     # out r6 — T5's slot is the streaming-executed t5s, same oracle)
-    "t7_user_sessions",
     # (t25_rate_extrapolated rotated out r11 — green r5–r10; the rate
     # family keeps t14s and t25's extrapolation stays pytest-pinned.)
     # R: Layer-A ingest chain (flatten, NDJSON wire, prompb DataSource)
@@ -264,12 +287,10 @@ _PRIORITY = (
     # applied once more; t5s stays bit-exact under the local gate.
     "s1e_relay_rollup_stream_e2e",
     "t19s_stream_static_join",
-    "t13s_resample_linear_stream",
     "t15s_funnel_stream",
     "t14s_rate_5m_stream",
     "t9s_stream_dedup",
     "t12s_stream_stream_join",
-    "t27s_count_values_stream",
     # (m2s_cdc_apply_stream rotated out r11 — green r8–r10, beyond-§2
     # showcase; the complete-mode struct-max fold stays bit-exact locally.)
     # T39s: the alert `for:` hold-duration state machine EXECUTED BY the
@@ -288,6 +309,9 @@ _PRIORITY = (
     # at-rest manifest; queue head since r8)
     "d13s_incremental_dedup_stream",
     "d14s_incremental_neardup_stream",
+    # PQs r12 IN: the PromQL compiler's STREAMING twin — regex
+    # matcher count executed by the streaming engine
+    "pqs2_promql_regex_count_stream",
     # (The remaining late-r5 streaming twins — t21s, t23s, t24s —
     # stay OUTSIDE the window by the same choice: none of their families
     # has ever held a slot, their mechanisms (complete-mode agg or
@@ -303,13 +327,27 @@ _PRIORITY = (
     # md5 hash family; l2b stays bit-exact under the local gate).
     "l1_exact_dedup",
     "l2h_minhash_md5",
+    # L2k r12 IN: containment join (one-sided prefix completeness),
+    # fresh off the r11 frequency-split verify rebuild
+    "l2k_containment_join",
     # PQ: the PromQL parser+compiler path's FIRST driver check (r11 IN,
     # the VERDICT's queue head): global sum over reset-aware increase,
     # exact integer rationals end-to-end, one finalize division
     "pq1_promql_sum_increase",
+    # PQ r12 IN: the three compile paths pq1 never exercised —
+    # vector-vector binop (equi-join + den-sign, gcd-reduced),
+    # histogram_quantile interpolation, and set-op semi join
+    "pq10_promql_vector_ratio",
+    "pq11_promql_histogram_quantile",
+    "pq13_promql_and_semi_join",
+    # PQR r12 IN (the t39s ship-with-its-round precedent): the range
+    # compiler's flagship — query_range grid evaluation of an
+    # agg-over-rate, bucket-expanded, landed this round per VERDICT
+    # r11 task #1 (8th IN; d17_segment_dedup is the matching 8th OUT —
+    # green r8–r11, D keeps d16/d18/d13s/d14s + the incoming dq3b)
+    "pqr1_promql_range_sum_rate",
     # (l2e_neardup_clusters rotated out r9 — L2 keeps the band-join
     # pipeline rep l2h; the CC-clustering layer stays bit-exact locally.)
-    "l3_cosine_topk",
     # (l4_knn_join + l4e_sign_bucket_ann rotated out r11 — L4 held FOUR
     # slots; the quantized pair l4j/l4k keeps the ANN mechanisms, and
     # both rotated entries stay bit-exact under the local gate.)
@@ -326,9 +364,10 @@ _PRIORITY = (
     "l6b_media_features",
     # D17: paragraph-level dedup + document reassembly (one text shuffle,
     # plan-pinned) — r8 IN alongside the d16 composite.
-    "d17_segment_dedup",
     # D18: exact-rational total-variation distribution-drift gate (r9 IN)
     "d18_distribution_drift",
+    # DQ r12 IN: the KMV-sketch schema profile (dq3's 100 TB form)
+    "dq3b_schema_profile_sketch",
     # D: training-data pipeline. Late-r7 swap within the family: OUT
     # d9_substring_dedup (driver-green r3–r6, stays bit-exact locally)
     # → IN d16_corpus_build_e2e (never driver-checked; the composed

@@ -92,35 +92,112 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    @staticmethod
+    def _parse_time_s(text: str) -> float:
+        """Prometheus API timestamp: unix seconds (float). RFC3339 is
+        outside the subset — rejected with ValueError → 400 bad_data."""
+        return float(text)
+
+    @staticmethod
+    def _parse_duration_s(text: str) -> float:
+        """Prometheus API step: a float (seconds) or a duration literal
+        like ``15s``/``5m``/``1h``; anything else → ValueError → 400."""
+        try:
+            return float(text)
+        except ValueError:
+            pass
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", text)
+        if not m:
+            raise ValueError(f"bad step {text!r}")
+        return int(m.group(1)) * {
+            "ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0
+        }[m.group(2)]
+
+    def _bad(self, msg: str) -> None:
+        self._json(
+            400, {"status": "error", "errorType": "bad_data", "error": msg}
+        )
+
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
-        # Prometheus HTTP API instant query (public spec:
-        # GET /api/v1/query?query=...) — beyond-reference surface like
-        # /read: the PQ compiler serves the relayed series back to any
-        # Prometheus-API client. Response envelope matches the spec's
-        # vector resultType; errors use the spec's status/errorType
-        # fields (bad_data for PromQL the subset rejects).
+        # Prometheus HTTP API (public spec): GET /api/v1/query (instant,
+        # optional time=) and GET /api/v1/query_range (start/end/step →
+        # matrix) — beyond-reference surface like /read: the PQ compiler
+        # serves the relayed series back to any Prometheus-API client
+        # (a Grafana panel's refresh IS a query_range call). Errors use
+        # the spec's status/errorType fields (bad_data for PromQL the
+        # subset rejects, internal for everything else).
         from urllib.parse import parse_qs, urlparse
 
         u = urlparse(self.path)
+        params = parse_qs(u.query)
+        if (
+            u.path == "/api/v1/query_range"
+            and getattr(self.server, "range_handler", None) is not None
+        ):
+            q = params.get("query", [None])[0]
+            if not q:
+                self._bad("missing query parameter")
+                return
+            try:
+                start_s = self._parse_time_s(params["start"][0])
+                end_s = self._parse_time_s(params["end"][0])
+                step_s = self._parse_duration_s(params["step"][0])
+            except (KeyError, ValueError, IndexError):
+                self._bad("query_range needs start, end (unix seconds) "
+                          "and step (seconds or duration)")
+                return
+            try:
+                series = self.server.range_handler(q, start_s, end_s, step_s)  # type: ignore[attr-defined]
+            except ValueError as e:  # PromQLError subclasses ValueError
+                self._bad(str(e))
+                return
+            except Exception as e:  # noqa: BLE001 — spec: internal error
+                self._json(
+                    500,
+                    {"status": "error", "errorType": "internal",
+                     "error": str(e)},
+                )
+                return
+            self._json(
+                200,
+                {
+                    "status": "success",
+                    "data": {
+                        "resultType": "matrix",
+                        "result": [
+                            {
+                                "metric": labels,
+                                "values": [
+                                    [t_s, str(float(v))] for t_s, v in pts
+                                ],
+                            }
+                            for labels, pts in series
+                        ],
+                    },
+                },
+            )
+            return
         if u.path != "/api/v1/query" or getattr(self.server, "query_handler", None) is None:
             self.send_response(404)
             self.end_headers()
             return
-        q = parse_qs(u.query).get("query", [None])[0]
+        q = params.get("query", [None])[0]
         if not q:
-            self._json(
-                400,
-                {"status": "error", "errorType": "bad_data",
-                 "error": "missing query parameter"},
-            )
+            self._bad("missing query parameter")
             return
+        time_s = None
+        if "time" in params:  # spec: optional evaluation timestamp
+            try:
+                time_s = self._parse_time_s(params["time"][0])
+            except ValueError:
+                self._bad(f"bad time parameter {params['time'][0]!r}")
+                return
         try:
-            t_s, results = self.server.query_handler(q)  # type: ignore[attr-defined]
+            t_s, results = self.server.query_handler(q, time_s)  # type: ignore[attr-defined]
         except ValueError as e:  # PromQLError subclasses ValueError
-            self._json(
-                400,
-                {"status": "error", "errorType": "bad_data", "error": str(e)},
-            )
+            self._bad(str(e))
             return
         except Exception as e:  # noqa: BLE001 — spec: internal error
             self._json(
@@ -228,6 +305,7 @@ class RemoteWriteServer(ThreadingHTTPServer):
         raw: bool = False,
         read_handler=None,
         query_handler=None,
+        range_handler=None,
     ):
         super().__init__((host, port), _Handler)
         self.spool_dir = spool_dir
@@ -238,11 +316,16 @@ class RemoteWriteServer(ThreadingHTTPServer):
         # (prompb.encode_read_response shape); None keeps the server
         # write-only like the reference (POST /read → 404)
         self.read_handler = read_handler
-        # optional PromQL instant-query API: callable(query_text) ->
-        # (eval_time_seconds, [(labels_dict, value), ...]); None keeps
-        # GET /api/v1/query → 404 (promql.make_promql_http_handler
-        # builds the Spark-backed one)
+        # optional PromQL instant-query API: callable(query_text,
+        # time_s | None) -> (eval_time_seconds, [(labels_dict, value),
+        # ...]); None keeps GET /api/v1/query → 404
+        # (promql.make_promql_http_handler builds the Spark-backed one)
         self.query_handler = query_handler
+        # optional PromQL range-query API: callable(query_text, start_s,
+        # end_s, step_s) -> [(labels_dict, [(t_s, value), ...]), ...];
+        # None keeps GET /api/v1/query_range → 404
+        # (promql.make_promql_range_http_handler builds it)
+        self.range_handler = range_handler
         os.makedirs(spool_dir, exist_ok=True)
         self._thread: threading.Thread | None = None
 

@@ -2036,8 +2036,13 @@ def ewma_halflife_reordered(
                     hi = ms
         buf.sort()
         wm = hi - reorder_ms
+        # Commit strictly BELOW the horizon (r11 ADVICE): the late-arrival
+        # guard above admits ms == hi - reorder_ms (displacement exactly
+        # reorder_ms), so samples AT the horizon must stay buffered — were
+        # they committed (<=), a same-ms peer arriving at the boundary
+        # would fold after them, breaking the (ms, event_id) fold order.
         cut = 0
-        while cut < len(buf) and buf[cut][0] <= wm:
+        while cut < len(buf) and buf[cut][0] < wm:
             cut += 1
         n, m, l = _fold(n, m, l, buf[:cut])  # noqa: E741
         buf = buf[cut:]

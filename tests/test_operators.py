@@ -1970,3 +1970,152 @@ def test_alert_islands_bucket_boundary_stitching(spark, tmp_path):
     # it; the second island chains C2 + D (6 samples) across buckets 6→8
     ns = sorted(n for (n, _f, _fm) in got.values())
     assert ns == [6, 7]
+
+
+def test_promql_scalar_led_product_and_den_overflow(spark):
+    """r11 ADVICE items #2/#3: (a) a scalar-led product on an additive
+    RHS (`a - 2 * b`) parses as a - (2*b) under standard precedence
+    instead of dying with a trailing-input error — scalar multiplication
+    commutes exactly on rationals, so it compiles as Scale(b,'*',2);
+    (b) scalar-led DIVISION names its restriction (the reciprocal's den
+    would be data-dependent); (c) an expression whose constant rational
+    denominator overflows int64 (rate[30d] * rate[30d] → (100·2.592e9)²)
+    is rejected at COMPILE time with PromQLError — previously ANSI mode
+    raised ARITHMETIC_OVERFLOW at runtime, a 500 instead of a 400 on
+    the HTTP endpoint; (d) the gcd reduction keeps same-window ratios
+    (pq10's shape) small: den reduces to the bare divisor numerator."""
+    from fractions import Fraction
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, RangeFn, Scale, Selector, VecBin, compile_promql, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = parse("increase(error[1d]) - 2 * increase(view[1d])")
+    assert e == VecBin(
+        RangeFn("increase", Selector("error"), 86_400_000),
+        "-",
+        Scale(RangeFn("increase", Selector("view"), 86_400_000), "*", Fraction(2)),
+    )
+    # plain scalar shift still parses as Shift (no regression)
+    from prometheus_remote_kinesis_spark.promql import Shift
+
+    assert isinstance(parse("increase(error[1d]) - 2"), Shift)
+    with pytest.raises(PromQLError, match="scalar-led division"):
+        parse("increase(error[1d]) - 2 / increase(view[1d])")
+    # den overflow: compile-time rejection, not an ANSI runtime 500
+    with pytest.raises(PromQLError, match="exceeds int64"):
+        compile_promql(spark, SF_SMOKE, "rate(error[30d]) * rate(view[30d])")
+    # the scalar-led product COMPILES and matches the commuted form
+    a = compile_promql(
+        spark, SF_SMOKE, "increase(error[1d]) - 2 * increase(view[1d])"
+    )
+    b = compile_promql(
+        spark, SF_SMOKE, "increase(error[1d]) - increase(view[1d]) * 2"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_promql_range_last_point_is_instant(spark):
+    """query_range grid semantics anchor (r12): with a T-anchored grid
+    whose step divides the span, the LAST grid point evaluates at
+    exactly T — so its row must be bit-equal to the instant query.
+    Checked for an agg-over-rate and a plain selector."""
+    from prometheus_remote_kinesis_spark.promql import (
+        compile_promql, compile_promql_range,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # the bare-selector case needs sf0.01: its 5-minute staleness windows
+    # are empty at nearly every sf0.001 grid point (~1 sample / 13 ks per
+    # type) — pqr2's registered form runs at sf0.01 for the same reason
+    from prometheus_remote_kinesis_spark.promql import _t_eval
+
+    nonempty_last = 0
+    for q, sf in (
+        ("sum(rate(view[1d]))", SF_SMOKE),
+        ("click", "/root/testdata/sf0.01"),
+        ("count_over_time(error[1d])", SF_SMOKE),
+    ):
+        grid = compile_promql_range(
+            spark, sf, q, step_ms=21_600_000, span_ms=86_400_000
+        ).collect()
+        assert grid, q
+        # the THEORETICAL last grid point is T itself (step divides span);
+        # the max RETURNED t_ms can be earlier — empty instants emit no row
+        t_last = _t_eval(spark, sf).collect()[0]["t_eval"]
+        last = {
+            tuple(v for k, v in sorted(r.asDict().items()) if k != "t_ms")
+            for r in grid
+            if r["t_ms"] == t_last
+        }
+        inst = {
+            tuple(v for k, v in sorted(r.asDict().items()))
+            for r in compile_promql(spark, sf, q).collect()
+        }
+        assert last == inst, q
+        nonempty_last += bool(inst)
+    assert nonempty_last >= 1  # the equality is exercised on real rows
+
+
+def test_promql_range_grid_semantics(spark):
+    """EVERY grid point t_k = T − j·step must equal the instant query
+    evaluated with `offset j·step` — the offset modifier IS single-point
+    range evaluation, so the whole grid cross-checks against the
+    already-verified instant compiler (no reimplementation to trust).
+    Also pins per-step topk and the grid validation rejections."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql, compile_promql_range,
+    )
+    from tests.conftest import SF_SMOKE
+
+    STEP, N = 28_800_000, 3  # 8h step, 4 points
+    q_grid = compile_promql_range(
+        spark, SF_SMOKE, "sum by (user) (increase(click[1d]))",
+        step_ms=STEP, span_ms=STEP * N,
+    ).collect()
+    t_last = max(r["t_ms"] for r in q_grid) if q_grid else None
+    for j in range(N + 1):
+        want = {
+            (r["user"], r["value"])
+            for r in compile_promql(
+                spark, SF_SMOKE,
+                "sum by (user) (increase(click[1d] offset "
+                + (f"{j * STEP}ms))" if j else "0ms))"),
+            ).collect()
+        }
+        got = {
+            (r["user"], r["value"])
+            for r in q_grid
+            if r["t_ms"] == t_last - j * STEP
+        }
+        assert got == want, f"grid point T-{j}*step diverges"
+    # per-step topk: each instant keeps its own k rows
+    tk = compile_promql_range(
+        spark, SF_SMOKE, "topk(2, count_over_time(view[2d]))",
+        step_ms=STEP, span_ms=STEP * N,
+    ).collect()
+    from collections import Counter
+
+    per_step = Counter(r["t_ms"] for r in tk)
+    assert per_step and all(c <= 2 for c in per_step.values())
+    # validation rejections
+    with pytest.raises(PromQLError, match="step must be positive"):
+        compile_promql_range(spark, SF_SMOKE, "click", step_ms=0, span_ms=1000)
+    with pytest.raises(PromQLError, match="resolution cap"):
+        compile_promql_range(
+            spark, SF_SMOKE, "click", step_ms=1, span_ms=1_000_000
+        )
+    with pytest.raises(PromQLError, match="instant-only"):
+        compile_promql_range(
+            spark, SF_SMOKE,
+            "histogram_quantile(0.9, sum by (le) "
+            "(count_over_time(view_bucket[1d])))",
+            step_ms=1000, span_ms=10_000,
+        )
+    with pytest.raises(PromQLError, match="span_ms"):
+        compile_promql_range(spark, SF_SMOKE, "click", step_ms=1000)

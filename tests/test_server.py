@@ -387,3 +387,151 @@ def test_promql_query_endpoint_e2e(spark, tmp_path):
             assert e.code == 404
     finally:
         srv2.stop()
+
+
+def test_promql_query_time_param_and_range_endpoint(spark, tmp_path):
+    """r12 (VERDICT r11 tasks #1/#3) — the two endpoint upgrades:
+
+    1. ``GET /api/v1/query?time=`` honors the spec's evaluation
+       timestamp: the same query at two different ``time=`` values
+       answers from two different staleness windows, checked against a
+       Python reimplementation of the t23 instant-vector rule over the
+       raw rows (hand-checked membership, not a Spark self-comparison).
+    2. ``GET /api/v1/query_range`` serves the matrix envelope: values
+       equal compile_promql_range run directly, per-series samples
+       ascend in time, step accepts both float seconds and duration
+       literals, a malformed step 400s, and a server without a
+       range_handler keeps the route 404."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.parse import quote
+    from urllib.request import urlopen
+
+    from prometheus_remote_kinesis_spark.promql import (
+        STALENESS_MS,
+        compile_promql_range,
+        make_promql_http_handler,
+        make_promql_range_http_handler,
+    )
+    from prometheus_remote_kinesis_spark.server import RemoteWriteServer
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'click' AND value IS NOT NULL")
+        .selectExpr("user_id", "unix_millis(ts) AS ms", "event_id", "value")
+        .collect()
+    )
+    # two hand-picked eval times: one at a sample (its window holds >=1
+    # series), one 1 ms BEFORE the corpus's first click (empty vector)
+    t_hit_ms = max(r["ms"] for r in rows)
+    t_miss_ms = min(r["ms"] for r in rows) - 1
+
+    def instant_expected(t_ms):
+        # the t23 rule, in Python: per user, last sample <= t; keep if
+        # within the staleness window
+        best = {}
+        for r in sorted(rows, key=lambda r: (r["ms"], r["event_id"])):
+            if r["ms"] <= t_ms:
+                best[r["user_id"]] = r
+        return {
+            str(u): round(int(round(r["value"] * 100)) / 100.0, 6)
+            for u, r in best.items()
+            if r["ms"] > t_ms - STALENESS_MS
+        }
+
+    srv = RemoteWriteServer(
+        str(tmp_path / "spool"),
+        query_handler=make_promql_http_handler(spark, SF_SMOKE),
+        range_handler=make_promql_range_http_handler(spark, SF_SMOKE),
+    ).start()
+    try:
+        host, port = srv.server_address[:2]
+        base = f"http://{host}:{port}/api/v1/query"
+        for t_ms, nonempty in ((t_hit_ms, True), (t_miss_ms, False)):
+            with urlopen(f"{base}?query=click&time={t_ms / 1000.0}") as resp:
+                doc = _json.loads(resp.read())
+            got = {
+                s["metric"]["user"]: float(s["value"][1])
+                for s in doc["data"]["result"]
+            }
+            want = instant_expected(t_ms)
+            assert got == want
+            assert bool(got) is nonempty
+            if got:  # echoed eval timestamp = the client's time
+                assert {s["value"][0] for s in doc["data"]["result"]} == {
+                    t_ms / 1000.0
+                }
+        # bad time parameter → spec bad_data
+        try:
+            urlopen(f"{base}?query=click&time=yesterday")
+            raise AssertionError("expected HTTP 400")
+        except HTTPError as e:
+            assert e.code == 400
+            assert _json.loads(e.read())["errorType"] == "bad_data"
+
+        # --- query_range: matrix envelope over a literal client grid
+        rbase = f"http://{host}:{port}/api/v1/query_range"
+        q = "sum by (user) (increase(click[1d]))"
+        start_s, end_s = (t_hit_ms - 2 * 86_400_000) / 1000.0, t_hit_ms / 1000.0
+        url = (
+            f"{rbase}?query={quote(q)}&start={start_s}&end={end_s}&step=6h"
+        )
+        with urlopen(url) as resp:
+            assert resp.status == 200
+            doc = _json.loads(resp.read())
+        assert doc["data"]["resultType"] == "matrix"
+        got_m = {
+            s["metric"]["user"]: [(v[0], float(v[1])) for v in s["values"]]
+            for s in doc["data"]["result"]
+        }
+        direct = compile_promql_range(
+            spark, SF_SMOKE, q,
+            step_ms=21_600_000,
+            start_ms=t_hit_ms - 2 * 86_400_000,
+            end_ms=t_hit_ms,
+        ).collect()
+        want_m = {}
+        for r in direct:
+            want_m.setdefault(str(r["user"]), []).append(
+                (r["t_ms"] / 1000.0, r["value"])
+            )
+        assert got_m == {u: sorted(pts) for u, pts in want_m.items()}
+        assert got_m  # real rows flowed through the matrix envelope
+        for pts in got_m.values():  # per-series samples ascend in time
+            assert pts == sorted(pts)
+        # float-seconds step accepted too; identical grid
+        with urlopen(
+            f"{rbase}?query={quote(q)}&start={start_s}&end={end_s}&step=21600"
+        ) as resp:
+            assert _json.loads(resp.read())["data"]["result"] == doc["data"]["result"]
+        # malformed step → 400 bad_data
+        try:
+            urlopen(f"{rbase}?query={quote(q)}&start=0&end=1&step=fast")
+            raise AssertionError("expected HTTP 400")
+        except HTTPError as e:
+            assert e.code == 400
+        # oversized grid → the compiler's resolution cap as bad_data
+        try:
+            urlopen(f"{rbase}?query=click&start=0&end=1000000&step=0.001")
+            raise AssertionError("expected HTTP 400")
+        except HTTPError as e:
+            assert e.code == 400
+            assert "resolution cap" in _json.loads(e.read())["error"]
+    finally:
+        srv.stop()
+    # no range_handler → the route stays 404
+    srv2 = RemoteWriteServer(str(tmp_path / "spool2")).start()
+    try:
+        host, port = srv2.server_address[:2]
+        try:
+            urlopen(
+                f"http://{host}:{port}/api/v1/query_range"
+                "?query=click&start=0&end=1&step=1"
+            )
+            raise AssertionError("expected HTTP 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv2.stop()

@@ -1526,3 +1526,48 @@ def test_ewma_reordered_bit_equals_in_order(spark, tmp_path):
             ),
             "append",
         ).collect()
+
+
+def test_ewma_reordered_boundary_displacement(spark, tmp_path):
+    """A sample arriving displaced EXACTLY reorder_ms sits inside the
+    contract (the late-arrival guard admits ms == hi - reorder_ms) and
+    must fold bit-equal to the in-order recurrence: the commit cut is
+    strictly-below-horizon (r11 ADVICE — committing ms <= hi - reorder_ms
+    let a boundary arrival fold after its already-committed same-ms
+    peers, breaking the documented (ms, event_id) fold order)."""
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        ewma_halflife_reordered,
+    )
+
+    HL, RO = 600_000, 300_000
+    seq = [(0, 10.0), (0, 12.0), (300_000, 8.0), (700_000, 20.0), (900_000, 4.0)]
+    rows_sorted = [
+        {"event_id": i, "event_type": "m", "user_id": 1, "time": t, "value": v}
+        for i, (t, v) in enumerate(seq)
+    ]
+    # arrival: eid1 (ms 0), eid2 (ms 300_000 → horizon reaches 0; the
+    # pre-fix commit took eid1 here), THEN eid0 at ms 0 — displacement
+    # exactly RO, admitted by the guard — then the in-order suffix;
+    # one file per micro-batch so each arrival is its own commit point
+    order = [1, 2, 0, 3, 4]
+    out = run_to_batch(
+        ewma_halflife_reordered(
+            _chopped_stream(spark, tmp_path, [rows_sorted[i] for i in order], 5),
+            hl_ms=HL,
+            reorder_ms=RO,
+            idle_timeout_ms=None,
+        ),
+        "append",
+    )
+    auth = max(out.collect(), key=lambda r: r["n_samples"])
+    n, m, level = 0, 0, 0.0
+    for t, v in seq:
+        if n == 0:
+            level = v
+        else:
+            g = min(max((t - m) // HL, 0), 62)
+            level = v + (level - v) * (1.0 / float(1 << g))
+        m, n = t, n + 1
+    assert auth["n_samples"] == n == 5
+    assert auth["ewma_raw"] == level  # bit-exact under boundary disorder

@@ -88,6 +88,12 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq14_promql_unless_anti_join", "nested_loop_join"),
     ("pq15_promql_abs_clamp", "nested_loop_join"),
     ("pq16_promql_bottomk", "nested_loop_join"),
+    # r12 range queries: the same 1-row eval-time broadcast — the
+    # T-anchored grid derives its start from the corpus max via
+    # crossJoin(broadcast(_t_eval)); data never enters a loop join
+    # (samples meet grid points by bucket EXPANSION, not by join)
+    ("pqr1_promql_range_sum_rate", "nested_loop_join"),
+    ("pqr2_promql_range_selector", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
