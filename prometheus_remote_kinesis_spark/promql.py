@@ -14,18 +14,24 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
 
     expr     := cmpexpr | expr ('and'|'or'|'unless') cmpexpr
     cmpexpr  := addexpr | cmpexpr CMP number
-    addexpr  := mulexpr | addexpr ('+'|'-') (number ['*' mulexpr] | mulexpr)
-    mulexpr  := primary | mulexpr ('*'|'/') (number | primary)
-    primary  := agg | topk | bottomk | histq | vecfn | vector
+    addexpr  := mulexpr
+              | addexpr ('+'|'-') [match] (number ['*' mulexpr] | mulexpr)
+    mulexpr  := primary | mulexpr ('*'|'/') [match] (number | primary)
+    match    := ('on'|'ignoring') '(' [labels] ')' ['group_left']   (r12)
+    primary  := agg | topk | bottomk | histq | vecfn | quantile | vector
     vecfn    := 'abs' '(' expr ')'
               | ('clamp_min'|'clamp_max') '(' expr ',' number ')'
+    quantile := 'quantile_over_time' '(' phi ',' selector '[' dur ']' ')'
     agg      := ('sum'|'min'|'max'|'count'|'avg') ['by' '(' labels ')']
                 '(' expr ')'
     histq    := 'histogram_quantile' '(' phi ','
                 'sum' 'by' '(' 'le' ')'
                 '(' 'count_over_time' '(' metric'_bucket' '[' dur ']' ')' ')'
                 ')'
-    vector   := fn '(' selector '[' duration ']' ')' | selector
+    vector   := fn '(' selector '[' duration ']' ')'
+              | fn '(' expr '[' duration ':' duration ']' ')'     (subquery,
+                r12 — fn ∈ sum/min/max/avg/count/last/present_over_time)
+              | selector
     fn       := 'rate' | 'increase' | 'avg_over_time' | 'sum_over_time'
               | 'count_over_time' | 'min_over_time' | 'max_over_time'
     selector := metric ['{' label op '"' value '"' [',' ...] '}']
@@ -165,6 +171,49 @@ class VecBin:
     left: object
     op: str  # '+', '-', '*', '/'
     right: object
+    # vector matching (r12, VERDICT r11 task #4): `on(labels)` names the
+    # join keys explicitly, `ignoring(labels)` excludes labels from the
+    # shared set; `group_left` permits many-to-one (lhs keeps its full
+    # label set, rhs must be unique per match key). None/None/False =
+    # bare one-to-one on identical label sets (the pq10 form).
+    on: tuple[str, ...] | None = None
+    ignoring: tuple[str, ...] | None = None
+    group_left: bool = False
+
+
+@dataclass(frozen=True)
+class SubqueryFn:
+    """``fn(expr[range:step])`` — a PromQL subquery (r12, VERDICT r11
+    task #6): the inner expression evaluates on a T-anchored grid of
+    ceil(range/step) points t_j = T − j·step (all inside (T − range, T]),
+    then ``fn`` folds each series' grid values. Prometheus aligns
+    subquery steps to absolute time (multiples of step since epoch);
+    this subset anchors at T so the oracle re-derives the identical
+    grid from the corpus — the t26 convention."""
+
+    fn: str
+    expr: object
+    range_ms: int
+    step_ms: int
+
+
+@dataclass(frozen=True)
+class QuantileOT:
+    """``quantile_over_time(φ, sel[w])`` (r12, VERDICT r11 task #7) —
+    type-7 linear interpolation between order statistics, EXACT: with
+    φ = p/q and n in-window samples sorted ascending as integer cents
+    c_0..c_{n−1}, rank h = (n−1)p/q splits into lo = (n−1)p // q and
+    rem = (n−1)p mod q, and the interpolated value is the RATIONAL
+    (c_lo·(q−rem) + c_{lo+1}·rem) / (100q) — an integer numerator over
+    the QUERY-CONSTANT denominator 100q. Unlike stddev_over_time there
+    is no sqrt and unlike avg_over_time the den does not depend on n,
+    so sum/min/max aggregation over it is SOUND and stays inside the
+    exact-rational hash gate (the Agg-path rejection is provably not
+    needed — pinned by pq20's oracle)."""
+
+    phi: Fraction
+    sel: Selector
+    window_ms: int
 
 
 @dataclass(frozen=True)
@@ -191,7 +240,7 @@ _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)(?P<unit>ms|[smhd])?"
     r"|(?P<id>[A-Za-z_][A-Za-z0-9_]*)"
     r"|(?P<str>\"[^\"]*\")"
-    r"|(?P<op><=|>=|==|!=|=~|!~|[-+<>(){}\[\],=*/]))"
+    r"|(?P<op><=|>=|==|!=|=~|!~|[-+<>(){}\[\],=*/:]))"
 )
 
 
@@ -272,12 +321,45 @@ class _Parser:
             else:
                 return e
 
+    def _vec_matcher(self):
+        """Optional ``on(...)``/``ignoring(...)`` [+ ``group_left``]
+        immediately after a binary operator (r12)."""
+        on = ignoring = None
+        group_left = False
+        k, v = self._peek()
+        if k == "id" and v in ("on", "ignoring"):
+            self._next()
+            self._expect("op", "(")
+            labels: list[str] = []
+            if self._peek() != ("op", ")"):
+                labels.append(self._expect("id")[1])
+                while self._peek() == ("op", ","):
+                    self._next()
+                    labels.append(self._expect("id")[1])
+            self._expect("op", ")")
+            if v == "on":
+                on = tuple(labels)
+            else:
+                ignoring = tuple(labels)
+            if self._peek() == ("id", "group_left"):
+                self._next()
+                group_left = True
+        return on, ignoring, group_left
+
     def _addexpr(self):
         e = self._mulexpr()
         while True:
             k, v = self._peek()
             if k == "op" and v in ("+", "-"):
                 self._next()
+                on, ig, gl = self._vec_matcher()
+                if (on is not None or ig is not None) and self._peek()[0] == "num":
+                    raise PromQLError(
+                        "vector matching (on/ignoring) needs a vector RHS"
+                    )
+                if on is not None or ig is not None:
+                    e = VecBin(e, v, self._mulexpr(), on, ig, gl)
+                    continue
                 if self._peek()[0] == "num":
                     s = Fraction(self._next()[1])
                     nk, nv = self._peek()
@@ -311,7 +393,14 @@ class _Parser:
             k, v = self._peek()
             if k == "op" and v in ("*", "/"):
                 self._next()
-                if self._peek()[0] == "num":
+                on, ig, gl = self._vec_matcher()
+                if (on is not None or ig is not None) and self._peek()[0] == "num":
+                    raise PromQLError(
+                        "vector matching (on/ignoring) needs a vector RHS"
+                    )
+                if on is not None or ig is not None:
+                    e = VecBin(e, v, self._primary(), on, ig, gl)
+                elif self._peek()[0] == "num":
                     s = Fraction(self._next()[1])
                     if v == "/" and s == 0:
                         raise PromQLError("division by zero scalar")
@@ -377,13 +466,49 @@ class _Parser:
             s = Fraction(self._expect("num")[1])
             self._expect("op", ")")
             return Clamp(fn, inner, s)
-        if k == "id" and v in _RANGE_FNS:
+        if k == "id" and v == "quantile_over_time":
             self._next()
             self._expect("op", "(")
+            phi = Fraction(self._expect("num")[1])
+            if not (0 <= phi <= 1):
+                raise PromQLError(
+                    f"quantile_over_time phi must be in [0,1], got {phi}"
+                )
+            self._expect("op", ",")
             sel = self._selector()
             self._expect("op", "[")
             win = self._duration(self._expect("dur")[1])
             self._expect("op", "]")
+            if self._peek() == ("id", "offset"):
+                self._next()
+                sel = Selector(
+                    sel.metric, sel.matchers,
+                    self._duration(self._expect("dur")[1]),
+                )
+            self._expect("op", ")")
+            return QuantileOT(phi, sel, win)
+        if k == "id" and v in _RANGE_FNS:
+            self._next()
+            self._expect("op", "(")
+            # general inner: a bare selector takes the classic range
+            # form `sel[w]`; any expression takes the SUBQUERY form
+            # `expr[range:step]` (and so can a selector: `view[1d:5m]`)
+            inner = self._expr()
+            self._expect("op", "[")
+            win = self._duration(self._expect("dur")[1])
+            if self._peek() == ("op", ":"):
+                self._next()
+                step = self._duration(self._expect("dur")[1])
+                self._expect("op", "]")
+                self._expect("op", ")")
+                return SubqueryFn(v, inner, win, step)
+            self._expect("op", "]")
+            if not isinstance(inner, Selector):
+                raise PromQLError(
+                    f"{v} over an expression needs the subquery form "
+                    f"[range:step]; a plain [range] applies to a selector"
+                )
+            sel = inner
             if self._peek() == ("id", "offset"):
                 self._next()
                 sel = Selector(
@@ -450,6 +575,17 @@ def _variable_den(node) -> bool:
         return False
     if isinstance(node, RangeFn):
         return node.fn == "avg_over_time"
+    if isinstance(node, QuantileOT):
+        # den = 100·q, a query constant — the interpolation numerator is
+        # an exact integer, so aggregation over it is SOUND (see the
+        # dataclass docstring; pq20 pins sum() over it in the hash gate)
+        return False
+    if isinstance(node, SubqueryFn):
+        if node.fn == "avg_over_time":
+            return True  # den picks up the per-series grid-point count
+        if node.fn in ("count_over_time", "present_over_time"):
+            return False
+        return _variable_den(node.expr)  # sum/min/max/last inherit
     if isinstance(node, Agg):
         return node.op == "avg"  # den = den_in · n_in, n_in per-group
     if isinstance(node, (TopK, Cmp, Scale, Shift, VecAbs, Clamp)):
@@ -600,6 +736,7 @@ def _grid_expand(
     w: int,
     off: int,
     prep=None,
+    eval_ms: int | None = None,
 ) -> DataFrame:
     """Attach the grid to a sample frame: each sample expands to exactly
     the grid points t_k whose window (t_k − w, t_k] contains it — the
@@ -618,7 +755,7 @@ def _grid_expand(
     ms + off ∈ (t_k − w, t_k]), leaving output timestamps unshifted."""
     step = grid.step_ms
     if grid.span_ms is not None:
-        d = d.crossJoin(F.broadcast(_t_eval(spark, sf_dir)))
+        d = d.crossJoin(F.broadcast(_t_frame(spark, sf_dir, eval_ms)))
         start = F.col("t_eval") - grid.span_ms
         last_k = F.lit(grid.span_ms // step)
     else:
@@ -655,7 +792,11 @@ def _grid_expand(
 
 
 def _compile_rangefn_grid(
-    spark: SparkSession, sf_dir: str, node: RangeFn, grid: _Grid
+    spark: SparkSession,
+    sf_dir: str,
+    node: RangeFn,
+    grid: _Grid,
+    eval_ms: int | None = None,
 ) -> _Vec:
     """The RangeFn kernels evaluated per grid point — identical window
     semantics to the instant branch (windows cover (t_k − w, t_k]),
@@ -679,7 +820,9 @@ def _compile_rangefn_grid(
                 "pc", F.lag("c").over(wl)
             )
 
-        d = _grid_expand(spark, sf_dir, base, grid, w, node.sel.offset_ms, prep)
+        d = _grid_expand(
+            spark, sf_dir, base, grid, w, node.sel.offset_ms, prep, eval_ms
+        )
         # the pair counts toward t_k only if the earlier sample is also
         # in (t_k − w, t_k] — offset shifts BOTH endpoints identically
         pair_in = F.col("pms").isNotNull() & (
@@ -711,7 +854,9 @@ def _compile_rangefn_grid(
             F.lit(100).cast("long").alias("den"),
         )
         return _Vec(out, ("t_ms", "user"), den_const=100)
-    d = _grid_expand(spark, sf_dir, base, grid, w, node.sel.offset_ms)
+    d = _grid_expand(
+        spark, sf_dir, base, grid, w, node.sel.offset_ms, eval_ms=eval_ms
+    )
     if node.fn == "stddev_over_time":
         g = d.groupBy("t_ms", "user").agg(
             F.count(F.lit(1)).alias("n"),
@@ -761,7 +906,7 @@ def _compile_vector(
             # window (t_k − 5m, t_k] — t23's instant vector, gridded
             d = _grid_expand(
                 spark, sf_dir, _base(spark, sf_dir, node),
-                grid, STALENESS_MS, node.offset_ms,
+                grid, STALENESS_MS, node.offset_ms, eval_ms=eval_ms,
             )
             g = d.groupBy("t_ms", "user").agg(
                 F.max_by("c", F.struct("ms", "event_id")).alias("num")
@@ -798,7 +943,7 @@ def _compile_vector(
         )
     if isinstance(node, RangeFn):
         if grid is not None:
-            return _compile_rangefn_grid(spark, sf_dir, node, grid)
+            return _compile_rangefn_grid(spark, sf_dir, node, grid, eval_ms)
         d = _base(spark, sf_dir, node.sel).crossJoin(
             F.broadcast(_t_frame(spark, sf_dir, eval_ms))
         )
@@ -1053,17 +1198,66 @@ def _compile_vector(
                 "vector arithmetic over stddev_over_time is outside the "
                 "exact-rational subset"
             )
-        if lv.labels != rv.labels:
-            raise PromQLError(
-                f"vector-vector {node.op!r} needs identical label sets "
-                f"(one-to-one matching), got {lv.labels} vs {rv.labels}"
-            )
-        keys = list(lv.labels)
+        if node.on is not None or node.ignoring is not None:
+            # explicit vector matching (r12): the match-key list compiles
+            # straight to the equi-join key list — t24's mechanism with
+            # the clause choosing the keys. On a grid, t_ms is always an
+            # implicit extra key (matching happens within one instant).
+            tgrid = ["t_ms"] if "t_ms" in lv.labels else []
+            if ("t_ms" in lv.labels) != ("t_ms" in rv.labels):
+                raise PromQLError("vector matching across grid and instant")
+            lset = tuple(lb for lb in lv.labels if lb != "t_ms")
+            rset = tuple(lb for lb in rv.labels if lb != "t_ms")
+            if node.on is not None:
+                mk = tuple(node.on)
+                missing = [lb for lb in mk if lb not in lset or lb not in rset]
+                if missing:
+                    raise PromQLError(
+                        f"on({', '.join(mk)}): labels {missing} absent "
+                        f"(lhs has {lset}, rhs has {rset})"
+                    )
+            else:
+                mk = tuple(lb for lb in lset if lb not in node.ignoring)
+                if tuple(lb for lb in rset if lb not in node.ignoring) != mk:
+                    raise PromQLError(
+                        f"ignoring({', '.join(node.ignoring)}) leaves "
+                        f"mismatched label sets {lset} vs {rset}"
+                    )
+            if node.group_left:
+                # many-to-one: rhs must be UNIQUE per match key (its
+                # label set is exactly the key set — our vectors are
+                # unique per full label set by construction), lhs keeps
+                # every label
+                if rset != mk:
+                    raise PromQLError(
+                        "group_left needs the rhs keyed exactly by the "
+                        f"match labels {mk}, got {rset} — aggregate the "
+                        "rhs down to the match keys first"
+                    )
+                out_labels = lv.labels
+            else:
+                if lset != mk or rset != mk:
+                    raise PromQLError(
+                        "one-to-one matching needs both sides keyed "
+                        f"exactly by the match labels {mk} (got {lset} "
+                        f"vs {rset}); add group_left for many-to-one"
+                    )
+                out_labels = tuple(tgrid) + mk
+            keys = tgrid + list(mk)
+        else:
+            if lv.labels != rv.labels:
+                raise PromQLError(
+                    f"vector-vector {node.op!r} needs identical label sets "
+                    f"(one-to-one matching; use on()/ignoring() to match "
+                    f"on a subset), got {lv.labels} vs {rv.labels}"
+                )
+            keys = list(lv.labels)
+            out_labels = lv.labels
         left = lv.df.select(
-            *keys, F.col("num").alias("lnum"), F.col("den").alias("lden")
+            *lv.labels, F.col("num").alias("lnum"), F.col("den").alias("lden")
         )
         right = rv.df.select(
-            *keys, F.col("num").alias("rnum"), F.col("den").alias("rden")
+            *rv.labels, F.col("num").alias("rnum"), F.col("den").alias("rden")
         )
         # scalar-result vectors (labels = ()) combine by cross join of
         # two 1-row frames — sum(a) / sum(b) global ratios
@@ -1115,9 +1309,11 @@ def _compile_vector(
                 num = F.col("lnum") * F.col("rden") * sgn
                 den = F.abs(F.col("lden") * F.col("rnum"))
         out = j.select(
-            *keys, num.cast("long").alias("num"), den.cast("long").alias("den")
+            *out_labels,
+            num.cast("long").alias("num"),
+            den.cast("long").alias("den"),
         )
-        return _Vec(out, lv.labels, den_const=den_c)
+        return _Vec(out, out_labels, den_const=den_c)
     if isinstance(node, SetOp):
         lv = _compile_vector(spark, sf_dir, node.left, grid, eval_ms)
         rv = _compile_vector(spark, sf_dir, node.right, grid, eval_ms)
@@ -1144,6 +1340,130 @@ def _compile_vector(
             rv.df.select(*keys, "num", "den").join(lhs_keys, keys, "left_anti")
         )
         return _Vec(merged, lv.labels, sqrt=lv.sqrt)
+    if isinstance(node, SubqueryFn):
+        if grid is not None:
+            raise PromQLError(
+                "a subquery inside a range-query grid is outside the "
+                "subset (nested grids); evaluate it as an instant query"
+            )
+        if node.fn in ("rate", "increase", "stddev_over_time"):
+            raise PromQLError(
+                f"{node.fn} over a subquery is outside the subset "
+                "(counter/moment semantics over derived samples); "
+                "supported folds: sum/min/max/avg/count/last/present"
+                "_over_time"
+            )
+        n_pts = -(-node.range_ms // node.step_ms)  # ceil
+        sub = _Grid(step_ms=node.step_ms, span_ms=(n_pts - 1) * node.step_ms)
+        sub.check()
+        inner = _compile_vector(spark, sf_dir, node.expr, sub, eval_ms)
+        if inner.sqrt and node.fn not in (
+            "count_over_time", "present_over_time"
+        ):
+            raise PromQLError(
+                f"{node.fn} over a sqrt-valued subquery is outside the "
+                "exact-rational subset"
+            )
+        labels = tuple(lb for lb in inner.labels if lb != "t_ms")
+        gb = inner.df.groupBy(*labels) if labels else inner.df.groupBy()
+        if node.fn in (
+            "sum_over_time", "min_over_time", "max_over_time",
+            "avg_over_time",
+        ) and inner.den_const is None:
+            raise PromQLError(
+                f"{node.fn} over a variable-denominator subquery "
+                "(avg_over_time / '/' inside) is outside the exact-"
+                "rational subset — per-point denominators differ"
+            )
+        dc = inner.den_const
+        if node.fn == "sum_over_time":
+            out = gb.agg(F.sum("num").cast("long").alias("num")).select(
+                *labels, "num", F.lit(dc).cast("long").alias("den")
+            )
+            return _Vec(out, labels, den_const=dc)
+        if node.fn == "min_over_time":
+            out = gb.agg(F.min("num").cast("long").alias("num")).select(
+                *labels, "num", F.lit(dc).cast("long").alias("den")
+            )
+            return _Vec(out, labels, den_const=dc)
+        if node.fn == "max_over_time":
+            out = gb.agg(F.max("num").cast("long").alias("num")).select(
+                *labels, "num", F.lit(dc).cast("long").alias("den")
+            )
+            return _Vec(out, labels, den_const=dc)
+        if node.fn == "avg_over_time":
+            g = gb.agg(
+                F.sum("num").cast("long").alias("num"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            out = g.select(
+                *labels, "num",
+                (F.lit(dc) * F.col("n")).cast("long").alias("den"),
+            )
+            return _Vec(out, labels)  # den varies per series — not const
+        if node.fn == "count_over_time":
+            out = gb.agg(F.count(F.lit(1)).cast("long").alias("num")).select(
+                *labels, "num", F.lit(1).cast("long").alias("den")
+            )
+            return _Vec(out, labels, den_const=1)
+        if node.fn == "present_over_time":
+            out = gb.agg(F.max(F.lit(1)).cast("long").alias("num")).select(
+                *labels, "num", F.lit(1).cast("long").alias("den")
+            )
+            return _Vec(out, labels, den_const=1)
+        # last_over_time: the value at each series' latest present grid
+        # point — num and den picked by the SAME unique key (t_ms is a
+        # grouping key of the inner grid, so max_by is deterministic)
+        out = gb.agg(
+            F.max_by("num", "t_ms").cast("long").alias("num"),
+            F.max_by("den", "t_ms").cast("long").alias("den"),
+        ).select(*labels, "num", "den")
+        return _Vec(out, labels, den_const=inner.den_const)
+    if isinstance(node, QuantileOT):
+        # exact type-7 interpolation (see the dataclass docstring):
+        # lo/rem from INTEGER rank arithmetic — no float rank ties —
+        # and ONE array collect per series whose length is the window's
+        # per-series sample count (scrape-rate bounded, the a7 envelope)
+        p_, q_ = node.phi.numerator, node.phi.denominator
+        base = _base(spark, sf_dir, node.sel)
+        if grid is not None:
+            d = _grid_expand(
+                spark, sf_dir, base, grid, node.window_ms,
+                node.sel.offset_ms, eval_ms=eval_ms,
+            )
+            keys = ["t_ms", "user"]
+        else:
+            d = base.crossJoin(F.broadcast(_t_frame(spark, sf_dir, eval_ms)))
+            if node.sel.offset_ms:
+                d = d.withColumn(
+                    "t_eval", F.col("t_eval") - node.sel.offset_ms
+                )
+            d = d.where(
+                (F.col("ms") > F.col("t_eval") - node.window_ms)
+                & (F.col("ms") <= F.col("t_eval"))
+            )
+            keys = ["user"]
+        g = d.groupBy(*keys).agg(
+            F.sort_array(F.collect_list("c")).alias("arr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        lo = F.floor((F.col("n") - 1) * p_ / q_).cast("long")
+        rem = ((F.col("n") - 1) * p_ - lo * q_).cast("long")
+        c_lo = F.element_at("arr", (lo + 1).cast("int"))
+        c_hi = F.coalesce(
+            F.element_at(
+                "arr", F.least(lo + 2, F.col("n")).cast("int")
+            ),
+            c_lo,
+        )
+        out = g.select(
+            *keys,
+            (c_lo * (F.lit(q_) - rem) + c_hi * rem)
+            .cast("long")
+            .alias("num"),
+            F.lit(100 * q_).cast("long").alias("den"),
+        )
+        return _Vec(out, tuple(keys), den_const=_chk_den(100 * q_))
     if isinstance(node, HistQ):
         raise PromQLError(
             "histogram_quantile must be the outermost expression (its "
@@ -1894,6 +2214,188 @@ def pq16_promql_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with the flipped one-IEEE-division sort key,
     labels breaking ties on both engines."""
     return compile_promql(spark, sf_dir, PQ16_QUERY)
+
+
+PQ17_QUERY = (
+    "sum by (user) (increase(error[30d])) "
+    "/ on() group_left sum(increase(view[30d]))"
+)
+PQ17_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT event_type, user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type IN ('error', 'view') AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    d AS (
+        SELECT event_type, user_id, c, lag(c) OVER (
+            PARTITION BY event_type, user_id ORDER BY ms, event_id) AS p
+        FROM s
+    ),
+    g AS (
+        SELECT event_type, user_id,
+               CAST(sum(CASE WHEN p IS NULL THEN 0
+                             WHEN c >= p THEN c - p ELSE c END) AS BIGINT) AS inc
+        FROM d GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    gv AS (
+        SELECT CAST(sum(inc) AS BIGINT) AS inc FROM g
+        WHERE event_type = 'view'
+    )
+    SELECT CAST(ge.user_id AS BIGINT) AS user,
+           floor(CAST(ge.inc AS DOUBLE) / CAST(gv.inc AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g ge, gv
+    WHERE ge.event_type = 'error' AND gv.inc <> 0
+"""
+
+
+@register("pq17_promql_group_left_ratio", family="PQ", oracle=PQ17_ORACLE)
+def pq17_promql_group_left_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum by (user) (increase(error[30d])) / on() group_left
+    sum(increase(view[30d]))`` (r12, VERDICT task #4) — explicit vector
+    matching: ``on()`` names the match keys (here: none — an all-to-one
+    match against the global denominator) and ``group_left`` permits
+    many-to-one with the lhs keeping its full label set. The match-key
+    list compiles straight to the join key list (t24's mechanism); an
+    empty key list is a 1-row cross join of the aggregated rhs — the
+    per-series-share-of-total idiom every error-budget dashboard uses.
+    The gcd-reduced '/' (both dens 100) leaves value = inc_e/inc_v as
+    ONE IEEE division of exact integers, identical on both engines."""
+    return compile_promql(spark, sf_dir, PQ17_QUERY)
+
+
+PQ18_QUERY = "max_over_time(sum_over_time(view[1d])[2d:6h])"
+PQ18_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    grid AS (
+        SELECT t - k.k * 21600000 AS tm
+        FROM b, generate_series(0, 7) AS k(k)
+    ),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'view' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 7 * 21600000 - 86400000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    per AS (
+        SELECT g.tm, s.user_id, CAST(sum(s.c) AS BIGINT) AS num
+        FROM grid g JOIN s ON s.ms > g.tm - 86400000 AND s.ms <= g.tm
+        GROUP BY 1, 2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(max(num) AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM per GROUP BY 1
+"""
+
+
+@register("pq18_promql_subquery", family="PQ", oracle=PQ18_ORACLE)
+def pq18_promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL SUBQUERY ``max_over_time(sum_over_time(view[1d])[2d:6h])``
+    (r12, VERDICT task #6 — t26's two-level plan reached from query
+    text): the inner expression evaluates on a T-anchored 8-point grid
+    (t_j = T − j·6h, all inside (T−2d, T]) via the same bucket
+    expansion as query_range, then the outer fold runs per series over
+    the grid dimension — ONE further hash aggregation on the labels
+    alone, the grid key collapsing exactly where the semantics say it
+    should. Peak daily volume per series, the capacity-planning idiom.
+    Oracle: identical grid from generate_series; absent grid points
+    contribute no row on either engine (Prometheus subquery staleness).
+    Also pinned against 8 independent offset-instant queries by
+    pytest."""
+    return compile_promql(spark, sf_dir, PQ18_QUERY)
+
+
+PQ19_QUERY = "quantile_over_time(0.9, purchase[30d])"
+PQ19_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               list_sort(list(CAST(round(value * 100, 0) AS BIGINT))) AS arr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT user_id, arr, n,
+               (n - 1) * 9 // 10 AS lo,
+               (n - 1) * 9 - ((n - 1) * 9 // 10) * 10 AS rem
+        FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(arr[CAST(lo + 1 AS INT)] * (10 - rem)
+                      + coalesce(arr[CAST(least(lo + 2, n) AS INT)],
+                                 arr[CAST(lo + 1 AS INT)]) * rem AS DOUBLE)
+                 / CAST(1000 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM r
+"""
+
+
+@register("pq19_promql_quantile_over_time", family="PQ", oracle=PQ19_ORACLE)
+def pq19_promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile_over_time(0.9, purchase[30d])`` (r12, VERDICT
+    task #7) — type-7 interpolation computed EXACTLY: integer rank
+    arithmetic (lo = (n−1)p // q, rem = (n−1)p mod q — no float rank
+    ties), interpolated numerator c_lo·(q−rem) + c_{lo+1}·rem over the
+    QUERY-CONSTANT den 100q. One sort_array(collect_list) per series
+    whose length is the window's per-series sample count (scrape-rate
+    bounded, the a7 envelope); the oracle mirrors with
+    list_sort(list(...)) and DuckDB's `//`."""
+    return compile_promql(spark, sf_dir, PQ19_QUERY)
+
+
+PQ20_QUERY = "sum(quantile_over_time(0.9, purchase[30d]))"
+PQ20_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               list_sort(list(CAST(round(value * 100, 0) AS BIGINT))) AS arr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT user_id, arr, n,
+               (n - 1) * 9 // 10 AS lo,
+               (n - 1) * 9 - ((n - 1) * 9 // 10) * 10 AS rem
+        FROM g
+    ),
+    v AS (
+        SELECT CAST(arr[CAST(lo + 1 AS INT)] * (10 - rem)
+                    + coalesce(arr[CAST(least(lo + 2, n) AS INT)],
+                               arr[CAST(lo + 1 AS INT)]) * rem AS BIGINT)
+                   AS num
+        FROM r
+    )
+    SELECT floor(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+                 / CAST(1000 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM v
+"""
+
+
+@register("pq20_promql_sum_quantile", family="PQ", oracle=PQ20_ORACLE)
+def pq20_promql_sum_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum(quantile_over_time(0.9, purchase[30d]))`` — the
+    PROOF that quantile_over_time does NOT need the Agg-path rejection
+    stddev_over_time needs (r11 VERDICT task #7 anticipated one): its
+    den is the query constant 100q and its numerator an exact integer,
+    so integer-numerator aggregation is sound — and this query puts
+    that soundness inside the DuckDB hash gate rather than asserting
+    it. (Contrast `sum(avg_over_time(...))`, still rejected: ITS den
+    varies per series.)"""
+    return compile_promql(spark, sf_dir, PQ20_QUERY)
 
 
 PQR1_QUERY = "sum(rate(view[1d]))"

@@ -2119,3 +2119,206 @@ def test_promql_range_grid_semantics(spark):
         )
     with pytest.raises(PromQLError, match="span_ms"):
         compile_promql_range(spark, SF_SMOKE, "click", step_ms=1000)
+
+
+def test_promql_subquery_parse_and_semantics(spark):
+    """r12 subqueries (VERDICT r11 task #6): parse shapes, precedence
+    (the ':' only binds inside brackets; a plain [range] on an
+    expression is a targeted error), and the semantic identity — each
+    of the subquery's grid points is the instant query evaluated with
+    the matching offset, so the fold cross-checks against N
+    already-verified offset-instant queries."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, RangeFn, Selector, SubqueryFn, compile_promql, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = parse("max_over_time(sum_over_time(view[1d])[2d:6h])")
+    assert e == SubqueryFn(
+        "max_over_time",
+        RangeFn("sum_over_time", Selector("view"), 86_400_000),
+        172_800_000,
+        21_600_000,
+    )
+    # a subquery over a BARE selector is valid PromQL (view[1d:6h] =
+    # the instant vector sampled every 6h)
+    e2 = parse("count_over_time(view[1d:6h])")
+    assert e2 == SubqueryFn(
+        "count_over_time", Selector("view"), 86_400_000, 21_600_000
+    )
+    # precedence/rejections
+    with pytest.raises(PromQLError, match="subquery form"):
+        parse("max_over_time(sum(view)[5m])")  # expression needs [r:s]
+    with pytest.raises(PromQLError, match="over a subquery"):
+        compile_promql(spark, SF_SMOKE, "rate(sum_over_time(view[1d])[2d:6h])")
+    with pytest.raises(PromQLError, match="variable-denominator"):
+        # the subquery fold needs a constant den: avg_over_time inside
+        compile_promql(
+            spark, SF_SMOKE, "max_over_time(avg_over_time(view[1d])[2d:6h])"
+        )
+    with pytest.raises(PromQLError, match="variable-denominator"):
+        # sum() over an avg-fold subquery: variable den, AST-level check
+        compile_promql(
+            spark, SF_SMOKE,
+            "sum(avg_over_time(sum_over_time(view[1d])[2d:6h]))",
+        )
+    # semantic identity: subquery grid point j == instant with offset j·step
+    sub = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "max_over_time(sum_over_time(view[1d])[2d:6h])"
+        ).collect()
+    }
+    vals = {}
+    for j in range(8):  # ceil(2d / 6h) = 8 grid points
+        off = f" offset {j * 21_600_000}ms" if j else ""
+        for r in compile_promql(
+            spark, SF_SMOKE, f"sum_over_time(view[1d]{off})"
+        ).collect():
+            vals.setdefault(r["user"], []).append(r["value"])
+    assert sub == {u: max(v) for u, v in vals.items()} and sub
+
+
+def test_promql_quantile_over_time_exactness(spark):
+    """r12 quantile_over_time (VERDICT r11 task #7): exact type-7
+    interpolation vs a Python reimplementation over the raw rows, phi
+    range validation, and the SOUNDNESS property the VERDICT expected a
+    rejection for — the den is the query constant 100q, so sum() over
+    it compiles AND equals the Python sum (pq20 carries the same check
+    into the DuckDB hash gate)."""
+    import math
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql, parse,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'purchase' AND value IS NOT NULL")
+        .selectExpr(
+            "user_id", "unix_millis(ts) AS ms",
+            "CAST(round(value * 100, 0) AS LONG) AS c",
+        )
+        .collect()
+    )
+    T = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("max(unix_millis(ts)) AS t")
+        .collect()[0]["t"]
+    )
+    per = {}
+    for r in rows:
+        if T - 2_592_000_000 < r["ms"] <= T:
+            per.setdefault(r["user_id"], []).append(r["c"])
+
+    def q90_num(cs):
+        cs = sorted(cs)
+        n = len(cs)
+        lo = (n - 1) * 9 // 10
+        rem = (n - 1) * 9 - lo * 10
+        return cs[lo] * (10 - rem) + cs[min(lo + 1, n - 1)] * rem
+
+    want = {
+        u: math.floor(q90_num(cs) / 1000.0 * 1e6) / 1e6
+        for u, cs in per.items()
+    }
+    got = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "quantile_over_time(0.9, purchase[30d])"
+        ).collect()
+    }
+    assert got == want and got
+    # sum() over it is SOUND (constant den 100q) — compiles and matches
+    s = compile_promql(
+        spark, SF_SMOKE, "sum(quantile_over_time(0.9, purchase[30d]))"
+    ).collect()
+    want_sum = math.floor(
+        sum(q90_num(cs) for cs in per.values()) / 1000.0 * 1e6
+    ) / 1e6
+    assert [r["value"] for r in s] == [want_sum]
+    from prometheus_remote_kinesis_spark.promql import _variable_den
+
+    assert not _variable_den(parse("quantile_over_time(0.9, purchase[30d])"))
+    with pytest.raises(PromQLError, match="phi"):
+        parse("quantile_over_time(1.5, purchase[30d])")
+
+
+def test_promql_vector_matching_on_ignoring(spark):
+    """r12 vector matching (VERDICT r11 task #4): on()/ignoring()
+    choose the join keys, group_left permits many-to-one. Pins the AST
+    shape, the semantic identities (on(<full set>) == bare matching ==
+    ignoring(<nothing>)), the share-of-total group_left case against a
+    Python recomputation, and the parser/compiler rejections."""
+    import math
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, VecBin, compile_promql, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = parse("a / on() group_left b")
+    assert isinstance(e, VecBin) and e.on == () and e.group_left
+    e2 = parse("a - ignoring(user) b")
+    assert e2.ignoring == ("user",) and e2.on is None and not e2.group_left
+    # semantic identities at sf0.001
+    bare = sorted(
+        map(tuple, compile_promql(
+            spark, SF_SMOKE, "increase(error[30d]) / increase(view[30d])"
+        ).collect())
+    )
+    for q in (
+        "increase(error[30d]) / on(user) increase(view[30d])",
+        "increase(error[30d]) / ignoring() increase(view[30d])",
+    ):
+        assert sorted(map(tuple, compile_promql(spark, SF_SMOKE, q).collect())) == bare
+    assert bare
+    # group_left share-of-total vs Python
+    per = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum by (user) (increase(error[30d]))"
+        ).collect()
+    }
+    tot = compile_promql(
+        spark, SF_SMOKE, "sum(increase(view[30d]))"
+    ).collect()[0]["value"]
+    got = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE,
+            "sum by (user) (increase(error[30d])) "
+            "/ on() group_left sum(increase(view[30d]))",
+        ).collect()
+    }
+    # cross-check VALUES loosely (per/tot are already-floored doubles, so
+    # compare to 1e-5); membership exactly
+    assert set(got) == set(per) and got
+    for u, v in got.items():
+        assert math.isclose(v, per[u] / tot, rel_tol=0, abs_tol=1e-5)
+    # rejections
+    with pytest.raises(PromQLError, match="absent"):
+        compile_promql(
+            spark, SF_SMOKE,
+            "increase(error[30d]) / on(region) increase(view[30d])",
+        )
+    with pytest.raises(PromQLError, match="add group_left"):
+        compile_promql(
+            spark, SF_SMOKE,
+            "increase(error[30d]) / on() increase(view[30d])",
+        )
+    with pytest.raises(PromQLError, match="rhs keyed exactly"):
+        compile_promql(
+            spark, SF_SMOKE,
+            "sum(increase(error[30d])) / on() group_left increase(view[30d])",
+        )
+    with pytest.raises(PromQLError, match="vector RHS"):
+        parse("increase(error[30d]) / on(user) 5")

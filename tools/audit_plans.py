@@ -88,6 +88,14 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq14_promql_unless_anti_join", "nested_loop_join"),
     ("pq15_promql_abs_clamp", "nested_loop_join"),
     ("pq16_promql_bottomk", "nested_loop_join"),
+    # r12 grammar extensions: the same 1-row eval-time broadcast (pq17's
+    # on() group_left adds the 1-row aggregated-rhs cross join — the
+    # share-of-total shape; pq18's subquery grid derives start from the
+    # corpus max; pq19/pq20 cross the eval-time scalar into the scan)
+    ("pq17_promql_group_left_ratio", "nested_loop_join"),
+    ("pq18_promql_subquery", "nested_loop_join"),
+    ("pq19_promql_quantile_over_time", "nested_loop_join"),
+    ("pq20_promql_sum_quantile", "nested_loop_join"),
     # r12 range queries: the same 1-row eval-time broadcast — the
     # T-anchored grid derives its start from the corpus max via
     # crossJoin(broadcast(_t_eval)); data never enters a loop join
