@@ -43,6 +43,11 @@ path (``toPandas``). Rationale:
   plan you'd run at scale. Cross-round comparison: drop both w3* keys
   and compare the remaining 13 queries, or compare w3b (unchanged) for
   the W3 family; ``headline_set_change`` in the JSON marks the round.
+- HEADLINE-SET ADDITION, r12 (VERDICT r11 task #8):
+  ``pq1_promql_sum_increase`` joins the set — the PromQL parser+compiler
+  path is the engine's flagship user surface and needs round-over-round
+  perf tracking. It is an ADDITION (16 queries), not a swap: drop the
+  pq1 key to compare totals against the r9-r11 15-query set.
 """
 
 from __future__ import annotations
@@ -149,9 +154,11 @@ def main() -> None:
                 # `value` stays the warm median for comparability.
                 "fresh_total": round(sum(fresh.values()), 3),
                 "queries_fresh": fresh,
-                # r9 one-time headline-set change marker (see docstring):
-                # w3_trailing_5min_sum OUT, w5_gaps_islands IN.
-                "headline_set_change": "r9:w3_out_w5_in",
+                # headline-set change markers (see docstring): r9 swapped
+                # w3_trailing_5min_sum OUT / w5_gaps_islands IN; r12 ADDS
+                # pq1_promql_sum_increase (16 queries — drop the pq1 key
+                # to compare totals against r9-r11's 15-query set).
+                "headline_set_change": "r9:w3_out_w5_in;r12:pq1_in",
                 # r11 (VERDICT r10 task #4): fixed-workload box-speed
                 # probe timed before the suite; divide timings by
                 # (calibration_s / quiet-box reference in SCALE.md) to

@@ -1644,7 +1644,7 @@ PQ1_ORACLE = """
 """
 
 
-@register("pq1_promql_sum_increase", family="PQ", oracle=PQ1_ORACLE)
+@register("pq1_promql_sum_increase", family="PQ", oracle=PQ1_ORACLE, bench=True)
 def pq1_promql_sum_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL ``sum(increase(click[1d]))`` through the parser+compiler — a GLOBAL
     sum over every series' reset-aware increase, hash-safe because the

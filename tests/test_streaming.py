@@ -1571,3 +1571,99 @@ def test_ewma_reordered_boundary_displacement(spark, tmp_path):
         m, n = t, n + 1
     assert auth["n_samples"] == n == 5
     assert auth["ewma_raw"] == level  # bit-exact under boundary disorder
+
+
+def test_alert_for_duration_reordered_bit_equal(spark, tmp_path):
+    """alert_for_duration_reordered under real multi-batch chop with
+    bounded disorder (r12, VERDICT r11 task #5): the max-VERSION drain
+    per (key, island_seq) reproduces the in-order island set exactly —
+    including the SPLIT hazard the in-order max-n drain would get
+    wrong: a speculative island is emitted spanning 200k–400k (n=2),
+    then a LATE non-breaching sample lands inside it, splitting it into
+    a closed 1-sample island and a new island — the stale n=2 row must
+    lose. A sample past its reorder horizon raises loudly."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        alert_for_duration_reordered,
+    )
+
+    RO, THR = 300_000, 10.0
+    seq = [
+        (0, 20.0),        # island 1 opens
+        (100_000, 5.0),   # closes island 1
+        (200_000, 30.0),  # island 2 opens
+        (250_000, 6.0),   # closes island 2 — ARRIVES LATE (the split)
+        (400_000, 40.0),  # island 3 opens
+        (600_000, 50.0),  # extends island 3
+        (700_000, 4.0),   # closes island 3
+        (900_000, 60.0),  # island 4 opens (provisional at drain)
+    ]
+    rows_sorted = [
+        {"event_id": i, "event_type": "m", "user_id": 1, "time": t, "value": v}
+        for i, (t, v) in enumerate(seq)
+    ]
+    # the late non-breach (eid 3) arrives after the 400k breach was seen
+    # and a speculative island 200k-400k (n=2) was already emitted;
+    # displacement 150k < RO, inside the contract
+    order = [0, 1, 2, 4, 3, 5, 6, 7]
+    out = run_to_batch(
+        alert_for_duration_reordered(
+            _chopped_stream(spark, tmp_path, [rows_sorted[i] for i in order], 8),
+            thr=THR,
+            reorder_ms=RO,
+            idle_timeout_ms=None,
+        ),
+        "append",
+    )
+    drained = out.collect()
+    # the split hazard really occurred: some emission carried seq 2 with
+    # n=2 (the stale pre-split speculative island)
+    assert any(
+        r["island_seq"] == 2 and r["n_samples"] == 2 for r in drained
+    ), "test setup no longer exercises the split hazard"
+    # drain: max-version row per island_seq
+    best = {}
+    for r in drained:
+        k = r["island_seq"]
+        if k not in best or r["version"] > best[k]["version"]:
+            best[k] = r
+    got = {
+        k: (r["island_start"], r["island_end"], r["n_samples"])
+        for k, r in best.items()
+    }
+    # in-order authority: the same fold over the SORTED sequence
+    want, open_isl, s = {}, None, 0
+    for t, v in seq:
+        if v > THR:
+            if open_isl is None:
+                s += 1
+                open_isl = [t, t, 1]
+            else:
+                open_isl[1], open_isl[2] = t, open_isl[2] + 1
+        elif open_isl is not None:
+            want[s] = tuple(open_isl)
+            open_isl = None
+    if open_isl is not None:
+        want[s] = tuple(open_isl)
+    assert got == want == {
+        1: (0, 0, 1),
+        2: (200_000, 200_000, 1),
+        3: (400_000, 600_000, 2),
+        4: (900_000, 900_000, 1),
+    }
+    # a sample past its horizon raises loudly (displacement > RO)
+    bad = [rows_sorted[i] for i in [0, 1, 2, 4, 5, 3, 6, 7]]  # 250k after 600k
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    with pytest.raises(Exception, match="reorder horizon"):
+        run_to_batch(
+            alert_for_duration_reordered(
+                _chopped_stream(spark, bad_dir, bad, 8),
+                thr=THR,
+                reorder_ms=RO,
+                idle_timeout_ms=None,
+            ),
+            "append",
+        ).collect()
