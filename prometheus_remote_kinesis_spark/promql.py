@@ -17,10 +17,13 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
     addexpr  := mulexpr
               | addexpr ('+'|'-') [match] (number ['*' mulexpr] | mulexpr)
     mulexpr  := primary | mulexpr ('*'|'/') [match] (number | primary)
-    match    := ('on'|'ignoring') '(' [labels] ')' ['group_left']   (r12)
+    match    := ('on'|'ignoring') '(' [labels] ')'
+                ['group_left'|'group_right']                        (r12)
     primary  := agg | topk | bottomk | histq | vecfn | quantile | vector
     vecfn    := 'abs' '(' expr ')'
               | ('clamp_min'|'clamp_max') '(' expr ',' number ')'
+              | 'label_replace' '(' expr ',' dst ',' repl ',' src ','
+                regex ')'                                           (r12)
     quantile := 'quantile_over_time' '(' phi ',' selector '[' dur ']' ')'
     agg      := ('sum'|'min'|'max'|'count'|'avg') ['by' '(' labels ')']
                 '(' expr ')'
@@ -179,6 +182,8 @@ class VecBin:
     on: tuple[str, ...] | None = None
     ignoring: tuple[str, ...] | None = None
     group_left: bool = False
+    group_right: bool = False  # the mirror: rhs keeps its labels,
+    # lhs must be unique per match key (one-to-many)
 
 
 @dataclass(frozen=True)
@@ -214,6 +219,25 @@ class QuantileOT:
     phi: Fraction
     sel: Selector
     window_ms: int
+
+
+@dataclass(frozen=True)
+class LabelReplace:
+    """``label_replace(v, dst, replacement, src, regex)`` (r12 — t21's
+    mechanism from query text, the last named grammar gap of VERDICT
+    r11): when ``regex`` FULLY matches the src label's value, dst gets
+    ``replacement`` with $1..$9 capture expansion; otherwise dst keeps
+    its existing value, or "" when dst is a new label — which is
+    EXACTLY Prometheus's semantics, because Prometheus treats an
+    empty-valued label as absent. Values are untouched, so the
+    exact-rational pipeline passes through unchanged and the new label
+    participates in ``by``/matching like any other."""
+
+    expr: object
+    dst: str
+    repl: str
+    src: str
+    regex: str
 
 
 @dataclass(frozen=True)
@@ -322,10 +346,11 @@ class _Parser:
                 return e
 
     def _vec_matcher(self):
-        """Optional ``on(...)``/``ignoring(...)`` [+ ``group_left``]
-        immediately after a binary operator (r12)."""
+        """Optional ``on(...)``/``ignoring(...)``
+        [+ ``group_left``|``group_right``] after a binary operator
+        (r12)."""
         on = ignoring = None
-        group_left = False
+        group_left = group_right = False
         k, v = self._peek()
         if k == "id" and v in ("on", "ignoring"):
             self._next()
@@ -344,7 +369,10 @@ class _Parser:
             if self._peek() == ("id", "group_left"):
                 self._next()
                 group_left = True
-        return on, ignoring, group_left
+            elif self._peek() == ("id", "group_right"):
+                self._next()
+                group_right = True
+        return on, ignoring, group_left, group_right
 
     def _addexpr(self):
         e = self._mulexpr()
@@ -352,13 +380,13 @@ class _Parser:
             k, v = self._peek()
             if k == "op" and v in ("+", "-"):
                 self._next()
-                on, ig, gl = self._vec_matcher()
+                on, ig, gl, gr = self._vec_matcher()
                 if (on is not None or ig is not None) and self._peek()[0] == "num":
                     raise PromQLError(
                         "vector matching (on/ignoring) needs a vector RHS"
                     )
                 if on is not None or ig is not None:
-                    e = VecBin(e, v, self._mulexpr(), on, ig, gl)
+                    e = VecBin(e, v, self._mulexpr(), on, ig, gl, gr)
                     continue
                 if self._peek()[0] == "num":
                     s = Fraction(self._next()[1])
@@ -393,13 +421,13 @@ class _Parser:
             k, v = self._peek()
             if k == "op" and v in ("*", "/"):
                 self._next()
-                on, ig, gl = self._vec_matcher()
+                on, ig, gl, gr = self._vec_matcher()
                 if (on is not None or ig is not None) and self._peek()[0] == "num":
                     raise PromQLError(
                         "vector matching (on/ignoring) needs a vector RHS"
                     )
                 if on is not None or ig is not None:
-                    e = VecBin(e, v, self._primary(), on, ig, gl)
+                    e = VecBin(e, v, self._primary(), on, ig, gl, gr)
                 elif self._peek()[0] == "num":
                     s = Fraction(self._next()[1])
                     if v == "/" and s == 0:
@@ -457,6 +485,19 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return VecAbs(inner)
+        if k == "id" and v == "label_replace":
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            args = []
+            for _ in range(4):
+                self._expect("op", ",")
+                args.append(self._expect("str")[1])
+            self._expect("op", ")")
+            dst, repl, src, regex = args
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", dst):
+                raise PromQLError(f"label_replace: invalid dst label {dst!r}")
+            return LabelReplace(inner, dst, repl, src, regex)
         if k == "id" and v in ("clamp_min", "clamp_max"):
             fn = v
             self._next()
@@ -575,6 +616,8 @@ def _variable_den(node) -> bool:
         return False
     if isinstance(node, RangeFn):
         return node.fn == "avg_over_time"
+    if isinstance(node, LabelReplace):
+        return _variable_den(node.expr)  # values untouched
     if isinstance(node, QuantileOT):
         # den = 100·q, a query constant — the interpolation numerator is
         # an exact integer, so aggregation over it is SOUND (see the
@@ -1223,6 +1266,8 @@ def _compile_vector(
                         f"ignoring({', '.join(node.ignoring)}) leaves "
                         f"mismatched label sets {lset} vs {rset}"
                     )
+            if node.group_left and node.group_right:
+                raise PromQLError("group_left and group_right are exclusive")
             if node.group_left:
                 # many-to-one: rhs must be UNIQUE per match key (its
                 # label set is exactly the key set — our vectors are
@@ -1235,6 +1280,17 @@ def _compile_vector(
                         "rhs down to the match keys first"
                     )
                 out_labels = lv.labels
+            elif node.group_right:
+                # the mirror: one-to-many — lhs unique per match key,
+                # rhs keeps every label (operand sides do NOT swap; only
+                # label retention flips)
+                if lset != mk:
+                    raise PromQLError(
+                        "group_right needs the lhs keyed exactly by the "
+                        f"match labels {mk}, got {lset} — aggregate the "
+                        "lhs down to the match keys first"
+                    )
+                out_labels = rv.labels
             else:
                 if lset != mk or rset != mk:
                     raise PromQLError(
@@ -1340,6 +1396,34 @@ def _compile_vector(
             rv.df.select(*keys, "num", "den").join(lhs_keys, keys, "left_anti")
         )
         return _Vec(merged, lv.labels, sqrt=lv.sqrt)
+    if isinstance(node, LabelReplace):
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
+        if node.src not in inner.labels or node.src == "t_ms":
+            raise PromQLError(
+                f"label_replace: src label {node.src!r} not in "
+                f"{tuple(lb for lb in inner.labels if lb != 't_ms')}"
+            )
+        if node.dst in ("t_ms", "num", "den"):
+            raise PromQLError(f"label_replace: reserved dst {node.dst!r}")
+        anchored = f"^(?:{node.regex})$"  # the d19/remote_read convention
+        src_c = F.col(node.src).cast("string")
+        old = (
+            F.col(node.dst).cast("string")
+            if node.dst in inner.labels
+            else F.lit("")  # absent label ≡ empty value (Prometheus rule)
+        )
+        dst_c = F.when(
+            src_c.rlike(anchored),
+            F.regexp_replace(src_c, anchored, node.repl),
+        ).otherwise(old)
+        labels = inner.labels + (
+            (node.dst,) if node.dst not in inner.labels else ()
+        )
+        keep = [lb for lb in inner.labels if lb != node.dst]
+        out = inner.df.select(
+            *keep, dst_c.alias(node.dst), "num", "den"
+        ).select(*labels, "num", "den")
+        return _Vec(out, labels, sqrt=inner.sqrt, den_const=inner.den_const)
     if isinstance(node, SubqueryFn):
         if grid is not None:
             raise PromQLError(
@@ -1539,6 +1623,15 @@ def _compile_histq(
     return g.select((F.floor(val * 1e6) / 1e6).alias("value"))
 
 
+def _finalize_label(name: str):
+    """Numeric labels (the data model's integer user ids + grid t_ms)
+    surface as bigint; string labels produced by label_replace stay
+    VARCHAR — a hash-gate-safe type on both engines."""
+    if name in ("user", "t_ms"):
+        return F.col(name).cast("bigint").alias(name)
+    return F.col(name).cast("string").alias(name)
+
+
 def compile_promql(
     spark: SparkSession, sf_dir: str, query: str, eval_ms: int | None = None
 ) -> DataFrame:
@@ -1553,7 +1646,7 @@ def compile_promql(
     ratio = F.col("num").cast("double") / F.col("den").cast("double")
     val = F.sqrt(ratio) if vec.sqrt else ratio
     return vec.df.select(
-        *[F.col(c).cast("bigint").alias(c) for c in vec.labels],
+        *[_finalize_label(c) for c in vec.labels],
         (F.floor(val * 1e6) / 1e6).alias("value"),
     )
 
@@ -1609,7 +1702,7 @@ def compile_promql_range(
     ratio = F.col("num").cast("double") / F.col("den").cast("double")
     val = F.sqrt(ratio) if vec.sqrt else ratio
     return vec.df.select(
-        *[F.col(c).cast("bigint").alias(c) for c in vec.labels],
+        *[_finalize_label(c) for c in vec.labels],
         (F.floor(val * 1e6) / 1e6).alias("value"),
     )
 
@@ -2396,6 +2489,55 @@ def pq20_promql_sum_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. (Contrast `sum(avg_over_time(...))`, still rejected: ITS den
     varies per series.)"""
     return compile_promql(spark, sf_dir, PQ20_QUERY)
+
+
+PQ21_QUERY = (
+    'sum by (tier) (label_replace(sum_over_time(purchase[30d]), '
+    '"tier", "t$1", "user", "(\\d)\\d*"))'
+)
+PQ21_ORACLE = r"""
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    tname AS (
+        SELECT CASE WHEN regexp_full_match(CAST(user_id AS VARCHAR),
+                                           '(\d)\d*')
+                    THEN regexp_replace(CAST(user_id AS VARCHAR),
+                                        '^(?:(\d)\d*)$', 't\1')
+                    ELSE '' END AS tier,
+               num
+        FROM g
+    )
+    SELECT tier,
+           floor(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM tname GROUP BY 1
+"""
+
+
+@register("pq21_promql_label_replace", family="PQ", oracle=PQ21_ORACLE)
+def pq21_promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum by (tier) (label_replace(sum_over_time(
+    purchase[30d]), "tier", "t$1", "user", "(\\d)\\d*"))`` (r12 — t21's
+    label_replace from query text, the LAST named grammar gap of the
+    r11 VERDICT): the fully anchored regex captures the user id's
+    leading digit, $1 expands into the NEW string label ``tier``, and
+    the aggregation groups by the derived label — 150 series roll up
+    into 10 tiers, values riding the exact-rational pipeline untouched
+    (label_replace never touches num/den, so constant-den soundness is
+    inherited and the sum stays hash-safe). Non-matching rows get the
+    EMPTY dst value — Prometheus's own absent-label representation.
+    Oracle: regexp_full_match + regexp_replace with backslash
+    backrefs, the identical anchoring."""
+    return compile_promql(spark, sf_dir, PQ21_QUERY)
 
 
 PQR1_QUERY = "sum(rate(view[1d]))"

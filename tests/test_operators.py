@@ -2322,3 +2322,98 @@ def test_promql_vector_matching_on_ignoring(spark):
         )
     with pytest.raises(PromQLError, match="vector RHS"):
         parse("increase(error[30d]) / on(user) 5")
+    # group_right is group_left's mirror (one-to-many, rhs keeps labels;
+    # operand sides do NOT swap): total/per-user is the reciprocal of
+    # per-user/total, series for series
+    rec = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE,
+            "sum(increase(view[30d])) "
+            "/ on() group_right sum by (user) (increase(error[30d]))",
+        ).collect()
+    }
+    assert set(rec) == set(got)
+    for u, v in rec.items():
+        assert math.isclose(v * got[u], 1.0, rel_tol=0, abs_tol=1e-4)
+    with pytest.raises(PromQLError, match="lhs keyed exactly"):
+        compile_promql(
+            spark, SF_SMOKE,
+            "increase(error[30d]) / on() group_right increase(view[30d])",
+        )
+
+
+def test_promql_label_replace_semantics(spark):
+    """r12 label_replace: capture expansion into a NEW label, the
+    non-matching row keeping dst = "" (Prometheus's absent-label
+    representation), replacing an EXISTING label in place, grouping by
+    the derived label, and the validation rejections."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        LabelReplace, PromQLError, compile_promql, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = parse('label_replace(click, "tier", "t$1", "user", "(\\d)\\d*")')
+    assert e == LabelReplace(
+        parse("click"), "tier", "t$1", "user", "(\\d)\\d*"
+    )
+    # derived label on every row; non-matching regex -> empty dst
+    rows = compile_promql(
+        spark, SF_SMOKE,
+        'label_replace(sum_over_time(click[30d]), "band", "b$1", '
+        '"user", "1(\\d)")',
+    ).collect()
+    assert rows
+    for r in rows:
+        if len(str(r["user"])) == 2 and str(r["user"])[0] == "1":
+            assert r["band"] == "b" + str(r["user"])[1]
+        else:
+            assert r["band"] == ""  # absent ≡ empty (Prometheus rule)
+    # replacing an EXISTING label in place: dst == src
+    rows2 = compile_promql(
+        spark, SF_SMOKE,
+        'label_replace(sum_over_time(click[30d]), "user", "9$1", '
+        '"user", "(\\d)")',
+    ).collect()
+    # single-digit users rewrite to 9<d> (a bigint-castable string);
+    # multi-digit users keep their value (full-anchor miss -> old value)
+    users = {
+        str(r2["user"]): r2["value"] for r2 in rows2
+    }
+    base = {
+        str(r3["user"]): r3["value"]
+        for r3 in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(click[30d])"
+        ).collect()
+    }
+    for u, v in base.items():
+        key = f"9{u}" if len(u) == 1 else u
+        assert users[key] == v
+    # group by the derived label — values ride the rational pipeline
+    tiers = compile_promql(
+        spark, SF_SMOKE,
+        'sum by (tier) (label_replace(sum_over_time(click[30d]), '
+        '"tier", "t$1", "user", "(\\d)\\d*"))',
+    ).collect()
+    assert {r4["tier"][0] for r4 in tiers} == {"t"}
+    import math
+
+    want = {}
+    for u, v in base.items():
+        want[f"t{u[0]}"] = want.get(f"t{u[0]}", 0) + round(v * 100)
+    assert {
+        r5["tier"]: r5["value"] for r5 in tiers
+    } == {k: math.floor(n / 100.0 * 1e6) / 1e6 for k, n in want.items()}
+    # rejections
+    with pytest.raises(PromQLError, match="invalid dst"):
+        parse('label_replace(click, "bad-name", "x", "user", ".*")')
+    with pytest.raises(PromQLError, match="src label"):
+        compile_promql(
+            spark, SF_SMOKE, 'label_replace(click, "t", "x", "region", ".*")'
+        )
+    with pytest.raises(PromQLError, match="reserved dst"):
+        compile_promql(
+            spark, SF_SMOKE, 'label_replace(click, "num", "x", "user", ".*")'
+        )
