@@ -24,6 +24,8 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
               | ('clamp_min'|'clamp_max') '(' expr ',' number ')'
               | 'label_replace' '(' expr ',' dst ',' repl ',' src ','
                 regex ')'                                           (r12)
+              | 'absent' '(' selector ')'
+              | 'absent_over_time' '(' selector '[' dur ']' ')'     (r12)
     quantile := 'quantile_over_time' '(' phi ',' selector '[' dur ']' ')'
     agg      := ('sum'|'min'|'max'|'count'|'avg') ['by' '(' labels ')']
                 '(' expr ')'
@@ -219,6 +221,21 @@ class QuantileOT:
     phi: Fraction
     sel: Selector
     window_ms: int
+
+
+@dataclass(frozen=True)
+class Absent:
+    """``absent(sel)`` / ``absent_over_time(sel[w])`` (r12 — t18's
+    mechanism from query text): emits the single sample {value: 1} iff
+    NO sample of the selector exists in the window ((T − 5m, T] for the
+    instant form — the staleness cut — or (T − w, T] for the range
+    form); otherwise the vector is empty. The dead-man's-switch
+    alerting idiom: page when a heartbeat metric stops reporting.
+    Labels from equality matchers are not reconstructed (Prometheus
+    attaches them as a hint; outside the subset, documented)."""
+
+    sel: Selector
+    window_ms: int | None = None  # None → instant (staleness window)
 
 
 @dataclass(frozen=True)
@@ -485,6 +502,24 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return VecAbs(inner)
+        if k == "id" and v in ("absent", "absent_over_time"):
+            fn = v
+            self._next()
+            self._expect("op", "(")
+            sel = self._selector()
+            win = None
+            if fn == "absent_over_time":
+                self._expect("op", "[")
+                win = self._duration(self._expect("dur")[1])
+                self._expect("op", "]")
+            if self._peek() == ("id", "offset"):
+                self._next()
+                sel = Selector(
+                    sel.metric, sel.matchers,
+                    self._duration(self._expect("dur")[1]),
+                )
+            self._expect("op", ")")
+            return Absent(sel, win)
         if k == "id" and v == "label_replace":
             self._next()
             self._expect("op", "(")
@@ -618,6 +653,8 @@ def _variable_den(node) -> bool:
         return node.fn == "avg_over_time"
     if isinstance(node, LabelReplace):
         return _variable_den(node.expr)  # values untouched
+    if isinstance(node, Absent):
+        return False  # the one emitted sample is the constant 1/1
     if isinstance(node, QuantileOT):
         # den = 100·q, a query constant — the interpolation numerator is
         # an exact integer, so aggregation over it is SOUND (see the
@@ -1396,6 +1433,29 @@ def _compile_vector(
             rv.df.select(*keys, "num", "den").join(lhs_keys, keys, "left_anti")
         )
         return _Vec(merged, lv.labels, sqrt=lv.sqrt)
+    if isinstance(node, Absent):
+        if grid is not None:
+            raise PromQLError(
+                "absent/absent_over_time inside a range-query grid is "
+                "outside the subset (evaluate as an instant query)"
+            )
+        d = _base(spark, sf_dir, node.sel).crossJoin(
+            F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+        )
+        if node.sel.offset_ms:
+            d = d.withColumn("t_eval", F.col("t_eval") - node.sel.offset_ms)
+        w = node.window_ms if node.window_ms is not None else STALENESS_MS
+        d = d.where(
+            (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
+        )
+        # a global count ALWAYS yields one row (0 on an empty scan) —
+        # keep it only when the window is empty, then emit the 1-sample
+        g = d.agg(F.count(F.lit(1)).alias("n")).where(F.col("n") == 0)
+        out = g.select(
+            F.lit(1).cast("long").alias("num"),
+            F.lit(1).cast("long").alias("den"),
+        )
+        return _Vec(out, (), den_const=1)
     if isinstance(node, LabelReplace):
         inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         if node.src not in inner.labels or node.src == "t_ms":
@@ -2489,6 +2549,33 @@ def pq20_promql_sum_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. (Contrast `sum(avg_over_time(...))`, still rejected: ITS den
     varies per series.)"""
     return compile_promql(spark, sf_dir, PQ20_QUERY)
+
+
+PQ22_QUERY = "absent(deploy_freeze)"
+PQ22_ORACLE = f"""
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    n AS (
+        SELECT count(*) AS n
+        FROM events, b
+        WHERE event_type = 'deploy_freeze' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - {STALENESS_MS}
+          AND epoch_us(ts) // 1000 <= t
+    )
+    SELECT floor(CAST(1 AS DOUBLE) / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM n WHERE n = 0
+"""
+
+
+@register("pq22_promql_absent", family="PQ", oracle=PQ22_ORACLE)
+def pq22_promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``absent(deploy_freeze)`` (r12 — t18's gap detection from
+    query text): the dead-man's-switch idiom — emits the single sample
+    {value: 1} because NO series of the metric reports inside the
+    staleness window (the metric doesn't exist in the corpus, the
+    page-when-the-heartbeat-stops case); ``absent(click)`` on live data
+    returns the empty vector (pytest-pinned). One global count is the
+    whole plan — a 1-row shuffle at any scale."""
+    return compile_promql(spark, sf_dir, PQ22_QUERY)
 
 
 PQ21_QUERY = (

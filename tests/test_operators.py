@@ -2417,3 +2417,64 @@ def test_promql_label_replace_semantics(spark):
         compile_promql(
             spark, SF_SMOKE, 'label_replace(click, "num", "x", "user", ".*")'
         )
+
+
+def test_promql_absent_semantics(spark):
+    """r12 absent/absent_over_time: a missing metric yields the single
+    {value: 1} sample, a live metric yields the EMPTY vector, the range
+    form distinguishes in-window presence from mere existence, and
+    offset shifts the probe window."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        Absent, PromQLError, Selector, compile_promql, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    assert parse("absent(heartbeat)") == Absent(Selector("heartbeat"), None)
+    assert parse("absent_over_time(heartbeat[1h])") == Absent(
+        Selector("heartbeat"), 3_600_000
+    )
+    # missing metric → the one constant sample
+    assert [
+        tuple(r) for r in compile_promql(
+            spark, SF_SMOKE, "absent(deploy_freeze)"
+        ).collect()
+    ] == [(1.0,)]
+    # live metric over a wide window → empty vector
+    assert (
+        compile_promql(
+            spark, SF_SMOKE, "absent_over_time(click[30d])"
+        ).count()
+        == 0
+    )
+    # instant absent of a live metric is TRUE when its last sample is
+    # older than the staleness cut relative to the corpus max — compute
+    # which outcome is right from the raw rows and pin it
+    from prometheus_remote_kinesis_spark.promql import STALENESS_MS
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    t = ev.selectExpr("max(unix_millis(ts)) AS t").collect()[0]["t"]
+    last_click = (
+        ev.where("event_type = 'click' AND value IS NOT NULL")
+        .selectExpr("max(unix_millis(ts)) AS m")
+        .collect()[0]["m"]
+    )
+    want_absent = last_click <= t - STALENESS_MS
+    got = compile_promql(spark, SF_SMOKE, "absent(click)").count()
+    assert (got == 1) is want_absent
+    # offset: probing 30d back from (T − 40d) is before the corpus —
+    # every metric is absent there
+    assert [
+        tuple(r) for r in compile_promql(
+            spark, SF_SMOKE, "absent_over_time(click[30d] offset 3456000000ms)"
+        ).collect()
+    ] == [(1.0,)]
+    # grid rejection
+    from prometheus_remote_kinesis_spark.promql import compile_promql_range
+
+    with pytest.raises(PromQLError, match="instant"):
+        compile_promql_range(
+            spark, SF_SMOKE, "absent(click)", step_ms=1000, span_ms=10_000
+        )
