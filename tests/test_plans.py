@@ -557,3 +557,59 @@ def test_promql_setop_and_vecbin_plan_shapes(spark):
     joins = _re.findall(r"(BroadcastNestedLoopJoin|SortMergeJoin|ShuffledHashJoin)", hq)
     assert all(j == "BroadcastNestedLoopJoin" for j in joins)
     assert "HashAggregate" in hq
+
+
+def test_promql_range_and_subquery_plan_shapes(spark):
+    """The r12 grid compile targets produce the plan the docstrings
+    promise: the query_range plan meets grid points by bucket EXPANSION
+    (a Generate/explode over the per-sample k-sequence), never a
+    grid×samples join — the only BNLJ is the 1-row eval-time broadcast
+    — and aggregates by hash on the (t_ms, ...) key; the subquery plan
+    stacks a second HashAggregate over the grid one (fold collapsing
+    t_ms); the rate grid computes its lag ONCE (a single Window node),
+    not once per grid point; label_replace adds NO join or extra
+    exchange to its input plan."""
+    import re as _re
+
+    from prometheus_remote_kinesis_spark.promql import (
+        compile_promql, compile_promql_range,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rng = compile_promql_range(
+        spark, SF_SMOKE, "sum(rate(view[1d]))",
+        step_ms=21_600_000, span_ms=172_800_000,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in rng  # bucket expansion, not a join
+    joins = _re.findall(
+        r"(BroadcastNestedLoopJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)",
+        rng,
+    )
+    assert all(j == "BroadcastNestedLoopJoin" for j in joins)
+    assert rng.count("Window") == 1  # the rate lag runs once, pre-expansion
+    assert "HashAggregate" in rng
+
+    sub = compile_promql(
+        spark, SF_SMOKE, "max_over_time(sum_over_time(view[1d])[2d:6h])"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in sub
+    # two stacked hash aggregations: per-(t_ms,user) then per-user —
+    # each is a partial+final pair, so >= 4 HashAggregate nodes
+    assert sub.count("HashAggregate") >= 4
+    joins_sub = _re.findall(
+        r"(BroadcastNestedLoopJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)",
+        sub,
+    )
+    assert all(j == "BroadcastNestedLoopJoin" for j in joins_sub)
+
+    base = compile_promql(
+        spark, SF_SMOKE, "sum_over_time(click[30d])"
+    )._jdf.queryExecution().executedPlan().toString()
+    lr = compile_promql(
+        spark, SF_SMOKE,
+        'label_replace(sum_over_time(click[30d]), "tier", "t$1", '
+        '"user", "(\\d)\\d*")',
+    )._jdf.queryExecution().executedPlan().toString()
+    # label_replace is a pure projection: no extra exchange, no extra join
+    assert lr.count("Exchange") == base.count("Exchange")
+    assert lr.count("Join") == base.count("Join")
