@@ -94,9 +94,19 @@ class _Handler(BaseHTTPRequestHandler):
 
     @staticmethod
     def _parse_time_s(text: str) -> float:
-        """Prometheus API timestamp: unix seconds (float). RFC3339 is
-        outside the subset — rejected with ValueError → 400 bad_data."""
-        return float(text)
+        """Prometheus API timestamp: unix seconds (float) or RFC3339
+        (the spec allows both; Grafana sends either depending on the
+        datasource version). Anything else → ValueError → 400."""
+        try:
+            return float(text)
+        except ValueError:
+            pass
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(text.replace("Z", "+00:00"))
+        if dt.tzinfo is None:  # bare local times are ambiguous — spec
+            dt = dt.replace(tzinfo=timezone.utc)  # sends UTC ('Z') forms
+        return dt.timestamp()
 
     @staticmethod
     def _parse_duration_s(text: str) -> float:

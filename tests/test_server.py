@@ -535,3 +535,50 @@ def test_promql_query_time_param_and_range_endpoint(spark, tmp_path):
             assert e.code == 404
     finally:
         srv2.stop()
+
+
+def test_promql_time_param_rfc3339(spark, tmp_path):
+    """The spec's RFC3339 timestamp form is accepted on time=/start=/
+    end= (Grafana sends either form): the same instant query at an
+    RFC3339 time equals the unix-seconds form bit for bit; garbage
+    still 400s."""
+    import json as _json
+    from datetime import datetime, timezone
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from prometheus_remote_kinesis_spark.promql import (
+        make_promql_http_handler,
+    )
+    from prometheus_remote_kinesis_spark.server import RemoteWriteServer
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    t_ms = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("max(unix_millis(ts)) AS t")
+        .collect()[0]["t"]
+    )
+    t_s = t_ms / 1000.0
+    iso = datetime.fromtimestamp(t_s, tz=timezone.utc).isoformat().replace(
+        "+00:00", "Z"
+    )
+    srv = RemoteWriteServer(
+        str(tmp_path / "spool"),
+        query_handler=make_promql_http_handler(spark, SF_SMOKE),
+    ).start()
+    try:
+        host, port = srv.server_address[:2]
+        base = f"http://{host}:{port}/api/v1/query"
+        with urlopen(f"{base}?query=view&time={t_s}") as r1:
+            a = _json.loads(r1.read())["data"]["result"]
+        with urlopen(f"{base}?query=view&time={iso}") as r2:
+            b = _json.loads(r2.read())["data"]["result"]
+        assert a == b
+        try:
+            urlopen(f"{base}?query=view&time=not-a-time")
+            raise AssertionError("expected HTTP 400")
+        except HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
