@@ -1963,6 +1963,111 @@ def ewma_halflife(
     )
 
 
+_TWA_RO_STATE_SCHEMA = (
+    "n long, last_ms long, last_v100 long, span_ms long, num long, "
+    "hi long, bms array<long>, bid array<long>, bv array<double>"
+)
+
+
+def time_weighted_avg_reordered(
+    records: DataFrame,
+    reorder_ms: int,
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """The PRODUCTION twin of ``time_weighted_avg`` for out-of-order
+    streams (r12 — the last in-order-precondition op on the r11 watch
+    list): the bounded reorder buffer rides in state, the trapezoidal
+    integer fold COMMITS samples strictly below (max event ms) −
+    reorder_ms in (ms, event_id) order, and each batch emits the
+    speculative summary (committed state + buffered suffix folded in
+    sorted order). Because every update is INTEGER arithmetic, the
+    committed accumulators are exactly — not just bit-for-bit-by-
+    op-order — the sorted-stream fold; n_samples stays monotone, so the
+    drain keeps the plain max-n protocol (unlike the alert twin, no
+    island identity exists to split). A sample past its horizon raises
+    loudly (the watermark contract)."""
+
+    def _fold(n, m, lv, span, num, rows):
+        for ms, _eid, v in rows:
+            v100 = int(_round_half_up(v * 100, 0))
+            if n > 0:
+                dt = ms - m
+                num += (lv + v100) * dt
+                span += dt
+            n += 1
+            m, lv = ms, v100
+        return n, m, lv, span, num
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        if state.exists:
+            n, m, lv, span, num, hi, bms, bid, bv = state.get
+            buf = list(zip(list(bms), list(bid), list(bv)))
+        else:
+            n = m = lv = span = num = 0
+            hi, buf = -(1 << 62), []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                v = r["value"]
+                if v is None or pd.isna(v):
+                    continue  # staleness marker — batch filter parity
+                ms = int(r["time"])
+                if ms < hi - reorder_ms:
+                    raise RuntimeError(
+                        f"sample at {ms} arrived past its reorder horizon "
+                        f"(max seen {hi}, bound {reorder_ms} ms): the "
+                        "watermark contract is violated — widen reorder_ms"
+                    )
+                eid = int(r["event_id"]) if "event_id" in pdf.columns else 0
+                buf.append((ms, eid, float(v)))
+                if ms > hi:
+                    hi = ms
+        buf.sort()
+        wm = hi - reorder_ms
+        cut = 0
+        while cut < len(buf) and buf[cut][0] < wm:  # strictly below
+            cut += 1
+        n, m, lv, span, num = _fold(n, m, lv, span, num, buf[:cut])
+        buf = buf[cut:]
+        state.update(
+            (
+                n, m, lv, span, num, hi,
+                [b[0] for b in buf],
+                [b[1] for b in buf],
+                [b[2] for b in buf],
+            )
+        )
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        sn, _sm, _slv, sspan, snum = _fold(n, m, lv, span, num, buf)
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "user_id": user_id,
+                    "n_samples": sn,
+                    "span_ms": sspan,
+                    "num": snum,
+                }
+            ]
+        )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TWA_SCHEMA,
+        stateStructType=_TWA_RO_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 ALERT_RO_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),

@@ -1667,3 +1667,67 @@ def test_alert_for_duration_reordered_bit_equal(spark, tmp_path):
             ),
             "append",
         ).collect()
+
+
+def test_time_weighted_avg_reordered_integer_equal(spark, tmp_path):
+    """time_weighted_avg_reordered under multi-batch chop with bounded
+    disorder (incl. a displacement-exactly-reorder_ms arrival): the
+    drained max-n accumulators are INTEGER-equal to the in-order
+    trapezoidal fold — the last in-order-precondition op on the r11
+    watch list gets its production twin. Past-horizon arrival raises."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        _round_half_up,
+        time_weighted_avg_reordered,
+    )
+
+    RO = 300_000
+    seq = [
+        (0, 10.5), (100_000, 12.25), (150_000, None), (400_000, 8.0),
+        (700_000, 20.0), (900_000, 4.75), (1_200_000, 16.0),
+    ]
+    rows_sorted = [
+        {"event_id": i, "event_type": "m", "user_id": 1, "time": t, "value": v}
+        for i, (t, v) in enumerate(seq)
+    ]
+    # eid0 (ms 0) arrives AFTER eid3 (ms 400k)? displacement would be
+    # 400k > RO — instead: swap neighbors within the bound, plus one
+    # boundary case (eid1 at 100k arrives when hi = 400k → displacement
+    # exactly 300k, admitted)
+    order = [0, 2, 3, 1, 4, 5, 6]
+    out = run_to_batch(
+        time_weighted_avg_reordered(
+            _chopped_stream(spark, tmp_path, [rows_sorted[i] for i in order], 7),
+            reorder_ms=RO,
+            idle_timeout_ms=None,
+        ),
+        "append",
+    )
+    best = max(out.collect(), key=lambda r: r["n_samples"])
+    n = m = lv = span = num = 0
+    for t, v in seq:
+        if v is None:
+            continue
+        v100 = int(_round_half_up(v * 100, 0))
+        if n > 0:
+            num += (lv + v100) * (t - m)
+            span += t - m
+        n += 1
+        m, lv = t, v100
+    assert best["n_samples"] == n == 6
+    assert best["span_ms"] == span and best["num"] == num  # integer-equal
+    # past the horizon → loud failure
+    bad = [rows_sorted[i] for i in [0, 2, 3, 4, 1, 5, 6]]  # 100k after 700k
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    with pytest.raises(Exception, match="reorder horizon"):
+        run_to_batch(
+            time_weighted_avg_reordered(
+                _chopped_stream(spark, bad_dir, bad, 7),
+                reorder_ms=RO,
+                idle_timeout_ms=None,
+            ),
+            "append",
+        ).collect()
