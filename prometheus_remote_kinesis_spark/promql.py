@@ -2766,6 +2766,58 @@ def make_promql_http_handler(spark: SparkSession, sf_dir: str):
     return handler
 
 
+def make_promql_metadata_handler(spark: SparkSession, sf_dir: str):
+    """Build the ``metadata_handler`` for ``RemoteWriteServer`` — the
+    three Prometheus HTTP API metadata routes a Grafana datasource
+    calls to populate its dropdowns before it ever sends a query:
+
+    - ``GET /api/v1/labels`` → the label-name list,
+    - ``GET /api/v1/label/<name>/values`` → that label's values,
+    - ``GET /api/v1/series?match[]=<selector>`` → the label sets of
+      matching series.
+
+    Returns ``handler(kind, arg)`` with kind ∈ {'labels',
+    'label_values', 'series'}; values come from the live corpus
+    (distinct scans — bounded by label cardinality, the same
+    must-fit-one-HTTP-body protocol argument as the query routes).
+    ``series`` matches over ALL retained samples (the API's optional
+    start/end bounds are outside the subset — a series listing is a
+    dropdown fill, not a range evaluation)."""
+
+    def handler(kind: str, arg: str | None = None):
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("value").isNotNull()
+        )
+        if kind == "labels":
+            return ["__name__"] + sorted(_LABELS)
+        if kind == "label_values":
+            if arg == "__name__":
+                rows = ev.select("event_type").distinct().collect()
+                return sorted(r["event_type"] for r in rows)
+            if arg in _LABELS:
+                rows = ev.select(_LABELS[arg]).distinct().collect()
+                return sorted(
+                    (str(r[_LABELS[arg]]) for r in rows),
+                    key=lambda s: (len(s), s),  # numeric-ish order
+                )
+            return []  # unknown label → empty list (the API's behavior)
+        if kind == "series":
+            sel = parse(arg)
+            if not isinstance(sel, Selector):
+                raise PromQLError(
+                    "series match[] must be a plain selector"
+                )
+            d = _base(spark, sf_dir, sel)
+            rows = d.select("user").distinct().collect()
+            return [
+                {"__name__": sel.metric, "user": str(r["user"])}
+                for r in sorted(rows, key=lambda r: r["user"])
+            ]
+        raise PromQLError(f"unknown metadata kind {kind!r}")
+
+    return handler
+
+
 def make_promql_range_http_handler(spark: SparkSession, sf_dir: str):
     """Build the ``range_handler`` for ``RemoteWriteServer`` — the
     Prometheus HTTP API range query (``GET /api/v1/query_range``, r11

@@ -142,6 +142,31 @@ class _Handler(BaseHTTPRequestHandler):
 
         u = urlparse(self.path)
         params = parse_qs(u.query)
+        md = getattr(self.server, "metadata_handler", None)
+        if md is not None and u.path in ("/api/v1/labels", "/api/v1/series"):
+            try:
+                if u.path == "/api/v1/labels":
+                    data = md("labels")
+                else:
+                    m = params.get("match[]", [None])[0]
+                    if not m:
+                        self._bad("series needs a match[] selector")
+                        return
+                    data = md("series", m)
+            except ValueError as e:
+                self._bad(str(e))
+                return
+            self._json(200, {"status": "success", "data": data})
+            return
+        if md is not None and u.path.startswith("/api/v1/label/") and u.path.endswith("/values"):
+            name = u.path[len("/api/v1/label/"):-len("/values")]
+            try:
+                data = md("label_values", name)
+            except ValueError as e:
+                self._bad(str(e))
+                return
+            self._json(200, {"status": "success", "data": data})
+            return
         if (
             u.path == "/api/v1/query_range"
             and getattr(self.server, "range_handler", None) is not None
@@ -316,6 +341,7 @@ class RemoteWriteServer(ThreadingHTTPServer):
         read_handler=None,
         query_handler=None,
         range_handler=None,
+        metadata_handler=None,
     ):
         super().__init__((host, port), _Handler)
         self.spool_dir = spool_dir
@@ -336,6 +362,11 @@ class RemoteWriteServer(ThreadingHTTPServer):
         # None keeps GET /api/v1/query_range → 404
         # (promql.make_promql_range_http_handler builds it)
         self.range_handler = range_handler
+        # optional Prometheus metadata API (labels / label values /
+        # series — the routes Grafana's dropdowns call): callable(kind,
+        # arg); None keeps them 404
+        # (promql.make_promql_metadata_handler builds it)
+        self.metadata_handler = metadata_handler
         os.makedirs(spool_dir, exist_ok=True)
         self._thread: threading.Thread | None = None
 

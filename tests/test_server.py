@@ -582,3 +582,82 @@ def test_promql_time_param_rfc3339(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_promql_metadata_endpoints(spark, tmp_path):
+    """The Prometheus metadata routes a Grafana datasource calls before
+    any query (r12): /api/v1/labels lists the label names, /api/v1/
+    label/<name>/values lists values from the live corpus (checked
+    against a direct distinct scan), /api/v1/series?match[]= returns
+    the matching label sets (matcher-filtered), unknown labels return
+    the empty list, a malformed series selector 400s, and without a
+    metadata_handler every route stays 404."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.parse import quote
+    from urllib.request import urlopen
+
+    from prometheus_remote_kinesis_spark.promql import (
+        make_promql_metadata_handler,
+    )
+    from prometheus_remote_kinesis_spark.server import RemoteWriteServer
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    srv = RemoteWriteServer(
+        str(tmp_path / "spool"),
+        metadata_handler=make_promql_metadata_handler(spark, SF_SMOKE),
+    ).start()
+    try:
+        host, port = srv.server_address[:2]
+        base = f"http://{host}:{port}/api/v1"
+        with urlopen(f"{base}/labels") as r:
+            assert _json.loads(r.read())["data"] == ["__name__", "user"]
+        with urlopen(f"{base}/label/__name__/values") as r:
+            names = _json.loads(r.read())["data"]
+        ev = load_table(spark, SF_SMOKE, "events").where("value IS NOT NULL")
+        want = sorted(
+            x["event_type"] for x in ev.select("event_type").distinct().collect()
+        )
+        assert names == want and "click" in names
+        with urlopen(f"{base}/label/user/values") as r:
+            users = _json.loads(r.read())["data"]
+        assert users == sorted(
+            (str(x["user_id"]) for x in
+             ev.select("user_id").distinct().collect()),
+            key=lambda s: (len(s), s),
+        )
+        with urlopen(f"{base}/label/region/values") as r:
+            assert _json.loads(r.read())["data"] == []
+        sel = quote('click{user=~"1.?"}')
+        with urlopen(f"{base}/series?match[]={sel}") as r:
+            series = _json.loads(r.read())["data"]
+        import re as _re
+
+        direct = sorted(
+            str(x["user_id"])
+            for x in ev.where("event_type = 'click'")
+            .select("user_id").distinct().collect()
+            if _re.fullmatch("1.?", str(x["user_id"]))
+        )
+        assert sorted(s["user"] for s in series) == direct and series
+        assert all(s["__name__"] == "click" for s in series)
+        try:
+            urlopen(f"{base}/series?match[]={quote('sum(click)')}")
+            raise AssertionError("expected HTTP 400")
+        except HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+    srv2 = RemoteWriteServer(str(tmp_path / "spool2")).start()
+    try:
+        host, port = srv2.server_address[:2]
+        for path in ("/api/v1/labels", "/api/v1/label/user/values",
+                     "/api/v1/series?match[]=click"):
+            try:
+                urlopen(f"http://{host}:{port}{path}")
+                raise AssertionError("expected HTTP 404")
+            except HTTPError as e:
+                assert e.code == 404
+    finally:
+        srv2.stop()
