@@ -76,6 +76,29 @@ def build_put_fn(args):
     return put
 
 
+def build_query_handlers(spark, tables_dir: str) -> dict:
+    """The query-side server handlers ``--query-tables`` wires (r12):
+    remote_read plus the full Prometheus HTTP API (instant, range, and
+    the Grafana-dropdown metadata routes) over the given parquet table
+    dir — typically the archival sink's output. Kept separate from
+    ``main`` so the wiring is unit-testable without a live relay."""
+    from prometheus_remote_kinesis_spark.ingest_queries import (
+        spark_read_handler,
+    )
+    from prometheus_remote_kinesis_spark.promql import (
+        make_promql_http_handler,
+        make_promql_metadata_handler,
+        make_promql_range_http_handler,
+    )
+
+    return {
+        "read_handler": spark_read_handler(spark, tables_dir),
+        "query_handler": make_promql_http_handler(spark, tables_dir),
+        "range_handler": make_promql_range_http_handler(spark, tables_dir),
+        "metadata_handler": make_promql_metadata_handler(spark, tables_dir),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="prometheus_remote_kinesis_spark")
     ap.add_argument("--stream-name", default="", help="required (main.go:88-90)")
@@ -98,6 +121,15 @@ def main(argv: list[str] | None = None) -> int:
         help="handler spools validated wire bytes; Spark decodes via the "
         "format('prompb') source (flatten on executors, not in the handler)",
     )
+    ap.add_argument(
+        "--query-tables",
+        default=None,
+        help="parquet table dir (e.g. the archival sink's output): also "
+        "serve POST /read (remote_read) and the Prometheus HTTP API — "
+        "GET /api/v1/query, /query_range, /labels, /label/<n>/values, "
+        "/series — over it (r12; without the flag those routes stay 404, "
+        "reference write-only parity)",
+    )
     args = ap.parse_args(argv)
     if not args.stream_name:
         sys.exit("-stream-name is required")  # main.go:88-90
@@ -113,10 +145,16 @@ def main(argv: list[str] | None = None) -> int:
     spool = args.spool_dir or tempfile.mkdtemp(prefix="rw_spool_")
     ckpt = args.checkpoint_dir or tempfile.mkdtemp(prefix="rw_ckpt_")
     host, _, port = args.listen_addr.rpartition(":")
-    server = RemoteWriteServer(
-        spool, host=host or "127.0.0.1", port=int(port), raw=args.raw_spool
-    ).start()
     spark = get_spark("prometheus_remote_kinesis_spark")
+    handlers = (
+        build_query_handlers(spark, args.query_tables)
+        if args.query_tables
+        else {}
+    )
+    server = RemoteWriteServer(
+        spool, host=host or "127.0.0.1", port=int(port), raw=args.raw_spool,
+        **handlers,
+    ).start()
     source = (
         read_prompb_record_stream(spark, spool, parallel=True)
         if args.raw_spool

@@ -121,3 +121,28 @@ def test_drain_raw_spool_end_to_end(spark, tmp_path):
     assert len(lines) == 2
     keys = {ln.split("\t", 1)[0] for ln in lines}
     assert keys == {"m2"}
+
+
+def test_query_tables_handler_wiring(spark):
+    """--query-tables wires all four query-side handlers (r12): the
+    remote_read matcher engine plus the instant/range/metadata routes —
+    each answers real data from the given table dir (the route-level
+    envelopes are pinned by test_server.py; this pins the CLI wiring)."""
+    from prometheus_remote_kinesis_spark.cli import build_query_handlers
+    from tests.conftest import SF_SMOKE
+
+    h = build_query_handlers(spark, SF_SMOKE)
+    assert set(h) == {
+        "read_handler", "query_handler", "range_handler", "metadata_handler"
+    }
+    t_s, vec = h["query_handler"]("count(signup)")
+    assert t_s > 1e9 and len(vec) <= 1  # 0 or 1 row, a global count
+    labels = h["metadata_handler"]("labels")
+    assert labels == ["__name__", "user"]
+    names = h["metadata_handler"]("label_values", "__name__")
+    assert "click" in names
+    end_s = t_s
+    series = h["range_handler"](
+        "count_over_time(click[1d])", end_s - 86_400.0, end_s, 21_600.0
+    )
+    assert series and all(pts == sorted(pts) for _lbl, pts in series)
