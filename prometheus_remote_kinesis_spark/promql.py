@@ -39,6 +39,9 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
               | selector
     fn       := 'rate' | 'increase' | 'avg_over_time' | 'sum_over_time'
               | 'count_over_time' | 'min_over_time' | 'max_over_time'
+              | 'last_over_time' | 'present_over_time'
+              | 'stddev_over_time'
+              | 'changes' | 'resets' | 'idelta' | 'irate'           (r12)
     selector := metric ['{' label op '"' value '"' [',' ...] '}']
     op       := '=' | '!=' | '=~' | '!~'       (Prometheus matcher ops)
     duration := <int>('ms'|'s'|'m'|'h'|'d')
@@ -274,6 +277,7 @@ _RANGE_FNS = {
     "rate", "increase", "avg_over_time", "sum_over_time",
     "count_over_time", "min_over_time", "max_over_time",
     "last_over_time", "present_over_time", "stddev_over_time",
+    "changes", "resets", "idelta", "irate",
 }
 _AGG_OPS = {"sum", "min", "max", "count", "avg"}
 _DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
@@ -650,7 +654,9 @@ def _variable_den(node) -> bool:
     if isinstance(node, Selector):
         return False
     if isinstance(node, RangeFn):
-        return node.fn == "avg_over_time"
+        # irate's den is 100·(last sample gap ms) — per-series;
+        # avg_over_time's is count·100 — per-series too
+        return node.fn in ("avg_over_time", "irate")
     if isinstance(node, LabelReplace):
         return _variable_den(node.expr)  # values untouched
     if isinstance(node, Absent):
@@ -893,6 +899,73 @@ def _compile_rangefn_grid(
     first sample contributes 0 in both)."""
     w = node.window_ms
     base = _base(spark, sf_dir, node.sel)
+    if node.fn in ("changes", "resets", "idelta", "irate"):
+        def prep_pairs(d: DataFrame) -> DataFrame:
+            wl = Window.partitionBy("user").orderBy("ms", "event_id")
+            return d.withColumn("pms", F.lag("ms").over(wl)).withColumn(
+                "pc", F.lag("c").over(wl)
+            )
+
+        d = _grid_expand(
+            spark, sf_dir, base, grid, w, node.sel.offset_ms,
+            prep_pairs, eval_ms,
+        )
+        pair_in = F.col("pms").isNotNull() & (
+            F.col("pms") + F.lit(node.sel.offset_ms) > F.col("t_ms") - w
+        )
+        if node.fn in ("changes", "resets"):
+            hit = (
+                (pair_in & (F.col("c") != F.col("pc")))
+                if node.fn == "changes"
+                else (pair_in & (F.col("c") < F.col("pc")))
+            )
+            g = (
+                d.select("t_ms", "user", hit.cast("long").alias("hit"))
+                .groupBy("t_ms", "user")
+                .agg(F.sum("hit").cast("long").alias("num"))
+                .select(
+                    "t_ms", "user", "num",
+                    F.lit(1).cast("long").alias("den"),
+                )
+            )
+            return _Vec(g, ("t_ms", "user"), den_const=1)
+        key = F.struct("ms", "event_id")
+        g = (
+            d.groupBy("t_ms", "user")
+            .agg(
+                F.max_by("c", key).alias("lc"),
+                F.max_by("pc", key).alias("lpc"),
+                F.max_by("ms", key).alias("lms"),
+                F.max_by("pms", key).alias("lpms"),
+            )
+            # the window's last sample needs its stream-prev IN window
+            # (contiguity: that is exactly the window-local prev)
+            .where(
+                F.col("lpc").isNotNull()
+                & (
+                    F.col("lpms") + F.lit(node.sel.offset_ms)
+                    > F.col("t_ms") - w
+                )
+            )
+        )
+        if node.fn == "idelta":
+            out = g.select(
+                "t_ms", "user",
+                (F.col("lc") - F.col("lpc")).cast("long").alias("num"),
+                F.lit(100).cast("long").alias("den"),
+            )
+            return _Vec(out, ("t_ms", "user"), den_const=100)
+        inc_last = F.when(
+            F.col("lc") >= F.col("lpc"), F.col("lc") - F.col("lpc")
+        ).otherwise(F.col("lc"))
+        out = g.select(
+            "t_ms", "user",
+            (inc_last * 1000).cast("long").alias("num"),
+            (F.lit(100) * (F.col("lms") - F.col("lpms")))
+            .cast("long")
+            .alias("den"),
+        )
+        return _Vec(out, ("t_ms", "user"))
     if node.fn in ("rate", "increase"):
         def prep(d: DataFrame) -> DataFrame:
             wl = Window.partitionBy("user").orderBy("ms", "event_id")
@@ -1051,6 +1124,67 @@ def _compile_vector(
                 (F.col("n") * F.col("n") * 10000).cast("long").alias("den"),
             )
             return _Vec(out, ("user",), sqrt=True)
+        if node.fn in ("changes", "resets"):
+            # counter-health kernels (r12): count of value changes /
+            # counter resets among window-local consecutive pairs; a
+            # single-sample series reports 0 (Prometheus's behavior) —
+            # integer counts, den = 1, fully aggregable
+            wl = Window.partitionBy("user").orderBy("ms", "event_id")
+            pc = F.lag("c").over(wl)
+            hit = (
+                (pc.isNotNull() & (F.col("c") != pc))
+                if node.fn == "changes"
+                else (pc.isNotNull() & (F.col("c") < pc))
+            )
+            g = (
+                d.select("user", hit.cast("long").alias("hit"))
+                .groupBy("user")
+                .agg(F.sum("hit").cast("long").alias("num"))
+                .select("user", "num", F.lit(1).cast("long").alias("den"))
+            )
+            return _Vec(g, ("user",), den_const=1)
+        if node.fn in ("idelta", "irate"):
+            # last-pair kernels (r12): idelta = c_last − c_prev (cents,
+            # may be negative); irate = reset-aware inc over the LAST
+            # sample gap, per second — den = 100·gap_ms is PER-SERIES,
+            # so irate is variable-den (aggregations reject at compile).
+            # All max_by picks share the unique (ms, event_id) key, so
+            # the four columns come from the same row deterministically.
+            wl = Window.partitionBy("user").orderBy("ms", "event_id")
+            dd = d.select(
+                "user", "ms", "event_id", "c",
+                F.lag("c").over(wl).alias("pc"),
+                F.lag("ms").over(wl).alias("pms"),
+            )
+            key = F.struct("ms", "event_id")
+            g = (
+                dd.groupBy("user")
+                .agg(
+                    F.max_by("c", key).alias("lc"),
+                    F.max_by("pc", key).alias("lpc"),
+                    F.max_by("ms", key).alias("lms"),
+                    F.max_by("pms", key).alias("lpms"),
+                )
+                .where(F.col("lpc").isNotNull())  # needs two samples
+            )
+            if node.fn == "idelta":
+                out = g.select(
+                    "user",
+                    (F.col("lc") - F.col("lpc")).cast("long").alias("num"),
+                    F.lit(100).cast("long").alias("den"),
+                )
+                return _Vec(out, ("user",), den_const=100)
+            inc_last = F.when(
+                F.col("lc") >= F.col("lpc"), F.col("lc") - F.col("lpc")
+            ).otherwise(F.col("lc"))
+            out = g.select(
+                "user",
+                (inc_last * 1000).cast("long").alias("num"),
+                (F.lit(100) * (F.col("lms") - F.col("lpms")))
+                .cast("long")
+                .alias("den"),
+            )
+            return _Vec(out, ("user",))  # den varies per series
         if node.fn in ("rate", "increase"):
             wl = Window.partitionBy("user").orderBy("ms", "event_id")
             inc = (
@@ -2576,6 +2710,86 @@ def pq22_promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the empty vector (pytest-pinned). One global count is the
     whole plan — a 1-row shuffle at any scale."""
     return compile_promql(spark, sf_dir, PQ22_QUERY)
+
+
+PQ23_QUERY = "sum(resets(click[30d]))"
+PQ23_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    d AS (
+        SELECT user_id, c, lag(c) OVER (
+            PARTITION BY user_id ORDER BY ms, event_id) AS p
+        FROM s
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN p IS NOT NULL AND c < p
+                             THEN 1 ELSE 0 END) AS BIGINT) AS num
+        FROM d GROUP BY 1
+    )
+    SELECT floor(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+                 / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pq23_promql_sum_resets", family="PQ", oracle=PQ23_ORACLE)
+def pq23_promql_sum_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum(resets(click[30d]))`` (r12 — the counter-health
+    kernels changes/resets from query text): counts window-local
+    consecutive pairs where the counter DECREASED, summed fleet-wide —
+    the restart-storm detector. Integer counts with den = 1, so the
+    global aggregation is exact; a single-sample series reports 0
+    (Prometheus's behavior), never dropping from the vector."""
+    return compile_promql(spark, sf_dir, PQ23_QUERY)
+
+
+PQ24_QUERY = "irate(view[30d])"
+PQ24_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'view' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    d AS (
+        SELECT user_id, ms, c,
+               lag(c) OVER w AS p, lag(ms) OVER w AS pms,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ms DESC, event_id DESC
+               ) AS rn
+        FROM s
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST((CASE WHEN c >= p THEN c - p ELSE c END) * 1000
+                      AS DOUBLE)
+                 / CAST(100 * (ms - pms) AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM d WHERE rn = 1 AND p IS NOT NULL
+"""
+
+
+@register("pq24_promql_irate", family="PQ", oracle=PQ24_ORACLE)
+def pq24_promql_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``irate(view[30d])`` (r12 — the last-pair instantaneous
+    rate): reset-aware increase over each series' FINAL sample gap, per
+    second. The den is 100·gap_ms — PER-SERIES, so irate is the one
+    range kernel besides avg_over_time the Agg path rejects at compile
+    (summing rationals with different denominators has no exact integer
+    form); per-row use stays exact, the finalize dividing two exact
+    integers identically on both engines. All four last-row picks share
+    the unique (ms, event_id) max_by key — deterministic under ties."""
+    return compile_promql(spark, sf_dir, PQ24_QUERY)
 
 
 PQ21_QUERY = (

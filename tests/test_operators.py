@@ -2478,3 +2478,92 @@ def test_promql_absent_semantics(spark):
         compile_promql_range(
             spark, SF_SMOKE, "absent(click)", step_ms=1000, span_ms=10_000
         )
+
+
+def test_promql_counter_health_kernels(spark):
+    """r12 changes/resets/idelta/irate: each matches a Python
+    reimplementation over the raw rows at sf0.001; single-sample series
+    report 0 for changes/resets and drop for idelta/irate; sum() over
+    resets compiles (den 1) while sum() over irate rejects at compile
+    time (per-series den = 100·gap); the grid twins equal the
+    offset-instant evaluation point for point."""
+    import collections
+    import math
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql, compile_promql_range,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'click' AND value IS NOT NULL")
+        .selectExpr(
+            "user_id", "unix_millis(ts) AS ms", "event_id",
+            "CAST(round(value * 100, 0) AS LONG) AS c",
+        )
+        .collect()
+    )
+    T = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("max(unix_millis(ts)) AS t")
+        .collect()[0]["t"]
+    )
+    per = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["ms"], r["event_id"])):
+        if T - 2_592_000_000 < r["ms"] <= T:
+            per[r["user_id"]].append((r["ms"], r["c"]))
+
+    def py(fn):
+        out = {}
+        for u, s in per.items():
+            if fn in ("changes", "resets"):
+                n = sum(
+                    1 for (a, b) in zip(s, s[1:])
+                    if (b[1] != a[1] if fn == "changes" else b[1] < a[1])
+                )
+                out[u] = math.floor(n * 1e6) / 1e6
+            elif len(s) >= 2:
+                (pms, pc), (ms, c) = s[-2], s[-1]
+                if fn == "idelta":
+                    out[u] = math.floor((c - pc) / 100.0 * 1e6) / 1e6
+                else:
+                    inc = c - pc if c >= pc else c
+                    out[u] = math.floor(
+                        inc * 1000 / (100.0 * (ms - pms)) * 1e6
+                    ) / 1e6
+        return out
+
+    for fn in ("changes", "resets", "idelta", "irate"):
+        got = {
+            r["user"]: r["value"]
+            for r in compile_promql(spark, SF_SMOKE, f"{fn}(click[30d])").collect()
+        }
+        assert got == py(fn) and got, fn
+    assert compile_promql(
+        spark, SF_SMOKE, "sum(resets(click[30d]))"
+    ).collect()[0]["value"] == math.floor(
+        sum(round(v) for v in py("resets").values()) * 1e6
+    ) / 1e6
+    with pytest.raises(PromQLError, match="variable-denominator"):
+        compile_promql(spark, SF_SMOKE, "sum(irate(view[30d]))")
+    # grid twin: every point equals the offset-instant form
+    STEP = 28_800_000
+    g = compile_promql_range(
+        spark, SF_SMOKE, "resets(click[30d])", step_ms=STEP, span_ms=2 * STEP
+    ).collect()
+    for j in range(3):
+        off = f" offset {j * STEP}ms" if j else ""
+        want = {
+            (r["user"], r["value"])
+            for r in compile_promql(
+                spark, SF_SMOKE, f"resets(click[30d]{off})"
+            ).collect()
+        }
+        got_j = {
+            (r["user"], r["value"]) for r in g if r["t_ms"] == T - j * STEP
+        }
+        assert got_j == want, j
