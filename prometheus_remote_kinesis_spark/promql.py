@@ -27,6 +27,7 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
               | 'absent' '(' selector ')'
               | 'absent_over_time' '(' selector '[' dur ']' ')'     (r12)
     quantile := 'quantile_over_time' '(' phi ',' selector '[' dur ']' ')'
+    deriv    := 'deriv' '(' selector '[' dur ']' ')'   (terminal, r12)
     agg      := ('sum'|'min'|'max'|'count'|'avg') ['by' '(' labels ')']
                 '(' expr ')'
     histq    := 'histogram_quantile' '(' phi ','
@@ -258,6 +259,24 @@ class LabelReplace:
     repl: str
     src: str
     regex: str
+
+
+@dataclass(frozen=True)
+class Deriv:
+    """``deriv(sel[w])`` (r12 — t31's least-squares machinery from
+    query text): per-series simple linear regression slope over the
+    window, per second. EXACT until the finalize: timestamps rebase to
+    the window start (t' = ms − (T − w), bounded by w) and the five
+    regression partials (n, Σt', Σc, Σt'c, Σt'²) accumulate as
+    decimal(38,0) ≡ DuckDB HUGEINT — nΣt'² reaches ~7e24 at [30d],
+    past int64 but exact on both engines (the t31 discipline). The
+    slope num/den then converts to double ONCE per term with identical
+    expression order. TERMINAL like histogram_quantile: its value is
+    not an exact rational (the den is a wide decimal), so it must be
+    the outermost expression."""
+
+    sel: Selector
+    window_ms: int
 
 
 @dataclass(frozen=True)
@@ -506,6 +525,21 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return VecAbs(inner)
+        if k == "id" and v == "deriv":
+            self._next()
+            self._expect("op", "(")
+            sel = self._selector()
+            self._expect("op", "[")
+            win = self._duration(self._expect("dur")[1])
+            self._expect("op", "]")
+            if self._peek() == ("id", "offset"):
+                self._next()
+                sel = Selector(
+                    sel.metric, sel.matchers,
+                    self._duration(self._expect("dur")[1]),
+                )
+            self._expect("op", ")")
+            return Deriv(sel, win)
         if k == "id" and v in ("absent", "absent_over_time"):
             fn = v
             self._next()
@@ -1747,7 +1781,63 @@ def _compile_vector(
             "histogram_quantile must be the outermost expression (its "
             "result is an interpolated double, not an exact rational)"
         )
+    if isinstance(node, Deriv):
+        raise PromQLError(
+            "deriv must be the outermost expression (its slope's "
+            "denominator is a wide decimal, not an int64 rational)"
+        )
     raise PromQLError(f"unsupported node {node!r}")
+
+
+def _compile_deriv(
+    spark: SparkSession, sf_dir: str, node: Deriv, eval_ms: int | None = None
+) -> DataFrame:
+    """Compile ``deriv(sel[w])`` — see the Deriv dataclass docstring for
+    the exact-partials discipline. Plan: ONE hash aggregation per
+    series over the window cut (five mergeable partials), then the
+    finalize expressions; the same shape as t31
+    (`operators/time_windows.py` predict_linear) and equally flat at
+    scale."""
+    d = _base(spark, sf_dir, node.sel).crossJoin(
+        F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+    )
+    if node.sel.offset_ms:
+        d = d.withColumn("t_eval", F.col("t_eval") - node.sel.offset_ms)
+    w = node.window_ms
+    d = d.where(
+        (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
+    )
+    dec = "decimal(38,0)"
+    # rebase to the window start: t' ∈ (0, w] keeps every partial exact
+    # inside decimal(38,0) ≡ HUGEINT at any window the grammar allows
+    tp = (F.col("ms") - (F.col("t_eval") - w)).cast(dec)
+    c = F.col("c").cast(dec)
+    g = (
+        d.groupBy("user")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(tp).alias("st"),
+            F.sum(c).alias("sc"),
+            F.sum(tp * c).alias("stc"),
+            F.sum(tp * tp).alias("stt"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    num = (F.col("n") * F.col("stc") - F.col("st") * F.col("sc")).cast(dec)
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(dec)
+    g = g.select("user", num.alias("num"), den.alias("den")).where(
+        F.col("den") != 0  # all samples on one ms → slope undefined
+    )
+    # cents/ms → display units/second: ×1000 (per second) ÷100 (cents),
+    # i.e. ×10 — applied INSIDE the exact decimal before the one
+    # double conversion per term (identical order in the oracle)
+    q = (F.col("num") * 10).cast(dec).cast("double") / F.col("den").cast(
+        "double"
+    )
+    return g.select(
+        F.col("user").cast("bigint").alias("user"),
+        (F.floor(q * 1e6) / 1e6).alias("value"),
+    )
 
 
 from prometheus_remote_kinesis_spark.operators.aggregates import (
@@ -1836,6 +1926,8 @@ def compile_promql(
     ast = parse(query)
     if isinstance(ast, HistQ):
         return _compile_histq(spark, sf_dir, ast, eval_ms)
+    if isinstance(ast, Deriv):
+        return _compile_deriv(spark, sf_dir, ast, eval_ms)
     vec = _compile_vector(spark, sf_dir, ast, eval_ms=eval_ms)
     ratio = F.col("num").cast("double") / F.col("den").cast("double")
     val = F.sqrt(ratio) if vec.sqrt else ratio
@@ -1882,6 +1974,12 @@ def compile_promql_range(
         raise PromQLError(
             "histogram_quantile is instant-only in the range compiler "
             "(use the instant endpoint, or t36's windowed-grid operator)"
+        )
+    if isinstance(ast, Deriv):
+        raise PromQLError(
+            "deriv is instant-only in the range compiler (its wide-"
+            "decimal slope has no gridded rational form; the hand-built "
+            "t14c/t31 operators cover windowed regression)"
         )
     grid = _Grid(
         step_ms=step_ms, span_ms=span_ms, start_ms=start_ms, end_ms=end_ms
@@ -2710,6 +2808,53 @@ def pq22_promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the empty vector (pytest-pinned). One global count is the
     whole plan — a 1-row shuffle at any scale."""
     return compile_promql(spark, sf_dir, PQ22_QUERY)
+
+
+PQ25_QUERY = "deriv(purchase[30d])"
+PQ25_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000 - (t - 2592000000) AS tp,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(tp) AS HUGEINT) AS st,
+               CAST(sum(c) AS HUGEINT) AS sc,
+               CAST(sum(CAST(tp AS HUGEINT) * c) AS HUGEINT) AS stc,
+               CAST(sum(CAST(tp AS HUGEINT) * tp) AS HUGEINT) AS stt
+        FROM s GROUP BY 1 HAVING count(*) >= 2
+    ),
+    r AS (
+        SELECT user_id, n * stc - st * sc AS num,
+               n * stt - st * st AS den
+        FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(num * 10 AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM r WHERE den <> 0
+"""
+
+
+@register("pq25_promql_deriv", family="PQ", oracle=PQ25_ORACLE)
+def pq25_promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``deriv(purchase[30d])`` (r12 — t31's least-squares
+    machinery from query text): per-series regression slope per second
+    from five EXACT decimal(38,0) partials (≡ DuckDB HUGEINT — nΣt'²
+    ~7e24 at [30d], past int64 but exact on both engines; timestamps
+    rebase to the window start to bound magnitudes, the t31
+    discipline); the num·10 and den convert to double ONCE each in the
+    identical expression order, then f8's tie-free floor. Terminal like
+    histogram_quantile (wide-decimal den has no int64 rational form —
+    nesting rejects at compile)."""
+    return compile_promql(spark, sf_dir, PQ25_QUERY)
 
 
 PQ23_QUERY = "sum(resets(click[30d]))"

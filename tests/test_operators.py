@@ -2567,3 +2567,63 @@ def test_promql_counter_health_kernels(spark):
             (r["user"], r["value"]) for r in g if r["t_ms"] == T - j * STEP
         }
         assert got_j == want, j
+
+
+def test_promql_deriv_terminal_and_exact(spark):
+    """r12 deriv: the least-squares slope matches a Python exact-integer
+    recomputation (identical double-conversion order); nesting rejects
+    at compile (wide-decimal den) and the range compiler names it
+    instant-only."""
+    import collections
+    import math
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql, compile_promql_range,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'purchase' AND value IS NOT NULL")
+        .selectExpr(
+            "user_id", "unix_millis(ts) AS ms",
+            "CAST(round(value * 100, 0) AS LONG) AS c",
+        )
+        .collect()
+    )
+    T = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("max(unix_millis(ts)) AS t")
+        .collect()[0]["t"]
+    )
+    W = 2_592_000_000
+    per = collections.defaultdict(list)
+    for r in rows:
+        if T - W < r["ms"] <= T:
+            per[r["user_id"]].append((r["ms"] - (T - W), r["c"]))
+    want = {}
+    for u, s in per.items():
+        if len(s) < 2:
+            continue
+        n, st = len(s), sum(t for t, _ in s)
+        sc = sum(c for _, c in s)
+        stc = sum(t * c for t, c in s)
+        stt = sum(t * t for t, _ in s)
+        num, den = n * stc - st * sc, n * stt - st * st
+        if den:
+            want[u] = math.floor(float(num * 10) / float(den) * 1e6) / 1e6
+    got = {
+        r["user"]: r["value"]
+        for r in compile_promql(spark, SF_SMOKE, "deriv(purchase[30d])").collect()
+    }
+    assert got == want and got
+    with pytest.raises(PromQLError, match="outermost"):
+        compile_promql(spark, SF_SMOKE, "topk(3, deriv(purchase[30d]))")
+    with pytest.raises(PromQLError, match="instant-only"):
+        compile_promql_range(
+            spark, SF_SMOKE, "deriv(purchase[30d])",
+            step_ms=1000, span_ms=10_000,
+        )
