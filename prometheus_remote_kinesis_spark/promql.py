@@ -28,6 +28,7 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
               | 'absent_over_time' '(' selector '[' dur ']' ')'     (r12)
     quantile := 'quantile_over_time' '(' phi ',' selector '[' dur ']' ')'
     deriv    := 'deriv' '(' selector '[' dur ']' ')'   (terminal, r12)
+              | 'predict_linear' '(' selector '[' dur ']' ',' seconds ')'
     agg      := ('sum'|'min'|'max'|'count'|'avg') ['by' '(' labels ')']
                 '(' expr ')'
     histq    := 'histogram_quantile' '(' phi ','
@@ -280,6 +281,22 @@ class Deriv:
 
 
 @dataclass(frozen=True)
+class PredictLinear:
+    """``predict_linear(sel[w], t)`` (r12 — t31's full machinery from
+    query text): the regression line of Deriv evaluated at the point
+    t seconds PAST the evaluation time. With the window-start rebase
+    (x = ms − (T − w)), the prediction abscissa is x_p = w + t·1000 and
+    ŷ = (Σc·den + num·(n·x_p − Σx)) / (n·den) in cents — every factor
+    an exact decimal(38,0) (peak ~3e32 at [30d], well inside both
+    engines' 38-digit range), ONE double conversion per term at the
+    finalize. Terminal like Deriv."""
+
+    sel: Selector
+    window_ms: int
+    ahead_s: Fraction
+
+
+@dataclass(frozen=True)
 class HistQ:
     phi: Fraction
     expr: object
@@ -525,7 +542,8 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return VecAbs(inner)
-        if k == "id" and v == "deriv":
+        if k == "id" and v in ("deriv", "predict_linear"):
+            fn = v
             self._next()
             self._expect("op", "(")
             sel = self._selector()
@@ -538,8 +556,20 @@ class _Parser:
                     sel.metric, sel.matchers,
                     self._duration(self._expect("dur")[1]),
                 )
+            ahead = None
+            if fn == "predict_linear":
+                self._expect("op", ",")
+                ahead = Fraction(self._expect("num")[1])
+                if ahead.denominator != 1:
+                    raise PromQLError(
+                        "predict_linear horizon must be whole seconds "
+                        f"(got {ahead})"
+                    )
             self._expect("op", ")")
-            return Deriv(sel, win)
+            return (
+                Deriv(sel, win) if fn == "deriv"
+                else PredictLinear(sel, win, ahead)
+            )
         if k == "id" and v in ("absent", "absent_over_time"):
             fn = v
             self._next()
@@ -1781,16 +1811,20 @@ def _compile_vector(
             "histogram_quantile must be the outermost expression (its "
             "result is an interpolated double, not an exact rational)"
         )
-    if isinstance(node, Deriv):
+    if isinstance(node, (Deriv, PredictLinear)):
         raise PromQLError(
-            "deriv must be the outermost expression (its slope's "
-            "denominator is a wide decimal, not an int64 rational)"
+            "deriv/predict_linear must be the outermost expression "
+            "(the regression denominator is a wide decimal, not an "
+            "int64 rational)"
         )
     raise PromQLError(f"unsupported node {node!r}")
 
 
 def _compile_deriv(
-    spark: SparkSession, sf_dir: str, node: Deriv, eval_ms: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    node,  # Deriv | PredictLinear — shared partials, two finalizes
+    eval_ms: int | None = None,
 ) -> DataFrame:
     """Compile ``deriv(sel[w])`` — see the Deriv dataclass docstring for
     the exact-partials discipline. Plan: ONE hash aggregation per
@@ -1825,9 +1859,32 @@ def _compile_deriv(
     )
     num = (F.col("n") * F.col("stc") - F.col("st") * F.col("sc")).cast(dec)
     den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(dec)
-    g = g.select("user", num.alias("num"), den.alias("den")).where(
+    g = g.select(
+        "user", "n", "st", "sc", num.alias("num"), den.alias("den")
+    ).where(
         F.col("den") != 0  # all samples on one ms → slope undefined
     )
+    if isinstance(node, PredictLinear):
+        # ŷ at x_p = w + t·1000 (ms past the rebased origin), in cents:
+        # (Σc·den + num·(n·x_p − Σx)) / (n·den); ÷100 for display units
+        # — every factor exact decimal(38,0); peak ~3e32 at [30d] with
+        # the compile-time horizon bound below
+        if node.ahead_s > 100_000_000:
+            raise PromQLError(
+                "predict_linear horizon above 1e8 s overflows the exact "
+                "decimal(38,0) form — narrow the horizon"
+            )
+        x_p = w + int(node.ahead_s) * 1000
+        pnum = (
+            F.col("sc") * F.col("den")
+            + F.col("num") * (F.col("n") * F.lit(x_p) - F.col("st"))
+        ).cast(dec)
+        pden = (F.lit(100) * F.col("n") * F.col("den")).cast(dec)
+        q = pnum.cast("double") / pden.cast("double")
+        return g.select(
+            F.col("user").cast("bigint").alias("user"),
+            (F.floor(q * 1e6) / 1e6).alias("value"),
+        )
     # cents/ms → display units/second: ×1000 (per second) ÷100 (cents),
     # i.e. ×10 — applied INSIDE the exact decimal before the one
     # double conversion per term (identical order in the oracle)
@@ -1926,7 +1983,7 @@ def compile_promql(
     ast = parse(query)
     if isinstance(ast, HistQ):
         return _compile_histq(spark, sf_dir, ast, eval_ms)
-    if isinstance(ast, Deriv):
+    if isinstance(ast, (Deriv, PredictLinear)):
         return _compile_deriv(spark, sf_dir, ast, eval_ms)
     vec = _compile_vector(spark, sf_dir, ast, eval_ms=eval_ms)
     ratio = F.col("num").cast("double") / F.col("den").cast("double")
@@ -1975,11 +2032,11 @@ def compile_promql_range(
             "histogram_quantile is instant-only in the range compiler "
             "(use the instant endpoint, or t36's windowed-grid operator)"
         )
-    if isinstance(ast, Deriv):
+    if isinstance(ast, (Deriv, PredictLinear)):
         raise PromQLError(
-            "deriv is instant-only in the range compiler (its wide-"
-            "decimal slope has no gridded rational form; the hand-built "
-            "t14c/t31 operators cover windowed regression)"
+            "deriv/predict_linear are instant-only in the range compiler "
+            "(the wide-decimal regression has no gridded rational form; "
+            "the hand-built t14c/t31 operators cover windowed regression)"
         )
     grid = _Grid(
         step_ms=step_ms, span_ms=span_ms, start_ms=start_ms, end_ms=end_ms
@@ -2855,6 +2912,54 @@ def pq25_promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram_quantile (wide-decimal den has no int64 rational form —
     nesting rejects at compile)."""
     return compile_promql(spark, sf_dir, PQ25_QUERY)
+
+
+PQ26_QUERY = "predict_linear(purchase[30d], 86400)"
+PQ26_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000 - (t - 2592000000) AS tp,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(tp) AS HUGEINT) AS st,
+               CAST(sum(c) AS HUGEINT) AS sc,
+               CAST(sum(CAST(tp AS HUGEINT) * c) AS HUGEINT) AS stc,
+               CAST(sum(CAST(tp AS HUGEINT) * tp) AS HUGEINT) AS stt
+        FROM s GROUP BY 1 HAVING count(*) >= 2
+    ),
+    r AS (
+        SELECT user_id, n, st, sc,
+               n * stc - st * sc AS num,
+               n * stt - st * st AS den
+        FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(sc * den + num * (n * 2678400000 - st) AS DOUBLE)
+                 / CAST(100 * n * den AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM r WHERE den <> 0
+"""
+
+
+@register("pq26_promql_predict_linear", family="PQ", oracle=PQ26_ORACLE)
+def pq26_promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``predict_linear(purchase[30d], 86400)`` (r12 — t31's
+    full regression from query text): the deriv line evaluated one day
+    past the evaluation time, the disk-will-fill-in-N-hours alerting
+    idiom. Same five exact decimal(38,0) partials as pq25; the
+    prediction numerator Σc·den + num·(n·x_p − Σx) peaks ~3e32 at
+    [30d] — inside both engines' 38-digit exact range (the compile-time
+    horizon bound keeps it there), ONE double conversion per term
+    (x_p = w + 86400·1000 = 2678400000 in the oracle). Terminal like
+    deriv."""
+    return compile_promql(spark, sf_dir, PQ26_QUERY)
 
 
 PQ23_QUERY = "sum(resets(click[30d]))"

@@ -2627,3 +2627,33 @@ def test_promql_deriv_terminal_and_exact(spark):
             spark, SF_SMOKE, "deriv(purchase[30d])",
             step_ms=1000, span_ms=10_000,
         )
+    # predict_linear: the same partials evaluated at x_p = w + t*1000
+    AH = 3600
+    want_p = {}
+    for u, s2 in per.items():
+        if len(s2) < 2:
+            continue
+        n, st = len(s2), sum(t for t, _ in s2)
+        sc = sum(c for _, c in s2)
+        stc = sum(t * c for t, c in s2)
+        stt = sum(t * t for t, _ in s2)
+        num, den = n * stc - st * sc, n * stt - st * st
+        if den:
+            xp = W + AH * 1000
+            want_p[u] = math.floor(
+                float(sc * den + num * (n * xp - st))
+                / float(100 * n * den) * 1e6
+            ) / 1e6
+    got_p = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, f"predict_linear(purchase[30d], {AH})"
+        ).collect()
+    }
+    assert got_p == want_p and got_p
+    with pytest.raises(PromQLError, match="whole seconds"):
+        compile_promql(spark, SF_SMOKE, "predict_linear(purchase[30d], 1.5)")
+    with pytest.raises(PromQLError, match="horizon"):
+        compile_promql(
+            spark, SF_SMOKE, "predict_linear(purchase[30d], 200000000)"
+        )
