@@ -117,6 +117,24 @@ _NULL_ORACLE_FAMILIES = [
     # delta-of-delta, not just its own row.
     "t30_dod_storage_sizing",
     "t30s_dod_sizing_stream",
+    # r12 PromQL compiler paths: every new compile target inherits
+    # _base's NULL-staleness exclusion (the fleet rule) and every oracle
+    # carries the identical WHERE value IS NOT NULL — checked here on
+    # NULL-injected data because the driver SFs contain no NULL values:
+    # the grid bucket expansion (pqr1/pqr2), subquery fold (pq18), exact
+    # quantile interpolation (pq19), label_replace projection (pq21),
+    # counter-health lag pairs (pq23/pq24), wide-decimal regression
+    # (pq25/pq26), and group_left matching (pq17).
+    "pqr1_promql_range_sum_rate",
+    "pqr2_promql_range_selector",
+    "pq17_promql_group_left_ratio",
+    "pq18_promql_subquery",
+    "pq19_promql_quantile_over_time",
+    "pq21_promql_label_replace",
+    "pq23_promql_sum_resets",
+    "pq24_promql_irate",
+    "pq25_promql_deriv",
+    "pq26_promql_predict_linear",
 ]
 
 
