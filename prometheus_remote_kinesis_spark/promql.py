@@ -1048,6 +1048,7 @@ def _compile_rangefn_grid(
         inc_last = F.when(
             F.col("lc") >= F.col("lpc"), F.col("lc") - F.col("lpc")
         ).otherwise(F.col("lc"))
+        g = g.where(F.col("lms") != F.col("lpms"))  # zero gap → undefined
         out = g.select(
             "t_ms", "user",
             (inc_last * 1000).cast("long").alias("num"),
@@ -1267,6 +1268,11 @@ def _compile_vector(
             inc_last = F.when(
                 F.col("lc") >= F.col("lpc"), F.col("lc") - F.col("lpc")
             ).otherwise(F.col("lc"))
+            # a zero last-sample gap (same-ms duplicates — impossible in
+            # real Prometheus, present under replicated corpora) makes
+            # the rate undefined: drop the series, the VecBin '/'
+            # divisor-zero precedent (oracle carries ms <> pms)
+            g = g.where(F.col("lms") != F.col("lpms"))
             out = g.select(
                 "user",
                 (inc_last * 1000).cast("long").alias("num"),
@@ -3136,7 +3142,7 @@ PQ24_ORACLE = """
            floor(CAST((CASE WHEN c >= p THEN c - p ELSE c END) * 1000
                       AS DOUBLE)
                  / CAST(100 * (ms - pms) AS DOUBLE) * 1e6) / 1e6 AS value
-    FROM d WHERE rn = 1 AND p IS NOT NULL
+    FROM d WHERE rn = 1 AND p IS NOT NULL AND ms <> pms
 """
 
 

@@ -2735,3 +2735,42 @@ def test_promql_intfns_exact(spark):
         compile_promql(
             spark, SF_SMOKE, "floor(stddev_over_time(view[30d]))"
         )
+
+
+def test_promql_irate_zero_gap_drops(spark, tmp_path):
+    """Regression (r12, found by the 16x replication probe): a series
+    whose LAST two samples share a millisecond (impossible in real
+    Prometheus, routine under replicated/merged corpora) made irate's
+    finalize divide by zero under ANSI mode. The zero-gap series now
+    DROPS (the VecBin divisor-zero precedent, mirrored in the oracle's
+    ms <> pms cut) while normal series are untouched."""
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.promql import compile_promql
+
+    rows = [
+        # user 1: last pair at the SAME ms (eids break the tie)
+        (1, 1, 1_000_000, 10.0), (2, 1, 2_000_000, 12.0),
+        (3, 1, 2_000_000, 15.0),
+        # user 2: a normal series — irate = (8-20)<0 → reset → 8 cents?
+        # no: c_last=8.0 < c_prev=20.0 → inc = c_last; gap 60 s
+        (4, 2, 1_000_000, 20.0), (5, 2, 1_061_000, 8.0),
+    ]
+    df = spark.createDataFrame(
+        [(eid, "click", u, ms, v) for eid, u, ms, v in rows],
+        "event_id long, event_type string, user_id long, ms long, value double",
+    ).select(
+        "event_id", "event_type", "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"), "value",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, str(tmp_path), "irate(click[1h])"
+        ).collect()
+    }
+    import math
+
+    want2 = math.floor(800 * 1000 / (100.0 * 61_000) * 1e6) / 1e6
+    assert got == {2: want2}  # user 1 dropped, user 2 exact
