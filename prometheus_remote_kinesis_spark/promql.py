@@ -30,8 +30,9 @@ than ``+``/``-``, comparisons lowest, all left-associative)::
     quantile := 'quantile_over_time' '(' phi ',' selector '[' dur ']' ')'
     deriv    := 'deriv' '(' selector '[' dur ']' ')'   (terminal, r12)
               | 'predict_linear' '(' selector '[' dur ']' ',' seconds ')'
-    agg      := ('sum'|'min'|'max'|'count'|'avg') ['by' '(' labels ')']
-                '(' expr ')'
+    agg      := ('sum'|'min'|'max'|'count'|'avg')
+                ['by' '(' [labels] ')' | 'without' '(' [labels] ')']
+                '(' expr ')'                        (without: r12)
     histq    := 'histogram_quantile' '(' phi ','
                 'sum' 'by' '(' 'le' ')'
                 '(' 'count_over_time' '(' metric'_bucket' '[' dur ']' ')' ')'
@@ -135,6 +136,10 @@ class Agg:
     op: str
     by: tuple[str, ...]
     expr: object
+    # `without (labels)` — the complement of `by` (r12): grouping keys =
+    # the inner label set MINUS these (absent names are ignored, the
+    # PromQL rule); None means the by-form (or global) was written
+    without: tuple[str, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -518,20 +523,26 @@ class _Parser:
             save = self.i
             self._next()
             by: tuple[str, ...] = ()
-            if self._peek() == ("id", "by"):
-                self._next()
+            without: tuple[str, ...] | None = None
+            if self._peek() in (("id", "by"), ("id", "without")):
+                clause = self._next()[1]
                 self._expect("op", "(")
-                labels = [self._expect("id")[1]]
-                while self._peek() == ("op", ","):
-                    self._next()
+                labels: list[str] = []
+                if self._peek() != ("op", ")"):
                     labels.append(self._expect("id")[1])
+                    while self._peek() == ("op", ","):
+                        self._next()
+                        labels.append(self._expect("id")[1])
                 self._expect("op", ")")
-                by = tuple(labels)
+                if clause == "by":
+                    by = tuple(labels)
+                else:
+                    without = tuple(labels)
             if self._peek() == ("op", "("):
                 self._next()
                 inner = self._expr()
                 self._expect("op", ")")
-                return Agg(v, by, inner)
+                return Agg(v, by, inner, without)
             self.i = save  # an aggregation keyword used as a metric name
         if k == "id" and v == "histogram_quantile":
             self._next()
@@ -1350,7 +1361,17 @@ def _compile_vector(
                 raise PromQLError(f"by({lbl}) not in inner labels {inner.labels}")
         # on a grid, every aggregation is per-evaluation-step: t_ms is
         # an implicit grouping key (PromQL aggregates within one instant)
-        keys = (["t_ms"] if grid is not None else []) + list(node.by)
+        tgrid_keys = ["t_ms"] if grid is not None else []
+        if node.without is not None:
+            # the complement form: keep every inner label NOT listed
+            # (absent names are ignored — the PromQL rule); t_ms is a
+            # grid coordinate, never droppable by without()
+            keys = tgrid_keys + [
+                lb for lb in inner.labels
+                if lb != "t_ms" and lb not in node.without
+            ]
+        else:
+            keys = tgrid_keys + list(node.by)
         gb = inner.df.groupBy(*keys) if keys else inner.df.groupBy()
         if node.op in ("sum", "avg", "min", "max"):
             # exact rational aggregation needs a common denominator

@@ -2774,3 +2774,35 @@ def test_promql_irate_zero_gap_drops(spark, tmp_path):
 
     want2 = math.floor(800 * 1000 / (100.0 * 61_000) * 1e6) / 1e6
     assert got == {2: want2}  # user 1 dropped, user 2 exact
+
+
+def test_promql_without_clause(spark):
+    """r12 `without (labels)` — the complement of `by`: dropping every
+    label equals the global form, dropping none equals the identity
+    grouping, absent names are ignored (the PromQL rule), empty by()
+    equals global too, and without() composes with label_replace's
+    derived labels (group by everything except the original user)."""
+    from prometheus_remote_kinesis_spark.promql import Agg, compile_promql, parse
+    from tests.conftest import SF_SMOKE
+
+    e = parse("sum without (user) (sum_over_time(click[30d]))")
+    assert isinstance(e, Agg) and e.without == ("user",) and e.by == ()
+
+    def run(q):
+        return sorted(
+            map(tuple, compile_promql(spark, SF_SMOKE, q).collect())
+        )
+
+    base = "sum_over_time(click[30d])"
+    assert run(f"sum without (user) ({base})") == run(f"sum({base})")
+    assert run(f"sum by () ({base})") == run(f"sum({base})")
+    assert run(f"sum without () ({base})") == run(f"sum by (user) ({base})")
+    assert run(f"sum without (region) ({base})") == run(
+        f"sum by (user) ({base})"
+    )  # absent names ignored
+    # composition with a derived label: keep tier, drop user
+    lr = (
+        'label_replace(sum_over_time(click[30d]), "tier", "t$1", '
+        '"user", "(\\d)\\d*")'
+    )
+    assert run(f"sum without (user) ({lr})") == run(f"sum by (tier) ({lr})")
