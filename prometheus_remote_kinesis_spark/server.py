@@ -98,15 +98,20 @@ class _Handler(BaseHTTPRequestHandler):
         (the spec allows both; Grafana sends either depending on the
         datasource version). Anything else → ValueError → 400."""
         try:
-            return float(text)
+            t = float(text)
         except ValueError:
-            pass
-        from datetime import datetime, timezone
+            from datetime import datetime, timezone
 
-        dt = datetime.fromisoformat(text.replace("Z", "+00:00"))
-        if dt.tzinfo is None:  # bare local times are ambiguous — spec
-            dt = dt.replace(tzinfo=timezone.utc)  # sends UTC ('Z') forms
-        return dt.timestamp()
+            dt = datetime.fromisoformat(text.replace("Z", "+00:00"))
+            if dt.tzinfo is None:  # bare local times are ambiguous — spec
+                dt = dt.replace(tzinfo=timezone.utc)  # sends UTC ('Z') forms
+            return dt.timestamp()
+        if not math.isfinite(t):
+            # float() parses "inf"/"nan"; int(round(inf*1000)) downstream
+            # would raise OverflowError → a 500 'internal' where the spec
+            # wants 400 bad_data (r12 ADVICE)
+            raise ValueError(f"non-finite timestamp {text!r}")
+        return t
 
     @staticmethod
     def _parse_duration_s(text: str) -> float:
@@ -130,6 +135,36 @@ class _Handler(BaseHTTPRequestHandler):
             400, {"status": "error", "errorType": "bad_data", "error": msg}
         )
 
+    # Default metadata-route cap (the Prometheus API's `limit` parameter,
+    # r12 VERDICT task #5): absent → this cap; `limit=0` (the spec's
+    # "disabled") → the hard server max below, so NO client request can
+    # size a driver materialization by data cardinality alone.
+    _MD_DEFAULT_LIMIT = 1000
+    _MD_HARD_MAX = 100_000
+
+    def _parse_limit(self, params) -> int | None:
+        """The metadata routes' ``limit=`` parameter → effective row cap
+        (always finite). Returns None after answering 400 on bad input."""
+        raw = params.get("limit", [None])[0]
+        if raw is None:
+            return self._MD_DEFAULT_LIMIT
+        try:
+            n = int(raw)
+        except ValueError:
+            n = -1
+        if n < 0:
+            self._bad(f"bad limit parameter {raw!r}")
+            return None
+        if n == 0:  # spec: 0 disables the limit — bounded by the hard max
+            return self._MD_HARD_MAX
+        return min(n, self._MD_HARD_MAX)
+
+    def _md_reply(self, data, truncated: bool) -> None:
+        obj = {"status": "success", "data": data}
+        if truncated:  # the spec's truncation signal
+            obj["warnings"] = ["results truncated due to limit"]
+        self._json(200, obj)
+
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         # Prometheus HTTP API (public spec): GET /api/v1/query (instant,
         # optional time=) and GET /api/v1/query_range (start/end/step →
@@ -141,34 +176,62 @@ class _Handler(BaseHTTPRequestHandler):
         from urllib.parse import parse_qs, urlparse
 
         u = urlparse(self.path)
-        params = parse_qs(u.query)
+        self._api(u.path, parse_qs(u.query))
+
+    def _api(self, path: str, params: dict) -> None:
+        """The shared API dispatcher — GET takes parameters from the URL,
+        POST from a form-encoded body (r12 VERDICT task #8: Prometheus
+        clients POST long queries; Grafana falls back to POST past
+        URL-length limits)."""
         md = getattr(self.server, "metadata_handler", None)
-        if md is not None and u.path in ("/api/v1/labels", "/api/v1/series"):
+        if md is not None and path in ("/api/v1/labels", "/api/v1/series"):
+            limit = self._parse_limit(params)
+            if limit is None:
+                return
             try:
-                if u.path == "/api/v1/labels":
-                    data = md("labels")
+                if path == "/api/v1/labels":
+                    data, trunc = md("labels", limit=limit)
                 else:
                     m = params.get("match[]", [None])[0]
                     if not m:
                         self._bad("series needs a match[] selector")
                         return
-                    data = md("series", m)
+                    data, trunc = md("series", m, limit=limit)
             except ValueError as e:
                 self._bad(str(e))
                 return
-            self._json(200, {"status": "success", "data": data})
+            except Exception as e:  # noqa: BLE001 — spec: internal error
+                # (r12 ADVICE: a non-ValueError Spark failure previously
+                # escaped do_GET and dropped the connection)
+                self._json(
+                    500,
+                    {"status": "error", "errorType": "internal",
+                     "error": str(e)},
+                )
+                return
+            self._md_reply(data, trunc)
             return
-        if md is not None and u.path.startswith("/api/v1/label/") and u.path.endswith("/values"):
-            name = u.path[len("/api/v1/label/"):-len("/values")]
+        if md is not None and path.startswith("/api/v1/label/") and path.endswith("/values"):
+            name = path[len("/api/v1/label/"):-len("/values")]
+            limit = self._parse_limit(params)
+            if limit is None:
+                return
             try:
-                data = md("label_values", name)
+                data, trunc = md("label_values", name, limit=limit)
             except ValueError as e:
                 self._bad(str(e))
                 return
-            self._json(200, {"status": "success", "data": data})
+            except Exception as e:  # noqa: BLE001 — spec: internal error
+                self._json(
+                    500,
+                    {"status": "error", "errorType": "internal",
+                     "error": str(e)},
+                )
+                return
+            self._md_reply(data, trunc)
             return
         if (
-            u.path == "/api/v1/query_range"
+            path == "/api/v1/query_range"
             and getattr(self.server, "range_handler", None) is not None
         ):
             q = params.get("query", [None])[0]
@@ -214,7 +277,7 @@ class _Handler(BaseHTTPRequestHandler):
                 },
             )
             return
-        if u.path != "/api/v1/query" or getattr(self.server, "query_handler", None) is None:
+        if path != "/api/v1/query" or getattr(self.server, "query_handler", None) is None:
             self.send_response(404)
             self.end_headers()
             return
@@ -255,6 +318,24 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        from urllib.parse import parse_qs, urlparse
+
+        u = urlparse(self.path)
+        if u.path in ("/api/v1/query", "/api/v1/query_range"):
+            # Prometheus clients POST form-encoded bodies for long
+            # queries (r12 VERDICT task #8); parameters may arrive in the
+            # URL, the body, or both — body wins per key (the spec lets
+            # either carry them; merging matches Prometheus's ParseForm)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length).decode("utf-8")
+            except Exception:
+                self._bad("unreadable request body")
+                return
+            params = parse_qs(u.query)
+            params.update(parse_qs(body))
+            self._api(u.path, params)
+            return
         if self.path == "/read" and getattr(self.server, "read_handler", None):
             # Prometheus remote_read (beyond-reference surface; the
             # reference is write-only — this serves the relayed series

@@ -137,9 +137,9 @@ def test_query_tables_handler_wiring(spark):
     }
     t_s, vec = h["query_handler"]("count(signup)")
     assert t_s > 1e9 and len(vec) <= 1  # 0 or 1 row, a global count
-    labels = h["metadata_handler"]("labels")
+    labels, _trunc = h["metadata_handler"]("labels")
     assert labels == ["__name__", "user"]
-    names = h["metadata_handler"]("label_values", "__name__")
+    names, _trunc = h["metadata_handler"]("label_values", "__name__")
     assert "click" in names
     end_s = t_s
     series = h["range_handler"](

@@ -2038,6 +2038,10 @@ def test_promql_range_last_point_is_instant(spark):
         ("sum(rate(view[1d]))", SF_SMOKE),
         ("click", "/root/testdata/sf0.01"),
         ("count_over_time(error[1d])", SF_SMOKE),
+        # r13: the gridded terminals share the anchor property
+        ("predict_linear(purchase[30d], 3600)", SF_SMOKE),
+        ("histogram_quantile(0.5, sum by (le) "
+         "(count_over_time(purchase_bucket[30d])))", SF_SMOKE),
     ):
         grid = compile_promql_range(
             spark, sf, q, step_ms=21_600_000, span_ms=86_400_000
@@ -2110,15 +2114,31 @@ def test_promql_range_grid_semantics(spark):
         compile_promql_range(
             spark, SF_SMOKE, "click", step_ms=1, span_ms=1_000_000
         )
-    with pytest.raises(PromQLError, match="instant-only"):
-        compile_promql_range(
-            spark, SF_SMOKE,
-            "histogram_quantile(0.9, sum by (le) "
-            "(count_over_time(view_bucket[1d])))",
-            step_ms=1000, span_ms=10_000,
-        )
     with pytest.raises(PromQLError, match="span_ms"):
         compile_promql_range(spark, SF_SMOKE, "click", step_ms=1000)
+    # r13 (VERDICT r12 task #2): histogram_quantile grids — every grid
+    # point equals the instant query with the matching offset (the same
+    # cross-check as the rationals above, so the gridded bucket partials
+    # are verified against the already-trusted instant interpolation)
+    HQ = ("histogram_quantile(0.9, sum by (le) "
+          "(count_over_time(view_bucket[1d]{})))")
+    hq_grid = compile_promql_range(
+        spark, SF_SMOKE, HQ.format(""), step_ms=STEP, span_ms=STEP * N
+    ).collect()
+    assert hq_grid and [r["t_ms"] for r in hq_grid]
+    t_last_hq = max(r["t_ms"] for r in hq_grid)
+    for j in range(N + 1):
+        want_hq = {
+            r["value"]
+            for r in compile_promql(
+                spark, SF_SMOKE,
+                HQ.format(f" offset {j * STEP}ms" if j else ""),
+            ).collect()
+        }
+        got_hq = {
+            r["value"] for r in hq_grid if r["t_ms"] == t_last_hq - j * STEP
+        }
+        assert got_hq == want_hq, f"histq grid point T-{j}*step diverges"
 
 
 def test_promql_subquery_parse_and_semantics(spark):
@@ -2622,11 +2642,16 @@ def test_promql_deriv_terminal_and_exact(spark):
     assert got == want and got
     with pytest.raises(PromQLError, match="outermost"):
         compile_promql(spark, SF_SMOKE, "topk(3, deriv(purchase[30d]))")
-    with pytest.raises(PromQLError, match="instant-only"):
-        compile_promql_range(
-            spark, SF_SMOKE, "deriv(purchase[30d])",
-            step_ms=1000, span_ms=10_000,
-        )
+    # r13 (VERDICT r12 task #2): deriv grids — the last grid point of a
+    # T-anchored grid is bit-equal to the instant query just computed
+    grid_rows = compile_promql_range(
+        spark, SF_SMOKE, "deriv(purchase[30d])",
+        step_ms=21_600_000, span_ms=86_400_000,
+    ).collect()
+    t_last = max(r["t_ms"] for r in grid_rows)
+    assert {
+        r["user"]: r["value"] for r in grid_rows if r["t_ms"] == t_last
+    } == want
     # predict_linear: the same partials evaluated at x_p = w + t*1000
     AH = 3600
     want_p = {}
@@ -2806,3 +2831,50 @@ def test_promql_without_clause(spark):
         '"user", "(\\d)\\d*")'
     )
     assert run(f"sum without (user) ({lr})") == run(f"sum by (tier) ({lr})")
+
+
+def test_promql_r13_advice_fixes(spark):
+    """r13 (the two r12-ADVICE compiler gaps):
+
+    1. label_replace writing a NON-NUMERIC replacement into the numeric
+       data-model label ``user`` now finalizes user as VARCHAR — the
+       grammar-valid query answers instead of throwing the ANSI bigint
+       cast at runtime (HTTP 500). Labels never rewritten keep the
+       bigint finalize (pq21's tier grouping and every existing oracle
+       type unchanged).
+    2. ``sum by (t_ms)`` on a range-query grid rejects at compile time
+       (sparkless, the _variable_den pattern) instead of emitting a
+       duplicate-keyed malformed matrix."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, _compile_vector, _Grid, _string_forced, compile_promql,
+        parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    q = ('label_replace(sum_over_time(click[30d]), '
+         '"user", "u$1", "user", "(\\d)")')
+    assert _string_forced(parse(q)) == frozenset({"user"})
+    assert _string_forced(parse("sum by (user) (rate(view[1d]))")) == frozenset()
+    df = compile_promql(spark, SF_SMOKE, q)
+    assert dict(df.dtypes)["user"] == "string"
+    rows = {r["user"]: r["value"] for r in df.collect()}
+    base = {
+        str(r["user"]): r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(click[30d])"
+        ).collect()
+    }
+    assert rows and rows == {
+        (f"u{u[0]}" if len(u) == 1 else u): v for u, v in base.items()
+    }
+    # untouched-label queries keep the exact bigint finalize
+    assert dict(
+        compile_promql(spark, SF_SMOKE, "sum_over_time(click[30d])").dtypes
+    )["user"] == "bigint"
+    grid = _Grid(step_ms=3_600_000, span_ms=86_400_000)
+    with pytest.raises(PromQLError, match=r"by\(t_ms\)"):
+        _compile_vector(
+            None, None, parse("sum by (t_ms) (rate(view[1d]))"), grid
+        )

@@ -661,3 +661,158 @@ def test_promql_metadata_endpoints(spark, tmp_path):
                 assert e.code == 404
     finally:
         srv2.stop()
+
+
+def test_promql_query_post_twins(spark, tmp_path):
+    """POST /api/v1/query and /api/v1/query_range accept form-encoded
+    bodies (r13, VERDICT r12 task #8 — Prometheus clients POST long
+    queries; Grafana falls back to POST past URL-length limits): the
+    POST result is byte-identical to the GET twin, body parameters win
+    over URL ones per the merge rule, and a rejected query answers the
+    same 400 bad_data envelope as GET."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.parse import quote, urlencode
+    from urllib.request import Request, urlopen
+
+    from prometheus_remote_kinesis_spark.promql import (
+        make_promql_http_handler, make_promql_range_http_handler,
+    )
+    from prometheus_remote_kinesis_spark.server import RemoteWriteServer
+    from tests.conftest import SF_SMOKE
+
+    srv = RemoteWriteServer(
+        str(tmp_path / "spool"),
+        query_handler=make_promql_http_handler(spark, SF_SMOKE),
+        range_handler=make_promql_range_http_handler(spark, SF_SMOKE),
+    ).start()
+    try:
+        host, port = srv.server_address[:2]
+        base = f"http://{host}:{port}/api/v1"
+        q = "sum by (user) (increase(click[30d]))"
+        with urlopen(f"{base}/query?query={quote(q)}") as r:
+            get_doc = _json.loads(r.read())
+        body = urlencode({"query": q}).encode()
+        with urlopen(Request(f"{base}/query", data=body, method="POST")) as r:
+            assert r.status == 200
+            post_doc = _json.loads(r.read())
+        assert post_doc == get_doc and post_doc["data"]["result"]
+        # body wins over URL per key (Prometheus's ParseForm behavior)
+        with urlopen(
+            Request(f"{base}/query?query=definitely_absent_metric",
+                    data=body, method="POST")
+        ) as r:
+            assert _json.loads(r.read()) == get_doc
+        # range twin: GET grid == POST grid
+        end_s = get_doc["data"]["result"][0]["value"][0]
+        rng = {
+            "query": "count_over_time(click[1d])",
+            "start": f"{end_s - 86_400.0}",
+            "end": f"{end_s}",
+            "step": "6h",
+        }
+        get_url = f"{base}/query_range?" + urlencode(rng)
+        with urlopen(get_url) as r:
+            get_rng = _json.loads(r.read())
+        with urlopen(
+            Request(f"{base}/query_range", data=urlencode(rng).encode(),
+                    method="POST")
+        ) as r:
+            post_rng = _json.loads(r.read())
+        assert post_rng == get_rng
+        assert post_rng["data"]["resultType"] == "matrix"
+        assert post_rng["data"]["result"]
+        # rejection parity: POST of a subset-rejected query → 400 bad_data
+        bad = urlencode({"query": "sum(avg_over_time(click[1d]))"}).encode()
+        try:
+            urlopen(Request(f"{base}/query", data=bad, method="POST"))
+            raise AssertionError("expected HTTP 400")
+        except HTTPError as e:
+            assert e.code == 400
+            assert _json.loads(e.read())["errorType"] == "bad_data"
+    finally:
+        srv.stop()
+
+
+def test_promql_metadata_limit_param(spark, tmp_path):
+    """The metadata routes honor the spec's ``limit`` parameter (r13,
+    VERDICT r12 task #5): limit below the cardinality truncates the
+    sorted list and sets the spec's warnings array, limit above it
+    returns everything with no warning, limit=0 (the spec's "disabled")
+    still answers bounded by the server hard max, a malformed limit
+    400s, and a non-finite time parameter on the query route answers
+    400 bad_data instead of a 500 (r12 ADVICE). A metadata handler that
+    fails mid-flight answers the spec's 500 internal envelope instead
+    of dropping the connection (r12 ADVICE)."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from prometheus_remote_kinesis_spark.promql import (
+        make_promql_http_handler, make_promql_metadata_handler,
+    )
+    from prometheus_remote_kinesis_spark.server import RemoteWriteServer
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    srv = RemoteWriteServer(
+        str(tmp_path / "spool"),
+        query_handler=make_promql_http_handler(spark, SF_SMOKE),
+        metadata_handler=make_promql_metadata_handler(spark, SF_SMOKE),
+    ).start()
+    try:
+        host, port = srv.server_address[:2]
+        base = f"http://{host}:{port}/api/v1"
+        ev = load_table(spark, SF_SMOKE, "events").where("value IS NOT NULL")
+        all_users = sorted(
+            (str(x["user_id"]) for x in
+             ev.select("user_id").distinct().collect()),
+            key=lambda s: (len(s), s),
+        )
+        assert len(all_users) > 3
+        with urlopen(f"{base}/label/user/values?limit=3") as r:
+            doc = _json.loads(r.read())
+        assert doc["data"] == all_users[:3]
+        assert doc["warnings"] == ["results truncated due to limit"]
+        with urlopen(f"{base}/label/user/values?limit={len(all_users)}") as r:
+            doc = _json.loads(r.read())
+        assert doc["data"] == all_users and "warnings" not in doc
+        with urlopen(f"{base}/label/user/values?limit=0") as r:
+            doc = _json.loads(r.read())  # spec: 0 disables (hard-max bound)
+        assert doc["data"] == all_users and "warnings" not in doc
+        with urlopen(f"{base}/labels?limit=1") as r:
+            doc = _json.loads(r.read())
+        assert doc["data"] == ["__name__"] and "warnings" in doc
+        for bad in ("limit=-1", "limit=abc"):
+            try:
+                urlopen(f"{base}/label/user/values?{bad}")
+                raise AssertionError("expected HTTP 400")
+            except HTTPError as e:
+                assert e.code == 400
+        # non-finite time → 400 bad_data, not OverflowError → 500
+        for t in ("inf", "nan", "-inf"):
+            try:
+                urlopen(f"{base}/query?query=click&time={t}")
+                raise AssertionError("expected HTTP 400")
+            except HTTPError as e:
+                assert e.code == 400
+                assert _json.loads(e.read())["errorType"] == "bad_data"
+    finally:
+        srv.stop()
+
+    def boom(kind, arg=None, limit=1000):
+        raise RuntimeError("executor lost")
+
+    srv2 = RemoteWriteServer(
+        str(tmp_path / "spool2"), metadata_handler=boom
+    ).start()
+    try:
+        host, port = srv2.server_address[:2]
+        try:
+            urlopen(f"http://{host}:{port}/api/v1/labels")
+            raise AssertionError("expected HTTP 500")
+        except HTTPError as e:
+            assert e.code == 500
+            assert _json.loads(e.read())["errorType"] == "internal"
+    finally:
+        srv2.stop()
