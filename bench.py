@@ -158,7 +158,7 @@ def main() -> None:
                 # w3_trailing_5min_sum OUT / w5_gaps_islands IN; r12 ADDS
                 # pq1_promql_sum_increase (16 queries — drop the pq1 key
                 # to compare totals against r9-r11's 15-query set).
-                "headline_set_change": "r9:w3_out_w5_in;r12:pq1_in",
+                "headline_set_change": "r9:w3_out_w5_in;r12:pq1_in;r13:pqr1_in",
                 # r11 (VERDICT r10 task #4): fixed-workload box-speed
                 # probe timed before the suite; divide timings by
                 # (calibration_s / quiet-box reference in SCALE.md) to

@@ -143,6 +143,10 @@ class Agg:
     # the inner label set MINUS these (absent names are ignored, the
     # PromQL rule); None means the by-form (or global) was written
     without: tuple[str, ...] | None = None
+    # the parameterized aggregations (r13, VERDICT r12 task #4):
+    # quantile's φ (a Fraction) or count_values' dst label name (a str);
+    # None for the plain ops
+    param: object = None
 
 
 @dataclass(frozen=True)
@@ -339,8 +343,19 @@ _RANGE_FNS = {
     "count_over_time", "min_over_time", "max_over_time",
     "last_over_time", "present_over_time", "stddev_over_time",
     "changes", "resets", "idelta", "irate",
+    # r13 (VERDICT r12 task #3): delta — rate's gauge sibling,
+    # window-local last − first, no reset logic — and stdvar_over_time,
+    # stddev's no-sqrt twin (variable den n²·10⁴ → aggregations reject)
+    "delta", "stdvar_over_time",
 }
-_AGG_OPS = {"sum", "min", "max", "count", "avg"}
+_AGG_OPS = {
+    "sum", "min", "max", "count", "avg",
+    # r13 (VERDICT r12 task #4): the across-series extensions — group
+    # (presence: 1 per group), stddev/stdvar (population moments over a
+    # constant-den vector, decimal(38,0) partials), and the
+    # parameterized quantile(φ, v) / count_values("label", v)
+    "group", "stddev", "stdvar", "quantile", "count_values",
+}
 _DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)(?P<unit>ms|[smhd])?"
@@ -543,9 +558,26 @@ class _Parser:
                     without = tuple(labels)
             if self._peek() == ("op", "("):
                 self._next()
+                param = None
+                if v == "quantile":
+                    # quantile(φ, v) — the φ parameter leads (PromQL)
+                    param = Fraction(self._expect("num")[1])
+                    if not (0 <= param <= 1):
+                        raise PromQLError(
+                            f"quantile phi must be in [0,1], got {param}"
+                        )
+                    self._expect("op", ",")
+                elif v == "count_values":
+                    # count_values("label", v) — dst label name leads
+                    param = self._expect("str")[1]
+                    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", param):
+                        raise PromQLError(
+                            f"count_values: invalid label name {param!r}"
+                        )
+                    self._expect("op", ",")
                 inner = self._expr()
                 self._expect("op", ")")
-                return Agg(v, by, inner, without)
+                return Agg(v, by, inner, without, param)
             self.i = save  # an aggregation keyword used as a metric name
         if k == "id" and v == "histogram_quantile":
             self._next()
@@ -757,8 +789,10 @@ def _variable_den(node) -> bool:
         return False
     if isinstance(node, RangeFn):
         # irate's den is 100·(last sample gap ms) — per-series;
-        # avg_over_time's is count·100 — per-series too
-        return node.fn in ("avg_over_time", "irate")
+        # avg_over_time's is count·100 — per-series too;
+        # stdvar_over_time's is n²·10⁴ — per-series (r13; its sqrt twin
+        # stddev_over_time is fenced by the sqrt flag instead)
+        return node.fn in ("avg_over_time", "irate", "stdvar_over_time")
     if isinstance(node, LabelReplace):
         return _variable_den(node.expr)  # values untouched
     if isinstance(node, Absent):
@@ -777,7 +811,14 @@ def _variable_den(node) -> bool:
             return False
         return _variable_den(node.expr)  # sum/min/max/last inherit
     if isinstance(node, Agg):
-        return node.op == "avg"  # den = den_in · n_in, n_in per-group
+        if node.op in ("avg", "stddev", "stdvar"):
+            # avg: den = den_in · n_in; stddev/stdvar: den = (n_in·D)²
+            # — all pick up the per-group count
+            return True
+        if node.op == "quantile":
+            # den = D·q — a query constant exactly when the inner's is
+            return _variable_den(node.expr)
+        return False  # sum/min/max/count/group/count_values
     if isinstance(node, (TopK, Cmp, Scale, Shift, VecAbs, Clamp)):
         return _variable_den(node.expr)
     if isinstance(node, VecBin):
@@ -1115,7 +1156,7 @@ def _compile_rangefn_grid(
     d = _grid_expand(
         spark, sf_dir, base, grid, w, node.sel.offset_ms, eval_ms=eval_ms
     )
-    if node.fn == "stddev_over_time":
+    if node.fn in ("stddev_over_time", "stdvar_over_time"):
         g = d.groupBy("t_ms", "user").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("c").cast("long").alias("s1"),
@@ -1128,7 +1169,28 @@ def _compile_rangefn_grid(
             .alias("num"),
             (F.col("n") * F.col("n") * 10000).cast("long").alias("den"),
         )
-        return _Vec(out, ("t_ms", "user"), sqrt=True)
+        return _Vec(
+            out, ("t_ms", "user"), sqrt=(node.fn == "stddev_over_time")
+        )
+    if node.fn == "delta":
+        # gauge last − first per grid window (r13) — both picks share
+        # the unique (ms, event_id) key, two samples required
+        key = F.struct("ms", "event_id")
+        g = (
+            d.groupBy("t_ms", "user")
+            .agg(
+                F.max_by("c", key).alias("lc"),
+                F.min_by("c", key).alias("fc"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .where(F.col("n") >= 2)
+        )
+        out = g.select(
+            "t_ms", "user",
+            (F.col("lc") - F.col("fc")).cast("long").alias("num"),
+            F.lit(100).cast("long").alias("den"),
+        )
+        return _Vec(out, ("t_ms", "user"), den_const=100)
     aggs = {
         # (num agg, den expr, den_const — None when data-dependent);
         # keep in lockstep with the instant branch's table below
@@ -1211,11 +1273,14 @@ def _compile_vector(
         d = d.where(
             (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
         )
-        if node.fn == "stddev_over_time":
+        if node.fn in ("stddev_over_time", "stdvar_over_time"):
             # population variance = (n·Σc² − (Σc)²) / (n²·100²); the
             # regression-sums discipline (t31): exact integer partials,
-            # value = sqrt(num/den) at finalize. n·Σc² bounded ~1e16 at
-            # the 64× probe (ANSI mode raises loudly past int64).
+            # value = sqrt(num/den) at finalize for stddev — stdvar
+            # (r13) is the same rational WITHOUT the sqrt, so it is
+            # variable-den (n² per series) and aggregations reject at
+            # compile. n·Σc² bounded ~1e16 at the 64× probe (ANSI mode
+            # raises loudly past int64).
             g = d.groupBy("user").agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("c").cast("long").alias("s1"),
@@ -1228,7 +1293,31 @@ def _compile_vector(
                 .alias("num"),
                 (F.col("n") * F.col("n") * 10000).cast("long").alias("den"),
             )
-            return _Vec(out, ("user",), sqrt=True)
+            return _Vec(
+                out, ("user",), sqrt=(node.fn == "stddev_over_time")
+            )
+        if node.fn == "delta":
+            # r13 (VERDICT r12 task #3): rate's GAUGE sibling — the
+            # window's last sample minus its first, NO reset logic, two
+            # samples required (the Prometheus rule; this subset is the
+            # non-extrapolated form, the t14/increase convention). Both
+            # picks share the unique (ms, event_id) key → deterministic.
+            key = F.struct("ms", "event_id")
+            g = (
+                d.groupBy("user")
+                .agg(
+                    F.max_by("c", key).alias("lc"),
+                    F.min_by("c", key).alias("fc"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .where(F.col("n") >= 2)
+            )
+            out = g.select(
+                "user",
+                (F.col("lc") - F.col("fc")).cast("long").alias("num"),
+                F.lit(100).cast("long").alias("den"),
+            )
+            return _Vec(out, ("user",), den_const=100)
         if node.fn in ("changes", "resets"):
             # counter-health kernels (r12): count of value changes /
             # counter resets among window-local consecutive pairs; a
@@ -1343,7 +1432,9 @@ def _compile_vector(
         )
         return _Vec(g, ("user",), den_const=den_c)
     if isinstance(node, Agg):
-        if node.op in ("sum", "avg", "min", "max") and _variable_den(node.expr):
+        if node.op in (
+            "sum", "avg", "min", "max", "stddev", "stdvar", "quantile"
+        ) and _variable_den(node.expr):
             # before compiling the inner vector: a pure AST-walk check,
             # so the unsound query fails fast with no plan built
             raise PromQLError(
@@ -1365,10 +1456,11 @@ def _compile_vector(
                 "implicit per-step grouping key, not a label"
             )
         inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
-        if inner.sqrt and node.op != "count":
+        if inner.sqrt and node.op not in ("count", "group"):
             raise PromQLError(
-                "sum/avg/min/max over stddev_over_time is outside the exact-"
-                "rational subset (sqrt values don't aggregate rationally)"
+                "aggregating stddev_over_time values is outside the exact-"
+                "rational subset (sqrt values don't aggregate rationally; "
+                "count/group are den-insensitive and stay accepted)"
             )
         for lbl in node.by:
             if lbl not in inner.labels:
@@ -1386,8 +1478,107 @@ def _compile_vector(
             ]
         else:
             keys = tgrid_keys + list(node.by)
+        if node.op == "count_values":
+            # count_values("dst", v) (r13 — t27's mechanism from query
+            # text): group by the sample VALUE itself; dst carries its
+            # string rendering, value = the member count. Exactness
+            # needs a cross-engine-identical rendering, so the subset
+            # requires an INTEGER-valued vector (den = 1: count/changes/
+            # resets/floor/… kernels) — both engines render a bigint
+            # identically; wrap non-integer vectors in floor/ceil/round.
+            dst = node.param
+            if dst in ("t_ms", "num", "den") or dst in inner.labels:
+                raise PromQLError(
+                    f"count_values: dst {dst!r} collides with a reserved "
+                    "or grouped label"
+                )
+            if inner.den_const != 1:
+                raise PromQLError(
+                    "count_values needs an integer-valued vector "
+                    "(den = 1) so both engines render the value label "
+                    "identically — wrap the vector in floor/ceil/round "
+                    "or use an integer kernel (count_over_time/changes/"
+                    "resets)"
+                )
+            gcv = inner.df.groupBy(
+                *keys, F.col("num").cast("string").alias(dst)
+            )
+            out = gcv.agg(
+                F.count(F.lit(1)).cast("long").alias("num")
+            ).select(*keys, dst, "num", F.lit(1).cast("long").alias("den"))
+            return _Vec(out, tuple(keys) + (dst,), den_const=1)
         gb = inner.df.groupBy(*keys) if keys else inner.df.groupBy()
-        if node.op in ("sum", "avg", "min", "max"):
+        if node.op == "group":
+            # presence marker: the constant 1 per group (den-insensitive,
+            # accepted even over sqrt vectors — like count)
+            out = gb.agg(F.max(F.lit(1)).cast("long").alias("num")).select(
+                *keys, "num", F.lit(1).cast("long").alias("den")
+            )
+            den_c = 1
+        elif node.op in ("stddev", "stdvar"):
+            # population moments ACROSS series with values num_i/D (D
+            # constant, enforced by the AST check above): variance =
+            # (n·Σnum² − (Σnum)²) / (n·D)². Partials accumulate as
+            # decimal(38,0) ≡ HUGEINT — Σnum² can pass int64 at scale
+            # (num ~1e8 cents at the 64× probe) — exact on both engines;
+            # stddev finalizes through the sqrt flag (IEEE-correctly-
+            # rounded on both), stdvar as the plain rational. den =
+            # (n_in·D)² varies per group → both are variable-den
+            # (nesting rejects via _variable_den).
+            dec = "decimal(38,0)"
+            dn = F.col("num").cast(dec)
+            g = gb.agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.sum(dn).alias("s1"),
+                F.sum(dn * dn).alias("s2"),
+                F.min("den").alias("den_lo"),
+                F.max("den").alias("den_hi"),
+            ).where(F.col("den_lo") == F.col("den_hi"))  # defensive only
+            nd = F.col("n_in").cast(dec) * F.col("den_lo").cast(dec)
+            out = g.select(
+                *keys,
+                (
+                    F.col("n_in").cast(dec) * F.col("s2")
+                    - F.col("s1") * F.col("s1")
+                ).cast(dec).alias("num"),
+                (nd * nd).cast(dec).alias("den"),
+            )
+            return _Vec(out, tuple(keys), sqrt=(node.op == "stddev"))
+        elif node.op == "quantile":
+            # quantile(φ, v) across series (r13): pq19's exact type-7
+            # interpolation pointed across the group's numerators at one
+            # eval point — num' = num_lo·(q−rem) + num_hi·rem over the
+            # QUERY-CONSTANT den D·q, so the result stays aggregable
+            # (the same soundness argument as quantile_over_time). The
+            # per-group collect is bounded by series-per-group (the a7
+            # envelope); integer rank arithmetic → no float ties.
+            if inner.den_const is None:  # defensive: AST check fired
+                raise PromQLError(
+                    "quantile() needs a constant-denominator vector"
+                )
+            p_, q_ = node.param.numerator, node.param.denominator
+            g = gb.agg(
+                F.sort_array(F.collect_list("num")).alias("arr"),
+                F.count(F.lit(1)).alias("n_in"),
+            )
+            lo = F.floor((F.col("n_in") - 1) * p_ / q_).cast("long")
+            rem = ((F.col("n_in") - 1) * p_ - lo * q_).cast("long")
+            v_lo = F.element_at("arr", (lo + 1).cast("int"))
+            v_hi = F.coalesce(
+                F.element_at(
+                    "arr", F.least(lo + 2, F.col("n_in")).cast("int")
+                ),
+                v_lo,
+            )
+            den_c = _chk_den(inner.den_const * q_)
+            out = g.select(
+                *keys,
+                (v_lo * (F.lit(q_) - rem) + v_hi * rem)
+                .cast("long")
+                .alias("num"),
+                F.lit(den_c).cast("long").alias("den"),
+            )
+        elif node.op in ("sum", "avg", "min", "max"):
             # exact rational aggregation needs a common denominator
             # within each group — variable-den kernels (avg_over_time,
             # nested avg) were REJECTED AT COMPILE TIME above (r10
@@ -1796,7 +1987,10 @@ def _compile_vector(
                 "a subquery inside a range-query grid is outside the "
                 "subset (nested grids); evaluate it as an instant query"
             )
-        if node.fn in ("rate", "increase", "stddev_over_time"):
+        if node.fn in (
+            "rate", "increase", "stddev_over_time", "delta",
+            "stdvar_over_time",
+        ):
             raise PromQLError(
                 f"{node.fn} over a subquery is outside the subset "
                 "(counter/moment semantics over derived samples); "
@@ -3324,6 +3518,235 @@ def pq21_promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_promql(spark, sf_dir, PQ21_QUERY)
 
 
+PQ28_QUERY = "sum(delta(purchase[30d]))"
+PQ28_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    d AS (
+        SELECT user_id, c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ms, event_id) AS ra,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ms DESC, event_id DESC) AS rd,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM s
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN rd = 1 THEN c ELSE 0 END)
+                    - sum(CASE WHEN ra = 1 THEN c ELSE 0 END)
+                    AS BIGINT) AS dv
+        FROM d WHERE n >= 2 GROUP BY 1
+    )
+    SELECT floor(CAST(CAST(sum(dv) AS BIGINT) AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pq28_promql_sum_delta", family="PQ", oracle=PQ28_ORACLE)
+def pq28_promql_sum_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum(delta(purchase[30d]))`` (r13, VERDICT r12 task #3 —
+    the most common remaining grammar fn): delta is rate's GAUGE
+    sibling — window last − first, NO reset logic (simpler than the
+    increase kernel; this subset is the non-extrapolated form, the t14
+    convention), two samples required. Both picks ride one max_by/
+    min_by hash aggregation sharing the unique (ms, event_id) key; den
+    is the constant 100, so the sum aggregation is exact-rational-
+    sound and sits IN the hash gate. Oracle: first/last per series via
+    two row_number picks over the identical (ms, event_id) order."""
+    return compile_promql(spark, sf_dir, PQ28_QUERY)
+
+
+PQ29_QUERY = "stdvar_over_time(purchase[30d])"
+PQ29_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS s1,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                        * CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS s2
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(n * n * 10000 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pq29_promql_stdvar_over_time", family="PQ", oracle=PQ29_ORACLE)
+def pq29_promql_stdvar_over_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PromQL ``stdvar_over_time(purchase[30d])`` (r13, task #3 —
+    t14g's population variance from query text): stddev_over_time's
+    no-sqrt twin — the SAME exact integer partials (n·Σc² − (Σc)²
+    over n²·10⁴), finalized as the plain rational instead of through
+    the sqrt flag. Its den is n² PER SERIES, so stdvar_over_time joins
+    avg_over_time/irate in the compile-time variable-den rejection
+    (sum(stdvar_over_time(...)) → 400, pytest-pinned)."""
+    return compile_promql(spark, sf_dir, PQ29_QUERY)
+
+
+PQ30_QUERY = "quantile(0.9, sum_over_time(purchase[30d]))"
+PQ30_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    a AS (
+        SELECT list_sort(list(num)) AS arr, CAST(count(*) AS BIGINT) AS n
+        FROM g
+    ),
+    r AS (
+        SELECT arr, n,
+               (n - 1) * 9 // 10 AS lo,
+               (n - 1) * 9 - ((n - 1) * 9 // 10) * 10 AS rem
+        FROM a WHERE n > 0
+    )
+    SELECT floor(CAST(arr[CAST(lo + 1 AS INT)] * (10 - rem)
+                      + coalesce(arr[CAST(least(lo + 2, n) AS INT)],
+                                 arr[CAST(lo + 1 AS INT)]) * rem AS DOUBLE)
+                 / CAST(1000 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM r
+"""
+
+
+@register("pq30_promql_quantile_agg", family="PQ", oracle=PQ30_ORACLE)
+def pq30_promql_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile(0.9, sum_over_time(purchase[30d]))`` (r13,
+    VERDICT r12 task #4 — quantile ACROSS series): pq19's exact type-7
+    interpolation pointed across the group's numerators at one eval
+    point — integer rank split lo/rem (no float ties), interpolated
+    numerator over the QUERY-CONSTANT den 100·10, so the result stays
+    aggregable (the pq20 soundness argument applied across series).
+    The global collect_list is bounded by the series count (the a7
+    envelope: 150 rows here, series-cardinality at any scale — never
+    sample-count)."""
+    return compile_promql(spark, sf_dir, PQ30_QUERY)
+
+
+PQ31_QUERY = "stddev(sum_over_time(purchase[30d]))"
+PQ31_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    a AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(num AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(num AS HUGEINT) * num) AS HUGEINT) AS s2
+        FROM g HAVING count(*) > 0
+    )
+    SELECT floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                      / CAST((n * 100) * (n * 100) AS DOUBLE)) * 1e6) / 1e6
+               AS value
+    FROM a
+"""
+
+
+@register("pq31_promql_stddev_agg", family="PQ", oracle=PQ31_ORACLE)
+def pq31_promql_stddev_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``stddev(sum_over_time(purchase[30d]))`` (r13, task #4 —
+    population stddev ACROSS series): partials n/Σnum/Σnum² accumulate
+    as decimal(38,0) ≡ HUGEINT (Σnum² passes int64 at the 64× probe —
+    the t31 wide-decimal discipline), variance = (n·Σnum² − (Σnum)²)
+    / (n·100)², finalized through the sqrt flag (IEEE-correctly-rounded
+    on both engines, the stddev_over_time precedent). den = (n·D)² is
+    per-group → stddev/stdvar are variable-den: nesting them inside
+    sum/avg rejects at compile (pytest-pinned)."""
+    return compile_promql(spark, sf_dir, PQ31_QUERY)
+
+
+PQ32_QUERY = 'count_values("calls", count_over_time(click[30d]))'
+PQ32_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(n AS VARCHAR) AS calls,
+           floor(CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+                 / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g GROUP BY 1
+"""
+
+
+@register("pq32_promql_count_values", family="PQ", oracle=PQ32_ORACLE)
+def pq32_promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``count_values("calls", count_over_time(click[30d]))``
+    (r13, task #4 — t27's value-distribution mechanism from query
+    text): group by the sample VALUE itself; the new ``calls`` label
+    carries its rendering, value = the series count per distinct
+    value. Exactness requires a cross-engine-identical rendering, so
+    the subset accepts only INTEGER-valued vectors (den = 1 — both
+    engines render a bigint identically; non-integer vectors must wrap
+    in floor/ceil/round, rejection pytest-pinned). Group-key
+    cardinality = the value domain, which collapses hard under partial
+    aggregation at scale (the t27 posture)."""
+    return compile_promql(spark, sf_dir, PQ32_QUERY)
+
+
+PQ33_QUERY = "sum(group by (user) (sum_over_time(click[30d])))"
+PQ33_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT DISTINCT user_id
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+    )
+    SELECT floor(CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+                 / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pq33_promql_group_agg", family="PQ", oracle=PQ33_ORACLE)
+def pq33_promql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum(group by (user) (sum_over_time(click[30d])))``
+    (r13, task #4 — the how-many-series-exist idiom): ``group`` emits
+    the constant 1 per grouped series (den-insensitive, accepted even
+    over sqrt vectors like count), and the outer sum counts them. Two
+    chained hash aggregations, both map-side-combinable; oracle is the
+    DISTINCT series count over the same window."""
+    return compile_promql(spark, sf_dir, PQ33_QUERY)
+
+
 PQR1_QUERY = "sum(rate(view[1d]))"
 PQR1_ORACLE = """
     WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
@@ -3358,7 +3781,9 @@ PQR1_ORACLE = """
 """
 
 
-@register("pqr1_promql_range_sum_rate", family="PQ", oracle=PQR1_ORACLE)
+@register(
+    "pqr1_promql_range_sum_rate", family="PQ", oracle=PQR1_ORACLE, bench=True
+)
 def pqr1_promql_range_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL RANGE query ``sum(rate(view[1d]))`` on a T-anchored grid
     (span 2d, step 6h → 9 evaluation points) — the ``query_range``

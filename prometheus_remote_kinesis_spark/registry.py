@@ -69,6 +69,47 @@ _LOADED = False
 # remaining queries follow in registration order and are still all present,
 # locally verified by tools/verify_local.py.
 _PRIORITY = (
+    # Round-13 rotation (VERDICT r12 task #1, queue at OPERATORS.md):
+    # IN the nine never-driver-checked mechanisms, led by the r12
+    # grammar paths the window has never seen —
+    # pq17_promql_group_left_ratio (the on()/ignoring()/group_left
+    # vector-matching compile path: explicit join-key list + the 1-row
+    # aggregated-rhs cross join), pq18_promql_subquery (the two-level
+    # grid plan — grid inside, fold outside), pq20_promql_sum_quantile
+    # (exact type-7 interpolation + the constant-den aggregation
+    # soundness proof checked IN the driver's env),
+    # pqr2_promql_range_selector (the plain-selector staleness grid —
+    # pqr1 keeps the agg-over-rate grid slot),
+    # pq21_promql_label_replace (the first STRING-label output through
+    # the driver's comparator — a representation class the window has
+    # never exercised), pq26_promql_predict_linear (decimal(38,0) ≡
+    # HUGEINT terminal regression through the driver materialization),
+    # pq24_promql_irate (the last-pair kernel, fresh off the r12
+    # zero-gap division fix — worth the driver's confirmation),
+    # pq27_promql_sum_floor (the IntFn den=1 aggregability flip + the
+    # negative-floor correction branch), and pqr3_promql_range_
+    # histogram_quantile (the r13 gridded-terminal mechanism shipping
+    # with its own round — the t39s/pqr1 precedent) → OUT nine
+    # long-green single-mechanism reps:
+    # sql12_min_cost_supplier (driver-green r7–r12, the longest-tenured
+    # remaining rep; the decorrelated-subquery family stays bit-exact
+    # under the local gate), j10_interval_overlap_join (green r11/r12;
+    # J keeps j1/j4/j6 and the bucket-expansion mechanism is now
+    # driver-exercised every round through the pqr grid family),
+    # w5_gaps_islands (green r10–r12; W keeps w1b/w3b),
+    # g2_triangle_count (green r10–r12; the graph family follows the
+    # F-family precedent — local gate + probe-flat),
+    # l4h_kmeans_quantized (green r8–r12; the batch pandas-UDF Lloyd
+    # core stays pytest+locally verified, and the Python-UDF surface
+    # remains driver-exercised through the applyInPandasWithState
+    # twins t20s/t15s/t39s/w6s/w7s), a14s_count_min_stream (green
+    # r9–r12; A keeps a1/a2c/a3c/a4d/a10b), t31s_trend_stream (green
+    # r9–r12; the wide-decimal regression mechanism HANDS OFF to the
+    # incoming pq26, same discipline from query text),
+    # d16_corpus_build_e2e (green r7–r12; D keeps d18/dq3b/d13s/d14s),
+    # and l4j_pq_quantized (green r9–r12; L4 keeps l4k — the
+    # cluster-pruned variant subsumes the ADC mechanism). All nine
+    # stay bit-exact under the local gate in both materializations.
     # Round-12 rotation (VERDICT r11 task #2, queue at OPERATORS.md):
     # IN the seven never-driver-checked mechanisms the queue leads with —
     # pq10_promql_vector_ratio (the vector-vector binop compile path:
@@ -213,37 +254,41 @@ _PRIORITY = (
     "j1_order_revenue",
     "j4_semi_active_customers",
     "j6_asof_last_order",
-    # J10: interval-overlap join via bucket expansion (r11 IN)
-    "j10_interval_overlap_join",
-    # SQL: decorrelated-subquery family (first slot r6; Q2 shape added r7)
-    "sql12_min_cost_supplier",
+    # (j10_interval_overlap_join rotated out r13 — green r11/r12; the
+    # bucket-expansion mechanism stays driver-exercised via the pqr grid
+    # family and j10 stays bit-exact locally.)
+    # (sql12_min_cost_supplier rotated out r13 — driver-green r7–r12,
+    # the longest-tenured rep; the decorrelated-subquery family stays
+    # bit-exact under the local gate.)
     # A: hash agg, distinct, quantiles, grouping sets, collect, histogram, z-score
     "a1_pricing_summary",
     "a2c_bitmap_distinct",
     # A3: KMV distinct-count sketch — the first hash-verified sketch (r8 IN)
     "a3c_kmv_distinct",
+    # (a14s_count_min_stream rotated out r13 — green r9–r12; A keeps
+    # a1/a2c/a3c/a4d/a10b and the mergeable-sketch state mechanism stays
+    # bit-exact locally.)
     # A4d: robust stats (weighted-median family's partial-cell rank
     # arithmetic: trimmed mean + MAD) — r11 IN
     "a4d_robust_stats",
     "a10b_histogram_quantile",
     # A12: two-phase Misra-Gries exact heavy hitters, plus the r9-IN
     # streaming Count-Min sketch (constant 256-cell mergeable state).
-    "a14s_count_min_stream",
     # W: rank family, analytics, scalable range frame, top-k
     "w1b_rank_family",
     # (w2b_first_last_nth rotated out r11 — driver-green since r1; the
     # lag/lead mechanism stays bit-exact locally, CEP keeps w6s/w7s.)
     "w3b_trailing_5min_scalable",
-    # W5: interval-merge gaps-and-islands (r10 IN — overlap-flag +
-    # running-island-id over one (user; ms, event_id) window pass)
-    "w5_gaps_islands",
+    # (w5_gaps_islands rotated out r13 — green r10–r12; W keeps
+    # w1b/w3b, the islands pass stays bit-exact locally.)
     # (w4/o2b rotated out r9 — driver-green since r1, WindowGroupLimit
     # plan-pinned in tests; O and W's top-k mechanisms stay bit-exact
     # under the local gate.)
     # G: distributed Pregel-style PageRank, integer fixed-point (r9 IN)
     # G2: triangle count via degree-ordered wedge-join orientation —
     # the O(|E|^1.5) bound's first driver check (r10 IN)
-    "g2_triangle_count",
+    # (g2_triangle_count rotated out r13 — green r10–r12; the graph
+    # family follows the F-family precedent: local gate + probe-flat.)
     # T20: sequential Holt-Winters recurrence — driver slot holds the
     # STREAMING twin (same recursive-CTE oracle; stream==batch is pinned
     # by test_holt_winters_stream_matches_batch, and the batch fold t20
@@ -257,7 +302,8 @@ _PRIORITY = (
     # T31: instant-query predict_linear's streaming twin — mergeable
     # decimal(38,0) regression partials (HUGEINT-class intermediate
     # math) through a real streaming aggregation (r9 IN).
-    "t31s_trend_stream",
+    # (t31s_trend_stream rotated out r13 — green r9–r12; the
+    # wide-decimal regression mechanism hands off to the incoming pq26.)
     # T37 r12 IN: step-interpolated time-weighted average
     "t37_time_weighted_avg",
     # U: custom-UDF surface — r8 swap: u3_median_udaf (grouped-agg UDAF,
@@ -265,7 +311,9 @@ _PRIORITY = (
     # pandas_udf Lloyd core keeps the Python-UDF mechanism in the window
     # WHILE giving the first driver slot to a hash-verified iterative
     # algorithm (2 Lloyd iterations vs an unrolled-CTE DuckDB oracle).
-    "l4h_kmeans_quantized",
+    # (l4h_kmeans_quantized rotated out r13 — green r8–r12; the batch
+    # pandas-UDF surface stays driver-exercised via the stateful-map
+    # twins, l4h bit-exact locally.)
     # T: event-time windows, PromQL, funnels, cohorts (t5 batch rotated
     # out r6 — T5's slot is the streaming-executed t5s, same oracle)
     # (t25_rate_extrapolated rotated out r11 — green r5–r10; the rate
@@ -346,13 +394,26 @@ _PRIORITY = (
     # r11 task #1 (8th IN; d17_segment_dedup is the matching 8th OUT —
     # green r8–r11, D keeps d16/d18/d13s/d14s + the incoming dq3b)
     "pqr1_promql_range_sum_rate",
+    # PQ r13 IN (VERDICT r12 task #1 — the written queue): the r12
+    # grammar mechanisms the window has never seen, plus the r13
+    # gridded-terminal shipping with its round (pqr3).
+    "pq17_promql_group_left_ratio",
+    "pq18_promql_subquery",
+    "pq20_promql_sum_quantile",
+    "pq21_promql_label_replace",
+    "pq24_promql_irate",
+    "pq26_promql_predict_linear",
+    "pq27_promql_sum_floor",
+    "pqr2_promql_range_selector",
+    "pqr3_promql_range_histogram_quantile",
     # (l2e_neardup_clusters rotated out r9 — L2 keeps the band-join
     # pipeline rep l2h; the CC-clustering layer stays bit-exact locally.)
     # (l4_knn_join + l4e_sign_bucket_ann rotated out r11 — L4 held FOUR
     # slots; the quantized pair l4j/l4k keeps the ANN mechanisms, and
     # both rotated entries stay bit-exact under the local gate.)
     # L4 r9 IN: PQ asymmetric-distance ranking vs an exact integer oracle
-    "l4j_pq_quantized",
+    # (l4j_pq_quantized rotated out r13 — green r9–r12; L4 keeps l4k,
+    # whose cluster-pruned ADC subsumes the PQ ranking mechanism.)
     # L4k: IVF cluster-pruned ANN, integer ADC (r10 IN — the last
     # hash-verified ANN variant never windowed)
     "l4k_ivf_quantized",
@@ -374,7 +435,8 @@ _PRIORITY = (
     # dedup→quality→decontam→split→pack plan subsumes five d-stages in
     # one hash check, and its decontam branch was just restructured to
     # kill a text shuffle — worth confirming in the driver's env).
-    "d16_corpus_build_e2e",
+    # (d16_corpus_build_e2e rotated out r13 — green r7–r12; D keeps
+    # d18/dq3b/d13s/d14s and the composite stays bit-exact locally.)
 )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -2339,6 +2340,275 @@ def ewma_halflife_reordered(
         fn,
         outputStructType=EWMA_SCHEMA,
         stateStructType=_EWMA_RO_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+_HW_RO_STATE_SCHEMA = (
+    "n long, level double, trend double, hi long, "
+    "bms array<long>, bid array<long>, bv array<double>"
+)
+
+
+def holt_winters_reordered(
+    records: DataFrame,
+    reorder_ms: int,
+    sf: float = 0.3,
+    tf: float = 0.1,
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """The PRODUCTION twin of ``holt_winters`` for out-of-order streams
+    (r13, VERDICT r12 task #6): holt_winters' float recurrence relies
+    on OP-ORDER IDENTITY with the batch fold — the most order-fragile
+    kernel of the family, which is exactly why the in-order
+    precondition deserved the contract upgrade. The recipe is
+    ``ewma_halflife_reordered``'s bounded reorder buffer verbatim:
+    samples commit strictly below (max event ms) − reorder_ms in
+    (ms, event_id) order, so any arrival pattern with displacement ≤
+    reorder_ms applies sf/tf updates in EXACTLY the global sort order —
+    the committed (level, trend) is bit-equal to the in-order fold by
+    the fold order alone (no integer-arithmetic escape hatch exists
+    here, making this the interesting case the VERDICT named). Each
+    batch emits the SPECULATIVE summary (committed state + buffered
+    suffix folded sorted) so the max-n drain row reflects every sample;
+    a past-horizon arrival raises loudly. State O(rate × reorder_ms)
+    per series — constant in stream length."""
+
+    def _fold(n: int, level: float, trend: float, rows):
+        for _ms, _eid, x in rows:
+            if n == 0:
+                level, trend = x, 0.0
+            else:
+                s = sf * x + (1.0 - sf) * (level + trend)
+                trend = tf * (s - level) + (1.0 - tf) * trend
+                level = s
+            n += 1
+        return n, level, trend
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        if state.exists:
+            n, level, trend, hi, bms, bid, bv = state.get
+            buf = list(zip(list(bms), list(bid), list(bv)))
+        else:
+            n, level, trend, hi, buf = 0, 0.0, 0.0, -(1 << 62), []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                v = r["value"]
+                if v is None or pd.isna(v):
+                    continue  # staleness marker — batch filter parity
+                ms = int(r["time"])
+                if ms < hi - reorder_ms:
+                    raise RuntimeError(
+                        f"sample at {ms} arrived past its reorder horizon "
+                        f"(max seen {hi}, bound {reorder_ms} ms): the "
+                        "watermark contract is violated — widen reorder_ms"
+                    )
+                eid = int(r["event_id"]) if "event_id" in pdf.columns else 0
+                buf.append((ms, eid, float(v)))
+                if ms > hi:
+                    hi = ms
+        buf.sort()
+        wm = hi - reorder_ms
+        # strictly below the horizon — the ewma_halflife_reordered
+        # boundary rule (a same-ms peer may still arrive AT the horizon)
+        cut = 0
+        while cut < len(buf) and buf[cut][0] < wm:
+            cut += 1
+        n, level, trend = _fold(n, level, trend, buf[:cut])
+        buf = buf[cut:]
+        state.update(
+            (
+                n, level, trend, hi,
+                [b[0] for b in buf],
+                [b[1] for b in buf],
+                [b[2] for b in buf],
+            )
+        )
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        sn, sl, st = _fold(n, level, trend, buf)  # speculative suffix
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "user_id": user_id,
+                    "n_samples": sn,
+                    "hw_level": sl,
+                    "hw_trend": st,
+                    "hw_forecast": sl + st,
+                }
+            ]
+        )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        fn,
+        outputStructType=HW_SCHEMA,
+        stateStructType=_HW_RO_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+RATE_RO_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("rate_per_sec", DoubleType()),
+        StructField("n_increases", LongType()),
+        StructField("seen", LongType()),
+        StructField("committed", BooleanType()),
+    ]
+)
+
+_RATE_RO_STATE_SCHEMA = (
+    "last_v100 long, inc_ms array<long>, inc_v array<long>, n_c long, "
+    "hi long, bms array<long>, bid array<long>, bv array<double>"
+)
+
+
+def streaming_rate_reordered(
+    records: DataFrame,
+    reorder_ms: int,
+    window_ms: int = 300_000,
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """The PRODUCTION twin of ``streaming_rate`` for out-of-order
+    streams (r13, VERDICT r12 task #6): the bounded reorder buffer
+    rides in state and the per-sample trailing-frame fold COMMITS
+    strictly below (max event ms) − reorder_ms in (ms, event_id) order
+    — a committed sample's rate row is computed with exactly the
+    in-order twin's frame (integer-cents sum, identical quotient order),
+    so it is bit-equal to the in-order output. Unlike the summary-row
+    twins this op emits PER-SAMPLE rows, so the buffered suffix also
+    emits SPECULATIVE rows each batch (the sorted-suffix fold over a
+    COPY of the committed frame); every row carries (seen, committed)
+    and the drain picks argmax(seen) per event_id — a committed row's
+    seen strictly exceeds any speculative row's for the same sample
+    (commits only happen when a new arrival advances the horizon), and
+    the final batch's speculative rows equal the in-order values
+    because the whole suffix folds in sorted order. A past-horizon
+    arrival raises loudly. State O(window + rate × reorder_ms) per
+    series — constant in stream length."""
+
+    def _fold(last_v100, inc_ms, inc_v, rows, committed, seen_total, out):
+        import math
+
+        for ms, eid, v in rows:
+            v100 = int(_round_half_up(v * 100, 0))
+            if last_v100 is None:
+                inc = None
+            elif v100 >= last_v100:
+                inc = v100 - last_v100
+            else:
+                inc = v100  # counter reset: the new value IS the increase
+            if inc is not None:
+                inc_ms.append(ms)
+                inc_v.append(inc)
+            last_v100 = v100
+            lo = ms - window_ms
+            while inc_ms and inc_ms[0] < lo:
+                inc_ms.pop(0)
+                inc_v.pop(0)
+            in_frame = [x for m2, x in zip(inc_ms, inc_v) if m2 >= lo]
+            if in_frame:
+                # identical operand order as streaming_rate / t14 batch
+                q = float(sum(in_frame)) / 100.0 / (window_ms / 1000.0)
+                rate = math.floor(q * 1e6) / 1e6
+            else:
+                rate = None
+            out.append(
+                {
+                    "event_id": eid,
+                    "event_type": None,  # stamped by the caller
+                    "user_id": None,
+                    "rate_per_sec": rate,
+                    "n_increases": len(in_frame),
+                    "seen": seen_total,
+                    "committed": committed,
+                }
+            )
+        return last_v100
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        event_type, user_id = key
+        if state.exists:
+            last_v100, inc_ms, inc_v, n_c, hi, bms, bid, bv = state.get
+            inc_ms, inc_v = list(inc_ms), list(inc_v)
+            buf = list(zip(list(bms), list(bid), list(bv)))
+        else:
+            last_v100, inc_ms, inc_v, n_c = None, [], [], 0
+            hi, buf = -(1 << 62), []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                v = r["value"]
+                if v is None or pd.isna(v):
+                    continue  # staleness marker — batch filter parity
+                ms = int(r["time"])
+                if ms < hi - reorder_ms:
+                    raise RuntimeError(
+                        f"sample at {ms} arrived past its reorder horizon "
+                        f"(max seen {hi}, bound {reorder_ms} ms): the "
+                        "watermark contract is violated — widen reorder_ms"
+                    )
+                eid = int(r["event_id"]) if "event_id" in pdf.columns else 0
+                buf.append((ms, eid, float(v)))
+                if ms > hi:
+                    hi = ms
+        buf.sort()
+        wm = hi - reorder_ms
+        cut = 0
+        while cut < len(buf) and buf[cut][0] < wm:  # strictly below
+            cut += 1
+        seen_total = n_c + len(buf)
+        rows: list[dict[str, Any]] = []
+        last_v100 = _fold(
+            last_v100, inc_ms, inc_v, buf[:cut], True, seen_total, rows
+        )
+        n_c += cut
+        buf = buf[cut:]
+        state.update(
+            (
+                last_v100, inc_ms, inc_v, n_c, hi,
+                [b[0] for b in buf],
+                [b[1] for b in buf],
+                [b[2] for b in buf],
+            )
+        )
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        # speculative suffix over COPIES of the committed frame
+        _fold(
+            last_v100, list(inc_ms), list(inc_v), buf, False, seen_total,
+            rows,
+        )
+        for row in rows:
+            row["event_type"] = event_type
+            row["user_id"] = user_id
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in RATE_RO_SCHEMA.fields]
+        )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return records.groupBy("event_type", "user_id").applyInPandasWithState(
+        fn,
+        outputStructType=RATE_RO_SCHEMA,
+        stateStructType=_RATE_RO_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
     )

@@ -2878,3 +2878,203 @@ def test_promql_r13_advice_fixes(spark):
         _compile_vector(
             None, None, parse("sum by (t_ms) (rate(view[1d]))"), grid
         )
+
+
+def test_promql_delta_and_stdvar_kernels(spark):
+    """r13 (VERDICT r12 task #3) — delta and stdvar_over_time vs exact
+    Python reimplementations, plus the rejection matrix additions:
+    delta is last − first per series (two samples required, no reset
+    logic), its grid twin anchors at the instant; stdvar_over_time is
+    stddev's no-sqrt twin and joins the variable-den compile
+    rejection."""
+    import collections
+
+    import math
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, _variable_den, compile_promql, compile_promql_range,
+        parse,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'purchase' AND value IS NOT NULL")
+        .selectExpr(
+            "user_id", "unix_millis(ts) AS ms", "event_id",
+            "CAST(round(value * 100, 0) AS LONG) AS c",
+        )
+        .collect()
+    )
+    T = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("max(unix_millis(ts)) AS t").collect()[0]["t"]
+    )
+    W = 2_592_000_000
+    per = collections.defaultdict(list)
+    for r in rows:
+        if T - W < r["ms"] <= T:
+            per[r["user_id"]].append(((r["ms"], r["event_id"]), r["c"]))
+    # delta: last - first over the (ms, event_id) order, n >= 2
+    want_delta = {}
+    for u, s in per.items():
+        if len(s) >= 2:
+            s2 = sorted(s)
+            want_delta[u] = math.floor(
+                (s2[-1][1] - s2[0][1]) / 100.0 * 1e6
+            ) / 1e6
+    got = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "delta(purchase[30d])"
+        ).collect()
+    }
+    assert got == want_delta and got
+    # the grid twin's last point is the instant result
+    g = compile_promql_range(
+        spark, SF_SMOKE, "delta(purchase[30d])",
+        step_ms=21_600_000, span_ms=86_400_000,
+    ).collect()
+    t_last = max(r["t_ms"] for r in g)
+    assert {
+        r["user"]: r["value"] for r in g if r["t_ms"] == t_last
+    } == want_delta
+    # stdvar_over_time: population variance, no sqrt
+    want_sv = {}
+    for u, s in per.items():
+        cs = [c for _, c in s]
+        n = len(cs)
+        num = n * sum(c * c for c in cs) - sum(cs) ** 2
+        want_sv[u] = math.floor(
+            float(num) / float(n * n * 10000) * 1e6
+        ) / 1e6
+    got_sv = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "stdvar_over_time(purchase[30d])"
+        ).collect()
+    }
+    assert got_sv == want_sv and got_sv
+    # rejections: stdvar_over_time is variable-den; delta folds are out
+    assert _variable_den(parse("stdvar_over_time(purchase[1d])"))
+    assert not _variable_den(parse("delta(purchase[1d])"))
+    with pytest.raises(PromQLError, match="variable-denominator"):
+        compile_promql(spark, SF_SMOKE, "sum(stdvar_over_time(purchase[1d]))")
+    with pytest.raises(PromQLError, match="subquery"):
+        compile_promql(
+            spark, SF_SMOKE, "delta(sum_over_time(purchase[1d])[2d:1h])"
+        )
+
+
+def test_promql_agg_extensions(spark):
+    """r13 (VERDICT r12 task #4) — the across-series aggregation
+    extensions vs exact Python reimplementations, plus each one's
+    variable-den rejection pin."""
+    import collections
+    import math
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql,
+    )
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'purchase' AND value IS NOT NULL")
+        .selectExpr("user_id", "unix_millis(ts) AS ms",
+                    "CAST(round(value * 100, 0) AS LONG) AS c")
+        .collect()
+    )
+    T = max(r["ms"] for r in rows)
+    W = 2_592_000_000
+    sums = collections.defaultdict(int)
+    for r in rows:
+        if T - W < r["ms"] <= T:
+            sums[r["user_id"]] += r["c"]
+    nums = sorted(sums.values())
+    n = len(nums)
+    # quantile(0.9, ...): exact type-7 over the numerators
+    lo, rem = (n - 1) * 9 // 10, (n - 1) * 9 % 10
+    hi = nums[lo + 1] if lo + 1 < n else nums[lo]
+    want_q = math.floor(
+        float(nums[lo] * (10 - rem) + hi * rem) / 1000.0 * 1e6
+    ) / 1e6
+    got_q = compile_promql(
+        spark, SF_SMOKE, "quantile(0.9, sum_over_time(purchase[30d]))"
+    ).collect()
+    assert [r["value"] for r in got_q] == [want_q]
+    # stddev/stdvar across series
+    var_num = n * sum(x * x for x in nums) - sum(nums) ** 2
+    var = float(var_num) / float((n * 100) ** 2)
+    want_sd = math.floor(math.sqrt(var) * 1e6) / 1e6
+    want_sv = math.floor(var * 1e6) / 1e6
+    assert [
+        r["value"] for r in compile_promql(
+            spark, SF_SMOKE, "stddev(sum_over_time(purchase[30d]))"
+        ).collect()
+    ] == [want_sd]
+    assert [
+        r["value"] for r in compile_promql(
+            spark, SF_SMOKE, "stdvar(sum_over_time(purchase[30d]))"
+        ).collect()
+    ] == [want_sv]
+    # count_values over an integer vector vs a Python Counter
+    cnt = collections.Counter()
+    counts = collections.defaultdict(int)
+    for r in rows:
+        if T - W < r["ms"] <= T:
+            counts[r["user_id"]] += 1
+    for v in counts.values():
+        cnt[str(v)] += 1
+    got_cv = {
+        r["calls"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE,
+            'count_values("calls", count_over_time(purchase[30d]))',
+        ).collect()
+    }
+    assert got_cv == {k: float(v) for k, v in cnt.items()}
+    # group: 1 per series; sum(group by (user)) = series count; group
+    # stays accepted over sqrt vectors (den-insensitive, like count)
+    assert [
+        r["value"] for r in compile_promql(
+            spark, SF_SMOKE,
+            "sum(group by (user) (sum_over_time(purchase[30d])))",
+        ).collect()
+    ] == [float(n)]
+    gsq = compile_promql(
+        spark, SF_SMOKE,
+        "group by (user) (stddev_over_time(purchase[30d]))",
+    ).collect()
+    assert gsq and all(r["value"] == 1.0 for r in gsq)
+    # rejection matrix: each new op over a variable-den vector → 400;
+    # nesting the variable-den outputs (stddev/stdvar) → 400;
+    # count_values over a non-integer vector / colliding dst → 400
+    for bad in (
+        "stddev(avg_over_time(purchase[1d]))",
+        "stdvar(irate(purchase[1d]))",
+        "quantile(0.5, avg_over_time(purchase[1d]))",
+        "sum(stddev(sum_over_time(purchase[1d])))",
+        "max(stdvar(sum_over_time(purchase[1d])))",
+    ):
+        with pytest.raises(PromQLError, match="variable-denominator"):
+            compile_promql(spark, SF_SMOKE, bad)
+    with pytest.raises(PromQLError, match="integer-valued"):
+        compile_promql(
+            spark, SF_SMOKE,
+            'count_values("v", sum_over_time(purchase[1d]))',
+        )
+    with pytest.raises(PromQLError, match="collides"):
+        compile_promql(
+            spark, SF_SMOKE,
+            'count_values("user", count_over_time(purchase[1d]))',
+        )
+    with pytest.raises(PromQLError, match="phi"):
+        compile_promql(
+            spark, SF_SMOKE, "quantile(1.5, sum_over_time(purchase[1d]))"
+        )

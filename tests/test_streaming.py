@@ -1731,3 +1731,141 @@ def test_time_weighted_avg_reordered_integer_equal(spark, tmp_path):
             ),
             "append",
         ).collect()
+
+
+def test_holt_winters_reordered_bit_equal(spark, tmp_path):
+    """holt_winters_reordered under multi-batch chop with bounded
+    disorder (r13, VERDICT r12 task #6 — the op-order-identity kernel
+    the VERDICT named as the interesting case): the committed sf/tf
+    recurrence applies in global (ms, event_id) order regardless of
+    arrival order, so the drained max-n row is BIT-EQUAL to the
+    IN-ORDER twin's on the same samples — level, trend and forecast
+    compared with ==, not approx. NULLs skip; same-ms peers exercise
+    the event_id tiebreak; a past-horizon arrival raises loudly."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        holt_winters, holt_winters_reordered,
+    )
+
+    RO = 300_000
+    seq = [
+        (0, 5.0), (100_000, 6.25), (100_000, 4.5), (150_000, None),
+        (400_000, 8.0), (650_000, 7.75), (900_000, 9.0),
+        (1_100_000, 10.5), (1_150_000, 2.0), (1_400_000, 12.75),
+    ]
+    rows_sorted = [
+        {"event_id": i, "event_type": "m", "user_id": 1, "time": t, "value": v}
+        for i, (t, v) in enumerate(seq)
+    ]
+    # bounded disorder: displaced neighbors (incl. the same-ms pair 1/2
+    # swapped) — every displacement under RO
+    order = [2, 1, 0, 3, 4, 6, 5, 7, 8, 9]
+    out_ro = run_to_batch(
+        holt_winters_reordered(
+            _chopped_stream(
+                spark, tmp_path, [rows_sorted[i] for i in order], 4
+            ),
+            reorder_ms=RO,
+            idle_timeout_ms=None,
+        ),
+        "append",
+    ).collect()
+    in_dir = tmp_path / "in_order"
+    in_dir.mkdir()
+    out_in = run_to_batch(
+        holt_winters(
+            _chopped_stream(spark, in_dir, rows_sorted, 4),
+            idle_timeout_ms=None,
+        ),
+        "append",
+    ).collect()
+    auth_ro = max(out_ro, key=lambda r: r["n_samples"])
+    auth_in = max(out_in, key=lambda r: r["n_samples"])
+    assert auth_ro["n_samples"] == auth_in["n_samples"] == 9
+    assert auth_ro["hw_level"] == auth_in["hw_level"]      # bit-exact
+    assert auth_ro["hw_trend"] == auth_in["hw_trend"]      # bit-exact
+    assert auth_ro["hw_forecast"] == auth_in["hw_forecast"]
+    # past-horizon arrival (displacement > RO) raises loudly
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    bad = [rows_sorted[i] for i in [1, 2, 4, 5, 0, 6, 7, 8, 9]]
+    with pytest.raises(Exception, match="reorder horizon"):
+        run_to_batch(
+            holt_winters_reordered(
+                _chopped_stream(spark, bad_dir, bad, 3),
+                reorder_ms=RO,
+                idle_timeout_ms=None,
+            ),
+            "append",
+        ).collect()
+
+
+def test_streaming_rate_reordered_bit_equal(spark, tmp_path):
+    """streaming_rate_reordered under multi-batch chop with bounded
+    disorder (r13, task #6): the argmax(seen)-per-event_id drain pick
+    reproduces the IN-ORDER twin's per-sample rows bit-exactly — a
+    committed row is computed with exactly the in-order frame, and the
+    final batch's speculative rows fold the whole suffix in sorted
+    order. The drained set mixes committed and speculative rows (both
+    paths exercised); a past-horizon arrival raises loudly."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.streaming.queries import run_to_batch
+    from prometheus_remote_kinesis_spark.streaming.stateful import (
+        streaming_rate, streaming_rate_reordered,
+    )
+
+    RO = 130_000
+    vals = [1.0, 2.5, 4.0, 7.5, 1.2, None, 3.0, 9.9, 12.4, 15.0, 20.25, 21.0]
+    rows_sorted = [
+        {
+            "event_id": i, "event_type": "m", "user_id": 1,
+            "time": i * 65_000, "value": v,
+        }
+        for i, v in enumerate(vals)
+    ]
+    order = [1, 0, 2, 4, 3, 5, 6, 8, 7, 9, 10, 11]  # displacement 65 s < RO
+    out_ro = run_to_batch(
+        streaming_rate_reordered(
+            _chopped_stream(
+                spark, tmp_path, [rows_sorted[i] for i in order], 5
+            ),
+            reorder_ms=RO,
+            idle_timeout_ms=None,
+        ),
+        "append",
+    ).collect()
+    picked = {}
+    for r in out_ro:
+        if r["event_id"] not in picked or r["seen"] > picked[r["event_id"]]["seen"]:
+            picked[r["event_id"]] = r
+    flags = {r["committed"] for r in picked.values()}
+    assert flags == {True, False}  # both paths exercised in the drain
+    in_dir = tmp_path / "in_order"
+    in_dir.mkdir()
+    out_in = run_to_batch(
+        streaming_rate(
+            _chopped_stream(spark, in_dir, rows_sorted, 4),
+            idle_timeout_ms=None,
+        ),
+        "append",
+    ).collect()
+    want = {r["event_id"]: (r["rate_per_sec"], r["n_increases"]) for r in out_in}
+    got = {
+        eid: (r["rate_per_sec"], r["n_increases"]) for eid, r in picked.items()
+    }
+    assert got == want and len(got) == 11  # NULL sample emits no row
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    bad = [rows_sorted[i] for i in [2, 3, 4, 0, 6, 7, 8, 9, 10, 11]]
+    with pytest.raises(Exception, match="reorder horizon"):
+        run_to_batch(
+            streaming_rate_reordered(
+                _chopped_stream(spark, bad_dir, bad, 3),
+                reorder_ms=RO,
+                idle_timeout_ms=None,
+            ),
+            "append",
+        ).collect()

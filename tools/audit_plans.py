@@ -109,6 +109,16 @@ WHITELIST: set[tuple[str, str]] = {
     # (samples meet grid points by bucket EXPANSION, not by join)
     ("pqr1_promql_range_sum_rate", "nested_loop_join"),
     ("pqr2_promql_range_selector", "nested_loop_join"),
+    # r13 additions — the same 1-row eval-time/grid-anchor broadcast
+    # (cross join against the 1-row t_eval frame), never data-sized
+    ("pqr3_promql_range_histogram_quantile", "nested_loop_join"),
+    ("pqr4_promql_range_predict_linear", "nested_loop_join"),
+    ("pq28_promql_sum_delta", "nested_loop_join"),
+    ("pq29_promql_stdvar_over_time", "nested_loop_join"),
+    ("pq30_promql_quantile_agg", "nested_loop_join"),
+    ("pq31_promql_stddev_agg", "nested_loop_join"),
+    ("pq32_promql_count_values", "nested_loop_join"),
+    ("pq33_promql_group_agg", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
