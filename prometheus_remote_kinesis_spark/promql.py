@@ -125,6 +125,10 @@ class Selector:
     # (label, op, value) with op ∈ {'=', '!=', '=~', '!~'}
     matchers: tuple[tuple[str, str, str], ...] = ()
     offset_ms: int = 0
+    # the @ modifier (r13): evaluate this selector at a FIXED unix
+    # timestamp (ms) instead of the query's evaluation time; None = the
+    # normal T anchor. Instant-only in this subset (grids reject).
+    at_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -189,6 +193,10 @@ class Cmp:
     expr: object
     op: str
     scalar: Fraction
+    # the bool modifier (r13): keep EVERY sample, emitting 1/0 instead
+    # of filtering — den becomes the constant 1, so a bool comparison
+    # makes any vector aggregable (the alert-count idiom)
+    keep_bool: bool = False
 
 
 @dataclass(frozen=True)
@@ -326,6 +334,31 @@ class PredictLinear:
 
 
 @dataclass(frozen=True)
+class SortFn:
+    """``sort(v)`` / ``sort_desc(v)`` (r13): instant-vector
+    presentation order — values ascending/descending, labels breaking
+    ties deterministically. OUTERMOST only (ordering is a property of
+    the returned frame, not of the rational algebra); range queries
+    reject it like Prometheus ignores it."""
+
+    expr: object
+    desc: bool = False
+
+
+@dataclass(frozen=True)
+class LabelJoin:
+    """``label_join(v, dst, sep, src...)`` (r13): dst gets the
+    sep-joined src label values — label_replace's sibling, values
+    untouched so the exact-rational pipeline passes through and the
+    new label participates in by/matching like any other."""
+
+    expr: object
+    dst: str
+    sep: str
+    srcs: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class HistQ:
     phi: Fraction
     expr: object
@@ -361,7 +394,7 @@ _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)(?P<unit>ms|[smhd])?"
     r"|(?P<id>[A-Za-z_][A-Za-z0-9_]*)"
     r"|(?P<str>\"[^\"]*\")"
-    r"|(?P<op><=|>=|==|!=|=~|!~|[-+<>(){}\[\],=*/:]))"
+    r"|(?P<op><=|>=|==|!=|=~|!~|[-+<>(){}\[\],=*/:@]))"
 )
 
 
@@ -437,8 +470,12 @@ class _Parser:
             k, v = self._peek()
             if k == "op" and v in ("<", ">", "<=", ">=", "==", "!="):
                 self._next()
+                keep = False
+                if self._peek() == ("id", "bool"):  # r13: the bool modifier
+                    self._next()
+                    keep = True
                 num = self._expect("num")[1]
-                e = Cmp(e, v, Fraction(num))
+                e = Cmp(e, v, Fraction(num), keep)
             else:
                 return e
 
@@ -599,6 +636,28 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return TopK(int(kk), inner, asc=(v == "bottomk"))
+        if k == "id" and v in ("sort", "sort_desc"):
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            self._expect("op", ")")
+            return SortFn(inner, desc=(v == "sort_desc"))
+        if k == "id" and v == "label_join":
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            self._expect("op", ",")
+            dst = self._expect("str")[1]
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", dst):
+                raise PromQLError(f"label_join: invalid dst label {dst!r}")
+            self._expect("op", ",")
+            sep = self._expect("str")[1]
+            srcs: list[str] = []
+            while self._peek() == ("op", ","):
+                self._next()
+                srcs.append(self._expect("str")[1])
+            self._expect("op", ")")
+            return LabelJoin(inner, dst, sep, tuple(srcs))
         if k == "id" and v == "abs":
             self._next()
             self._expect("op", "(")
@@ -620,12 +679,7 @@ class _Parser:
             self._expect("op", "[")
             win = self._duration(self._expect("dur")[1])
             self._expect("op", "]")
-            if self._peek() == ("id", "offset"):
-                self._next()
-                sel = Selector(
-                    sel.metric, sel.matchers,
-                    self._duration(self._expect("dur")[1]),
-                )
+            sel = self._post_modifiers(sel)
             ahead = None
             if fn == "predict_linear":
                 self._expect("op", ",")
@@ -650,12 +704,7 @@ class _Parser:
                 self._expect("op", "[")
                 win = self._duration(self._expect("dur")[1])
                 self._expect("op", "]")
-            if self._peek() == ("id", "offset"):
-                self._next()
-                sel = Selector(
-                    sel.metric, sel.matchers,
-                    self._duration(self._expect("dur")[1]),
-                )
+            sel = self._post_modifiers(sel)
             self._expect("op", ")")
             return Absent(sel, win)
         if k == "id" and v == "label_replace":
@@ -693,12 +742,7 @@ class _Parser:
             self._expect("op", "[")
             win = self._duration(self._expect("dur")[1])
             self._expect("op", "]")
-            if self._peek() == ("id", "offset"):
-                self._next()
-                sel = Selector(
-                    sel.metric, sel.matchers,
-                    self._duration(self._expect("dur")[1]),
-                )
+            sel = self._post_modifiers(sel)
             self._expect("op", ")")
             return QuantileOT(phi, sel, win)
         if k == "id" and v in _RANGE_FNS:
@@ -723,15 +767,30 @@ class _Parser:
                     f"[range:step]; a plain [range] applies to a selector"
                 )
             sel = inner
+            sel = self._post_modifiers(sel)
+            self._expect("op", ")")
+            return RangeFn(v, sel, win)
+        return self._selector()
+
+    def _post_modifiers(self, sel: Selector) -> Selector:
+        """``offset <dur>`` and ``@ <unix-seconds>`` after a selector or
+        range selector (r13 adds @) — any order, the Prometheus rule."""
+        while True:
             if self._peek() == ("id", "offset"):
                 self._next()
                 sel = Selector(
                     sel.metric, sel.matchers,
-                    self._duration(self._expect("dur")[1]),
+                    self._duration(self._expect("dur")[1]), sel.at_ms,
                 )
-            self._expect("op", ")")
-            return RangeFn(v, sel, win)
-        return self._selector()
+            elif self._peek() == ("op", "@"):
+                self._next()
+                t = self._expect("num")[1]
+                sel = Selector(
+                    sel.metric, sel.matchers, sel.offset_ms,
+                    int(round(float(t) * 1000)),
+                )
+            else:
+                return sel
 
     @staticmethod
     def _duration(text: str) -> int:
@@ -759,11 +818,7 @@ class _Parser:
                     continue
                 break
             self._expect("op", "}")
-        off = 0
-        if self._peek() == ("id", "offset"):
-            self._next()
-            off = self._duration(self._expect("dur")[1])
-        return Selector(metric, tuple(matchers), off)
+        return self._post_modifiers(Selector(metric, tuple(matchers)))
 
 
 def parse(text: str):
@@ -793,7 +848,7 @@ def _variable_den(node) -> bool:
         # stdvar_over_time's is n²·10⁴ — per-series (r13; its sqrt twin
         # stddev_over_time is fenced by the sqrt flag instead)
         return node.fn in ("avg_over_time", "irate", "stdvar_over_time")
-    if isinstance(node, LabelReplace):
+    if isinstance(node, (LabelReplace, LabelJoin, SortFn)):
         return _variable_den(node.expr)  # values untouched
     if isinstance(node, Absent):
         return False  # the one emitted sample is the constant 1/1
@@ -819,6 +874,8 @@ def _variable_den(node) -> bool:
             # den = D·q — a query constant exactly when the inner's is
             return _variable_den(node.expr)
         return False  # sum/min/max/count/group/count_values
+    if isinstance(node, Cmp) and node.keep_bool:
+        return False  # bool comparison emits 1/0 over den = 1
     if isinstance(node, (TopK, Cmp, Scale, Shift, VecAbs, Clamp)):
         return _variable_den(node.expr)
     if isinstance(node, VecBin):
@@ -912,6 +969,27 @@ def _t_frame(
     return spark.range(1).select(
         F.lit(int(eval_ms)).cast("long").alias("t_eval")
     )
+
+
+def _anchor(d: DataFrame, sel: Selector) -> DataFrame:
+    """Apply a selector's @ and offset modifiers to the joined 1-row
+    t_eval frame (r13 adds @): @ REPLACES the evaluation time with the
+    fixed unix-ms literal, offset then shifts back — Prometheus applies
+    offset relative to the @ time."""
+    if sel.at_ms is not None:
+        d = d.withColumn("t_eval", F.lit(int(sel.at_ms)).cast("long"))
+    if sel.offset_ms:
+        d = d.withColumn("t_eval", F.col("t_eval") - sel.offset_ms)
+    return d
+
+
+def _no_at_on_grid(sel: Selector) -> None:
+    if sel.at_ms is not None:
+        raise PromQLError(
+            "the @ modifier inside a range-query grid is outside the "
+            "subset (a fixed-time vector is constant across the grid — "
+            "evaluate it as an instant query)"
+        )
 
 
 # ------------------------------------------------- range-query grid
@@ -1042,6 +1120,7 @@ def _compile_rangefn_grid(
     window-local consecutive pairs the instant branch lags over — the
     two formulations are identical, sample for sample (and the window's
     first sample contributes 0 in both)."""
+    _no_at_on_grid(node.sel)
     w = node.window_ms
     base = _base(spark, sf_dir, node.sel)
     if node.fn in ("changes", "resets", "idelta", "irate"):
@@ -1222,6 +1301,7 @@ def _compile_vector(
 ) -> _Vec:
     if isinstance(node, Selector):  # instant vector: last sample, staleness cut
         if grid is not None:
+            _no_at_on_grid(node)
             # per grid point: the last sample within the staleness
             # window (t_k − 5m, t_k] — t23's instant vector, gridded
             d = _grid_expand(
@@ -1240,11 +1320,12 @@ def _compile_vector(
                 ("t_ms", "user"),
                 den_const=100,
             )
-        d = _base(spark, sf_dir, node).crossJoin(
-            F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+        d = _anchor(
+            _base(spark, sf_dir, node).crossJoin(
+                F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+            ),
+            node,
         )
-        if node.offset_ms:  # PromQL offset: evaluate at T - offset
-            d = d.withColumn("t_eval", F.col("t_eval") - node.offset_ms)
         g = (
             d.where(F.col("ms") <= F.col("t_eval"))
             .groupBy("user")
@@ -1264,11 +1345,12 @@ def _compile_vector(
     if isinstance(node, RangeFn):
         if grid is not None:
             return _compile_rangefn_grid(spark, sf_dir, node, grid, eval_ms)
-        d = _base(spark, sf_dir, node.sel).crossJoin(
-            F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+        d = _anchor(
+            _base(spark, sf_dir, node.sel).crossJoin(
+                F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+            ),
+            node.sel,
         )
-        if node.sel.offset_ms:  # PromQL offset: the window shifts back
-            d = d.withColumn("t_eval", F.col("t_eval") - node.sel.offset_ms)
         w = node.window_ms
         d = d.where(
             (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
@@ -1728,6 +1810,20 @@ def _compile_vector(
             ">": lhs > rhs, ">=": lhs >= rhs, "<": lhs < rhs,
             "<=": lhs <= rhs, "==": lhs == rhs, "!=": lhs != rhs,
         }[node.op]
+        if node.keep_bool:
+            # the bool modifier (r13): every sample kept, value 1/0 —
+            # den collapses to the constant 1, so the result is
+            # aggregable regardless of the inner den (the alert-count
+            # idiom sum(x > bool k)); the comparison itself stays the
+            # exact cross-multiplication above
+            out = inner.df.select(
+                *inner.labels,
+                F.when(cond, F.lit(1)).otherwise(F.lit(0))
+                .cast("long")
+                .alias("num"),
+                F.lit(1).cast("long").alias("den"),
+            )
+            return _Vec(out, inner.labels, den_const=1)
         return _Vec(inner.df.where(cond), inner.labels, sqrt=inner.sqrt,
                     den_const=inner.den_const)
     if isinstance(node, Scale):
@@ -1938,8 +2034,7 @@ def _compile_vector(
         d = _base(spark, sf_dir, node.sel).crossJoin(
             F.broadcast(_t_frame(spark, sf_dir, eval_ms))
         )
-        if node.sel.offset_ms:
-            d = d.withColumn("t_eval", F.col("t_eval") - node.sel.offset_ms)
+        d = _anchor(d, node.sel)
         w = node.window_ms if node.window_ms is not None else STALENESS_MS
         d = d.where(
             (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
@@ -1952,6 +2047,27 @@ def _compile_vector(
             F.lit(1).cast("long").alias("den"),
         )
         return _Vec(out, (), den_const=1)
+    if isinstance(node, LabelJoin):
+        if node.dst in ("t_ms", "num", "den"):
+            raise PromQLError(f"label_join: reserved dst {node.dst!r}")
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
+        for src in node.srcs:
+            if src not in inner.labels or src == "t_ms":
+                raise PromQLError(
+                    f"label_join: src label {src!r} not in "
+                    f"{tuple(lb for lb in inner.labels if lb != 't_ms')}"
+                )
+        dst_c = F.concat_ws(
+            node.sep, *[F.col(src).cast("string") for src in node.srcs]
+        ) if node.srcs else F.lit("")
+        labels = inner.labels + (
+            (node.dst,) if node.dst not in inner.labels else ()
+        )
+        keep = [lb for lb in inner.labels if lb != node.dst]
+        out = inner.df.select(
+            *keep, dst_c.alias(node.dst), "num", "den"
+        ).select(*labels, "num", "den")
+        return _Vec(out, labels, sqrt=inner.sqrt, den_const=inner.den_const)
     if isinstance(node, LabelReplace):
         # dst validation needs no compiled inner — fire sparklessly
         if node.dst in ("t_ms", "num", "den"):
@@ -2071,6 +2187,7 @@ def _compile_vector(
         p_, q_ = node.phi.numerator, node.phi.denominator
         base = _base(spark, sf_dir, node.sel)
         if grid is not None:
+            _no_at_on_grid(node.sel)
             d = _grid_expand(
                 spark, sf_dir, base, grid, node.window_ms,
                 node.sel.offset_ms, eval_ms=eval_ms,
@@ -2078,10 +2195,7 @@ def _compile_vector(
             keys = ["t_ms", "user"]
         else:
             d = base.crossJoin(F.broadcast(_t_frame(spark, sf_dir, eval_ms)))
-            if node.sel.offset_ms:
-                d = d.withColumn(
-                    "t_eval", F.col("t_eval") - node.sel.offset_ms
-                )
+            d = _anchor(d, node.sel)
             d = d.where(
                 (F.col("ms") > F.col("t_eval") - node.window_ms)
                 & (F.col("ms") <= F.col("t_eval"))
@@ -2119,6 +2233,11 @@ def _compile_vector(
             "(the regression denominator is a wide decimal, not an "
             "int64 rational)"
         )
+    if isinstance(node, SortFn):
+        raise PromQLError(
+            "sort/sort_desc must be the outermost expression "
+            "(presentation order, not algebra)"
+        )
     raise PromQLError(f"unsupported node {node!r}")
 
 
@@ -2148,6 +2267,7 @@ def _compile_deriv(
     w = node.window_ms
     dec = "decimal(38,0)"
     if grid is not None:
+        _no_at_on_grid(node.sel)
         d = _grid_expand(
             spark, sf_dir, _base(spark, sf_dir, node.sel),
             grid, w, node.sel.offset_ms, eval_ms=eval_ms,
@@ -2163,8 +2283,7 @@ def _compile_deriv(
         d = _base(spark, sf_dir, node.sel).crossJoin(
             F.broadcast(_t_frame(spark, sf_dir, eval_ms))
         )
-        if node.sel.offset_ms:
-            d = d.withColumn("t_eval", F.col("t_eval") - node.sel.offset_ms)
+        d = _anchor(d, node.sel)
         d = d.where(
             (F.col("ms") > F.col("t_eval") - w)
             & (F.col("ms") <= F.col("t_eval"))
@@ -2264,7 +2383,8 @@ def _compile_histq(
         )
     rf = inner.expr
     sel = Selector(
-        rf.sel.metric[: -len("_bucket")], rf.sel.matchers, rf.sel.offset_ms
+        rf.sel.metric[: -len("_bucket")], rf.sel.matchers,
+        rf.sel.offset_ms, rf.sel.at_ms,
     )
     p, q = node.phi.numerator, node.phi.denominator
     cum_aggs = [
@@ -2272,6 +2392,7 @@ def _compile_histq(
         for i, b in enumerate(_PQ_HQ_BOUNDS)
     ]
     if grid is not None:
+        _no_at_on_grid(sel)
         # GRID MODE (r13, VERDICT r12 task #2 — the p99-over-time panel):
         # the identical |bounds| cumulative integer partials accumulate
         # per grid point after the j10 bucket expansion; ONE hash
@@ -2288,8 +2409,7 @@ def _compile_histq(
         d = _base(spark, sf_dir, sel).crossJoin(
             F.broadcast(_t_frame(spark, sf_dir, eval_ms))
         )
-        if sel.offset_ms:
-            d = d.withColumn("t_eval", F.col("t_eval") - sel.offset_ms)
+        d = _anchor(d, sel)
         d = d.where(
             (F.col("ms") > F.col("t_eval") - rf.window_ms)
             & (F.col("ms") <= F.col("t_eval"))
@@ -2325,12 +2445,12 @@ def _string_forced(node) -> frozenset:
     out: set[str] = set()
 
     def walk(n) -> None:
-        if isinstance(n, LabelReplace):
+        if isinstance(n, (LabelReplace, LabelJoin)):
             if n.dst in _LABELS:
                 out.add(n.dst)
             walk(n.expr)
         elif isinstance(n, (Agg, TopK, VecAbs, Clamp, IntFn, Cmp, Scale,
-                            Shift, SubqueryFn)):
+                            Shift, SubqueryFn, SortFn)):
             walk(n.expr)
         elif isinstance(n, (VecBin, SetOp)):
             walk(n.left)
@@ -2363,17 +2483,29 @@ def compile_promql(
     all-integer pipeline (histogram_quantile finalizes through its
     interpolation expression instead; see _compile_histq)."""
     ast = parse(query)
+    sort_desc: bool | None = None
+    if isinstance(ast, SortFn):  # r13: outermost presentation order
+        sort_desc, ast = ast.desc, ast.expr
+
+    def _ordered(df: DataFrame) -> DataFrame:
+        if sort_desc is None:
+            return df
+        key = F.desc("value") if sort_desc else F.asc("value")
+        return df.orderBy(key, *[c for c in df.columns if c != "value"])
+
     if isinstance(ast, HistQ):
-        return _compile_histq(spark, sf_dir, ast, eval_ms)
+        return _ordered(_compile_histq(spark, sf_dir, ast, eval_ms))
     if isinstance(ast, (Deriv, PredictLinear)):
-        return _compile_deriv(spark, sf_dir, ast, eval_ms)
+        return _ordered(_compile_deriv(spark, sf_dir, ast, eval_ms))
     vec = _compile_vector(spark, sf_dir, ast, eval_ms=eval_ms)
     ratio = F.col("num").cast("double") / F.col("den").cast("double")
     val = F.sqrt(ratio) if vec.sqrt else ratio
     forced = _string_forced(ast)
-    return vec.df.select(
-        *[_finalize_label(c, forced) for c in vec.labels],
-        (F.floor(val * 1e6) / 1e6).alias("value"),
+    return _ordered(
+        vec.df.select(
+            *[_finalize_label(c, forced) for c in vec.labels],
+            (F.floor(val * 1e6) / 1e6).alias("value"),
+        )
     )
 
 
@@ -2415,6 +2547,11 @@ def compile_promql_range(
     the same interpolation/regression expressions as the instant forms
     (last grid point ≡ instant, pinned by pytest)."""
     ast = parse(query)
+    if isinstance(ast, SortFn):
+        raise PromQLError(
+            "sort/sort_desc in a range query has no effect in Prometheus "
+            "(the matrix is time-ordered per series) — drop it"
+        )
     grid = _Grid(
         step_ms=step_ms, span_ms=span_ms, start_ms=start_ms, end_ms=end_ms
     )
@@ -3745,6 +3882,133 @@ def pq33_promql_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained hash aggregations, both map-side-combinable; oracle is the
     DISTINCT series count over the same window."""
     return compile_promql(spark, sf_dir, PQ33_QUERY)
+
+
+PQ34_QUERY = "sum(count_over_time(click[30d]) > bool 40)"
+PQ34_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT floor(CAST(CAST(sum(CASE WHEN n * 1 > 40 * 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS DOUBLE)
+                 / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pq34_promql_bool_modifier", family="PQ", oracle=PQ34_ORACLE)
+def pq34_promql_bool_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum(count_over_time(click[30d]) > bool 40)`` (r13 —
+    the ``bool`` comparison modifier, a VERDICT r12 grammar residual):
+    bool keeps EVERY sample and emits 1/0 instead of filtering — the
+    how-many-series-breach idiom. The comparison stays the exact
+    cross-multiplication (num·q vs p·den, no division), and the output
+    den collapses to the constant 1, so the sum is aggregable even
+    over vectors whose filtered form would not be."""
+    return compile_promql(spark, sf_dir, PQ34_QUERY)
+
+
+PQ35_QUERY = "count_over_time(click[30d] @ 1705276800)"
+PQ35_ORACLE = """
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+                 / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM events
+    WHERE event_type = 'click' AND value IS NOT NULL
+      AND epoch_us(ts) // 1000 > 1705276800000 - 2592000000
+      AND epoch_us(ts) // 1000 <= 1705276800000
+    GROUP BY 1
+"""
+
+
+@register("pq35_promql_at_modifier", family="PQ", oracle=PQ35_ORACLE)
+def pq35_promql_at_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``count_over_time(click[30d] @ 1705276800)`` (r13 — the
+    ``@`` modifier, a VERDICT r12 grammar residual): the selector
+    evaluates at the FIXED unix timestamp (2024-01-15T00:00:00Z, mid-
+    corpus at every SF) instead of the query's evaluation time — the
+    pin-a-panel-to-an-incident idiom. Compiles by REPLACING the 1-row
+    t_eval frame's value with the literal (offset then shifts relative
+    to it, the Prometheus rule); the oracle needs no corpus-max CTE at
+    all. Instant-only in this subset: @ inside a range-query grid is a
+    constant across the grid and rejects at compile (pytest-pinned)."""
+    return compile_promql(spark, sf_dir, PQ35_QUERY)
+
+
+PQ36_QUERY = "sort_desc(sum_over_time(purchase[30d]))"
+PQ36_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(num AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g ORDER BY value DESC, user
+"""
+
+
+@register("pq36_promql_sort_desc", family="PQ", oracle=PQ36_ORACLE)
+def pq36_promql_sort_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sort_desc(sum_over_time(purchase[30d]))`` (r13 —
+    sort/sort_desc, VERDICT r12 grammar residuals): presentation order
+    for the instant vector, values descending with the label as the
+    deterministic tie-break. Outermost-only (ordering is a property of
+    the returned frame, not the rational algebra — nesting rejects);
+    range queries reject it like Prometheus ignores it. The hash gate
+    is order-insensitive by design, so the ordering itself is pinned
+    by pytest, the values by the oracle."""
+    return compile_promql(spark, sf_dir, PQ36_QUERY)
+
+
+PQ37_QUERY = (
+    'sum by (pair) (label_join(label_replace(sum_over_time(click[30d]), '
+    '"tier", "t$1", "user", "(\\d)\\d*"), "pair", "-", "tier", "user"))'
+)
+PQ37_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT 't' || substr(CAST(user_id AS VARCHAR), 1, 1) || '-'
+               || CAST(user_id AS VARCHAR) AS pair,
+           floor(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g GROUP BY 1
+"""
+
+
+@register("pq37_promql_label_join", family="PQ", oracle=PQ37_ORACLE)
+def pq37_promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum by (pair) (label_join(label_replace(...), "pair",
+    "-", "tier", "user"))`` (r13 — label_join, a VERDICT r12 grammar
+    residual): the derived ``tier`` label (label_replace capture) and
+    the ``user`` label join with "-" into a composite key the
+    aggregation then groups by — label_replace's sibling, values
+    untouched so constant-den soundness is inherited. Oracle builds
+    the identical composite with ||; the (tier, user) pair is unique
+    per user so each output row carries one series' sum."""
+    return compile_promql(spark, sf_dir, PQ37_QUERY)
 
 
 PQR1_QUERY = "sum(rate(view[1d]))"

@@ -3078,3 +3078,135 @@ def test_promql_agg_extensions(spark):
         compile_promql(
             spark, SF_SMOKE, "quantile(1.5, sum_over_time(purchase[1d]))"
         )
+
+
+def test_promql_r13_grammar_residuals(spark):
+    """r13 grammar residuals (the VERDICT r12 'What's missing #3' list):
+    the bool comparison modifier (1/0 over den=1, keeps every sample,
+    unlocks aggregation over variable-den vectors), the @ modifier
+    (fixed evaluation time ≡ the HTTP time= path; instant-only, any
+    modifier order), sort/sort_desc (deterministic presentation order,
+    outermost-only), and label_join (sep-joined src labels into a new
+    or numeric-overwritten dst)."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, _string_forced, _variable_den, compile_promql,
+        compile_promql_range, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # --- bool: every series kept, value 1/0, equals the filtered twin
+    all_rows = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(click[30d])"
+        ).collect()
+    }
+    kept = {
+        r["user"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(click[30d]) > 40"
+        ).collect()
+    }
+    got_bool = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(click[30d]) > bool 40"
+        ).collect()
+    }
+    assert set(got_bool) == set(all_rows) and kept < set(all_rows)
+    assert got_bool == {u: (1.0 if u in kept else 0.0) for u in all_rows}
+    # bool makes a variable-den vector aggregable (den collapses to 1)
+    assert not _variable_den(parse("avg_over_time(purchase[1d]) > bool 40"))
+    n_above = compile_promql(
+        spark, SF_SMOKE, "sum(avg_over_time(purchase[30d]) > bool 40)"
+    ).collect()
+    direct = compile_promql(
+        spark, SF_SMOKE, "avg_over_time(purchase[30d]) > 40"
+    ).collect()
+    assert [r["value"] for r in n_above] == [float(len(direct))]
+
+    # --- @: fixed eval time ≡ the HTTP time= parameter's eval_ms path
+    AT = 1_705_276_800  # 2024-01-15T00:00:00Z, mid-corpus at every SF
+    got_at = {
+        (r["user"], r["value"])
+        for r in compile_promql(
+            spark, SF_SMOKE, f"sum_over_time(purchase[30d] @ {AT})"
+        ).collect()
+    }
+    want_at = {
+        (r["user"], r["value"])
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(purchase[30d])",
+            eval_ms=AT * 1000,
+        ).collect()
+    }
+    assert got_at == want_at and got_at
+    # modifier order is free; offset applies relative to the @ time
+    a1 = parse(f"purchase @ {AT} offset 5m")
+    a2 = parse(f"purchase offset 5m @ {AT}")
+    assert a1 == a2 and a1.at_ms == AT * 1000 and a1.offset_ms == 300_000
+    with pytest.raises(PromQLError, match="@ modifier inside a range"):
+        compile_promql_range(
+            spark, SF_SMOKE, f"rate(view[1d] @ {AT})",
+            step_ms=3_600_000, span_ms=86_400_000,
+        )
+
+    # --- sort/sort_desc: deterministic presentation order
+    rows = compile_promql(
+        spark, SF_SMOKE, "sort_desc(sum_over_time(purchase[30d]))"
+    ).collect()
+    keys = [(-r["value"], r["user"]) for r in rows]
+    assert keys == sorted(keys) and len(rows) > 2
+    rows_asc = compile_promql(
+        spark, SF_SMOKE, "sort(sum_over_time(purchase[30d]))"
+    ).collect()
+    keys_asc = [(r["value"], r["user"]) for r in rows_asc]
+    assert keys_asc == sorted(keys_asc)
+    with pytest.raises(PromQLError, match="outermost"):
+        compile_promql(
+            spark, SF_SMOKE, "sum(sort(sum_over_time(purchase[30d])))"
+        )
+    with pytest.raises(PromQLError, match="sort"):
+        compile_promql_range(
+            spark, SF_SMOKE, "sort(rate(view[1d]))",
+            step_ms=3_600_000, span_ms=86_400_000,
+        )
+
+    # --- label_join: composite label vs Python; rejections; numeric
+    # dst forces the string finalize (the label_replace rule shared)
+    got_lj = {
+        r["pair"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE,
+            'label_join(sum_over_time(click[30d]), "pair", "-", '
+            '"user", "user")',
+        ).collect()
+    }
+    base = {
+        str(r["user"]): r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(click[30d])"
+        ).collect()
+    }
+    assert got_lj == {f"{u}-{u}": v for u, v in base.items()} and got_lj
+    q_over_user = (
+        'label_join(sum_over_time(click[30d]), "user", "-", "user", "user")'
+    )
+    assert _string_forced(parse(q_over_user)) == frozenset({"user"})
+    df_over = compile_promql(spark, SF_SMOKE, q_over_user)
+    assert dict(df_over.dtypes)["user"] == "string"
+    assert {r["user"] for r in df_over.collect()} == {
+        f"{u}-{u}" for u in base
+    }
+    with pytest.raises(PromQLError, match="src label"):
+        compile_promql(
+            spark, SF_SMOKE, 'label_join(click, "x", "-", "region")'
+        )
+    with pytest.raises(PromQLError, match="reserved dst"):
+        compile_promql(
+            spark, SF_SMOKE, 'label_join(click, "num", "-", "user")'
+        )
+    with pytest.raises(PromQLError, match="invalid dst"):
+        parse('label_join(click, "bad-name", "-", "user")')

@@ -119,6 +119,10 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq31_promql_stddev_agg", "nested_loop_join"),
     ("pq32_promql_count_values", "nested_loop_join"),
     ("pq33_promql_group_agg", "nested_loop_join"),
+    ("pq34_promql_bool_modifier", "nested_loop_join"),
+    ("pq35_promql_at_modifier", "nested_loop_join"),
+    ("pq36_promql_sort_desc", "nested_loop_join"),
+    ("pq37_promql_label_join", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
