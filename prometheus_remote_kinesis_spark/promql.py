@@ -200,6 +200,29 @@ class Cmp:
 
 
 @dataclass(frozen=True)
+class VecCmp:
+    """Vector-VECTOR comparison (r13): ``errors > threshold_series`` —
+    the alerting join idiom. Matching reuses VecBin's machinery
+    (on/ignoring/group_left/group_right); the predicate is the exact
+    cross-multiplication lnum·rden OP rnum·lden in decimal(38,0)
+    (≡ DuckDB HUGEINT — two int64 products peak at 8.5e37 < 1e38, so
+    the intermediate NEVER overflows on either engine), legal because
+    both sides keep the den > 0 invariant. Without ``bool`` the
+    surviving rows carry the LHS rational unchanged (Prometheus filter
+    semantics); with ``bool`` every matched row emits 1/0 over den = 1,
+    making even variable-den operands aggregable."""
+
+    left: object
+    op: str  # '<', '>', '<=', '>=', '==', '!='
+    right: object
+    keep_bool: bool = False
+    on: tuple[str, ...] | None = None
+    ignoring: tuple[str, ...] | None = None
+    group_left: bool = False
+    group_right: bool = False
+
+
+@dataclass(frozen=True)
 class Scale:
     expr: object
     op: str  # '*' or '/'
@@ -474,8 +497,17 @@ class _Parser:
                 if self._peek() == ("id", "bool"):  # r13: the bool modifier
                     self._next()
                     keep = True
-                num = self._expect("num")[1]
-                e = Cmp(e, v, Fraction(num), keep)
+                # bool precedes on/ignoring in the Prometheus grammar
+                on, ig, gl, gr = self._vec_matcher()
+                if self._peek()[0] == "num":
+                    if on is not None or ig is not None:
+                        raise PromQLError(
+                            "vector matching (on/ignoring) needs a vector RHS"
+                        )
+                    num = self._expect("num")[1]
+                    e = Cmp(e, v, Fraction(num), keep)
+                else:  # r13: vector-vector comparison — the alerting join
+                    e = VecCmp(e, v, self._addexpr(), keep, on, ig, gl, gr)
             else:
                 return e
 
@@ -878,6 +910,11 @@ def _variable_den(node) -> bool:
         return False  # bool comparison emits 1/0 over den = 1
     if isinstance(node, (TopK, Cmp, Scale, Shift, VecAbs, Clamp)):
         return _variable_den(node.expr)
+    if isinstance(node, VecCmp):
+        if node.keep_bool:
+            return False  # 1/0 over den = 1 — either side may be variable
+        return _variable_den(node.left)  # filter keeps the LHS rational;
+        # the rhs only feeds the (exact, per-row) predicate
     if isinstance(node, VecBin):
         if node.op == "/":
             return True  # den picks up the rhs NUMERATOR — data-dependent
@@ -908,6 +945,92 @@ class _Vec:
     # products AT COMPILE TIME (r11 ADVICE: rate[30d]*rate[30d] gave
     # den = (100·2.592e9)² past int64 — an ANSI runtime 500 instead of
     # a 400 rejection)
+
+
+def _vec_match(lv, rv, node, opname: str):
+    """Shared vector-matching join for VecBin and VecCmp (r12 machinery,
+    factored r13): applies on()/ignoring()/group_left/group_right (or
+    bare one-to-one on identical label sets), returning the joined frame
+    with value columns renamed (lnum, lden, rnum, rden) plus the output
+    label tuple. On a grid, t_ms is always an implicit extra key —
+    matching happens within one instant."""
+    if node.on is not None or node.ignoring is not None:
+        # explicit vector matching: the match-key list compiles straight
+        # to the equi-join key list — t24's mechanism with the clause
+        # choosing the keys.
+        tgrid = ["t_ms"] if "t_ms" in lv.labels else []
+        if ("t_ms" in lv.labels) != ("t_ms" in rv.labels):
+            raise PromQLError("vector matching across grid and instant")
+        lset = tuple(lb for lb in lv.labels if lb != "t_ms")
+        rset = tuple(lb for lb in rv.labels if lb != "t_ms")
+        if node.on is not None:
+            mk = tuple(node.on)
+            missing = [lb for lb in mk if lb not in lset or lb not in rset]
+            if missing:
+                raise PromQLError(
+                    f"on({', '.join(mk)}): labels {missing} absent "
+                    f"(lhs has {lset}, rhs has {rset})"
+                )
+        else:
+            mk = tuple(lb for lb in lset if lb not in node.ignoring)
+            if tuple(lb for lb in rset if lb not in node.ignoring) != mk:
+                raise PromQLError(
+                    f"ignoring({', '.join(node.ignoring)}) leaves "
+                    f"mismatched label sets {lset} vs {rset}"
+                )
+        if node.group_left and node.group_right:
+            raise PromQLError("group_left and group_right are exclusive")
+        if node.group_left:
+            # many-to-one: rhs must be UNIQUE per match key (its
+            # label set is exactly the key set — our vectors are
+            # unique per full label set by construction), lhs keeps
+            # every label
+            if rset != mk:
+                raise PromQLError(
+                    "group_left needs the rhs keyed exactly by the "
+                    f"match labels {mk}, got {rset} — aggregate the "
+                    "rhs down to the match keys first"
+                )
+            out_labels = lv.labels
+        elif node.group_right:
+            # the mirror: one-to-many — lhs unique per match key,
+            # rhs keeps every label (operand sides do NOT swap; only
+            # label retention flips)
+            if lset != mk:
+                raise PromQLError(
+                    "group_right needs the lhs keyed exactly by the "
+                    f"match labels {mk}, got {lset} — aggregate the "
+                    "lhs down to the match keys first"
+                )
+            out_labels = rv.labels
+        else:
+            if lset != mk or rset != mk:
+                raise PromQLError(
+                    "one-to-one matching needs both sides keyed "
+                    f"exactly by the match labels {mk} (got {lset} "
+                    f"vs {rset}); add group_left for many-to-one"
+                )
+            out_labels = tuple(tgrid) + mk
+        keys = tgrid + list(mk)
+    else:
+        if lv.labels != rv.labels:
+            raise PromQLError(
+                f"{opname} needs identical label sets "
+                f"(one-to-one matching; use on()/ignoring() to match "
+                f"on a subset), got {lv.labels} vs {rv.labels}"
+            )
+        keys = list(lv.labels)
+        out_labels = lv.labels
+    left = lv.df.select(
+        *lv.labels, F.col("num").alias("lnum"), F.col("den").alias("lden")
+    )
+    right = rv.df.select(
+        *rv.labels, F.col("num").alias("rnum"), F.col("den").alias("rden")
+    )
+    # scalar-result vectors (labels = ()) combine by cross join of
+    # two 1-row frames — sum(a) / sum(b) global ratios
+    j = left.join(right, keys) if keys else left.crossJoin(right)
+    return j, out_labels
 
 
 def _chk_den(d: int) -> int:
@@ -1862,6 +1985,46 @@ def _compile_vector(
         )
         den_c = None if inner.den_const is None else _chk_den(inner.den_const * q)
         return _Vec(out, inner.labels, den_const=den_c)
+    if isinstance(node, VecCmp):
+        lv = _compile_vector(spark, sf_dir, node.left, grid, eval_ms)
+        rv = _compile_vector(spark, sf_dir, node.right, grid, eval_ms)
+        if lv.sqrt or rv.sqrt:
+            # sqrt is monotone, so sqrt-vs-sqrt WOULD compare exactly by
+            # comparing the radicands — but only when both sides carry
+            # the flag; keep the subset uniform with VecBin instead
+            raise PromQLError(
+                "vector comparison over stddev_over_time is outside the "
+                "exact-rational subset"
+            )
+        j, out_labels = _vec_match(lv, rv, node, f"vector-vector {node.op!r}")
+        # exact cross-multiplication: den > 0 on both sides, and two
+        # int64 products peak below 1e38 — decimal(38,0) ≡ HUGEINT
+        # never overflows (docstring argument on VecCmp)
+        lq = F.col("lnum").cast("decimal(38,0)") * F.col("rden").cast(
+            "decimal(38,0)"
+        )
+        rq = F.col("rnum").cast("decimal(38,0)") * F.col("lden").cast(
+            "decimal(38,0)"
+        )
+        cond = {
+            ">": lq > rq, ">=": lq >= rq, "<": lq < rq,
+            "<=": lq <= rq, "==": lq == rq, "!=": lq != rq,
+        }[node.op]
+        if node.keep_bool:
+            out = j.select(
+                *out_labels,
+                F.when(cond, F.lit(1)).otherwise(F.lit(0))
+                .cast("long").alias("num"),
+                F.lit(1).cast("long").alias("den"),
+            )
+            return _Vec(out, out_labels, den_const=1)
+        # filter form: the surviving rows carry the LHS rational
+        out = j.where(cond).select(
+            *out_labels,
+            F.col("lnum").alias("num"),
+            F.col("lden").alias("den"),
+        )
+        return _Vec(out, out_labels, den_const=lv.den_const)
     if isinstance(node, VecBin):
         lv = _compile_vector(spark, sf_dir, node.left, grid, eval_ms)
         rv = _compile_vector(spark, sf_dir, node.right, grid, eval_ms)
@@ -1870,83 +2033,7 @@ def _compile_vector(
                 "vector arithmetic over stddev_over_time is outside the "
                 "exact-rational subset"
             )
-        if node.on is not None or node.ignoring is not None:
-            # explicit vector matching (r12): the match-key list compiles
-            # straight to the equi-join key list — t24's mechanism with
-            # the clause choosing the keys. On a grid, t_ms is always an
-            # implicit extra key (matching happens within one instant).
-            tgrid = ["t_ms"] if "t_ms" in lv.labels else []
-            if ("t_ms" in lv.labels) != ("t_ms" in rv.labels):
-                raise PromQLError("vector matching across grid and instant")
-            lset = tuple(lb for lb in lv.labels if lb != "t_ms")
-            rset = tuple(lb for lb in rv.labels if lb != "t_ms")
-            if node.on is not None:
-                mk = tuple(node.on)
-                missing = [lb for lb in mk if lb not in lset or lb not in rset]
-                if missing:
-                    raise PromQLError(
-                        f"on({', '.join(mk)}): labels {missing} absent "
-                        f"(lhs has {lset}, rhs has {rset})"
-                    )
-            else:
-                mk = tuple(lb for lb in lset if lb not in node.ignoring)
-                if tuple(lb for lb in rset if lb not in node.ignoring) != mk:
-                    raise PromQLError(
-                        f"ignoring({', '.join(node.ignoring)}) leaves "
-                        f"mismatched label sets {lset} vs {rset}"
-                    )
-            if node.group_left and node.group_right:
-                raise PromQLError("group_left and group_right are exclusive")
-            if node.group_left:
-                # many-to-one: rhs must be UNIQUE per match key (its
-                # label set is exactly the key set — our vectors are
-                # unique per full label set by construction), lhs keeps
-                # every label
-                if rset != mk:
-                    raise PromQLError(
-                        "group_left needs the rhs keyed exactly by the "
-                        f"match labels {mk}, got {rset} — aggregate the "
-                        "rhs down to the match keys first"
-                    )
-                out_labels = lv.labels
-            elif node.group_right:
-                # the mirror: one-to-many — lhs unique per match key,
-                # rhs keeps every label (operand sides do NOT swap; only
-                # label retention flips)
-                if lset != mk:
-                    raise PromQLError(
-                        "group_right needs the lhs keyed exactly by the "
-                        f"match labels {mk}, got {lset} — aggregate the "
-                        "lhs down to the match keys first"
-                    )
-                out_labels = rv.labels
-            else:
-                if lset != mk or rset != mk:
-                    raise PromQLError(
-                        "one-to-one matching needs both sides keyed "
-                        f"exactly by the match labels {mk} (got {lset} "
-                        f"vs {rset}); add group_left for many-to-one"
-                    )
-                out_labels = tuple(tgrid) + mk
-            keys = tgrid + list(mk)
-        else:
-            if lv.labels != rv.labels:
-                raise PromQLError(
-                    f"vector-vector {node.op!r} needs identical label sets "
-                    f"(one-to-one matching; use on()/ignoring() to match "
-                    f"on a subset), got {lv.labels} vs {rv.labels}"
-                )
-            keys = list(lv.labels)
-            out_labels = lv.labels
-        left = lv.df.select(
-            *lv.labels, F.col("num").alias("lnum"), F.col("den").alias("lden")
-        )
-        right = rv.df.select(
-            *rv.labels, F.col("num").alias("rnum"), F.col("den").alias("rden")
-        )
-        # scalar-result vectors (labels = ()) combine by cross join of
-        # two 1-row frames — sum(a) / sum(b) global ratios
-        j = left.join(right, keys) if keys else left.crossJoin(right)
+        j, out_labels = _vec_match(lv, rv, node, f"vector-vector {node.op!r}")
         # Constant-den sides gcd-reduce BEFORE multiplying (r11 ADVICE:
         # rate[30d]*rate[30d] gave den=(100·2.592e9)², an ANSI runtime
         # overflow → 500; now a compile-time 400 via _chk_den, and the
@@ -2452,7 +2539,7 @@ def _string_forced(node) -> frozenset:
         elif isinstance(n, (Agg, TopK, VecAbs, Clamp, IntFn, Cmp, Scale,
                             Shift, SubqueryFn, SortFn)):
             walk(n.expr)
-        elif isinstance(n, (VecBin, SetOp)):
+        elif isinstance(n, (VecBin, VecCmp, SetOp)):
             walk(n.left)
             walk(n.right)
         # Selector / RangeFn / QuantileOT / Absent and the terminal
@@ -4009,6 +4096,106 @@ def pq37_promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical composite with ||; the (tier, user) pair is unique
     per user so each output row carries one series' sum."""
     return compile_promql(spark, sf_dir, PQ37_QUERY)
+
+
+PQ38_QUERY = (
+    "sum_over_time(purchase[30d]) > on(user) count_over_time(click[30d])"
+)
+PQ38_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    p AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS num
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user,
+           floor(CAST(p.num AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM p JOIN c ON p.user_id = c.user_id
+    WHERE CAST(p.num AS HUGEINT) * 1 > CAST(c.cnt AS HUGEINT) * 100
+"""
+
+
+@register("pq38_promql_vector_compare", family="PQ", oracle=PQ38_ORACLE)
+def pq38_promql_vector_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum_over_time(purchase[30d]) > on(user)
+    count_over_time(click[30d])`` (r13 — vector-VECTOR comparison, the
+    alerting join idiom ``errors > threshold_series``): both sides
+    compile to per-series exact rationals, matching reuses VecBin's
+    on()/ignoring() equi-join machinery (`_vec_match`), and the
+    predicate is the exact cross-multiplication lnum·rden > rnum·lden
+    in decimal(38,0) ≡ HUGEINT (two int64 products peak at 8.5e37 <
+    1e38 — never overflows on either engine; legal because den > 0 is
+    an invariant on both sides). Surviving rows carry the LHS rational
+    unchanged — Prometheus filter semantics — so the oracle's WHERE
+    applies the identical HUGEINT cross-multiplication and renders the
+    purchase sum."""
+    return compile_promql(spark, sf_dir, PQ38_QUERY)
+
+
+PQ39_QUERY = (
+    "sum(avg_over_time(purchase[30d]) >= bool avg_over_time(click[30d]))"
+)
+PQ39_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    p AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT floor(CAST(CAST(sum(CASE WHEN CAST(p.s AS HUGEINT) * (100 * c.n)
+                                         >= CAST(c.s AS HUGEINT) * (100 * p.n)
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                 / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM p JOIN c ON p.user_id = c.user_id
+"""
+
+
+@register("pq39_promql_bool_vector_compare", family="PQ", oracle=PQ39_ORACLE)
+def pq39_promql_bool_vector_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PromQL ``sum(avg_over_time(purchase[30d]) >= bool
+    avg_over_time(click[30d]))`` (r13): the bool modifier on a
+    vector-vector comparison — how many users average a larger purchase
+    than click value. Both operands are VARIABLE-den vectors
+    (avg_over_time's den is 100·n per series) whose filtered comparison
+    could not feed sum(); bool collapses the output to 1/0 over den = 1,
+    flipping aggregability exactly as the scalar form does (pq34) —
+    pinned by the rejection twin in the semantics test. The predicate
+    s_p·(100·n_c) >= s_c·(100·n_p) is exact in decimal(38,0) ≡ HUGEINT
+    regardless of the per-series dens."""
+    return compile_promql(spark, sf_dir, PQ39_QUERY)
 
 
 PQR1_QUERY = "sum(rate(view[1d]))"

@@ -1625,7 +1625,7 @@ def test_promql_extended_grammar_parses():
     for bad in (
         'click{user~"1"}',            # bad matcher op
         "histogram_quantile(1.5, sum by (le) (count_over_time(x_bucket[1d])))",
-        "click == view",              # vector==vector comparison unsupported
+        'label_join(click, "bad-name", "-", "user")',  # invalid dst label
     ):
         with pytest.raises(PromQLError):
             parse(bad)
@@ -3210,3 +3210,109 @@ def test_promql_r13_grammar_residuals(spark):
         )
     with pytest.raises(PromQLError, match="invalid dst"):
         parse('label_join(click, "bad-name", "-", "user")')
+
+
+def test_promql_vector_compare_semantics(spark):
+    """r13 vector-VECTOR comparisons (the alerting join idiom): filter
+    form keeps the LHS rational on surviving matched rows, bool emits
+    1/0 per matched row, ==/!= partition the matched set, group_left
+    carries the extra lhs labels, and the variable-den aggregability
+    flip mirrors the scalar bool rule. The predicate itself is pinned
+    exact by the pq38/pq39 oracles; these are the behavioral twins."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, _variable_den, compile_promql, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    lhs = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(purchase[30d])"
+        ).collect()
+    }
+    rhs = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(click[30d])"
+        ).collect()
+    }
+    matched = set(lhs) & set(rhs)
+    q = "sum_over_time(purchase[30d]) > on(user) count_over_time(click[30d])"
+    got = {
+        r["user"]: r["value"]
+        for r in compile_promql(spark, SF_SMOKE, q).collect()
+    }
+    # both sides finalize exactly (2dp / integer), so the float
+    # comparison reproduces the engine's exact cross-multiplication here
+    want = {u: lhs[u] for u in matched if lhs[u] > rhs[u]}
+    # (at the smoke SF every purchase sum beats its click count, so the
+    # filter keeps all matched rows here; the sf0.01 oracle gate pins a
+    # real split for pq38)
+    assert got == want and got
+    # bare form (identical label sets) ≡ the explicit on(user) form
+    bare = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE,
+            "sum_over_time(purchase[30d]) > count_over_time(click[30d])",
+        ).collect()
+    }
+    assert bare == got
+
+    # ==/!= partition the matched set; bool marks exactly the survivors
+    eq = compile_promql(
+        spark, SF_SMOKE,
+        "sum_over_time(purchase[30d]) == on(user) count_over_time(click[30d])",
+    ).collect()
+    ne = compile_promql(
+        spark, SF_SMOKE,
+        "sum_over_time(purchase[30d]) != on(user) count_over_time(click[30d])",
+    ).collect()
+    assert {r["user"] for r in eq} | {r["user"] for r in ne} == matched
+    assert not ({r["user"] for r in eq} & {r["user"] for r in ne})
+    got_bool = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE,
+            "sum_over_time(purchase[30d]) > bool on(user) "
+            "count_over_time(click[30d])",
+        ).collect()
+    }
+    assert got_bool == {u: (1.0 if u in want else 0.0) for u in matched}
+
+    # group_left carries the extra lhs label through the comparison
+    gl = {
+        (r["tier"], r["user"]): r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE,
+            'label_replace(sum_over_time(purchase[30d]), "tier", "t$1", '
+            '"user", "(.).*") > on(user) group_left '
+            "count_over_time(click[30d])",
+        ).collect()
+    }
+    assert gl == {(f"t{str(u)[0]}", u): v for u, v in want.items()}
+
+    # aggregability flip: variable-den operands reject the filtered
+    # form under sum() but accept the bool form (pq39's shape)
+    q_var = (
+        "sum(avg_over_time(purchase[30d]) >= avg_over_time(click[30d]))"
+    )
+    assert _variable_den(parse(q_var.removeprefix("sum(").removesuffix(")")))
+    with pytest.raises(PromQLError, match="variable-denominator"):
+        compile_promql(spark, SF_SMOKE, q_var)
+    assert not _variable_den(
+        parse(
+            "avg_over_time(purchase[30d]) >= bool avg_over_time(click[30d])"
+        )
+    )
+
+    # targeted rejections: matcher with a scalar RHS; sqrt operands
+    with pytest.raises(PromQLError, match="needs a vector RHS"):
+        parse("sum_over_time(purchase[30d]) > on(user) 40")
+    with pytest.raises(PromQLError, match="stddev_over_time"):
+        compile_promql(
+            spark, SF_SMOKE,
+            "stddev_over_time(purchase[30d]) > count_over_time(click[30d])",
+        )
