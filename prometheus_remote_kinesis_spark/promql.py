@@ -237,6 +237,23 @@ class Shift:
 
 
 @dataclass(frozen=True)
+class PowMod:
+    """``v % scalar`` / ``v ^ k`` (r13 — the remaining PromQL arithmetic
+    operators, exact-rational form). Mod: fmod on rationals is exact —
+    (num/den) mod (p/q) = ((num·q) mod (den·p)) / (den·q), truncation
+    signed by the dividend, the shared Java/DuckDB ``%`` semantics (the
+    modulus folds to |p/q|: fmod ignores the divisor's sign). Pow:
+    integer exponents 0 ≤ k ≤ 4 only — (num/den)^k = num^k/den^k stays
+    rational, den^k is compile-checked (_chk_den); fractional, negative
+    (data-dependent reciprocal den) and larger exponents (int64 blowout)
+    reject at compile."""
+
+    expr: object
+    op: str  # '%' or '^'
+    scalar: Fraction
+
+
+@dataclass(frozen=True)
 class VecBin:
     left: object
     op: str  # '+', '-', '*', '/'
@@ -417,7 +434,7 @@ _TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)(?P<unit>ms|[smhd])?"
     r"|(?P<id>[A-Za-z_][A-Za-z0-9_]*)"
     r"|(?P<str>\"[^\"]*\")"
-    r"|(?P<op><=|>=|==|!=|=~|!~|[-+<>(){}\[\],=*/:@]))"
+    r"|(?P<op><=|>=|==|!=|=~|!~|[-+<>(){}\[\],=*/:@%^]))"
 )
 
 
@@ -582,7 +599,7 @@ class _Parser:
                 return e
 
     def _mulexpr(self):
-        e = self._primary()
+        e = self._powexpr()
         while True:
             k, v = self._peek()
             if k == "op" and v in ("*", "/"):
@@ -593,19 +610,65 @@ class _Parser:
                         "vector matching (on/ignoring) needs a vector RHS"
                     )
                 if on is not None or ig is not None:
-                    e = VecBin(e, v, self._primary(), on, ig, gl, gr)
+                    e = VecBin(e, v, self._powexpr(), on, ig, gl, gr)
                 elif self._peek()[0] == "num":
                     s = Fraction(self._next()[1])
                     if v == "/" and s == 0:
                         raise PromQLError("division by zero scalar")
                     e = Scale(e, v, s)
                 else:
-                    e = VecBin(e, v, self._primary())
+                    e = VecBin(e, v, self._powexpr())
+            elif k == "op" and v == "%":  # r13: fmod by a scalar
+                self._next()
+                if self._peek()[0] != "num":
+                    raise PromQLError(
+                        "vector % vector is outside the exact-rational "
+                        "subset (the result's denominator is the product "
+                        "of both sides'); % takes a scalar modulus"
+                    )
+                s = Fraction(self._next()[1])
+                if s == 0:
+                    raise PromQLError("modulus by zero scalar")
+                e = PowMod(e, "%", abs(s))  # fmod ignores the divisor sign
             else:
                 return e
 
+    def _powexpr(self):
+        # ^ binds tighter than * / % (the Prometheus precedence); scalar
+        # integer exponents only, and chained ^ must parenthesize (its
+        # right-associativity is a silent-wrongness trap on a chain)
+        e = self._primary()
+        k, v = self._peek()
+        if k == "op" and v == "^":
+            self._next()
+            if self._peek()[0] != "num":
+                raise PromQLError(
+                    "vector ^ vector is outside the exact-rational subset; "
+                    "^ takes a constant integer exponent"
+                )
+            s = Fraction(self._next()[1])
+            if s.denominator != 1 or s < 0 or s > 4:
+                raise PromQLError(
+                    f"exponent {s} is outside the exact-rational subset "
+                    "(integer 0..4: fractional powers need libm, negative "
+                    "powers make the denominator data-dependent, larger "
+                    "ones overflow int64)"
+                )
+            if self._peek() == ("op", "^"):
+                raise PromQLError(
+                    "chained ^ is right-associative in PromQL — "
+                    "parenthesize to make the intent explicit"
+                )
+            e = PowMod(e, "^", s)
+        return e
+
     def _primary(self):
         k, v = self._peek()
+        if k == "op" and v == "(":  # r13: expression grouping
+            self._next()
+            e = self._expr()
+            self._expect("op", ")")
+            return e
         if k == "id" and v in _AGG_OPS:
             save = self.i
             self._next()
@@ -908,7 +971,9 @@ def _variable_den(node) -> bool:
         return False  # sum/min/max/count/group/count_values
     if isinstance(node, Cmp) and node.keep_bool:
         return False  # bool comparison emits 1/0 over den = 1
-    if isinstance(node, (TopK, Cmp, Scale, Shift, VecAbs, Clamp)):
+    if isinstance(node, (TopK, Cmp, Scale, Shift, VecAbs, Clamp, PowMod)):
+        # PowMod keeps den-const-ness: '%' multiplies the den by the
+        # modulus' q; '^' raises it to the (compile-bounded) exponent
         return _variable_den(node.expr)
     if isinstance(node, VecCmp):
         if node.keep_bool:
@@ -1966,6 +2031,53 @@ def _compile_vector(
             else _chk_den(inner.den_const * s.denominator)
         )
         return _Vec(out, inner.labels, sqrt=inner.sqrt, den_const=den_c)
+    if isinstance(node, PowMod):
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
+        if inner.sqrt:
+            raise PromQLError(
+                f"{node.op} over stddev_over_time is outside the exact-"
+                "rational subset"
+            )
+        if node.op == "%":
+            # (num/den) mod (p/q) = ((num·q) mod (den·p)) / (den·q) —
+            # fmod semantics, truncation signed by the DIVIDEND: the
+            # shared Java(Spark)/DuckDB `%` rule, exact on both engines
+            p, q = node.scalar.numerator, node.scalar.denominator
+            out = inner.df.select(
+                *inner.labels,
+                ((F.col("num") * F.lit(q)) % (F.col("den") * F.lit(p)))
+                .cast("long").alias("num"),
+                (F.col("den") * F.lit(q)).cast("long").alias("den"),
+            )
+            den_c = (
+                None if inner.den_const is None
+                else _chk_den(inner.den_const * q)
+            )
+            return _Vec(out, inner.labels, den_const=den_c)
+        # '^': integer exponent 0..4 (parser-enforced)
+        k = int(node.scalar)
+        if k == 0:  # x^0 = 1 for every sample (IEEE pow(x,0) = 1)
+            out = inner.df.select(
+                *inner.labels,
+                F.lit(1).cast("long").alias("num"),
+                F.lit(1).cast("long").alias("den"),
+            )
+            return _Vec(out, inner.labels, den_const=1)
+        num = F.col("num")
+        den = F.col("den")
+        for _ in range(k - 1):
+            num = num * F.col("num")
+            den = den * F.col("den")
+        den_c = (
+            None if inner.den_const is None
+            else _chk_den(inner.den_const ** k)
+        )
+        out = inner.df.select(
+            *inner.labels,
+            num.cast("long").alias("num"),
+            den.cast("long").alias("den"),
+        )
+        return _Vec(out, inner.labels, den_const=den_c)
     if isinstance(node, Shift):
         inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         if inner.sqrt:
@@ -2537,7 +2649,7 @@ def _string_forced(node) -> frozenset:
                 out.add(n.dst)
             walk(n.expr)
         elif isinstance(n, (Agg, TopK, VecAbs, Clamp, IntFn, Cmp, Scale,
-                            Shift, SubqueryFn, SortFn)):
+                            Shift, SubqueryFn, SortFn, PowMod)):
             walk(n.expr)
         elif isinstance(n, (VecBin, VecCmp, SetOp)):
             walk(n.left)
@@ -4196,6 +4308,69 @@ def pq39_promql_bool_vector_compare(
     s_p·(100·n_c) >= s_c·(100·n_p) is exact in decimal(38,0) ≡ HUGEINT
     regardless of the per-series dens."""
     return compile_promql(spark, sf_dir, PQ39_QUERY)
+
+
+PQ40_QUERY = "(sum_over_time(purchase[30d]) - 1000) % 7"
+PQ40_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   - 100000 AS n
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(CAST(n % 700 AS DOUBLE) / CAST(100 AS DOUBLE) * 1e6) / 1e6
+               AS value
+    FROM g
+"""
+
+
+@register("pq40_promql_mod_scalar", family="PQ", oracle=PQ40_ORACLE)
+def pq40_promql_mod_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``(sum_over_time(purchase[30d]) - 1000) % 7`` (r13 — the
+    ``%`` operator plus expression GROUPING, both new this round): fmod
+    on rationals is exact, (num/den) mod (p/q) = ((num·q) mod (den·p))
+    / (den·q), and the truncation is signed by the DIVIDEND — the
+    shared Java(Spark)/DuckDB integer ``%`` rule, pinned here with a
+    genuinely negative dividend (the −1000 shift drives most users
+    negative). The parenthesized shift exercises the new ``( expr )``
+    grouping primary. Both engines evaluate ``n % 700`` on exact int64
+    then the identical floor finalize."""
+    return compile_promql(spark, sf_dir, PQ40_QUERY)
+
+
+PQ41_QUERY = "sum(count_over_time(click[30d]) ^ 2)"
+PQ41_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT floor(CAST(CAST(sum(n * n) AS BIGINT) AS DOUBLE)
+                 / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pq41_promql_pow_scalar", family="PQ", oracle=PQ41_ORACLE)
+def pq41_promql_pow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum(count_over_time(click[30d]) ^ 2)`` (r13 — the ``^``
+    operator): integer exponents 0..4 stay rational (num^k/den^k) with
+    the constant den^k compile-checked by _chk_den; fractional powers
+    (libm), negative powers (data-dependent reciprocal den) and larger
+    exponents reject at compile — the rejection matrix is pytest-pinned.
+    Squared counts keep den = 1, so the outer sum is aggregable and the
+    oracle is a plain integer sum of squares."""
+    return compile_promql(spark, sf_dir, PQ41_QUERY)
 
 
 PQR1_QUERY = "sum(rate(view[1d]))"

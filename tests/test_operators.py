@@ -3316,3 +3316,100 @@ def test_promql_vector_compare_semantics(spark):
             spark, SF_SMOKE,
             "stddev_over_time(purchase[30d]) > count_over_time(click[30d])",
         )
+
+
+def test_promql_powmod_and_grouping_semantics(spark):
+    """r13 ``%`` / ``^`` operators + ``( expr )`` grouping: fmod is
+    exact on rationals with DIVIDEND-signed truncation (pinned against
+    Python on negative dividends), integer powers stay rational with
+    the den^k compile check, grouping overrides precedence, and the
+    rejection matrix (vector RHS, fractional/negative/large exponents,
+    zero modulus, chained ^) answers compile-time PromQLError."""
+    import math
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, _variable_den, compile_promql, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(purchase[30d])"
+        ).collect()
+    }
+    got = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "(sum_over_time(purchase[30d]) - 1000) % 7"
+        ).collect()
+    }
+
+    def truncmod_2dp(v2dp, p):  # (num/100) mod p, truncation-signed
+        n = round(v2dp * 100)
+        d = 100 * p
+        t = n - (abs(n) // d) * d * (1 if n >= 0 else -1)
+        return math.floor(t / 100 * 1e6) / 1e6
+
+    want = {
+        u: truncmod_2dp(round(v * 100 - 100_000) / 100, 7)
+        for u, v in base.items()
+    }
+    assert got == want and any(w < 0 for w in want.values())
+
+    # ^: squares match the self-product; x^1 is the identity; x^0 = 1
+    sq = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(click[30d]) ^ 2"
+        ).collect()
+    }
+    cnt = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(click[30d])"
+        ).collect()
+    }
+    assert sq == {u: float(int(v) * int(v)) for u, v in cnt.items()}
+    one = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(click[30d]) ^ 1"
+        ).collect()
+    }
+    zero = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "count_over_time(click[30d]) ^ 0"
+        ).collect()
+    }
+    assert one == cnt and zero == {u: 1.0 for u in cnt}
+
+    # grouping overrides precedence: (a - 1) * 2 vs a - 2 (scalar fold)
+    grouped = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "(count_over_time(click[30d]) - 1) * 2"
+        ).collect()
+    }
+    assert grouped == {u: (v - 1) * 2 for u, v in cnt.items()}
+
+    # den-const bookkeeping: % and ^ keep aggregability; the den^k
+    # compile check fires on a wide-window square
+    assert not _variable_den(parse("(sum_over_time(x[1d]) % 3) ^ 2"))
+    assert _variable_den(parse("avg_over_time(x[1d]) % 3"))
+    with pytest.raises(PromQLError, match="denominator"):
+        compile_promql(spark, SF_SMOKE, "rate(view[30d]) ^ 4")
+
+    for bad, pat in (
+        ("click % view", "vector % vector"),
+        ("click ^ view", r"vector \^ vector"),
+        ("click ^ 2.5", "exponent"),
+        ("click ^ 9", "exponent"),
+        ("click % 0", "zero"),
+        ("click ^ 2 ^ 3", "parenthesize"),
+    ):
+        with pytest.raises(PromQLError, match=pat):
+            parse(bad)

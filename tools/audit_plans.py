@@ -125,6 +125,8 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq37_promql_label_join", "nested_loop_join"),
     ("pq38_promql_vector_compare", "nested_loop_join"),
     ("pq39_promql_bool_vector_compare", "nested_loop_join"),
+    ("pq40_promql_mod_scalar", "nested_loop_join"),
+    ("pq41_promql_pow_scalar", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
