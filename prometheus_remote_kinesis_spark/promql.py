@@ -237,6 +237,39 @@ class Shift:
 
 
 @dataclass(frozen=True)
+class TsFn:
+    """``timestamp(selector)`` (r13): each series' sample value becomes
+    the sample's OWN timestamp in seconds — num = ms, den = 1000, an
+    exact rational (Prometheus returns float seconds; every ms value is
+    exactly n/1000). Selector-only in this subset: the instant plan
+    already computes last_ms for the staleness cut, so this is the same
+    aggregation projecting a different column."""
+
+    sel: Selector
+
+
+_DATE_FNS = {
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "month", "year", "days_in_month",
+}
+
+
+@dataclass(frozen=True)
+class DateFn:
+    """Calendar functions over a vector of unix-second values (r13):
+    s = trunc(num/den) — the Prometheus ``int64(v)`` truncation, which
+    IS Spark ``div``/DuckDB ``//`` on int64 — then both engines'
+    native Gregorian-UTC calendar decomposition (Spark
+    ``timestamp_seconds`` + minute/hour/…, DuckDB ``to_timestamp`` +
+    date_part), integer outputs on both. day_of_week is 0 = Sunday
+    (the Prometheus convention: Spark's dayofweek − 1, DuckDB's dow).
+    Output den = 1 — like IntFn these make any vector aggregable."""
+
+    fn: str
+    expr: object
+
+
+@dataclass(frozen=True)
 class PowMod:
     """``v % scalar`` / ``v ^ k`` (r13 — the remaining PromQL arithmetic
     operators, exact-rational form). Mod: fmod on rationals is exact —
@@ -766,6 +799,31 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return IntFn(fn, inner)
+        if k == "id" and v == "timestamp":
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            self._expect("op", ")")
+            if not isinstance(inner, Selector):
+                raise PromQLError(
+                    "timestamp() takes a plain instant selector in this "
+                    "subset (derived vectors have no single defining "
+                    "sample timestamp)"
+                )
+            return TsFn(inner)
+        if k == "id" and v in _DATE_FNS:
+            fn = v
+            self._next()
+            self._expect("op", "(")
+            if self._peek() == ("op", ")"):
+                raise PromQLError(
+                    f"0-argument {fn}() (implicit vector(time())) is "
+                    "outside the subset — pass an explicit vector, e.g. "
+                    f"{fn}(timestamp(metric))"
+                )
+            inner = self._expr()
+            self._expect("op", ")")
+            return DateFn(fn, inner)
         if k == "id" and v in ("deriv", "predict_linear"):
             fn = v
             self._next()
@@ -949,6 +1007,10 @@ def _variable_den(node) -> bool:
         return False  # the one emitted sample is the constant 1/1
     if isinstance(node, IntFn):
         return False  # integer result — den is the constant 1
+    if isinstance(node, DateFn):
+        return False  # integer calendar part — den is the constant 1
+    if isinstance(node, TsFn):
+        return False  # num = ms over the constant den 1000
     if isinstance(node, QuantileOT):
         # den = 100·q, a query constant — the interpolation numerator is
         # an exact integer, so aggregation over it is SOUND (see the
@@ -1530,6 +1592,48 @@ def _compile_vector(
             ("user",),
             den_const=100,
         )
+    if isinstance(node, TsFn):
+        # the Selector plan with last_ms projected as the value:
+        # num = ms, den = 1000 (seconds, exact)
+        if grid is not None:
+            _no_at_on_grid(node.sel)
+            d = _grid_expand(
+                spark, sf_dir, _base(spark, sf_dir, node.sel),
+                grid, STALENESS_MS, node.sel.offset_ms, eval_ms=eval_ms,
+            )
+            g = d.groupBy("t_ms", "user").agg(F.max("ms").alias("num"))
+            return _Vec(
+                g.select(
+                    "t_ms", "user",
+                    F.col("num").cast("long").alias("num"),
+                    F.lit(1000).cast("long").alias("den"),
+                ),
+                ("t_ms", "user"),
+                den_const=1000,
+            )
+        d = _anchor(
+            _base(spark, sf_dir, node.sel).crossJoin(
+                F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+            ),
+            node.sel,
+        )
+        g = (
+            d.where(F.col("ms") <= F.col("t_eval"))
+            .groupBy("user")
+            .agg(
+                F.max("ms").alias("last_ms"),
+                F.max("t_eval").alias("t_eval"),
+            )
+            .where(F.col("last_ms") >= F.col("t_eval") - STALENESS_MS)
+        )
+        return _Vec(
+            g.select(
+                "user", F.col("last_ms").cast("long").alias("num"),
+                F.lit(1000).cast("long").alias("den"),
+            ),
+            ("user",),
+            den_const=1000,
+        )
     if isinstance(node, RangeFn):
         if grid is not None:
             return _compile_rangefn_grid(spark, sf_dir, node, grid, eval_ms)
@@ -1959,6 +2063,38 @@ def _compile_vector(
         out = inner.df.select(
             *inner.labels,
             new_num.cast("long").alias("num"),
+            F.lit(1).cast("long").alias("den"),
+        )
+        return _Vec(out, inner.labels, den_const=1)
+    if isinstance(node, DateFn):
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
+        if inner.sqrt:
+            raise PromQLError(
+                f"{node.fn} over stddev_over_time is outside the exact-"
+                "rational subset"
+            )
+        # s = trunc(num/den) — Prometheus's int64(v), which IS int64
+        # `div` on both engines — then the native Gregorian-UTC
+        # calendar decomposition (session zone is UTC-equivalent; see
+        # sources/tables.load_table)
+        d = inner.df.select(
+            *inner.labels, F.expr("num div den").alias("_s")
+        )
+        ts = F.timestamp_seconds(F.col("_s"))
+        part = {
+            "minute": F.minute(ts),
+            "hour": F.hour(ts),
+            # Prometheus: 0 = Sunday (Spark dayofweek is 1 = Sunday)
+            "day_of_week": F.dayofweek(ts) - F.lit(1),
+            "day_of_month": F.dayofmonth(ts),
+            "day_of_year": F.dayofyear(ts),
+            "month": F.month(ts),
+            "year": F.year(ts),
+            "days_in_month": F.dayofmonth(F.last_day(ts)),
+        }[node.fn]
+        out = d.select(
+            *inner.labels,
+            part.cast("long").alias("num"),
             F.lit(1).cast("long").alias("den"),
         )
         return _Vec(out, inner.labels, den_const=1)
@@ -2649,7 +2785,7 @@ def _string_forced(node) -> frozenset:
                 out.add(n.dst)
             walk(n.expr)
         elif isinstance(n, (Agg, TopK, VecAbs, Clamp, IntFn, Cmp, Scale,
-                            Shift, SubqueryFn, SortFn, PowMod)):
+                            Shift, SubqueryFn, SortFn, PowMod, DateFn)):
             walk(n.expr)
         elif isinstance(n, (VecBin, VecCmp, SetOp)):
             walk(n.left)
@@ -4371,6 +4507,80 @@ def pq41_promql_pow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Squared counts keep den = 1, so the outer sum is aggregable and the
     oracle is a plain integer sum of squares."""
     return compile_promql(spark, sf_dir, PQ41_QUERY)
+
+
+PQ42_QUERY = "timestamp(view)"
+PQ42_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id, max(epoch_us(ts) // 1000) AS last_ms
+        FROM events, b
+        WHERE event_type = 'view' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(g.user_id AS BIGINT) AS user,
+           floor(CAST(g.last_ms AS DOUBLE) / CAST(1000 AS DOUBLE) * 1e6)
+               / 1e6 AS value
+    FROM g, b WHERE g.last_ms >= b.t - 300000
+"""
+
+
+@register("pq42_promql_timestamp", family="PQ", oracle=PQ42_ORACLE)
+def pq42_promql_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``timestamp(view)`` (r13): each surviving series' value
+    becomes its last sample's OWN timestamp in seconds — num = ms,
+    den = 1000, exact (every ms is n/1000). The plan is the instant
+    selector's (same staleness cut, same max aggregation) projecting
+    last_ms instead of the value column. Sparse by design: only series
+    with a sample in the 5-minute lookback exist — one row at sf0.01,
+    exactly Prometheus's staleness behavior (the gridded pqr5 carries
+    the many-row coverage of the same mechanism)."""
+    return compile_promql(spark, sf_dir, PQ42_QUERY)
+
+
+PQR5_QUERY = "hour(timestamp(click))"
+PQR5_ORACLE = f"""
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    grid AS (
+        SELECT t - 86400000 + k.k * 1800000 AS tm
+        FROM b, generate_series(0, 48) AS k(k)
+    ),
+    s AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 86400000 - {STALENESS_MS}
+          AND epoch_us(ts) // 1000 <= t
+    ),
+    g AS (
+        SELECT g.tm, s.user_id, max(s.ms) AS last_ms
+        FROM grid g JOIN s
+          ON s.ms > g.tm - {STALENESS_MS} AND s.ms <= g.tm
+        GROUP BY 1, 2
+    )
+    SELECT CAST(tm AS BIGINT) AS t_ms, CAST(user_id AS BIGINT) AS user,
+           floor(CAST(date_part('hour', to_timestamp(last_ms // 1000))
+                      AS DOUBLE) / CAST(1 AS DOUBLE) * 1e6) / 1e6 AS value
+    FROM g
+"""
+
+
+@register("pqr5_promql_range_date_fn", family="PQ", oracle=PQR5_ORACLE)
+def pqr5_promql_range_date_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL RANGE ``hour(timestamp(click))`` @ span 1d step 30m (r13
+    — the date-function family on the grid): per grid point each
+    series' last-sample timestamp truncates to unix seconds
+    (Prometheus's int64(v) ≡ int64 ``div`` on both engines) and
+    decomposes through the native Gregorian-UTC calendar (Spark
+    ``timestamp_seconds``+``hour`` vs DuckDB ``to_timestamp``+
+    ``date_part`` — the UTC-equivalent session zone makes them agree;
+    minute/day_of_week/…/days_in_month are the same mechanism, pinned
+    against Python's calendar in the semantics test). Projection-only
+    over pqr2's gridded-selector plan."""
+    return compile_promql_range(
+        spark, sf_dir, PQR5_QUERY, step_ms=1_800_000, span_ms=86_400_000
+    )
 
 
 PQR1_QUERY = "sum(rate(view[1d]))"

@@ -3413,3 +3413,73 @@ def test_promql_powmod_and_grouping_semantics(spark):
     ):
         with pytest.raises(PromQLError, match=pat):
             parse(bad)
+
+
+def test_promql_timestamp_and_date_fns(spark):
+    """r13 ``timestamp()`` + the 8 calendar functions: gridded values
+    match Python's UTC calendar exactly (incl. the 0=Sunday
+    day_of_week convention and days_in_month), den stays the constant
+    1000/1 (aggregable), and the rejection matrix answers compile-time
+    PromQLError."""
+    import calendar
+    import datetime
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, _variable_den, compile_promql, compile_promql_range,
+        parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # sf0.01: the smoke corpus has no click sample inside any staleness
+    # window of the 1d grid (the gridded selector is sparse by design)
+    sf = "/root/testdata/sf0.01"
+    kw = dict(step_ms=1_800_000, span_ms=86_400_000)
+    ts_rows = {
+        (r["t_ms"], r["user"]): r["value"]
+        for r in compile_promql_range(
+            spark, sf, "timestamp(click)", **kw
+        ).collect()
+    }
+    assert ts_rows
+
+    def dt(v):  # value = seconds (ms/1000, positive) -> UTC datetime
+        return datetime.datetime.fromtimestamp(
+            int(v), datetime.timezone.utc
+        )
+
+    expect = {
+        "minute": lambda d: d.minute,
+        "hour": lambda d: d.hour,
+        "day_of_week": lambda d: (d.weekday() + 1) % 7,  # 0 = Sunday
+        "day_of_month": lambda d: d.day,
+        "day_of_year": lambda d: d.timetuple().tm_yday,
+        "month": lambda d: d.month,
+        "year": lambda d: d.year,
+        "days_in_month": lambda d: calendar.monthrange(d.year, d.month)[1],
+    }
+    for fn, py in expect.items():
+        got = {
+            (r["t_ms"], r["user"]): r["value"]
+            for r in compile_promql_range(
+                spark, sf, f"{fn}(timestamp(click))", **kw
+            ).collect()
+        }
+        assert got == {
+            k: float(py(dt(v))) for k, v in ts_rows.items()
+        }, fn
+
+    # den bookkeeping: timestamp is den=1000, date parts den=1 — both
+    # constant, so they stay aggregable even over variable-den inputs
+    assert not _variable_den(parse("timestamp(click)"))
+    assert not _variable_den(parse("hour(avg_over_time(click[1d]))"))
+
+    with pytest.raises(PromQLError, match="plain instant selector"):
+        parse("timestamp(rate(click[5m]))")
+    with pytest.raises(PromQLError, match="0-argument"):
+        parse("hour()")
+    with pytest.raises(PromQLError, match="stddev_over_time"):
+        compile_promql(
+            spark, SF_SMOKE, "year(stddev_over_time(purchase[30d]))"
+        )

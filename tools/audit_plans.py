@@ -127,6 +127,8 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq39_promql_bool_vector_compare", "nested_loop_join"),
     ("pq40_promql_mod_scalar", "nested_loop_join"),
     ("pq41_promql_pow_scalar", "nested_loop_join"),
+    ("pq42_promql_timestamp", "nested_loop_join"),
+    ("pqr5_promql_range_date_fn", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
     ("t25s_rate_extrapolated_stream", "nested_loop_join"),
