@@ -277,6 +277,25 @@ class _Handler(BaseHTTPRequestHandler):
                 },
             )
             return
+        if (
+            path == "/api/v1/status/buildinfo"
+            and getattr(self.server, "query_handler", None) is not None
+        ):
+            # Grafana's Prometheus datasource probes buildinfo on save to
+            # pick its query UI feature set (r13); the spec envelope with
+            # a conservative version is enough. Served only when a query
+            # surface is configured — a write-only relay keeps reference
+            # parity (404).
+            self._json(
+                200,
+                {
+                    "status": "success",
+                    "data": {"version": "2.45.0", "application": (
+                        "prometheus_remote_kinesis_spark"
+                    )},
+                },
+            )
+            return
         if path != "/api/v1/query" or getattr(self.server, "query_handler", None) is None:
             self.send_response(404)
             self.end_headers()

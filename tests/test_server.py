@@ -816,3 +816,99 @@ def test_promql_metadata_limit_param(spark, tmp_path):
             assert _json.loads(e.read())["errorType"] == "internal"
     finally:
         srv2.stop()
+
+
+def test_promql_r13_grammar_over_http(spark, tmp_path):
+    """The r13 grammar end to end over REAL HTTP: `%`, `^`, and `@`
+    survive URL-encoding on GET (the percent sign is the classic
+    encoding hazard), a vector-vector `bool` comparison rides the POST
+    form body, sort_desc's presentation order is preserved through the
+    JSON vector envelope, timestamp() serves, and the Grafana
+    buildinfo probe answers the spec envelope (404 on a write-only
+    relay, reference parity)."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.parse import quote, urlencode
+    from urllib.request import Request, urlopen
+
+    from prometheus_remote_kinesis_spark.promql import (
+        compile_promql, make_promql_http_handler,
+    )
+    from prometheus_remote_kinesis_spark.server import RemoteWriteServer
+    from tests.conftest import SF_SMOKE
+
+    srv = RemoteWriteServer(
+        str(tmp_path / "spool"),
+        query_handler=make_promql_http_handler(spark, SF_SMOKE),
+    ).start()
+    try:
+        host, port = srv.server_address[:2]
+        base = f"http://{host}:{port}/api/v1/query"
+
+        def get(q):
+            with urlopen(f"{base}?query={quote(q)}") as resp:
+                assert resp.status == 200
+                return _json.loads(resp.read())["data"]["result"]
+
+        # % and ^ and @ through GET — quote() encodes them %25/%5E/%40
+        for q in (
+            "sum(sum_over_time(purchase[30d]) % 100)",
+            "sum(count_over_time(click[30d]) ^ 2)",
+            "count_over_time(click[30d] @ 1705276800)",
+            "timestamp(purchase)",
+        ):
+            got = {
+                tuple(sorted(s["metric"].items())): float(s["value"][1])
+                for s in get(q)
+            }
+            direct = {
+                tuple(
+                    sorted(
+                        (k, str(getattr(r, k)))
+                        for k in r.__fields__ if k != "value"
+                    )
+                ): r.value
+                for r in compile_promql(spark, SF_SMOKE, q).collect()
+            }
+            assert got == direct, q
+
+        # sort_desc: the JSON result list preserves presentation order
+        rows = get("sort_desc(sum_over_time(purchase[30d]))")
+        vals = [float(s["value"][1]) for s in rows]
+        assert vals == sorted(vals, reverse=True) and len(vals) > 2
+
+        # vector-vector bool comparison through the POST form body
+        q = (
+            "sum_over_time(purchase[30d]) > bool on(user) "
+            "count_over_time(click[30d])"
+        )
+        body = urlencode({"query": q}).encode()
+        with urlopen(Request(base, data=body, method="POST")) as r:
+            doc = _json.loads(r.read())
+        got = {
+            s["metric"]["user"]: float(s["value"][1])
+            for s in doc["data"]["result"]
+        }
+        direct = {
+            str(r.user): r.value
+            for r in compile_promql(spark, SF_SMOKE, q).collect()
+        }
+        assert got == direct and set(got.values()) <= {0.0, 1.0} and got
+
+        # buildinfo: the Grafana datasource probe
+        with urlopen(f"http://{host}:{port}/api/v1/status/buildinfo") as r:
+            info = _json.loads(r.read())
+        assert info["status"] == "success" and "version" in info["data"]
+    finally:
+        srv.stop()
+    # write-only relay: buildinfo stays 404 (reference parity)
+    srv2 = RemoteWriteServer(str(tmp_path / "spool2")).start()
+    try:
+        host, port = srv2.server_address[:2]
+        try:
+            urlopen(f"http://{host}:{port}/api/v1/status/buildinfo")
+            raise AssertionError("expected HTTP 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv2.stop()
