@@ -407,6 +407,40 @@ class PredictLinear:
 
 
 @dataclass(frozen=True)
+class SqrtFn:
+    """``sqrt(v)`` (r13): the ONE libm function inside the exact
+    discipline — IEEE 754 requires sqrt correctly rounded, so Spark and
+    DuckDB produce the identical double from the identical rational
+    (the mechanism stddev_over_time/stddev already ride via the _Vec
+    sqrt flag; this exposes it from query text). The flag defers the
+    root to finalize: downstream Cmp/Scale square the scalar instead,
+    and aggregation/arithmetic over a flagged vector reject — the
+    established stddev fences."""
+
+    expr: object
+
+
+# Math functions OUTSIDE the subset, each with the reason the targeted
+# compile error cites (r13 — previously these fell through to the
+# selector parser with a confusing "expected id" message):
+_EXCLUDED_MATH_FNS = {
+    "ln": "ln is not correctly-rounded across libm implementations",
+    "exp": "exp is not correctly-rounded across libm implementations",
+    "log2": "log2 is not correctly-rounded across libm implementations",
+    "log10": "log10 is not correctly-rounded across libm implementations",
+    "holt_winters": (
+        "holt_winters' float recurrence is order-sensitive; use the "
+        "hand-built t20_holt_winters operator, whose oracle pins the "
+        "exact fold order"
+    ),
+    "double_exponential_smoothing": (
+        "double_exponential_smoothing's float recurrence is "
+        "order-sensitive; use the hand-built t20_holt_winters operator"
+    ),
+}
+
+
+@dataclass(frozen=True)
 class SortFn:
     """``sort(v)`` / ``sort_desc(v)`` (r13): instant-vector
     presentation order — values ascending/descending, labels breaking
@@ -799,6 +833,21 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return IntFn(fn, inner)
+        if k == "id" and v == "sqrt":
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            self._expect("op", ")")
+            return SqrtFn(inner)
+        if k == "id" and v in _EXCLUDED_MATH_FNS:
+            save = self.i
+            self._next()
+            if self._peek() == ("op", "("):
+                raise PromQLError(
+                    f"{v}() is outside the exact-rational subset: "
+                    f"{_EXCLUDED_MATH_FNS[v]}"
+                )
+            self.i = save  # a metric that happens to share the name
         if k == "id" and v == "timestamp":
             self._next()
             self._expect("op", "(")
@@ -1003,6 +1052,10 @@ def _variable_den(node) -> bool:
         return node.fn in ("avg_over_time", "irate", "stdvar_over_time")
     if isinstance(node, (LabelReplace, LabelJoin, SortFn)):
         return _variable_den(node.expr)  # values untouched
+    if isinstance(node, SqrtFn):
+        # the flag defers the root to finalize; the den COLUMN is the
+        # inner's (aggregation over a flagged vector rejects anyway)
+        return _variable_den(node.expr)
     if isinstance(node, Absent):
         return False  # the one emitted sample is the constant 1/1
     if isinstance(node, IntFn):
@@ -1832,9 +1885,10 @@ def _compile_vector(
         inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         if inner.sqrt and node.op not in ("count", "group"):
             raise PromQLError(
-                "aggregating stddev_over_time values is outside the exact-"
-                "rational subset (sqrt values don't aggregate rationally; "
-                "count/group are den-insensitive and stay accepted)"
+                "aggregating sqrt-deferred values (sqrt/stddev_over_time) "
+                "is outside the exact-rational subset (sqrt values don't "
+                "aggregate rationally; count/group are den-insensitive "
+                "and stay accepted)"
             )
         for lbl in node.by:
             if lbl not in inner.labels:
@@ -2066,6 +2120,20 @@ def _compile_vector(
             F.lit(1).cast("long").alias("den"),
         )
         return _Vec(out, inner.labels, den_const=1)
+    if isinstance(node, SqrtFn):
+        inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
+        if inner.sqrt:
+            raise PromQLError(
+                "nested sqrt is outside the exact-rational subset (one "
+                "deferred root is what the flag can carry)"
+            )
+        # negative samples have no real root: drop them on BOTH engines
+        # (PromQL would emit NaN — outside the subset, the divisor-zero
+        # precedent); den > 0, so the numerator's sign decides
+        return _Vec(
+            inner.df.where(F.col("num") >= 0),
+            inner.labels, sqrt=True, den_const=inner.den_const,
+        )
     if isinstance(node, DateFn):
         inner = _compile_vector(spark, sf_dir, node.expr, grid, eval_ms)
         if inner.sqrt:
@@ -2785,7 +2853,8 @@ def _string_forced(node) -> frozenset:
                 out.add(n.dst)
             walk(n.expr)
         elif isinstance(n, (Agg, TopK, VecAbs, Clamp, IntFn, Cmp, Scale,
-                            Shift, SubqueryFn, SortFn, PowMod, DateFn)):
+                            Shift, SubqueryFn, SortFn, PowMod, DateFn,
+                            SqrtFn)):
             walk(n.expr)
         elif isinstance(n, (VecBin, VecCmp, SetOp)):
             walk(n.left)
@@ -4507,6 +4576,42 @@ def pq41_promql_pow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Squared counts keep den = 1, so the outer sum is aggregable and the
     oracle is a plain integer sum of squares."""
     return compile_promql(spark, sf_dir, PQ41_QUERY)
+
+
+PQ43_QUERY = "sqrt(sum_over_time(purchase[30d]))"
+PQ43_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS n
+        FROM events, b
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user,
+           floor(sqrt(CAST(n AS DOUBLE) / CAST(100 AS DOUBLE)) * 1e6)
+               / 1e6 AS value
+    FROM g WHERE n >= 0
+"""
+
+
+@register("pq43_promql_sqrt", family="PQ", oracle=PQ43_ORACLE)
+def pq43_promql_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sqrt(sum_over_time(purchase[30d]))`` (r13): the ONE
+    libm function the exact discipline admits — IEEE 754 REQUIRES sqrt
+    correctly rounded, so both engines produce the identical double
+    from the identical rational (the mechanism stddev_over_time and
+    stddev() already ride via the _Vec sqrt flag; this exposes it from
+    query text). The root stays DEFERRED to finalize: comparisons
+    square the scalar, aggregation/arithmetic over the flagged vector
+    reject (fences pinned), negative samples drop on both engines (no
+    real root — the divisor-zero precedent). ln/exp/log2/log10 remain
+    deliberately excluded with targeted compile errors: unlike sqrt,
+    they are NOT correctly-rounded across libm implementations."""
+    return compile_promql(spark, sf_dir, PQ43_QUERY)
 
 
 PQ42_QUERY = "timestamp(view)"

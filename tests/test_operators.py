@@ -3483,3 +3483,67 @@ def test_promql_timestamp_and_date_fns(spark):
         compile_promql(
             spark, SF_SMOKE, "year(stddev_over_time(purchase[30d]))"
         )
+
+
+def test_promql_sqrt_and_excluded_math_fns(spark):
+    """r13 ``sqrt(v)`` — the one libm function the exact discipline
+    admits (IEEE requires sqrt correctly rounded): values match
+    Python's math.sqrt bit-for-bit through the shared finalize, the
+    deferred-root fences hold (nested sqrt, aggregation, arithmetic
+    all reject; comparison squares the scalar and works), and the
+    excluded math functions answer TARGETED compile errors instead of
+    the old confusing selector-parse failure."""
+    import math
+
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql, parse,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(purchase[30d])"
+        ).collect()
+    }
+    got = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "sqrt(sum_over_time(purchase[30d]))"
+        ).collect()
+    }
+    want = {
+        u: math.floor(math.sqrt(round(v * 100) / 100) * 1e6) / 1e6
+        for u, v in base.items()
+    }
+    assert got == want and got
+
+    # comparison over a flagged vector squares the scalar (the stddev
+    # rule): survivors are exactly those whose square beats 25²
+    kept = {
+        r["user"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "sqrt(sum_over_time(purchase[30d])) > 25"
+        ).collect()
+    }
+    assert kept == {u for u, v in want.items() if v > 25} and kept
+
+    for bad, pat in (
+        ("sqrt(sqrt(click))", "nested sqrt"),
+        ("sum(sqrt(sum_over_time(click[1d])))", "sqrt-deferred"),
+        ("sqrt(click) + click", "stddev_over_time"),
+        ("ln(click)", "not correctly-rounded"),
+        ("exp(click)", "not correctly-rounded"),
+        ("log2(rate(click[5m]))", "not correctly-rounded"),
+        ("holt_winters(click[1d], 0.5, 0.5)", "t20_holt_winters"),
+    ):
+        with pytest.raises(PromQLError, match=pat):
+            compile_promql(spark, SF_SMOKE, bad)
+
+    # a metric that happens to be NAMED like an excluded fn still
+    # parses as a selector when not called
+    from prometheus_remote_kinesis_spark.promql import Selector
+
+    assert isinstance(parse("ln"), Selector)

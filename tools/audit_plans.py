@@ -128,6 +128,7 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq40_promql_mod_scalar", "nested_loop_join"),
     ("pq41_promql_pow_scalar", "nested_loop_join"),
     ("pq42_promql_timestamp", "nested_loop_join"),
+    ("pq43_promql_sqrt", "nested_loop_join"),
     ("pqr5_promql_range_date_fn", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
