@@ -262,7 +262,9 @@ _PRIORITY = (
     # bit-exact under the local gate.)
     # A: hash agg, distinct, quantiles, grouping sets, collect, histogram, z-score
     "a1_pricing_summary",
-    "a2c_bitmap_distinct",
+    # (a2c_bitmap_distinct rotated out late-r13 for the same-round pq38
+    # — green r8–r12; A keeps a1/a3c/a4d/a10b and the bitmap regime
+    # stays bit-exact locally.)
     # A3: KMV distinct-count sketch — the first hash-verified sketch (r8 IN)
     "a3c_kmv_distinct",
     # (a14s_count_min_stream rotated out r13 — green r9–r12; A keeps
@@ -321,9 +323,9 @@ _PRIORITY = (
     # R: Layer-A ingest chain (flatten, NDJSON wire, prompb DataSource)
     "r1_event_records",
     "r4_prompb_datasource",
-    # R6: remote_read — the /read half the write-only reference lacks:
-    # EQ/NEQ/RE/NRE matcher engine + prompb wire (r11 IN)
-    "r6_remote_read",
+    # (r6_remote_read rotated out late-r13 for the same-round pqr5 —
+    # green r6–r12; the /read matcher engine + prompb wire stay
+    # live-HTTP pytest-pinned and S keeps r1/r4/s1e.)
     # Streaming-executed (real Structured Streaming path, same oracle).
     # Late-r8 within-family upgrade: OUT t5s_tumbling_5min_stream →
     # IN s1e_relay_rollup_stream_e2e, which registers the SAME T5 oracle
@@ -406,6 +408,12 @@ _PRIORITY = (
     "pq27_promql_sum_floor",
     "pqr2_promql_range_selector",
     "pqr3_promql_range_histogram_quantile",
+    # Late-r13 additions shipping with their own round (the t39s/pqr1
+    # precedent): the vector-vector comparison join path (_vec_match +
+    # the decimal(38,0) ≡ HUGEINT cross-multiplied predicate) and the
+    # calendar-function value class through the driver materialization.
+    "pq38_promql_vector_compare",
+    "pqr5_promql_range_date_fn",
     # (l2e_neardup_clusters rotated out r9 — L2 keeps the band-join
     # pipeline rep l2h; the CC-clustering layer stays bit-exact locally.)
     # (l4_knn_join + l4e_sign_bucket_ann rotated out r11 — L4 held FOUR
