@@ -442,14 +442,18 @@ _EXCLUDED_MATH_FNS = {
 
 @dataclass(frozen=True)
 class SortFn:
-    """``sort(v)`` / ``sort_desc(v)`` (r13): instant-vector
-    presentation order — values ascending/descending, labels breaking
-    ties deterministically. OUTERMOST only (ordering is a property of
-    the returned frame, not of the rational algebra); range queries
-    reject it like Prometheus ignores it."""
+    """``sort(v)`` / ``sort_desc(v)`` (r13) and
+    ``sort_by_label(v, "l", ...)`` / ``sort_by_label_desc`` (late r13):
+    instant-vector presentation order — by value, or lexicographically
+    by the named labels' STRING renderings (the Prometheus rule — label
+    "10" sorts before "2"), remaining columns breaking ties
+    deterministically. OUTERMOST only (ordering is a property of the
+    returned frame, not of the rational algebra); range queries reject
+    it like Prometheus ignores it."""
 
     expr: object
     desc: bool = False
+    by_labels: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -804,6 +808,20 @@ class _Parser:
             inner = self._expr()
             self._expect("op", ")")
             return SortFn(inner, desc=(v == "sort_desc"))
+        if k == "id" and v in ("sort_by_label", "sort_by_label_desc"):
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            labels: list[str] = []
+            while self._peek() == ("op", ","):
+                self._next()
+                labels.append(self._expect("str")[1])
+            self._expect("op", ")")
+            if not labels:
+                raise PromQLError(f"{v} needs at least one label argument")
+            return SortFn(
+                inner, desc=v.endswith("_desc"), by_labels=tuple(labels)
+            )
         if k == "id" and v == "label_join":
             self._next()
             self._expect("op", "(")
@@ -2888,12 +2906,29 @@ def compile_promql(
     interpolation expression instead; see _compile_histq)."""
     ast = parse(query)
     sort_desc: bool | None = None
+    sort_labels: tuple[str, ...] = ()
     if isinstance(ast, SortFn):  # r13: outermost presentation order
-        sort_desc, ast = ast.desc, ast.expr
+        sort_desc, sort_labels, ast = ast.desc, ast.by_labels, ast.expr
 
     def _ordered(df: DataFrame) -> DataFrame:
         if sort_desc is None:
             return df
+        if sort_labels:
+            missing = [lb for lb in sort_labels if lb not in df.columns]
+            if missing:
+                raise PromQLError(
+                    f"sort_by_label: labels {missing} absent from the "
+                    f"result (have {[c for c in df.columns if c != 'value']})"
+                )
+            # Prometheus sorts label VALUES lexicographically — order on
+            # the STRING rendering even for numeric labels ("10" < "2")
+            keys = [
+                F.desc(F.col(lb).cast("string")) if sort_desc
+                else F.asc(F.col(lb).cast("string"))
+                for lb in sort_labels
+            ]
+            rest = [c for c in df.columns if c not in sort_labels]
+            return df.orderBy(*keys, *rest)
         key = F.desc("value") if sort_desc else F.asc("value")
         return df.orderBy(key, *[c for c in df.columns if c != "value"])
 
@@ -4576,6 +4611,44 @@ def pq41_promql_pow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Squared counts keep den = 1, so the outer sum is aggregable and the
     oracle is a plain integer sum of squares."""
     return compile_promql(spark, sf_dir, PQ41_QUERY)
+
+
+PQ44_QUERY = (
+    "sum_over_time(click[30d]) / on() group_left "
+    "sum(sum_over_time(click[30d]))"
+)
+PQ44_ORACLE = """
+    WITH b AS (SELECT max(epoch_us(ts) // 1000) AS t FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS n
+        FROM events, b
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND epoch_us(ts) // 1000 > t - 2592000000
+          AND epoch_us(ts) // 1000 <= t
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+    SELECT CAST(g.user_id AS BIGINT) AS user,
+           floor(CAST(g.n AS DOUBLE) / CAST(tot.total AS DOUBLE) * 1e6)
+               / 1e6 AS value
+    FROM g, tot WHERE tot.total <> 0
+"""
+
+
+@register("pq44_promql_share_of_total", family="PQ", oracle=PQ44_ORACLE)
+def pq44_promql_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``v / on() group_left sum(v)`` — the SHARE-OF-TOTAL idiom
+    (late r13, a coverage row: zero new machinery): the empty ``on()``
+    match key makes the aggregated rhs a 1-row scalar vector and
+    group_left broadcasts it across every lhs series — the r12
+    _vec_match machinery composing exactly as Prometheus users write
+    it. Both dens are the constant 100, so the '/' gcd-reduces to
+    num = n, den = total (pq10's same-window reduction); shares sum to
+    ~1 up to the shared 1e-6 truncation. Oracle mirrors with a 1-row
+    cross-joined total and the divisor-zero cut."""
+    return compile_promql(spark, sf_dir, PQ44_QUERY)
 
 
 PQ43_QUERY = "sqrt(sum_over_time(purchase[30d]))"

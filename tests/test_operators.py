@@ -3547,3 +3547,42 @@ def test_promql_sqrt_and_excluded_math_fns(spark):
     from prometheus_remote_kinesis_spark.promql import Selector
 
     assert isinstance(parse("ln"), Selector)
+
+
+def test_promql_sort_by_label_semantics(spark):
+    """late-r13 sort_by_label/sort_by_label_desc: lexicographic order
+    on the labels' STRING renderings (the Prometheus rule — "10" sorts
+    before "2" even though the user label is numeric), desc mirrors,
+    and absent labels / missing arguments reject."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = compile_promql(
+        spark, SF_SMOKE,
+        'sort_by_label(sum_over_time(purchase[30d]), "user")',
+    ).collect()
+    users = [str(r["user"]) for r in rows]
+    assert users == sorted(users) and len(users) > 2  # lexicographic
+    assert users != sorted(users, key=int)  # "10" < "2" actually bites
+    rows_d = compile_promql(
+        spark, SF_SMOKE,
+        'sort_by_label_desc(sum_over_time(purchase[30d]), "user")',
+    ).collect()
+    assert [str(r["user"]) for r in rows_d] == sorted(users, reverse=True)
+
+    with pytest.raises(PromQLError, match="absent from the result"):
+        compile_promql(
+            spark, SF_SMOKE,
+            'sort_by_label(sum_over_time(purchase[30d]), "nope")',
+        ).collect()
+    with pytest.raises(PromQLError, match="at least one label"):
+        compile_promql(spark, SF_SMOKE, "sort_by_label(click)")
+    with pytest.raises(PromQLError, match="outermost"):
+        compile_promql(
+            spark, SF_SMOKE,
+            'sum(sort_by_label(sum_over_time(click[30d]), "user"))',
+        )

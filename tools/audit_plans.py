@@ -129,6 +129,7 @@ WHITELIST: set[tuple[str, str]] = {
     ("pq41_promql_pow_scalar", "nested_loop_join"),
     ("pq42_promql_timestamp", "nested_loop_join"),
     ("pq43_promql_sqrt", "nested_loop_join"),
+    ("pq44_promql_share_of_total", "nested_loop_join"),
     ("pqr5_promql_range_date_fn", "nested_loop_join"),
     # same 1-row eval-time broadcast via extrapolated_rate_1d, applied
     # post-drain over the trailing-buffer residue (~1d of samples/series)
