@@ -949,6 +949,25 @@ class _Parser:
             s = Fraction(self._expect("num")[1])
             self._expect("op", ")")
             return Clamp(fn, inner, s)
+        if k == "id" and v == "clamp":
+            # two-sided clamp (late r13): exactly clamp_max(clamp_min(v,
+            # lo), hi) — parser sugar over the existing exact nodes; the
+            # Prometheus empty-vector rule for lo > hi is a compile
+            # rejection here (loud beats silently-empty)
+            self._next()
+            self._expect("op", "(")
+            inner = self._expr()
+            self._expect("op", ",")
+            lo = Fraction(self._expect("num")[1])
+            self._expect("op", ",")
+            hi = Fraction(self._expect("num")[1])
+            self._expect("op", ")")
+            if lo > hi:
+                raise PromQLError(
+                    f"clamp: min {lo} > max {hi} (Prometheus would return "
+                    "an empty vector; the subset rejects loudly instead)"
+                )
+            return Clamp("clamp_max", Clamp("clamp_min", inner, lo), hi)
         if k == "id" and v == "quantile_over_time":
             self._next()
             self._expect("op", "(")

@@ -3586,3 +3586,43 @@ def test_promql_sort_by_label_semantics(spark):
             spark, SF_SMOKE,
             'sum(sort_by_label(sum_over_time(click[30d]), "user"))',
         )
+
+
+def test_promql_two_sided_clamp(spark):
+    """late-r13 ``clamp(v, min, max)``: parser sugar over the exact
+    clamp_min/clamp_max composition — values pinned against the
+    explicit nesting and against Python; min > max rejects loudly."""
+    import pytest
+
+    from prometheus_remote_kinesis_spark.promql import (
+        PromQLError, compile_promql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "clamp(sum_over_time(purchase[30d]), 400, 800)"
+        ).collect()
+    }
+    nested = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE,
+            "clamp_max(clamp_min(sum_over_time(purchase[30d]), 400), 800)",
+        ).collect()
+    }
+    base = {
+        r["user"]: r["value"]
+        for r in compile_promql(
+            spark, SF_SMOKE, "sum_over_time(purchase[30d])"
+        ).collect()
+    }
+    assert got == nested == {
+        u: min(800.0, max(400.0, v)) for u, v in base.items()
+    }
+    # both bounds actually bite at the smoke SF
+    assert 400.0 in got.values() and 800.0 in got.values()
+
+    with pytest.raises(PromQLError, match="min .* > max"):
+        compile_promql(spark, SF_SMOKE, "clamp(click, 10, 5)")
