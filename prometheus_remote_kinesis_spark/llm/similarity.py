@@ -70,7 +70,10 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.lit(None).cast("double").alias("cos_sim")
         ).limit(0)
     qvec = qrow[0]
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    # one literal-array Py4J call, not |dim| F.lit calls (r13: build time
+    # was ~0.17 s of per-element round trips at dim=64); same ArrayType
+    # (double) literal, element-exact IEEE doubles either way
+    q = F.lit([float(x) for x in qvec])
     qq = 0.0
     for x in qvec:
         qq += float(x) * float(x)

@@ -48,6 +48,15 @@ def get_spark(app_name: str = "prometheus_remote_kinesis_spark") -> SparkSession
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # r13 optimization: Spark 4's per-API-call debug capture wraps EVERY
+        # DataFrame/Column method in a conf.get + JVM PySparkCurrentOrigin
+        # set/clear + a Python stack walk — measured 2-4x the Py4J round
+        # trips of plan construction (pqr1: 1777 -> 477 calls) and -34..-37%
+        # compile wall time on the PromQL path. Client-side debug metadata
+        # only (error call-site strings); plans, results, and execution are
+        # byte-identical. Scale-independent: this is driver-side cost every
+        # deployment pays per query, not a local[32] tune.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

