@@ -130,13 +130,30 @@ def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                        up as-of style)
 
     below_prev uses the j6 union trick: each row emits a side-0 probe at
-    (bucket-1, t-W); probes sort before equal-ms data rows, so ``last``
-    over preceding rows yields the strictly-below prefix. All three
-    shuffles — cumsum window, bucket totals, final reassembly join — key
-    on high-cardinality (type, bucket) / event_id, never on type alone.
-    The rounding-boundary argument is t5's: values are 2-decimal
-    quantized, so the regrouped double error (~1e-9) cannot move a
-    round(…, 2) cell."""
+    (bucket-1, t-W); probes sort before equal-ms data rows, so a running
+    sum over preceding rows yields the strictly-below prefix. All three
+    shuffles — the one windowed pass, bucket totals, the per-event
+    regroup — key on high-cardinality (type, bucket) / event_id, never on
+    type alone. The rounding-boundary argument is t5's: values are
+    2-decimal quantized, so the regrouped double error (~1e-9) cannot
+    move a round(…, 2) cell.
+
+    r13 (guide §2.4): restructured from 4 scans / 4 exchanges / 3 window
+    sorts to 3 scans / 3 exchanges / 1 sort. Probes now enter the SAME
+    union as the data rows BEFORE the first shuffle, carrying NULL
+    value/cnt so they are invisible to every aggregate; one exchange on
+    (type, bucket) + one sort on (ms, side) feeds two Window nodes (the
+    ROWS running prefix for probes, then the RANGE peer-inclusive cumsum
+    for data rows — its (ms)-prefix ordering is satisfied by the same
+    sort, so no re-sort). Each row is then reunited with its probe by a
+    single groupBy(event_id) — replacing the old self-join whose two
+    `own` references re-inlined the whole window subplan. Hash-safety:
+    sum/count skip NULLs without touching the accumulator, so every
+    accumulation sequence over data values is unchanged; below_sum as a
+    running sum equals the old last(cum_sum, ignorenulls) because both
+    reduce the identical prefix set {data rows: ms < t-W} in the
+    identical (ms)-sorted order; the final expression tree
+    round(own + (coalesce(tot,0) - coalesce(below,0)), 2) is verbatim."""
     frame_ms = 300000
     events = load_table(spark, sf_dir, "events")
     base = events.select(
@@ -146,73 +163,94 @@ def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts")).alias("ms"),
     ).withColumn("bucket", F.floor(F.col("ms") / frame_ms))
 
-    wcum = (
-        Window.partitionBy("event_type", "bucket")
-        .orderBy("ms")
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    own = base.select(
+    data_rows = base.select(
         "event_id",
         "event_type",
         "bucket",
         "ms",
-        F.sum("value").over(wcum).alias("own_sum"),
-        F.count(F.lit(1)).over(wcum).alias("own_n"),
-    )
-
-    totals = base.groupBy("event_type", "bucket").agg(
-        F.sum("value").alias("tot_sum"), F.count(F.lit(1)).alias("tot_n")
-    )
-
-    data_rows = own.select(
-        "event_type",
-        "bucket",
-        "ms",
         F.lit(1).alias("side"),
-        F.lit(None).cast("long").alias("qid"),
-        F.col("own_sum").alias("cum_sum"),
-        F.col("own_n").alias("cum_n"),
+        "value",
+        F.lit(1).alias("cnt"),
     )
     probe_rows = base.select(
+        "event_id",
         "event_type",
         (F.col("bucket") - 1).alias("bucket"),
         (F.col("ms") - frame_ms).alias("ms"),
         F.lit(0).alias("side"),
-        F.col("event_id").alias("qid"),
-        F.lit(None).cast("double").alias("cum_sum"),
-        F.lit(None).cast("long").alias("cum_n"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("int").alias("cnt"),
     )
     wlook = (
         Window.partitionBy("event_type", "bucket")
         .orderBy("ms", "side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    probes = (
+    wcum = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("ms")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    passed = (
         data_rows.unionByName(probe_rows)
         .select(
+            "event_id",
             "event_type",
             "bucket",
-            "qid",
-            F.last("cum_sum", ignorenulls=True).over(wlook).alias("below_sum"),
-            F.last("cum_n", ignorenulls=True).over(wlook).alias("below_n"),
+            "ms",
+            "side",
+            "value",
+            "cnt",
+            F.sum("value").over(wlook).alias("run_sum"),
+            F.sum("cnt").over(wlook).alias("run_n"),
         )
-        .filter(F.col("qid").isNotNull())
-        .join(totals, ["event_type", "bucket"], "left")
         .select(
-            F.col("qid").alias("event_id"),
-            (F.coalesce("tot_sum", F.lit(0.0)) - F.coalesce("below_sum", F.lit(0.0))).alias(
-                "suffix_sum"
-            ),
-            (F.coalesce("tot_n", F.lit(0)) - F.coalesce("below_n", F.lit(0))).alias(
-                "suffix_n"
-            ),
+            "event_id",
+            "event_type",
+            "bucket",
+            "side",
+            "run_sum",
+            "run_n",
+            F.sum("value").over(wcum).alias("own_sum"),
+            F.sum("cnt").over(wcum).alias("own_n"),
         )
     )
-    return own.join(probes, "event_id").select(
-        "event_id",
-        "event_type",
-        F.round(F.col("own_sum") + F.col("suffix_sum"), 2).alias("trailing_sum"),
-        (F.col("own_n") + F.col("suffix_n")).alias("trailing_n"),
+    totals = base.groupBy("event_type", "bucket").agg(
+        F.sum("value").alias("tot_sum"), F.count(F.lit(1)).alias("tot_n")
+    )
+    # groupBy includes event_type (identical on a row and its probe) so
+    # every aggregation buffer stays numeric -> HashAggregate; a string
+    # max buffer would force SortAggregate + a full extra sort (r13).
+    g = passed.groupBy("event_id", "event_type").agg(
+        F.max(F.when(F.col("side") == 1, F.col("own_sum"))).alias("own_sum"),
+        F.max(F.when(F.col("side") == 1, F.col("own_n"))).alias("own_n"),
+        F.max(F.when(F.col("side") == 0, F.col("run_sum"))).alias("below_sum"),
+        F.max(F.when(F.col("side") == 0, F.col("run_n"))).alias("below_n"),
+        F.min("bucket").alias("prev_bucket"),
+    )
+    return (
+        g.join(
+            totals,
+            (g["event_type"] == totals["event_type"])
+            & (g["prev_bucket"] == totals["bucket"]),
+            "left",
+        )
+        .select(
+            "event_id",
+            g["event_type"],
+            F.round(
+                F.col("own_sum")
+                + (
+                    F.coalesce("tot_sum", F.lit(0.0))
+                    - F.coalesce("below_sum", F.lit(0.0))
+                ),
+                2,
+            ).alias("trailing_sum"),
+            (
+                F.col("own_n")
+                + (F.coalesce("tot_n", F.lit(0)) - F.coalesce("below_n", F.lit(0)))
+            ).alias("trailing_n"),
+        )
     )
 
 
