@@ -123,6 +123,15 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     band_key — at scale this is a shuffle on short band keys; hot buckets
     (boilerplate docs) are exactly the pairs we want, and AQE skew-join
     splits them.
+
+    r13 (guide §2.3 — shuffle fewer bytes): the signature-agreement count
+    ``m`` is computed in the join's probe stage, BEFORE the pair-dedup
+    exchange, so that exchange carries (id_a, id_b, m) — 24 bytes/row —
+    instead of both 32-long signature arrays (~550 bytes/row), and the
+    dedup aggregates a plain int (``max``; every colliding band sees the
+    same two signatures, so m is constant per pair) in a HashAggregate
+    instead of `first(array)` buffers in a SortAggregate + sort. est is
+    m/N_PERM, bit-identical to the old post-dedup computation.
     """
     banded = docs.select(
         F.col(id_col),
@@ -150,17 +159,19 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("band"), F.col("bh"),
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
     )
-    pairs = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.aggregate(
+    m = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
-    ) / F.lit(N_PERM)
+    )
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", m.alias("m"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("m").alias("m"))
+    )
+    est = F.col("m") / F.lit(N_PERM)
     return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
 
 
@@ -239,7 +250,17 @@ def l2h_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4×2) near-dup candidates with the md5 hash family —
     the oracle-backed twin of l2 (same single-pass signature fold, same
     band/bucket-join plan shape; only the hash function differs). Every
-    stage of the LSH pipeline is hash-compared against DuckDB."""
+    stage of the LSH pipeline is hash-compared against DuckDB.
+
+    r13: same two physical fixes as l2 — the signature table is persisted
+    so the self-join's two references don't re-inline the md5 MinHash
+    stage, and the agreement count m moves before the pair-dedup exchange
+    (numeric HashAggregate, 24 B/row shuffle instead of signature
+    arrays + SortAggregate). m is constant per pair across bands, so
+    max(m) ≡ the old post-dedup computation; est = round(m/8.0, 4)
+    verbatim — oracle hash unchanged."""
+    from pyspark import StorageLevel
+
     docs = shingled_docs(load_table(spark, sf_dir, "documents"))
     init = F.array_repeat(F.lit(2**63 - 1).cast("long"), _MD5_PERMS)
     sig = F.aggregate(
@@ -251,7 +272,9 @@ def l2h_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.least(a, b),
         ),
     )
-    d = docs.select("doc_id", sig.alias("sig"))
+    d = docs.select("doc_id", sig.alias("sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = d.select(
         "doc_id",
         "sig",
@@ -278,21 +301,22 @@ def l2h_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = banded.select(
         "band", "key", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
     )
-    pairs = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
     m = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", m.alias("m"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("m").alias("m"))
+    )
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(m / F.lit(float(_MD5_PERMS)), 4).alias("est_jaccard"),
+        F.round(F.col("m") / F.lit(float(_MD5_PERMS)), 4).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= 0.25)
 
 
@@ -321,9 +345,21 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8×4) near-dup candidate pairs with estimated
     Jaccard ≥ 0.25. No SQL oracle (hash-family dependent) — recall vs the
-    exact l2b query is asserted in tests/test_llm.py."""
-    docs = shingled_docs(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+    exact l2b query is asserted in tests/test_llm.py.
+
+    The signature table is persisted (lazy, populated during this query's
+    own execution — the l2b inverted-index precedent): the LSH self-join
+    references it twice, and without materialization each reference
+    re-inlines the whole shingle+MinHash subplan, running the dominant
+    compute stage twice (r13, guide §8 step 1: fingerprint once, decide
+    on the small table). At 100 TB the cached table is (id, 32×8B sig) —
+    a fixed ~270 B/doc regardless of document size."""
+    from pyspark import StorageLevel
+
+    docs = (
+        shingled_docs(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return lsh_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.25)
 
