@@ -51,18 +51,31 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
         F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        # decimal-exact sum ÷ count: 2-decimal source data can average to
-        # an exact round-half boundary, where double accumulation order
+        # exact sum ÷ count: 2-decimal source data can average to an
+        # exact round-half boundary, where double accumulation order
         # (engine/partition dependent) flips the rounded cell — same
         # hazard observed on t5 at sf0.1. avg_qty is integer-valued, so
         # its double sum is already exact and order-independent.
+        #
+        # r13 (guide §1.2 step 2 — per-task work): the exact accumulator
+        # is a LONG sum of cents, not a decimal(18,2) sum — the two
+        # decimal buffers were 60% of a1's per-row compute (0.756 s →
+        # 0.310 s without them at sf0.1). Equivalence to the oracle's
+        # decimal sum: round(x*100) == cast(x as decimal(18,2))*100 on
+        # every row of every SF (probed, 0 mismatches — both round the
+        # shortest-repr double half-up), the cents sum is the identical
+        # integer, and sum_cents/100.0 rounds the identical rational to
+        # the identical double as decimal.doubleValue(). Overflow
+        # envelope: cents sums stay exact to 9.2e18 — ~9e16 currency
+        # units per group, ~20× the 100 TB-scale total — and ANSI mode
+        # raises loudly rather than wrapping beyond that.
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0))
             / F.count(F.lit(1)),
             4,
         ).alias("avg_price"),
         F.round(
-            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+            (F.sum(F.round(F.col("l_discount") * 100).cast("long")) / F.lit(100.0))
             / F.count(F.lit(1)),
             6,
         ).alias("avg_disc"),

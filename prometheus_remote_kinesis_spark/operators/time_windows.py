@@ -40,8 +40,14 @@ def tumbling_rollup_5min(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
+            # r13: exact accumulator = LONG sum of cents instead of a
+            # decimal(18,2) sum buffer (a1's mechanism — see its
+            # docstring for the probed per-row equivalence and the
+            # overflow envelope; decimal buffers measured 60% of the
+            # per-row agg compute). sum_cents/100.0 / n rounds the
+            # identical rational to the identical double.
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0))
                 / F.count(F.lit(1)),
                 4,
             ).alias("avg_value"),
@@ -411,7 +417,11 @@ def t14b_over_time_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ms")
         .rangeBetween(-300000, 0)
     )
-    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(wrange)
+    # r13: exact accumulator = LONG sum of cents in the window frame, not
+    # a decimal(18,2) sum (a1's mechanism / t14c's oracle idiom; see
+    # a1_pricing_summary for the probed per-row equivalence).
+    # sum_cents/100.0 is the identical double as decimal.doubleValue().
+    c_sum = F.sum(F.round(F.col("value") * 100).cast("long")).over(wrange)
     return events.select(
         "event_id",
         "event_type",
@@ -422,12 +432,12 @@ def t14b_over_time_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "user_id",
-        F.round(dec_sum.cast("double") / F.count("value").over(wrange), 6).alias(
+        F.round((c_sum / F.lit(100.0)) / F.count("value").over(wrange), 6).alias(
             "avg_ot"
         ),
         F.min("value").over(wrange).alias("min_ot"),
         F.max("value").over(wrange).alias("max_ot"),
-        F.round(dec_sum.cast("double"), 2).alias("sum_ot"),
+        F.round(c_sum / F.lit(100.0), 2).alias("sum_ot"),
         F.count("value").over(wrange).alias("count_ot"),
     )
 
@@ -1059,8 +1069,10 @@ def avg_vector_5min(events: DataFrame) -> DataFrame:
         ),
         "event_type",
     ).agg(
+        # r13: cents-long exact sum (a1's mechanism) instead of a
+        # decimal(18,2) buffer; identical double out.
         F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0))
             / F.count(F.lit(1)),
             4,
         ).alias("avg_value")
@@ -1166,7 +1178,9 @@ def t22_downsample_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ms").alias("bucket_ms"),
         F.lit(1).cast("long").alias("n"),
-        F.round(F.col("value").cast("decimal(18,2)"), 2).cast("double").alias("v_avg"),
+        # round(double, 2) ≡ cast-to-decimal(18,2)-then-double: both are
+        # BigDecimal.valueOf(v).setScale(2, HALF_UP).doubleValue() (r13).
+        F.round(F.col("value"), 2).alias("v_avg"),
         F.col("value").alias("v_min"),
         F.col("value").alias("v_max"),
     )
@@ -1179,8 +1193,9 @@ def t22_downsample_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # r13: cents-long exact sum (a1's mechanism).
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0))
                 / F.count(F.lit(1)),
                 4,
             ).alias("v_avg"),
@@ -1267,8 +1282,9 @@ def t24_vector_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_err"),
+            # r13: cents-long exact sum (a1's mechanism).
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
             ).alias("sum_err"),
         )
     )
