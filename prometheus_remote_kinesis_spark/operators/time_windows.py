@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prometheus_remote_kinesis_spark.registry import register
-from prometheus_remote_kinesis_spark.sources.tables import load_table
+from prometheus_remote_kinesis_spark.sources.tables import load_table, max_ms_frame
 
 T5_ORACLE = """
     SELECT time_bucket(INTERVAL '5 minutes', ts)                        AS window_start,
@@ -1171,7 +1171,9 @@ def t22_downsample_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events.select(
         "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"
     )
-    t_max = s.agg(F.max("ms").alias("t_max"))
+    # r13 (guide §6): corpus-max anchor from exact parquet footer stats
+    # when provable (sources.tables.max_ms_frame), scan fallback.
+    t_max = max_ms_frame(spark, sf_dir, "t_max")
     s = s.crossJoin(F.broadcast(t_max))
     recent = s.filter(F.col("ms") > F.col("t_max") - 86400000).select(
         "event_type",
@@ -1236,7 +1238,8 @@ def t23_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events.select(
         "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"
     )
-    t_eval = s.agg(F.max("ms").alias("t_eval"))
+    # r13: footer-stats eval anchor (max_ms_frame), scan fallback.
+    t_eval = max_ms_frame(spark, sf_dir, "t_eval")
     s = s.crossJoin(F.broadcast(t_eval)).filter(
         F.col("ms").between(F.col("t_eval") - 300000, F.col("t_eval"))
     )
@@ -1375,10 +1378,10 @@ def t25_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events.select(
         "event_type", "user_id", F.unix_millis("ts").alias("ms"), "value"
     )
-    return extrapolated_rate_1d(s)
+    return extrapolated_rate_1d(s, max_ms_frame(spark, sf_dir, "t_eval"))
 
 
-def extrapolated_rate_1d(s: DataFrame) -> DataFrame:
+def extrapolated_rate_1d(s: DataFrame, t_eval_frame: DataFrame | None = None) -> DataFrame:
     """t25's whole expression tree after the (event_type, user_id, ms,
     value) projection — factored out so the streaming twin t25s applies
     the IDENTICAL computation (same operand order, same decimal sums,
@@ -1386,7 +1389,14 @@ def extrapolated_rate_1d(s: DataFrame) -> DataFrame:
     registers against the SAME oracle."""
     from pyspark.sql import Window
 
-    t_eval = s.agg(F.max("ms").alias("t_eval"))
+    # r13: the batch caller passes the footer-stats eval anchor; the
+    # streaming twin (whose input is the drained residue, not a parquet
+    # table) keeps the in-stream max — identical value by construction.
+    t_eval = (
+        t_eval_frame
+        if t_eval_frame is not None
+        else s.agg(F.max("ms").alias("t_eval"))
+    )
     s = s.crossJoin(F.broadcast(t_eval)).filter(
         F.col("ms").between(F.col("t_eval") - 86400000, F.col("t_eval"))
     )
@@ -1585,7 +1595,8 @@ def t28_slo_burn_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic eval-point pattern)."""
     events = load_table(spark, sf_dir, "events")
     s = events.select("user_id", "event_type", F.unix_millis("ts").alias("ms"))
-    t_eval = s.agg(F.max("ms").alias("t_eval"))
+    # r13: footer-stats eval anchor (max_ms_frame), scan fallback.
+    t_eval = max_ms_frame(spark, sf_dir, "t_eval")
     s = s.crossJoin(F.broadcast(t_eval)).filter(
         F.col("ms").between(F.col("t_eval") - 3600000, F.col("t_eval"))
     )

@@ -289,11 +289,22 @@ def w1c_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize."""
     band_width = 500.0
     orders = load_table(spark, sf_dir, "orders")
+    # r13: the offsets broadcast-join moves AFTER the window, so the
+    # fact-side exchange + sort + two Window passes carry (band, key,
+    # price) without the 8-byte offset column — same per-row expressions,
+    # verified row-identical. (An exchange-sharing attempt — explicit
+    # repartition("band") feeding both the window and the counts agg —
+    # did NOT dedupe: column pruning narrows the counts subplan to the
+    # single price column, so its Exchange canonicalizes differently and
+    # ReusedExchange can't fire. The second scan reads one column of a
+    # columnar file; measured a wash at sf0.1, and the explicit
+    # repartition is kept only because hash(band) then satisfies both
+    # consumers' required distributions.)
     banded = orders.select(
         "o_orderkey",
         "o_totalprice",
         F.floor(F.col("o_totalprice") / band_width).alias("band"),
-    )
+    ).repartition("band")
     w_pos = Window.partitionBy("band").orderBy(F.desc("o_totalprice"), "o_orderkey")
     w_rnk = Window.partitionBy("band").orderBy(F.desc("o_totalprice"))
     counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
@@ -301,13 +312,16 @@ def w1c_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = counts.select(
         "band", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
     )
-    return (
-        banded.join(F.broadcast(offsets), "band")
-        .select(
-            "o_orderkey",
-            (F.col("offset") + F.row_number().over(w_pos)).alias("pos"),
-            (F.col("offset") + F.rank().over(w_rnk)).alias("rnk"),
-        )
+    ranked = banded.select(
+        "band",
+        "o_orderkey",
+        F.row_number().over(w_pos).alias("in_pos"),
+        F.rank().over(w_rnk).alias("in_rnk"),
+    )
+    return ranked.join(F.broadcast(offsets), "band").select(
+        "o_orderkey",
+        (F.col("offset") + F.col("in_pos")).alias("pos"),
+        (F.col("offset") + F.col("in_rnk")).alias("rnk"),
     )
 
 

@@ -115,7 +115,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prometheus_remote_kinesis_spark.registry import register
-from prometheus_remote_kinesis_spark.sources.tables import load_table
+from prometheus_remote_kinesis_spark.sources.tables import load_table, max_ms_frame
 
 # ---------------------------------------------------------------- AST
 
@@ -1292,8 +1292,11 @@ def _base(spark: SparkSession, sf_dir: str, sel: Selector) -> DataFrame:
 
 
 def _t_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.agg(F.max(F.unix_millis("ts")).alias("t_eval"))
+    # r13 (guide §6): the corpus-max anchor is answered from exact
+    # parquet footer statistics when they prove it (max_ts_ms docstring),
+    # replacing a full single-column scan + aggregate + exchange in
+    # every instant-vector query; identical value, scan fallback.
+    return max_ms_frame(spark, sf_dir, "t_eval")
 
 
 def _t_frame(

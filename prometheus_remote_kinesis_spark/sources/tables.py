@@ -121,6 +121,85 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def max_ts_ms(sf_dir: str, name: str = "events", column: str = "ts") -> int | None:
+    """Exact corpus-max timestamp in epoch-ms from parquet FOOTER
+    statistics, or None when the stats cannot prove it (missing/inexact
+    stats, empty table, all-NULL column) — callers fall back to a scan.
+
+    r13 (guide §6 — make readers skip data): ~80 instant-vector queries
+    anchor at ``t_eval = max(ts)``, which planned as a full single-column
+    scan + aggregate + exchange per query. INT64 timestamp min/max in
+    parquet footers is exact (no truncation, NULLs excluded), so the
+    scalar is answerable from metadata alone — the same stats DuckDB and
+    Spark's own aggregate pushdown would use. Read per invocation from
+    the parquet inputs; nothing is cached across runs. Handles a single
+    file or a directory of part files; timestamps decode per their
+    logical unit (datetime for us/ms, raw int for ns)."""
+    import datetime as _dt
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as _pq
+    except Exception:
+        return None
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    epoch = _dt.datetime(1970, 1, 1)
+    best: int | None = None
+    try:
+        for fp in files:
+            pf = _pq.ParquetFile(fp)
+            try:
+                idx = pf.schema_arrow.get_field_index(column)
+                unit = pf.schema_arrow.field(column).type.unit
+            except Exception:
+                return None
+            for rg in range(pf.metadata.num_row_groups):
+                col = pf.metadata.row_group(rg).column(idx)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    if col.num_values == 0:
+                        continue  # empty/all-NULL group constrains nothing
+                    return None  # values present but unproven -> scan
+                mx = st.max
+                if isinstance(mx, _dt.datetime):
+                    d = mx.replace(tzinfo=None) - epoch
+                    us = (d.days * 86_400_000_000
+                          + d.seconds * 1_000_000 + d.microseconds)
+                    ms = us // 1000
+                elif isinstance(mx, int):
+                    div = {"ns": 1_000_000, "us": 1000, "ms": 1}.get(unit)
+                    if div is None:
+                        return None
+                    ms = mx // div
+                else:
+                    return None
+                best = ms if best is None else max(best, ms)
+    except Exception:
+        return None
+    return best
+
+
+def max_ms_frame(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
+    """1-row frame holding the corpus-max epoch-ms of events.ts — from
+    footer statistics when provable (max_ts_ms), else the scan+aggregate
+    plan. The shared eval-anchor producer for the instant-style batch
+    queries (t22/t23/t25/t26, promql._t_eval)."""
+    ms = max_ts_ms(sf_dir, "events")
+    if ms is not None:
+        return spark.range(1).select(F.lit(ms).cast("long").alias(alias))
+    return load_table(spark, sf_dir, "events").agg(
+        F.max(F.unix_millis("ts")).alias(alias)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for the SQL API."""
     for name in TABLES:

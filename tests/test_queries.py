@@ -54,3 +54,39 @@ def test_query_runs(spark, name):
     assert n >= 0
     # deterministic: second run produces the same count
     assert q.fn(spark, SF_SMOKE).count() == n
+
+
+class TestMaxTsFooterStats:
+    """r13: promql._t_eval answers from parquet footer statistics when
+    they prove the corpus max (sources.tables.max_ts_ms); these pin the
+    fast path to the scan-computed truth and the fallback contract."""
+
+    def test_footer_equals_scan_all_sfs(self, spark):
+        from pyspark.sql import functions as F
+
+        from prometheus_remote_kinesis_spark.sources.tables import (
+            load_table,
+            max_ts_ms,
+        )
+
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            sf_dir = f"/root/testdata/{sf}"
+            fast = max_ts_ms(sf_dir, "events")
+            assert fast is not None, sf
+            scanned = (
+                load_table(spark, sf_dir, "events")
+                .agg(F.max(F.unix_millis("ts")))
+                .collect()[0][0]
+            )
+            assert fast == scanned, (sf, fast, scanned)
+
+    def test_missing_table_falls_back(self, tmp_path):
+        from prometheus_remote_kinesis_spark.sources.tables import max_ts_ms
+
+        assert max_ts_ms(str(tmp_path), "events") is None
+
+    def test_t_eval_matches_scan(self, spark):
+        from prometheus_remote_kinesis_spark.promql import _t_eval
+
+        v = _t_eval(spark, "/root/testdata/sf0.01").collect()
+        assert len(v) == 1 and isinstance(v[0][0], int)
