@@ -315,7 +315,9 @@ def decode_media(blob: bytes, mime: str) -> float:
         raise NotImplementedError(f"no decoder for {mime}: codec libs not installed")
     if not blob:
         return 0.0
-    return sum(blob) / len(blob)
+    # r13 (guide §4.2): byte-sum via numpy, not the interpreted-Python
+    # sum() loop — same exact integer, ~vectorized per blob.
+    return int(np.frombuffer(blob, dtype=np.uint8).sum(dtype=np.int64)) / len(blob)
 
 
 def extract_features(media_df: DataFrame) -> DataFrame:

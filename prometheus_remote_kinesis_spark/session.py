@@ -57,6 +57,15 @@ def get_spark(app_name: str = "prometheus_remote_kinesis_spark") -> SparkSession
         # byte-identical. Scale-independent: this is driver-side cost every
         # deployment pays per query, not a local[32] tune.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # r13 (guide §2.3): shuffle/spill codec, parameterised — lz4
+        # (Spark's default) locally where shuffles are MBs and CPU is
+        # the scarce resource; set SPARK_GRAFT_IO_CODEC=zstd on network-
+        # bound clusters for the better ratio. Kept as env so the
+        # driver's bench stays comparable across rounds.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
