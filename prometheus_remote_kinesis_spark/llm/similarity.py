@@ -514,7 +514,12 @@ def l2g_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     has a kept lower-id neighbor at ≥ τ in ITS cluster). Rows-only:
     k-means is iterative (no SQL oracle), so the driver runs the
     rows-only check and the invariants live in tests/test_llm.py."""
-    n = load_table(spark, sf_dir, "embeddings").count()
+    # r13: exact footer row count (table_num_rows), count() fallback.
+    from prometheus_remote_kinesis_spark.sources.tables import table_num_rows
+
+    n = table_num_rows(sf_dir, "embeddings")
+    if n is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
     k = max(KMEANS_K, -(-n // SEMDEDUP_CLUSTER_TARGET))  # ceil div
     av = _kmeans_assign(spark, sf_dir, k)  # (vec_id, v, cluster) — deterministic
     a = av.select(

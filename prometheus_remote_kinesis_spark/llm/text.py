@@ -271,7 +271,13 @@ def l5f_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    # r13: exact footer row count replaces a count() job at build
+    # (sources.tables.table_num_rows; unfiltered count only).
+    from prometheus_remote_kinesis_spark.sources.tables import table_num_rows
+
+    n_docs = table_num_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = docs.count()
     raw = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     from pyspark.sql import Window
 

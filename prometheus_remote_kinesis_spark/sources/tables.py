@@ -187,6 +187,34 @@ def max_ts_ms(sf_dir: str, name: str = "events", column: str = "ts") -> int | No
     return best
 
 
+def table_num_rows(sf_dir: str, name: str) -> int | None:
+    """Exact UNFILTERED row count from parquet footer metadata, or None
+    (missing/unreadable files) — callers fall back to ``.count()``.
+    Only valid as a stand-in for counting the whole table (footer
+    num_rows includes rows with NULL columns, exactly like ``count()``
+    on the unfiltered scan). r13, same rationale as max_ts_ms: the
+    scalar was a full Spark job at plan-BUILD time."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as _pq
+    except Exception:
+        return None
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    try:
+        return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def max_ms_frame(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
     """1-row frame holding the corpus-max epoch-ms of events.ts — from
     footer statistics when provable (max_ts_ms), else the scan+aggregate

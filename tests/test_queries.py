@@ -90,3 +90,15 @@ class TestMaxTsFooterStats:
 
         v = _t_eval(spark, "/root/testdata/sf0.01").collect()
         assert len(v) == 1 and isinstance(v[0][0], int)
+
+    def test_footer_num_rows_equals_count(self, spark):
+        from prometheus_remote_kinesis_spark.sources.tables import (
+            load_table,
+            table_num_rows,
+        )
+
+        for sf, name in (("sf0.01", "documents"), ("sf0.01", "embeddings")):
+            sf_dir = f"/root/testdata/{sf}"
+            fast = table_num_rows(sf_dir, name)
+            assert fast is not None
+            assert fast == load_table(spark, sf_dir, name).count()
