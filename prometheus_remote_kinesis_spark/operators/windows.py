@@ -138,22 +138,31 @@ def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-decimal quantized, so the regrouped double error (~1e-9) cannot
     move a round(…, 2) cell.
 
-    r13 (guide §2.4): restructured from 4 scans / 4 exchanges / 3 window
-    sorts to 3 scans / 3 exchanges / 1 sort. Probes now enter the SAME
-    union as the data rows BEFORE the first shuffle, carrying NULL
-    value/cnt so they are invisible to every aggregate; one exchange on
-    (type, bucket) + one sort on (ms, side) feeds two Window nodes (the
-    ROWS running prefix for probes, then the RANGE peer-inclusive cumsum
-    for data rows — its (ms)-prefix ordering is satisfied by the same
-    sort, so no re-sort). Each row is then reunited with its probe by a
-    single groupBy(event_id) — replacing the old self-join whose two
-    `own` references re-inlined the whole window subplan. Hash-safety:
-    sum/count skip NULLs without touching the accumulator, so every
-    accumulation sequence over data values is unchanged; below_sum as a
-    running sum equals the old last(cum_sum, ignorenulls) because both
-    reduce the identical prefix set {data rows: ms < t-W} in the
-    identical (ms)-sorted order; the final expression tree
-    round(own + (coalesce(tot,0) - coalesce(below,0)), 2) is verbatim."""
+    r13 (guide §2.4): restructured twice. First from 4 scans / 4
+    exchanges / 3 window sorts to 3 scans / 3 exchanges / 1 sort (probes
+    entering the SAME union as data rows before the first shuffle,
+    reunited by groupBy(event_id) instead of a self-join). Then to a
+    SINGLE scan / 2 exchanges / 0 joins: each event row explodes into
+    its data row and its probe row from one pass (no union of two
+    scans), and the previous bucket's total rides the probe row itself
+    as a whole-partition window sum over (type, bucket) — the probe
+    lives in bucket-1, so its partition total IS tot(prev); the totals
+    aggregate and the left join disappear. The one exchange on
+    (type, bucket) + one sort on (ms, side) feeds all three Window
+    frames (ROWS running prefix, RANGE peer-inclusive cumsum, and the
+    unbounded full-partition total — the last two need only the
+    (ms)-prefix ordering the same sort provides).
+
+    Hash-safety: sum/count skip NULL probe values without touching the
+    accumulator, so every accumulation over data values reduces the
+    identical multiset; the full-partition sum accumulates bucket
+    members in (ms, side) order instead of the old hash-aggregate order,
+    and below/own prefixes in the identical (ms)-sorted order as before
+    — all safe under the t5 quantization argument above (2-decimal
+    inputs, round(…, 2) output). The final expression tree
+    round(own + (coalesce(tot,0) - coalesce(below,0)), 2) is verbatim.
+    Verified row-bit-equal against the previous form at sf0.01 and
+    sf0.1 before the swap, and against the DuckDB oracle after."""
     frame_ms = 300000
     events = load_table(spark, sf_dir, "events")
     base = events.select(
@@ -163,24 +172,28 @@ def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts")).alias("ms"),
     ).withColumn("bucket", F.floor(F.col("ms") / frame_ms))
 
-    data_rows = base.select(
+    both = base.select(
         "event_id",
         "event_type",
-        "bucket",
-        "ms",
-        F.lit(1).alias("side"),
-        "value",
-        F.lit(1).alias("cnt"),
-    )
-    probe_rows = base.select(
-        "event_id",
-        "event_type",
-        (F.col("bucket") - 1).alias("bucket"),
-        (F.col("ms") - frame_ms).alias("ms"),
-        F.lit(0).alias("side"),
-        F.lit(None).cast("double").alias("value"),
-        F.lit(None).cast("int").alias("cnt"),
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("bucket").alias("bucket"),
+                    F.col("ms").alias("ms"),
+                    F.lit(1).alias("side"),
+                    F.col("value").alias("value"),
+                    F.lit(1).alias("cnt"),
+                ),
+                F.struct(
+                    (F.col("bucket") - 1).alias("bucket"),
+                    (F.col("ms") - frame_ms).alias("ms"),
+                    F.lit(0).alias("side"),
+                    F.lit(None).cast("double").alias("value"),
+                    F.lit(None).cast("int").alias("cnt"),
+                ),
+            )
+        ).alias("r"),
+    ).select("event_id", "event_type", "r.bucket", "r.ms", "r.side", "r.value", "r.cnt")
     wlook = (
         Window.partitionBy("event_type", "bucket")
         .orderBy("ms", "side")
@@ -191,9 +204,9 @@ def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ms")
         .rangeBetween(Window.unboundedPreceding, 0)
     )
+    wfull = Window.partitionBy("event_type", "bucket")
     passed = (
-        data_rows.unionByName(probe_rows)
-        .select(
+        both.select(
             "event_id",
             "event_type",
             "bucket",
@@ -213,10 +226,9 @@ def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "run_n",
             F.sum("value").over(wcum).alias("own_sum"),
             F.sum("cnt").over(wcum).alias("own_n"),
+            F.sum("value").over(wfull).alias("full_sum"),
+            F.sum("cnt").over(wfull).alias("full_n"),
         )
-    )
-    totals = base.groupBy("event_type", "bucket").agg(
-        F.sum("value").alias("tot_sum"), F.count(F.lit(1)).alias("tot_n")
     )
     # groupBy includes event_type (identical on a row and its probe) so
     # every aggregation buffer stays numeric -> HashAggregate; a string
@@ -226,31 +238,24 @@ def w3b_trailing_5min_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("side") == 1, F.col("own_n"))).alias("own_n"),
         F.max(F.when(F.col("side") == 0, F.col("run_sum"))).alias("below_sum"),
         F.max(F.when(F.col("side") == 0, F.col("run_n"))).alias("below_n"),
-        F.min("bucket").alias("prev_bucket"),
+        F.max(F.when(F.col("side") == 0, F.col("full_sum"))).alias("tot_sum"),
+        F.max(F.when(F.col("side") == 0, F.col("full_n"))).alias("tot_n"),
     )
-    return (
-        g.join(
-            totals,
-            (g["event_type"] == totals["event_type"])
-            & (g["prev_bucket"] == totals["bucket"]),
-            "left",
-        )
-        .select(
-            "event_id",
-            g["event_type"],
-            F.round(
-                F.col("own_sum")
-                + (
-                    F.coalesce("tot_sum", F.lit(0.0))
-                    - F.coalesce("below_sum", F.lit(0.0))
-                ),
-                2,
-            ).alias("trailing_sum"),
-            (
-                F.col("own_n")
-                + (F.coalesce("tot_n", F.lit(0)) - F.coalesce("below_n", F.lit(0)))
-            ).alias("trailing_n"),
-        )
+    return g.select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.col("own_sum")
+            + (
+                F.coalesce("tot_sum", F.lit(0.0))
+                - F.coalesce("below_sum", F.lit(0.0))
+            ),
+            2,
+        ).alias("trailing_sum"),
+        (
+            F.col("own_n")
+            + (F.coalesce("tot_n", F.lit(0)) - F.coalesce("below_n", F.lit(0)))
+        ).alias("trailing_n"),
     )
 
 
