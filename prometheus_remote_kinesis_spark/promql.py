@@ -1264,8 +1264,12 @@ def _chk_den(d: int) -> int:
 
 
 def _base(spark: SparkSession, sf_dir: str, sel: Selector) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    ev = ev.where(F.col("event_type") == sel.metric)
+    # ONE filter Dataset for both base predicates (r13 guide §4/§1.2:
+    # every DataFrame method is a Py4J round trip + an eager re-analysis
+    # of the whole accumulated plan — the fresh-path build cost)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("event_type") == sel.metric)
+    )
     for label, op, val in sel.matchers:
         if label not in _LABELS:
             raise PromQLError(f"unknown label {label!r} (have: {set(_LABELS)})")
@@ -1309,9 +1313,7 @@ def _t_frame(
     answered at T = corpus max)."""
     if eval_ms is None:
         return _t_eval(spark, sf_dir)
-    return spark.range(1).select(
-        F.lit(int(eval_ms)).cast("long").alias("t_eval")
-    )
+    return spark.sql(f"SELECT CAST({int(eval_ms)} AS BIGINT) AS t_eval")
 
 
 def _anchor(d: DataFrame, sel: Selector) -> DataFrame:
@@ -1404,43 +1406,63 @@ def _grid_expand(
     compute their per-series lag there ONCE, not once per grid point.
     ``off`` implements PromQL ``offset``: sample ms shifts forward into
     the grid frame (window (t_k − off − w, t_k − off] ⟺ effective
-    ms + off ∈ (t_k − w, t_k]), leaving output timestamps unshifted."""
+    ms + off ∈ (t_k − w, t_k]), leaving output timestamps unshifted.
+
+    r13 build-cost note (guide §4/§1.2): this helper runs for every
+    range query and every gridded instant vector, so it is written to
+    MINIMIZE Dataset creations (each DataFrame method is a Py4J round
+    trip + an eager Catalyst re-analysis of the whole plan so far):
+    both helper columns land in ONE select; the two filters merge into
+    one when no ``prep`` separates them (klo/khi evaluate to garbage on
+    rows the range cut rejects, but the conjunction discards those rows
+    — no exception is reachable: floor/divide by a positive constant);
+    and the explode generates t_ms DIRECTLY via
+    ``sequence(start + klo·step, start + khi·step, step)`` — the same
+    longs, same ascending order as the old per-k projection
+    ``(start + k·step) cast long``, in one Dataset instead of three."""
     step = grid.step_ms
     if grid.span_ms is not None:
         d = d.crossJoin(F.broadcast(_t_frame(spark, sf_dir, eval_ms)))
         start = F.col("t_eval") - grid.span_ms
-        last_k = F.lit(grid.span_ms // step)
+        last_k = grid.span_ms // step
     else:
         start = F.lit(grid.start_ms)
-        last_k = F.lit((grid.end_ms - grid.start_ms) // step)
-    mse = F.col("ms") + F.lit(off)
-    d = (
-        d.withColumn("_start", start)
-        .withColumn("_mse", mse)
-        .where(
-            (F.col("_mse") > F.col("_start") - w)
-            & (F.col("_mse") <= F.col("_start") + last_k * step)
-        )
+        last_k = (grid.end_ms - grid.start_ms) // step
+    d = d.select(
+        "*",
+        start.alias("_start"),
+        (F.col("ms") + F.lit(off)).alias("_mse"),
     )
-    if prep is not None:
-        d = prep(d)
+    _mse, _start = F.col("_mse"), F.col("_start")
+    range_cut = (_mse > _start - w) & (_mse <= _start + last_k * step)
     # k ∈ [ceil((mse−start)/step) clamped at 0, floor((mse+w−1−start)/step)
     # clamped at last_k]; both floor args are non-negative after the range
     # cut, and the double quotients are exact-integer-safe (operands well
     # under 2^53, correctly-rounded division of exact ints)
-    klo = F.when(F.col("_mse") <= F.col("_start"), F.lit(0).cast("long")).otherwise(
-        F.floor((F.col("_mse") - F.col("_start") + (step - 1)) / F.lit(step))
+    klo = F.when(_mse <= _start, F.lit(0).cast("long")).otherwise(
+        F.floor((_mse - _start + (step - 1)) / F.lit(step))
     )
     khi = F.least(
-        F.floor((F.col("_mse") + (w - 1) - F.col("_start")) / F.lit(step)),
-        last_k.cast("long"),
+        F.floor((_mse + (w - 1) - _start) / F.lit(step)),
+        F.lit(last_k).cast("long"),
     )
-    d = d.where(klo <= khi).withColumn(
-        "_k", F.explode(F.sequence(klo, khi))
+    if prep is not None:
+        # the lag must see the full range-cut stream, so the k-window
+        # filter stays AFTER prep
+        d = prep(d.where(range_cut)).where(klo <= khi)
+    else:
+        d = d.where(range_cut & (klo <= khi))
+    keep = [c for c in d.columns if c not in ("_start", "_mse")]
+    return d.select(
+        *keep,
+        F.explode(
+            F.sequence(
+                _start + klo * step,
+                _start + khi * step,
+                F.lit(step).cast("long"),
+            )
+        ).alias("t_ms"),
     )
-    return d.withColumn(
-        "t_ms", (F.col("_start") + F.col("_k") * step).cast("long")
-    ).drop("_start", "_mse", "_k")
 
 
 def _compile_rangefn_grid(
@@ -1469,8 +1491,10 @@ def _compile_rangefn_grid(
     if node.fn in ("changes", "resets", "idelta", "irate"):
         def prep_pairs(d: DataFrame) -> DataFrame:
             wl = Window.partitionBy("user").orderBy("ms", "event_id")
-            return d.withColumn("pms", F.lag("ms").over(wl)).withColumn(
-                "pc", F.lag("c").over(wl)
+            return d.select(  # one Dataset, not two withColumns (r13)
+                "*",
+                F.lag("ms").over(wl).alias("pms"),
+                F.lag("c").over(wl).alias("pc"),
             )
 
         d = _grid_expand(
@@ -1487,9 +1511,8 @@ def _compile_rangefn_grid(
                 else (pair_in & (F.col("c") < F.col("pc")))
             )
             g = (
-                d.select("t_ms", "user", hit.cast("long").alias("hit"))
-                .groupBy("t_ms", "user")
-                .agg(F.sum("hit").cast("long").alias("num"))
+                d.groupBy("t_ms", "user")
+                .agg(F.sum(hit.cast("long")).cast("long").alias("num"))
                 .select(
                     "t_ms", "user", "num",
                     F.lit(1).cast("long").alias("den"),
@@ -1537,8 +1560,10 @@ def _compile_rangefn_grid(
     if node.fn in ("rate", "increase"):
         def prep(d: DataFrame) -> DataFrame:
             wl = Window.partitionBy("user").orderBy("ms", "event_id")
-            return d.withColumn("pms", F.lag("ms").over(wl)).withColumn(
-                "pc", F.lag("c").over(wl)
+            return d.select(  # one Dataset, not two withColumns (r13)
+                "*",
+                F.lag("ms").over(wl).alias("pms"),
+                F.lag("c").over(wl).alias("pc"),
             )
 
         d = _grid_expand(
@@ -1555,10 +1580,11 @@ def _compile_rangefn_grid(
             .otherwise(F.col("c"))
         )
         g = (
-            d.select("t_ms", "user", inc.alias("inc"))
-            .groupBy("t_ms", "user")
+            # inc aggregates directly (r13: the narrowing pre-select was
+            # one more Dataset creation; column pruning narrows anyway)
+            d.groupBy("t_ms", "user")
             .agg(
-                F.sum("inc").cast("long").alias("inc"),
+                F.sum(inc).cast("long").alias("inc"),
                 F.count(F.lit(1)).alias("n"),
             )
             .where(F.col("n") >= 2)  # Prometheus: rate needs two samples
@@ -1995,14 +2021,26 @@ def _compile_vector(
             # (nesting rejects via _variable_den).
             dec = "decimal(38,0)"
             dn = F.col("num").cast(dec)
-            g = gb.agg(
-                F.count(F.lit(1)).alias("n_in"),
-                F.sum(dn).alias("s1"),
-                F.sum(dn * dn).alias("s2"),
-                F.min("den").alias("den_lo"),
-                F.max("den").alias("den_hi"),
-            ).where(F.col("den_lo") == F.col("den_hi"))  # defensive only
-            nd = F.col("n_in").cast(dec) * F.col("den_lo").cast(dec)
+            if inner.den_const is not None:
+                # r13 fast path: known-constant den → no den buffers,
+                # no vacuous filter (see the sum branch note below)
+                g = gb.agg(
+                    F.count(F.lit(1)).alias("n_in"),
+                    F.sum(dn).alias("s1"),
+                    F.sum(dn * dn).alias("s2"),
+                )
+                nd = F.col("n_in").cast(dec) * F.lit(
+                    inner.den_const
+                ).cast(dec)
+            else:
+                g = gb.agg(
+                    F.count(F.lit(1)).alias("n_in"),
+                    F.sum(dn).alias("s1"),
+                    F.sum(dn * dn).alias("s2"),
+                    F.min("den").alias("den_lo"),
+                    F.max("den").alias("den_hi"),
+                ).where(F.col("den_lo") == F.col("den_hi"))  # defensive only
+                nd = F.col("n_in").cast(dec) * F.col("den_lo").cast(dec)
             out = g.select(
                 *keys,
                 (
@@ -2052,29 +2090,51 @@ def _compile_vector(
             # nested avg) were REJECTED AT COMPILE TIME above (r10
             # ADVICE: the silent den_lo==den_hi filter returned an
             # empty result for a grammatically valid query).
-            g = gb.agg(
-                {
-                    "sum": F.sum("num").cast("long"),
-                    "avg": F.sum("num").cast("long"),
-                    "min": F.min("num").cast("long"),
-                    "max": F.max("num").cast("long"),
-                }[node.op].alias("num"),
-                F.min("den").alias("den_lo"),
-                F.max("den").alias("den_hi"),
-                F.count(F.lit(1)).alias("n_in"),
-            )
-            # defensive invariant only: provably vacuous for the accepted
-            # subset (the compile-time check above guarantees constant den)
-            g = g.where(F.col("den_lo") == F.col("den_hi"))
-            den = (
-                F.col("den_lo") * F.col("n_in")
-                if node.op == "avg"
-                else F.col("den_lo")
-            )
-            out = g.select(
-                *keys, F.col("num").alias("num"),
-                den.cast("long").alias("den"),
-            )
+            num_agg = {
+                "sum": F.sum("num").cast("long"),
+                "avg": F.sum("num").cast("long"),
+                "min": F.min("num").cast("long"),
+                "max": F.max("num").cast("long"),
+            }[node.op].alias("num")
+            if inner.den_const is not None:
+                # r13 fast path (guide §2.3 + §4): the den is a
+                # compile-time KNOWN constant, so the min/max(den)
+                # buffers and the provably-vacuous den_lo==den_hi
+                # filter are dead weight — 2 fewer aggregation buffers
+                # through the shuffle, 2 fewer Dataset creations on the
+                # build path. den_lo ≡ den_const per group, so the
+                # output expression tree is value-identical.
+                if node.op == "avg":
+                    g = gb.agg(num_agg, F.count(F.lit(1)).alias("n_in"))
+                    den = F.lit(inner.den_const) * F.col("n_in")
+                else:
+                    g = gb.agg(num_agg)
+                    den = F.lit(inner.den_const)
+                out = g.select(
+                    *keys, F.col("num").alias("num"),
+                    den.cast("long").alias("den"),
+                )
+            else:
+                # den constant across rows (the AST check) but its VALUE
+                # unknown at compile time: carry it through the group
+                g = gb.agg(
+                    num_agg,
+                    F.min("den").alias("den_lo"),
+                    F.max("den").alias("den_hi"),
+                    F.count(F.lit(1)).alias("n_in"),
+                )
+                # defensive invariant only: provably vacuous for the
+                # accepted subset
+                g = g.where(F.col("den_lo") == F.col("den_hi"))
+                den = (
+                    F.col("den_lo") * F.col("n_in")
+                    if node.op == "avg"
+                    else F.col("den_lo")
+                )
+                out = g.select(
+                    *keys, F.col("num").alias("num"),
+                    den.cast("long").alias("den"),
+                )
             # avg's den picks up the per-group n_in → not a query constant
             den_c = None if node.op == "avg" else inner.den_const
         elif node.op == "count":

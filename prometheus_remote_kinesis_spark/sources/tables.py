@@ -222,7 +222,10 @@ def max_ms_frame(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
     queries (t22/t23/t25/t26, promql._t_eval)."""
     ms = max_ts_ms(sf_dir, "events")
     if ms is not None:
-        return spark.range(1).select(F.lit(ms).cast("long").alias(alias))
+        # ONE Dataset creation (r13 guide §4: spark.range(1).select was
+        # two Py4J round trips + two eager analyses; this frame builds
+        # once per instant/grid query, so the fixed cost is fleet-wide)
+        return spark.sql(f"SELECT CAST({int(ms)} AS BIGINT) AS {alias}")
     return load_table(spark, sf_dir, "events").agg(
         F.max(F.unix_millis("ts")).alias(alias)
     )
