@@ -77,23 +77,27 @@ def shingled_docs(
         .repartition(spark.sparkContext.defaultParallelism)
         .select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), (i + j + 1).cast("int")) for j in range(n)]
-        ),
+    # ONE parsed expression instead of ~n·4 Column round trips (r13 guide
+    # §4/§1.2: every F.* call is a synchronous Py4J round trip; the SQL
+    # text parses to the IDENTICAL Catalyst tree — same element_at /
+    # concat_ws / transform nodes, same int lambda arithmetic)
+    parts = ", ".join(
+        f"element_at(toks, CAST(i + {j} + 1 AS INT))" for j in range(n)
     )
     return toked.select(
         id_col,
-        F.array_distinct(
-            F.when(F.size("toks") >= n, grams).otherwise(
-                F.array(F.concat_ws(" ", "toks"))
-            )
+        F.expr(
+            f"array_distinct(CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(0, size(toks) - {n}), "
+            f"i -> concat_ws(' ', {parts})) "
+            f"ELSE array(concat_ws(' ', toks)) END)"
         ).alias("sh"),
     )
 
 
-def minhash_signature(shingle_col: Column, n_perm: int = N_PERM) -> Column:
+def minhash_signature(
+    shingle_col: Column | str = "sh", n_perm: int = N_PERM
+) -> Column:
     """MinHash signature: per permutation i, min over shingles of
     xxhash64(shingle, i). Seeding xxhash64 with the permutation index is
     the standard trick for a family of independent hash functions without
@@ -102,7 +106,20 @@ def minhash_signature(shingle_col: Column, n_perm: int = N_PERM) -> Column:
     Single-pass fold: one traversal of the shingle array computing all
     n_perm hashes per shingle and folding with element-wise least. (The
     naive per-permutation ``array_min(transform(...))`` form re-evaluates
-    the shingle expression n_perm times — measured 25× slower.)"""
+    the shingle expression n_perm times — measured 25× slower.)
+
+    Given a COLUMN NAME, the whole fold builds as one parsed expression —
+    ~2·n_perm fewer Py4J round trips per build (r13), identical Catalyst
+    tree (xxhash64 hashes the (shingle, int-literal) tuple either way).
+    A Column argument (arbitrary shingle expressions, e.g. in tests)
+    takes the equivalent Column-algebra path."""
+    if isinstance(shingle_col, str):
+        hashes = ", ".join(f"xxhash64(s, {i})" for i in range(n_perm))
+        return F.expr(
+            f"aggregate({shingle_col}, "
+            f"array_repeat(CAST({2**63 - 1} AS BIGINT), {n_perm}), "
+            f"(acc, s) -> zip_with(acc, array({hashes}), (a, b) -> least(a, b)))"
+        )
     init = F.array_repeat(F.lit(2**63 - 1).cast("long"), n_perm)
     return F.aggregate(
         shingle_col,
@@ -133,22 +150,18 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     instead of `first(array)` buffers in a SortAggregate + sort. est is
     m/N_PERM, bit-identical to the old post-dedup computation.
     """
+    # band structs + the agreement fold as parsed expressions: one Py4J
+    # round trip each instead of ~4·N_BANDS (r13; identical Catalyst
+    # trees — same struct/hash/slice and zip_with/aggregate nodes)
+    band_structs = ", ".join(
+        f"struct({b} AS band, "
+        f"hash(slice(sig, {b * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})) AS bh)"
+        for b in range(N_BANDS)
+    )
     banded = docs.select(
         F.col(id_col),
         F.col("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
-                        ).alias("bh"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({band_structs}))").alias("bk"),
     ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     left = banded.select(
@@ -159,10 +172,9 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("band"), F.col("bh"),
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
     )
-    m = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    m = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (a, b) -> CAST(a = b AS INT)), "
+        "0, (acc, x) -> acc + x)"
     )
     pairs = (
         left.join(right, ["band", "bh"])
@@ -245,6 +257,35 @@ def _md5_hash64(col: Column, i: int) -> Column:
     ).cast("long")
 
 
+def _md5_sig_expr() -> Column:
+    """The MinHash fold over ``sh`` with the md5 family (`_md5_hash64`),
+    as ONE parsed expression — shared by l2h and md5_band_keys (r13
+    build diet: one Py4J round trip instead of ~2·perms; the SQL text
+    parses to the identical Catalyst tree as the Column fold)."""
+    hashes = ", ".join(
+        f"CAST(conv(substring(md5(concat(s, ':{i}')), 1, 15), 16, 10) "
+        f"AS BIGINT)"
+        for i in range(_MD5_PERMS)
+    )
+    return F.expr(
+        f"aggregate(sh, "
+        f"array_repeat(CAST({2**63 - 1} AS BIGINT), {_MD5_PERMS}), "
+        f"(acc, s) -> zip_with(acc, array({hashes}), (a, b) -> least(a, b)))"
+    )
+
+
+def _md5_band_explode() -> Column:
+    """explode() over the 4 md5-LSH band-key structs of ``sig`` as one
+    parsed expression (r13 build diet, tree-identical)."""
+    structs = ", ".join(
+        f"struct({b} AS band, concat_ws('|', "
+        f"CAST(slice(sig, {b * _MD5_RPB + 1}, {_MD5_RPB}) "
+        f"AS ARRAY<STRING>)) AS key)"
+        for b in range(_MD5_BANDS)
+    )
+    return F.expr(f"explode(array({structs}))")
+
+
 @register("l2h_minhash_md5", family="L2", oracle=L2H_ORACLE)
 def l2h_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4×2) near-dup candidates with the md5 hash family —
@@ -262,38 +303,16 @@ def l2h_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = shingled_docs(load_table(spark, sf_dir, "documents"))
-    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), _MD5_PERMS)
-    sig = F.aggregate(
-        "sh",
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[_md5_hash64(s, i) for i in range(_MD5_PERMS)]),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    d = docs.select("doc_id", sig.alias("sig")).persist(
+    # the md5 fold, band structs and agreement count as parsed
+    # expressions — one Py4J round trip each (r13, same mechanism as l2;
+    # identical Catalyst trees, oracle hash unchanged)
+    d = docs.select("doc_id", _md5_sig_expr().alias("sig")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     banded = d.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            F.slice("sig", b * _MD5_RPB + 1, _MD5_RPB).cast(
-                                "array<string>"
-                            ),
-                        ).alias("key"),
-                    )
-                    for b in range(_MD5_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        _md5_band_explode().alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     left = banded.select(
         "band", "key", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
@@ -301,10 +320,9 @@ def l2h_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = banded.select(
         "band", "key", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
     )
-    m = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    m = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (a, b) -> CAST(a = b AS INT)), "
+        "0, (acc, x) -> acc + x)"
     )
     pairs = (
         left.join(right, ["band", "key"])
@@ -358,7 +376,7 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         shingled_docs(load_table(spark, sf_dir, "documents"))
-        .select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+        .select("doc_id", minhash_signature("sh").alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return lsh_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.25)
@@ -850,37 +868,9 @@ def md5_band_keys(docs: DataFrame) -> DataFrame:
     stateless projection: shingle transform, signature fold, band
     explode — so it runs identically on a streaming DataFrame)."""
     docs = shingled_docs(docs)
-    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), _MD5_PERMS)
-    sig = F.aggregate(
-        "sh",
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[_md5_hash64(s, i) for i in range(_MD5_PERMS)]),
-            lambda a, b: F.least(a, b),
-        ),
-    )
     banded = (
-        docs.select("doc_id", sig.alias("sig"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "|",
-                                F.slice("sig", b * _MD5_RPB + 1, _MD5_RPB).cast(
-                                    "array<string>"
-                                ),
-                            ).alias("key"),
-                        )
-                        for b in range(_MD5_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        )
+        docs.select("doc_id", _md5_sig_expr().alias("sig"))
+        .select("doc_id", _md5_band_explode().alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
     return banded

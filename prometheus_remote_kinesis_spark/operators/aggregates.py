@@ -398,19 +398,21 @@ def a10_le_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the shape to avoid at scale). Counts are integers —
     engine-deterministic."""
     events = load_table(spark, sf_dir, "events")
+    # parsed expressions: one Py4J round trip per bound instead of ~4
+    # (r13 build diet; the SQL text parses to the identical Catalyst
+    # sum(CAST(value <= <double-literal> AS BIGINT)) tree)
     per_type = events.groupBy("event_type").agg(
         *[
-            F.sum((F.col("value") <= b).cast("long")).alias(f"c{i}")
+            F.expr(f"sum(CAST(value <= {b!r}D AS BIGINT)) AS c{i}")
             for i, b in enumerate(_HIST_BOUNDS)
         ]
     )
-    pairs = F.array(
-        *[
-            F.struct(F.lit(b).alias("le"), F.col(f"c{i}").alias("c"))
-            for i, b in enumerate(_HIST_BOUNDS)
-        ]
+    pair_structs = ", ".join(
+        f"struct({b!r}D AS le, c{i} AS c)" for i, b in enumerate(_HIST_BOUNDS)
     )
-    return per_type.select("event_type", F.explode(pairs).alias("z")).select(
+    return per_type.select(
+        "event_type", F.expr(f"explode(array({pair_structs}))").alias("z")
+    ).select(
         "event_type", F.col("z.le").alias("le"), F.col("z.c").alias("cum_count")
     )
 
@@ -467,31 +469,39 @@ def a10b_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_type = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum((F.col("value") <= b).cast("long")).alias(f"c{i}")
+            F.expr(f"sum(CAST(value <= {b!r}D AS BIGINT)) AS c{i}")
             for i, b in enumerate(_HIST_BOUNDS)
         ],
     )
-    cums = F.array(*[F.col(f"c{i}") for i in range(len(_HIST_BOUNDS))])
-    bounds = F.array(*[F.lit(b) for b in _HIST_BOUNDS])
+    # whole quantile expression as ONE parsed string per φ (r13 build
+    # diet: the Column form cost ~25 Py4J round trips per quantile —
+    # higher-order lambdas are the worst offenders). The SQL text mirrors
+    # the Column algebra node for node: same filter/get/coalesce calls,
+    # same double literals (repr() is shortest-roundtrip exact), same
+    # left-associated * / interpolation arithmetic — bit-identical.
+    cums = f"array({', '.join(f'c{i}' for i in range(len(_HIST_BOUNDS)))})"
+    bounds = f"array({', '.join(repr(b) + 'D' for b in _HIST_BOUNDS)})"
 
-    def quantile(phi: float) -> Column:
-        rank = F.lit(phi) * F.col("n")
-        idx = F.size(F.filter(cums, lambda c: c < rank))  # 0-based target
-        lower = F.coalesce(F.get(bounds, idx - 1), F.lit(0.0))
-        cum_lower = F.coalesce(F.get(cums, idx - 1), F.lit(0)).cast("double")
-        upper = F.get(bounds, idx)
-        cum_upper = F.get(cums, idx).cast("double")
-        return F.round(
-            F.when(idx >= F.size(bounds), F.element_at(bounds, -1)).otherwise(
-                lower
-                + (upper - lower) * (rank - cum_lower) / (cum_upper - cum_lower)
-            ),
-            4,
+    def quantile(phi: float) -> str:
+        rank = f"({phi!r}D * n)"
+        idx = f"size(filter({cums}, c -> c < {rank}))"  # 0-based target
+        lower = f"coalesce(get({bounds}, {idx} - 1), 0.0D)"
+        cum_lower = f"CAST(coalesce(get({cums}, {idx} - 1), 0) AS DOUBLE)"
+        upper = f"get({bounds}, {idx})"
+        cum_upper = f"CAST(get({cums}, {idx}) AS DOUBLE)"
+        return (
+            f"round(CASE WHEN {idx} >= size({bounds}) "
+            f"THEN element_at({bounds}, -1) "
+            f"ELSE {lower} + ({upper} - {lower}) * ({rank} - {cum_lower}) "
+            f"/ ({cum_upper} - {cum_lower}) END, 4)"
         )
 
     return per_type.select(
         "event_type",
-        *[quantile(p).alias(f"p{int(p * 100)}") for p in _HQ_PHIS],
+        *[
+            F.expr(f"{quantile(p)} AS p{int(p * 100)}")
+            for p in _HQ_PHIS
+        ],
     )
 
 
