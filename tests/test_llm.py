@@ -53,6 +53,30 @@ def test_quadratic_shingles_helper_fenced():
     assert not calls, f"_shingles_expr called inside dedup.py: {calls}"
 
 
+def test_minhash_signature_expr_matches_column_path(spark):
+    """The r13 parsed-string fast path (column NAME argument) must
+    produce the bit-identical signature as the Column-algebra fold the
+    tests and arbitrary-expression callers use — pins the two
+    `minhash_signature` code paths to one Catalyst tree."""
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "x y"), (2, "a b c d e f g h i")],
+        "doc_id long, text string",
+    ).select("doc_id", _shingles_expr(F.col("text")).alias("sh"))
+    via_name = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", minhash_signature("sh").alias("sig")
+        ).collect()
+    }
+    via_column = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", minhash_signature(F.col("sh")).alias("sig")
+        ).collect()
+    }
+    assert via_name == via_column
+
+
 def test_minhash_estimates_jaccard(spark):
     """Near-identical docs get high estimated jaccard; disjoint docs low."""
     base = " ".join(f"tok{i}" for i in range(50))

@@ -182,6 +182,113 @@ def test_w3b_decomposition_boundary_cases(spark, tmp_path):
     assert direct[7] == (128.0, 1)
 
 
+def test_j6_day_fusion_boundary_cases(spark, tmp_path):
+    """j6's r13 fused form (day totals as equal-key-peer RANGE window
+    sums inside the as-of union) vs the pre-r13 formulation (day-level
+    groupBy + the generic asof_join helper, which stays in the
+    codebase) on ENGINEERED edges: multiple same-day orders (the fused
+    sum must equal the groupBy day total), an event exactly AT an order
+    date (at-or-before tie takes the order), an event before any order
+    (NULL payload), same-ts event ties, a user with no orders, and
+    non-representable cents sums (0.1+0.2) where round(…, 2) must agree
+    across accumulation orders."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prometheus_remote_kinesis_spark.operators.joins import (
+        asof_join,
+        j6_asof_last_order,
+    )
+
+    day = 86_400_000  # ms
+    orders_rows = [
+        # (o_orderkey, o_custkey, o_orderdate_ms, o_totalprice)
+        (1, 1, 5 * day, 10.11),
+        (2, 1, 5 * day, 5.22),   # same-day pair -> day_total 15.33
+        (3, 1, 7 * day, 0.1),
+        (4, 1, 7 * day, 0.2),    # 0.1+0.2 -> round(.., 2) == 0.3
+        (5, 3, 2 * day, 99.99),  # user with orders but no events
+    ]
+    events_rows = [
+        # (event_id, user_id, ts_ms)
+        (0, 1, 4 * day),         # before any order -> NULLs
+        (1, 1, 5 * day),         # exactly AT the order date: tie -> 15.33
+        (2, 1, 6 * day),         # between -> 15.33
+        (3, 1, 8 * day),         # after -> 0.3
+        (4, 1, 8 * day),         # same-ts event tie
+        (5, 2, 6 * day),         # user with no orders -> NULLs
+    ]
+    orders = spark.createDataFrame(
+        [(k, c, d, p) for (k, c, d, p) in orders_rows],
+        "o_orderkey long, o_custkey long, d_ms long, o_totalprice double",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("F").alias("o_orderstatus"),
+        "o_totalprice",
+        F.timestamp_micros(F.col("d_ms") * 1000).alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    events = spark.createDataFrame(
+        [(e, u, t) for (e, u, t) in events_rows],
+        "event_id long, user_id long, t_ms long",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("t_ms") * 1000).alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sf = str(tmp_path / "j6edge")
+    os.makedirs(sf, exist_ok=True)
+    orders.coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    events.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        r["event_id"]: (r["last_order_ts"], r["last_order_total"])
+        for r in j6_asof_last_order(spark, sf).collect()
+    }
+
+    # pre-r13 reference: day-level groupBy + the generic asof_join
+    from prometheus_remote_kinesis_spark.sources.tables import load_table
+
+    o = load_table(spark, sf, "orders")
+    e = load_table(spark, sf, "events")
+    day_orders = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("odate"),
+            F.col("o_orderdate").alias("last_order_ts"),
+            F.col("day_total").alias("last_order_total"),
+        )
+    )
+    ref = {
+        r["event_id"]: (r["last_order_ts"], r["last_order_total"])
+        for r in asof_join(
+            e.select("user_id", "ts", "event_id"),
+            day_orders,
+            on="user_id",
+            left_ts="ts",
+            right_ts="odate",
+            payload=["last_order_ts", "last_order_total"],
+        )
+        .select("event_id", "user_id", "last_order_ts", "last_order_total")
+        .collect()
+    }
+    assert got == ref, {k: (ref.get(k), got.get(k)) for k in set(ref) | set(got)}
+    # spot-pin the semantics the fusion must preserve
+    assert got[0] == (None, None)            # before any order
+    assert got[1][1] == 15.33                # at-date tie takes the day
+    assert got[2][1] == 15.33
+    assert got[3][1] == 0.3                  # 0.1+0.2 rounds identically
+    assert got[4] == got[3]                  # same-ts event tie
+    assert got[5] == (None, None)            # user with no orders
+
+
 def test_quantile_sketch_value_error_bound(spark):
     """a4s: the streaming histogram sketch's estimate interpolates inside
     the bucket containing the rank-⌈q·n⌉ order statistic, so its VALUE
