@@ -115,7 +115,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prometheus_remote_kinesis_spark.registry import register
-from prometheus_remote_kinesis_spark.sources.tables import load_table, max_ms_frame
+from prometheus_remote_kinesis_spark.sources.tables import (
+    load_table,
+    max_ms_frame,
+    max_ts_ms,
+)
 
 # ---------------------------------------------------------------- AST
 
@@ -1328,6 +1332,39 @@ def _anchor(d: DataFrame, sel: Selector) -> DataFrame:
     return d
 
 
+def _t_resolved(sf_dir: str, sel, eval_ms: int | None) -> int | None:
+    """The evaluation anchor as a PYTHON int when it is knowable at
+    plan-build time — a selector's ``@`` literal, the client's ``time=``
+    literal, or the corpus max proven by parquet footer statistics
+    (``max_ts_ms``, read per invocation from the live inputs; nothing
+    cached across runs) — with the selector's @/offset modifiers applied
+    in ``_anchor``'s order (@ REPLACES the evaluation time, offset then
+    shifts back). None → the caller keeps the 1-row-frame crossJoin +
+    ``_anchor`` fallback (unprovable footers).
+
+    r14 (guide §2.4 remove the join outright, §4 fewer boundary calls):
+    inlining the anchor as a literal deletes the 1-row
+    BroadcastNestedLoopJoin + BroadcastExchange from every instant plan,
+    the ``max(t_eval)`` carry buffer from the staleness aggregations, and
+    2-3 Dataset creations per compile. The literal is the IDENTICAL long
+    the 1-row frame held (footer == scan is pinned by
+    tests/test_queries.py::TestMaxTsFooterStats at every SF), consumed by
+    the identical expressions, so every result is bit-equal."""
+    at = getattr(sel, "at_ms", None) if sel is not None else None
+    if at is not None:
+        t = int(at)
+    elif eval_ms is not None:
+        t = int(eval_ms)
+    else:
+        ms = max_ts_ms(sf_dir, "events")
+        if ms is None:
+            return None
+        t = ms
+    if sel is not None and sel.offset_ms:
+        t -= sel.offset_ms
+    return t
+
+
 def _no_at_on_grid(sel: Selector) -> None:
     if sel.at_ms is not None:
         raise PromQLError(
@@ -1422,8 +1459,16 @@ def _grid_expand(
     ``(start + k·step) cast long``, in one Dataset instead of three."""
     step = grid.step_ms
     if grid.span_ms is not None:
-        d = d.crossJoin(F.broadcast(_t_frame(spark, sf_dir, eval_ms)))
-        start = F.col("t_eval") - grid.span_ms
+        # r14: the T anchor inlines as a literal when footer stats (or
+        # the client's time=) prove it — no 1-row crossJoin, no
+        # BroadcastExchange in the plan (see _t_resolved); the frame
+        # join remains the fallback for unprovable footers.
+        tv = _t_resolved(sf_dir, None, eval_ms)
+        if tv is None:
+            d = d.crossJoin(F.broadcast(_t_frame(spark, sf_dir, eval_ms)))
+            start = F.col("t_eval") - grid.span_ms
+        else:
+            start = F.lit(int(tv - grid.span_ms)).cast("long")
         last_k = grid.span_ms // step
     else:
         start = F.lit(grid.start_ms)
@@ -1689,22 +1734,35 @@ def _compile_vector(
                 ("t_ms", "user"),
                 den_const=100,
             )
-        d = _anchor(
-            _base(spark, sf_dir, node).crossJoin(
-                F.broadcast(_t_frame(spark, sf_dir, eval_ms))
-            ),
-            node,
-        )
-        g = (
-            d.where(F.col("ms") <= F.col("t_eval"))
-            .groupBy("user")
-            .agg(
-                F.max("ms").alias("last_ms"),
-                F.max_by("c", F.struct("ms", "event_id")).alias("num"),
-                F.max("t_eval").alias("t_eval"),
+        t = _t_resolved(sf_dir, node, eval_ms)
+        if t is None:  # unprovable footers → 1-row frame fallback
+            d = _anchor(
+                _base(spark, sf_dir, node).crossJoin(
+                    F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+                ),
+                node,
             )
-            .where(F.col("last_ms") >= F.col("t_eval") - STALENESS_MS)
-        )
+            g = (
+                d.where(F.col("ms") <= F.col("t_eval"))
+                .groupBy("user")
+                .agg(
+                    F.max("ms").alias("last_ms"),
+                    F.max_by("c", F.struct("ms", "event_id")).alias("num"),
+                    F.max("t_eval").alias("t_eval"),
+                )
+                .where(F.col("last_ms") >= F.col("t_eval") - STALENESS_MS)
+            )
+        else:  # r14: literal anchor — no join, no max(t_eval) buffer
+            g = (
+                _base(spark, sf_dir, node)
+                .where(F.col("ms") <= t)
+                .groupBy("user")
+                .agg(
+                    F.max("ms").alias("last_ms"),
+                    F.max_by("c", F.struct("ms", "event_id")).alias("num"),
+                )
+                .where(F.col("last_ms") >= t - STALENESS_MS)
+            )
         return _Vec(
             g.select("user", F.col("num").cast("long").alias("num"),
                      F.lit(100).cast("long").alias("den")),
@@ -1730,21 +1788,31 @@ def _compile_vector(
                 ("t_ms", "user"),
                 den_const=1000,
             )
-        d = _anchor(
-            _base(spark, sf_dir, node.sel).crossJoin(
-                F.broadcast(_t_frame(spark, sf_dir, eval_ms))
-            ),
-            node.sel,
-        )
-        g = (
-            d.where(F.col("ms") <= F.col("t_eval"))
-            .groupBy("user")
-            .agg(
-                F.max("ms").alias("last_ms"),
-                F.max("t_eval").alias("t_eval"),
+        t = _t_resolved(sf_dir, node.sel, eval_ms)
+        if t is None:  # unprovable footers → 1-row frame fallback
+            d = _anchor(
+                _base(spark, sf_dir, node.sel).crossJoin(
+                    F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+                ),
+                node.sel,
             )
-            .where(F.col("last_ms") >= F.col("t_eval") - STALENESS_MS)
-        )
+            g = (
+                d.where(F.col("ms") <= F.col("t_eval"))
+                .groupBy("user")
+                .agg(
+                    F.max("ms").alias("last_ms"),
+                    F.max("t_eval").alias("t_eval"),
+                )
+                .where(F.col("last_ms") >= F.col("t_eval") - STALENESS_MS)
+            )
+        else:  # r14: literal anchor — no join, no max(t_eval) buffer
+            g = (
+                _base(spark, sf_dir, node.sel)
+                .where(F.col("ms") <= t)
+                .groupBy("user")
+                .agg(F.max("ms").alias("last_ms"))
+                .where(F.col("last_ms") >= t - STALENESS_MS)
+            )
         return _Vec(
             g.select(
                 "user", F.col("last_ms").cast("long").alias("num"),
@@ -1756,16 +1824,23 @@ def _compile_vector(
     if isinstance(node, RangeFn):
         if grid is not None:
             return _compile_rangefn_grid(spark, sf_dir, node, grid, eval_ms)
-        d = _anchor(
-            _base(spark, sf_dir, node.sel).crossJoin(
-                F.broadcast(_t_frame(spark, sf_dir, eval_ms))
-            ),
-            node.sel,
-        )
         w = node.window_ms
-        d = d.where(
-            (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
-        )
+        t = _t_resolved(sf_dir, node.sel, eval_ms)
+        if t is None:  # unprovable footers → 1-row frame fallback
+            d = _anchor(
+                _base(spark, sf_dir, node.sel).crossJoin(
+                    F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+                ),
+                node.sel,
+            )
+            d = d.where(
+                (F.col("ms") > F.col("t_eval") - w)
+                & (F.col("ms") <= F.col("t_eval"))
+            )
+        else:  # r14: literal anchor — the window cut inlines, no join
+            d = _base(spark, sf_dir, node.sel).where(
+                (F.col("ms") > t - w) & (F.col("ms") <= t)
+            )
         if node.fn in ("stddev_over_time", "stdvar_over_time"):
             # population variance = (n·Σc² − (Σc)²) / (n²·100²); the
             # regression-sums discipline (t31): exact integer partials,
@@ -2534,14 +2609,21 @@ def _compile_vector(
                 "absent/absent_over_time inside a range-query grid is "
                 "outside the subset (evaluate as an instant query)"
             )
-        d = _base(spark, sf_dir, node.sel).crossJoin(
-            F.broadcast(_t_frame(spark, sf_dir, eval_ms))
-        )
-        d = _anchor(d, node.sel)
         w = node.window_ms if node.window_ms is not None else STALENESS_MS
-        d = d.where(
-            (F.col("ms") > F.col("t_eval") - w) & (F.col("ms") <= F.col("t_eval"))
-        )
+        t = _t_resolved(sf_dir, node.sel, eval_ms)
+        if t is None:  # unprovable footers → 1-row frame fallback
+            d = _base(spark, sf_dir, node.sel).crossJoin(
+                F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+            )
+            d = _anchor(d, node.sel)
+            d = d.where(
+                (F.col("ms") > F.col("t_eval") - w)
+                & (F.col("ms") <= F.col("t_eval"))
+            )
+        else:  # r14: literal anchor
+            d = _base(spark, sf_dir, node.sel).where(
+                (F.col("ms") > t - w) & (F.col("ms") <= t)
+            )
         # a global count ALWAYS yields one row (0 on an empty scan) —
         # keep it only when the window is empty, then emit the 1-sample
         g = d.agg(F.count(F.lit(1)).alias("n")).where(F.col("n") == 0)
@@ -2697,12 +2779,20 @@ def _compile_vector(
             )
             keys = ["t_ms", "user"]
         else:
-            d = base.crossJoin(F.broadcast(_t_frame(spark, sf_dir, eval_ms)))
-            d = _anchor(d, node.sel)
-            d = d.where(
-                (F.col("ms") > F.col("t_eval") - node.window_ms)
-                & (F.col("ms") <= F.col("t_eval"))
-            )
+            t = _t_resolved(sf_dir, node.sel, eval_ms)
+            if t is None:  # unprovable footers → 1-row frame fallback
+                d = base.crossJoin(
+                    F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+                )
+                d = _anchor(d, node.sel)
+                d = d.where(
+                    (F.col("ms") > F.col("t_eval") - node.window_ms)
+                    & (F.col("ms") <= F.col("t_eval"))
+                )
+            else:  # r14: literal anchor
+                d = base.where(
+                    (F.col("ms") > t - node.window_ms) & (F.col("ms") <= t)
+                )
             keys = ["user"]
         g = d.groupBy(*keys).agg(
             F.sort_array(F.collect_list("c")).alias("arr"),
@@ -2783,18 +2873,26 @@ def _compile_deriv(
             - (F.col("t_ms") - w)
         ).cast(dec)
     else:
-        d = _base(spark, sf_dir, node.sel).crossJoin(
-            F.broadcast(_t_frame(spark, sf_dir, eval_ms))
-        )
-        d = _anchor(d, node.sel)
-        d = d.where(
-            (F.col("ms") > F.col("t_eval") - w)
-            & (F.col("ms") <= F.col("t_eval"))
-        )
+        t = _t_resolved(sf_dir, node.sel, eval_ms)
+        if t is None:  # unprovable footers → 1-row frame fallback
+            d = _base(spark, sf_dir, node.sel).crossJoin(
+                F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+            )
+            d = _anchor(d, node.sel)
+            d = d.where(
+                (F.col("ms") > F.col("t_eval") - w)
+                & (F.col("ms") <= F.col("t_eval"))
+            )
+            # rebase to the window start: t' ∈ (0, w] keeps every
+            # partial exact inside decimal(38,0) ≡ HUGEINT at any
+            # grammar window
+            tp = (F.col("ms") - (F.col("t_eval") - w)).cast(dec)
+        else:  # r14: literal anchor — identical rebase on the same long
+            d = _base(spark, sf_dir, node.sel).where(
+                (F.col("ms") > t - w) & (F.col("ms") <= t)
+            )
+            tp = (F.col("ms") - F.lit(int(t - w))).cast(dec)
         keys = ["user"]
-        # rebase to the window start: t' ∈ (0, w] keeps every partial
-        # exact inside decimal(38,0) ≡ HUGEINT at any grammar window
-        tp = (F.col("ms") - (F.col("t_eval") - w)).cast(dec)
     c = F.col("c").cast(dec)
     g = (
         d.groupBy(*keys)
@@ -2909,14 +3007,20 @@ def _compile_histq(
         g = d.groupBy("t_ms").agg(F.count(F.lit(1)).alias("n"), *cum_aggs)
         keys = [F.col("t_ms").cast("bigint").alias("t_ms")]
     else:
-        d = _base(spark, sf_dir, sel).crossJoin(
-            F.broadcast(_t_frame(spark, sf_dir, eval_ms))
-        )
-        d = _anchor(d, sel)
-        d = d.where(
-            (F.col("ms") > F.col("t_eval") - rf.window_ms)
-            & (F.col("ms") <= F.col("t_eval"))
-        )
+        t = _t_resolved(sf_dir, sel, eval_ms)
+        if t is None:  # unprovable footers → 1-row frame fallback
+            d = _base(spark, sf_dir, sel).crossJoin(
+                F.broadcast(_t_frame(spark, sf_dir, eval_ms))
+            )
+            d = _anchor(d, sel)
+            d = d.where(
+                (F.col("ms") > F.col("t_eval") - rf.window_ms)
+                & (F.col("ms") <= F.col("t_eval"))
+            )
+        else:  # r14: literal anchor
+            d = _base(spark, sf_dir, sel).where(
+                (F.col("ms") > t - rf.window_ms) & (F.col("ms") <= t)
+            )
         g = d.agg(F.count(F.lit(1)).alias("n"), *cum_aggs).where(
             F.col("n") > 0  # empty window → 0 rows (both engines)
         )
@@ -5109,7 +5213,12 @@ def make_promql_http_handler(spark: SparkSession, sf_dir: str):
         df = compile_promql(spark, sf_dir, query, eval_ms=eval_ms)
         rows = df.collect()
         if time_s is None:
-            t_row = _t_eval(spark, sf_dir).collect()[0]["t_eval"]
+            # r14 (guide §5): answer the response timestamp from footer
+            # stats when provable — no Spark job per HTTP call; the
+            # collect stays the unprovable-footer fallback.
+            t_row = max_ts_ms(sf_dir, "events")
+            if t_row is None:
+                t_row = _t_eval(spark, sf_dir).collect()[0]["t_eval"]
             t_s = (t_row or 0) / 1000.0
         else:
             t_s = time_s
